@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+run graft.Verify first (writes <out>/<name>/ parquet + oracle_sql.json),
+then this script runs each oracle SQL in DuckDB over the same sf dir and
+compares canonically (SURVEY.md §5.3: sort cols by name, sort rows,
+%.6g floats, -0.0 -> 0.0, ISO-us timestamps, NULL)."""
+import duckdb, sys, os, json, glob, hashlib, math, datetime
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon_val(v):
+    if v is None or v != v:  # None, float NaN, pandas NaT -> NULL
+        return "NULL"
+    if isinstance(v, float):
+        if v == 0.0: v = 0.0
+        return "%.6g" % v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon_val(v) for v in row) for row in
+            df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    body = "\n".join("|".join(r) for r in rows)
+    return hashlib.md5(body.encode()).hexdigest(), len(rows), cols
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}"); n_bad += 1; continue
+        he, re_, ce = canon(exp)
+        hg, rg, cg = canon(got)
+        if ce != cg:
+            print(f"FAIL {name}: schema {cg} != oracle {ce}"); n_bad += 1
+        elif re_ != rg:
+            print(f"FAIL {name}: rows {rg} != oracle {re_}"); n_bad += 1
+        elif he != hg:
+            print(f"FAIL {name}: hash mismatch ({rg} rows)")
+            # show first differing row
+            ex = sorted([tuple(canon_val(v) for v in r) for r in exp[sorted(exp.columns)].itertuples(index=False, name=None)])
+            gt = sorted([tuple(canon_val(v) for v in r) for r in got[sorted(got.columns)].itertuples(index=False, name=None)])
+            for a, b in zip(ex, gt):
+                if a != b:
+                    print(f"  oracle: {a}\n  spark : {b}"); break
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({rg} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

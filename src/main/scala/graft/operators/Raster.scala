@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Axes
+
+/** 2-D raster aggregation — the heart of the reference
+  * (`datashader.Canvas(...).points(ddf, x, y, agg)` in
+  * `shade_ms/data_plots.py :: create_plot` [U]).
+  *
+  * Semantically a canvas raster is a GROUP BY over linear bin indices with
+  * partial per-partition accumulation and a final combine — which is exactly
+  * Spark's `HashAggregate(partial) → Exchange → HashAggregate(final)`. So we
+  * express it declaratively and let Catalyst/Tungsten pick the physical
+  * plan; at 100 TB the shuffle carries at most `width × height × ncat` rows
+  * regardless of input size, because the partial aggregation collapses each
+  * input partition to the canvas size before the exchange.
+  */
+final case class Canvas(
+    width: Int,
+    height: Int,
+    xRange: (Double, Double),
+    yRange: (Double, Double)) {
+
+  def xBin(x: Column): Column = Axes.bin(x, xRange._1, xRange._2, width)
+  def yBin(y: Column): Column = Axes.bin(y, yRange._1, yRange._2, height)
+
+  /** Count raster (datashader's default `ds.count()` reduction [U]). */
+  def points(df: DataFrame, x: Column, y: Column): DataFrame =
+    aggPoints(df, x, y, Seq(count(lit(1)).as("c")))
+
+  /** Raster with arbitrary per-cell reductions (`--ared` mean/max/... over
+    * `--aaxis` [U]); pass pre-aliased aggregate columns. */
+  def aggPoints(df: DataFrame, x: Column, y: Column, aggs: Seq[Column]): DataFrame =
+    df.groupBy(xBin(x).as("xb"), yBin(y).as("yb"))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Categorical raster (`ds.count_cat(cat)`, `--colour-by` [U]). */
+  def pointsByCat(df: DataFrame, x: Column, y: Column, cat: Column): DataFrame =
+    df.groupBy(xBin(x).as("xb"), yBin(y).as("yb"), cat.as("cat"))
+      .agg(count(lit(1)).as("c"))
+}
+
+object Raster {
+
+  /** Histogram-equalized shading — datashader `tf.shade(how='eq_hist')` [U]:
+    * each cell's shade is the CDF of its count, i.e. `cume_dist()` ordered
+    * by count alone (ties share a shade). The window is global but runs over
+    * at most `width × height` rows — a post-aggregation raster, never the
+    * raw data — so the single-partition sort is bounded by canvas size.
+    */
+  def shadeEqHist(raster: DataFrame, countCol: Column, out: String = "shade", scale: Int = 6): DataFrame =
+    raster.withColumn(out, round(cume_dist().over(Window.orderBy(countCol)), scale))
+
+  /** `--norm log/cbrt/linear` shading variants [U] — plain scalar maps. */
+  def shadeLog(raster: DataFrame, countCol: Column, out: String = "shade"): Column = log1p(countCol)
+  def shadeCbrt(countCol: Column): Column = cbrt(countCol)
+}
