@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,19 @@ import graft.operators.{Canvas, Raster, Sessionize}
   */
 object Queries {
 
+  /** Final presentation sort for small result sets (every declared query's
+    * output is ≤ ~100 k rows even at scale — rasters are canvas-bounded,
+    * aggregates are group-bounded). A plain `orderBy` plans a range
+    * exchange whose RangePartitioner runs a separate sampling job that
+    * re-executes the upstream plan (a full second scan for shuffle-free
+    * queries like Q01/Q12). A single-partition sort has no sampling job and
+    * no range exchange, and is the right physical choice for a known-small
+    * result regardless of input scale. `repartition(1)` (not `coalesce(1)`,
+    * which would merge the whole upstream stage into one task) keeps the
+    * heavy stages parallel and only funnels the final small result. */
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   // ── §2.2 projections / scalar expressions ─────────────────────────────
 
   /** Q01 amp/phase projection (reference axis mappers `amp`/`phase` [U]). */
@@ -30,7 +43,7 @@ object Queries {
         col("l_linenumber"),
         round(Axes.amp(col("l_discount"), col("l_tax")), 6).as("amp"),
         round(Axes.phase(col("l_discount") + 0.001, col("l_tax")), 4).as("phase"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .transform(sortedSmall(_, col("l_orderkey"), col("l_linenumber")))
 
   /** Q02 flag-mask filter + aggregate (`--noflags` masking analog [U]). */
   def q02(t: Tables): DataFrame =
@@ -39,7 +52,7 @@ object Queries {
         col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("s"))
-      .orderBy("l_returnflag")
+      .transform(sortedSmall(_, col("l_returnflag")))
 
   /** Q03 subset selection: IN-list + range (`--field/--scan` style [U]). */
   def q03(t: Tables): DataFrame =
@@ -49,7 +62,7 @@ object Queries {
           to_timestamp(lit("1996-01-01")), to_timestamp(lit("1998-12-31"))))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
-      .orderBy("o_orderpriority")
+      .transform(sortedSmall(_, col("o_orderpriority")))
 
   /** Q04 dimension join chain (MSInfo subtable lookups [U]) — both dims are
     * tiny, so broadcast explicitly: zero shuffles before the aggregate. */
@@ -59,7 +72,7 @@ object Queries {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("custs"), round(sum("c_acctbal"), 2).as("bal"))
-      .orderBy("r_name", "n_name")
+      .transform(sortedSmall(_, col("r_name"), col("n_name")))
 
   /** Q05 per-group statistics (TPC-H Q1 shape; per-field/scan stats [U]). */
   def q05(t: Tables): DataFrame =
@@ -72,7 +85,7 @@ object Queries {
         round(avg("l_extendedprice"), 4).as("ap"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
           .as("charge"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(sortedSmall(_, col("l_returnflag"), col("l_linestatus")))
 
   // ── §2.5 raster aggregations (the datashader core) ────────────────────
 
@@ -82,7 +95,7 @@ object Queries {
   /** Q06 2-D count raster (`Canvas.points` + `ds.count()` [U]). */
   def q06(t: Tables): DataFrame =
     canvas64.points(t.lineitem, col("l_quantity"), col("l_extendedprice"))
-      .orderBy("xb", "yb")
+      .transform(sortedSmall(_, col("xb"), col("yb")))
 
   /** Q07 raster with mean/max reduction (`--ared mean`, `--aaxis` [U]). */
   def q07(t: Tables): DataFrame =
@@ -91,13 +104,13 @@ object Queries {
         count(lit(1)).as("c"),
         round(avg("l_extendedprice"), 4).as("m"),
         round(max("l_extendedprice"), 2).as("mx")))
-      .orderBy("xb", "yb")
+      .transform(sortedSmall(_, col("xb"), col("yb")))
 
   /** Q08 categorical raster (`ds.count_cat`, `--colour-by` [U]). */
   def q08(t: Tables): DataFrame =
     canvas32.pointsByCat(t.lineitem, col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"))
-      .orderBy("xb", "yb", "cat")
+      .transform(sortedSmall(_, col("xb"), col("yb"), col("cat")))
 
   /** Q09 axis range autocompute (min/max cache before plotting [U]). */
   def q09(t: Tables): DataFrame =
@@ -115,7 +128,7 @@ object Queries {
     Raster.shadeEqHist(
         canvas64.points(t.lineitem, col("l_quantity"), col("l_extendedprice")),
         col("c"))
-      .orderBy("xb", "yb")
+      .transform(sortedSmall(_, col("xb"), col("yb")))
 
   // ── §2.6 windows ──────────────────────────────────────────────────────
 
@@ -127,20 +140,24 @@ object Queries {
         col("event_id"),
         ntile(16).over(Window.orderBy(col("value"), col("event_id")))
           .cast("long").as("bucket"))
-      .orderBy("event_id")
+      .transform(sortedSmall(_, col("event_id")))
 
   /** Q12 conjugate union (uv mirror through origin, `--noconj` off [U]).
     * `+ 0.0` collapses IEEE `-0.0` to `0.0` on both engines (§5.3 hazard). */
   def q12(t: Tables): DataFrame = {
-    val base = t.lineitem
+    // UNION ALL of a projection and its negation would scan lineitem twice;
+    // emitting both mirror points per input row via explode reads it once.
+    val x = col("l_discount") - 0.05
+    val y = col("l_tax") - 0.04
+    t.lineitem
       .filter(col("l_orderkey") % 100 === 0)
-      .select((col("l_discount") - 0.05).as("x"), (col("l_tax") - 0.04).as("y"))
-    val conj = base.select((-col("x")).as("x"), (-col("y")).as("y"))
-    base.union(conj)
+      .select(explode(array(
+        struct(x.as("x"), y.as("y")),
+        struct((-x).as("x"), (-y).as("y")))).as("p"))
       .select(
-        (round(col("x"), 4) + 0.0).as("x"),
-        (round(col("y"), 4) + 0.0).as("y"))
-      .orderBy("x", "y")
+        (round(col("p.x"), 4) + 0.0).as("x"),
+        (round(col("p.y"), 4) + 0.0).as("y"))
+      .transform(sortedSmall(_, col("x"), col("y")))
   }
 
   /** Q13 global top-k → TakeOrderedAndProject (no full sort at scale). */
@@ -176,7 +193,7 @@ object Queries {
       .withColumn("r", rank().over(w).cast("long"))
       .filter(col("r") <= 2)
       .select("o_custkey", "o_orderkey", "o_totalprice", "r")
-      .orderBy(col("o_custkey"), col("r"), col("o_orderkey"))
+      .transform(sortedSmall(_, col("o_custkey"), col("r"), col("o_orderkey")))
   }
 
   // ── §2.8 scalar function library ──────────────────────────────────────
@@ -191,14 +208,14 @@ object Queries {
         translate(col("p_brand"), "#", "_").as("b"),
         substring(col("p_name"), 1, 8).as("s8"),
         length(col("p_name")).cast("long").as("ln"))
-      .orderBy("p_partkey")
+      .transform(sortedSmall(_, col("p_partkey")))
 
   /** Q18 date_trunc day (MJD→datetime axis analog [U]). */
   def q18(t: Tables): DataFrame =
     t.events
       .groupBy(date_trunc("day", col("ts")).as("d"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
-      .orderBy("d")
+      .transform(sortedSmall(_, col("d")))
 
   /** Q19 JSON field extraction over `events.props` (extension). */
   def q19(t: Tables): DataFrame =
@@ -207,7 +224,7 @@ object Queries {
       .agg(
         sum(regexp_extract(col("props"), "([0-9]+)", 1).cast("int")).as("ks"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .transform(sortedSmall(_, col("event_type")))
 
   /** Q20 array explode + positional stats (`dataframe_factory` long-form
     * bridge [U]) — `posexplode` is the built-in Generator for it. */
@@ -220,7 +237,7 @@ object Queries {
         round(avg("v"), 6).as("a"),
         round(min("v"), 6).as("mn"),
         round(max("v"), 6).as("mx"))
-      .orderBy("pos")
+      .transform(sortedSmall(_, col("pos")))
 
   // ── §2.9 time / sessions / streams (batch parity forms) ───────────────
 
@@ -229,14 +246,14 @@ object Queries {
     t.events
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
-      .orderBy("h", "event_type")
+      .transform(sortedSmall(_, col("h"), col("event_type")))
 
   /** Q22 gap sessionization (streaming parity: `session_window`). */
   def q22(t: Tables): DataFrame =
     Sessionize.withSessionId(t.events, col("user_id"), col("ts"), col("event_id"), 1800L)
       .groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
-      .orderBy("user_id", "sid")
+      .transform(sortedSmall(_, col("user_id"), col("sid")))
 
   /** Q23 interval (range) join: equi key + time-range conjuncts; planner
     * sort-merges on `user_id` and filters the range. */
@@ -251,7 +268,7 @@ object Queries {
         unix_micros(col("ts2")) <= unix_micros(col("ts1")) + 600L * 1000000L)
       .groupBy("event_id")
       .agg(count(lit(1)).as("n"))
-      .orderBy("event_id")
+      .transform(sortedSmall(_, col("event_id")))
   }
 
   // ── north-star: dedup / similarity / text ─────────────────────────────
@@ -265,17 +282,21 @@ object Queries {
   /** Q25 brute-force cosine top-k: broadcast the 5 query vectors, codegen'd
     * higher-order-function dot products, per-query top-k via row_number. */
   def q25(t: Tables): DataFrame = {
-    val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // Precompute each side's squared norm before the join: cosine per pair
+    // then costs one zip_with fold instead of three.
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", V.normSq(col("e")))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
     val pairs = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        V.cosineSimilarity(col("qe"), col("e")).as("sim0"))
+        (V.dot(col("qe"), col("e")) / sqrt(col("qn2") * col("n2"))).as("sim0"))
     val w = Window.partitionBy("qid").orderBy(col("sim0").desc, col("vec_id"))
     pairs
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .orderBy("qid", "rn")
+      .transform(sortedSmall(_, col("qid"), col("rn")))
       .select(col("qid"), col("vec_id"), round(col("sim0"), 6).as("sim"))
   }
 
@@ -302,7 +323,7 @@ object Queries {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("bal"))
-      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      .transform(sortedSmall(_, col("r_name").asc_nulls_first, col("n_name").asc_nulls_first))
 
   /** Q28 INTERSECT (distinct set semantics). */
   def q28(t: Tables): DataFrame = {
@@ -312,7 +333,7 @@ object Queries {
     val error = t.events
       .filter(col("event_type") === "error" && col("ts") < to_timestamp(lit("2024-01-03")))
       .select("user_id")
-    purchase.intersect(error).orderBy("user_id")
+    sortedSmall(purchase.intersect(error), col("user_id"))
   }
 
   /** Q29 EXCEPT (distinct set semantics). */
@@ -323,7 +344,7 @@ object Queries {
     val purchase = t.events
       .filter(col("event_type") === "purchase" && col("ts") < to_timestamp(lit("2024-01-03")))
       .select("user_id")
-    signup.except(purchase).orderBy("user_id")
+    sortedSmall(signup.except(purchase), col("user_id"))
   }
 
   /** Q30 as-of join (latest prior view per purchase) as declared: left
@@ -338,7 +359,7 @@ object Queries {
     p.join(v, col("user_id") === col("vu") && col("vts") < col("pts"), "left")
       .groupBy("event_id")
       .agg(max(col("vts")).as("last_view"))
-      .orderBy("event_id")
+      .transform(sortedSmall(_, col("event_id")))
   }
 
   /** name → query, keyed like SURVEY.md §8. */
