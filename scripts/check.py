@@ -35,6 +35,16 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # oracle-less queries (e.g. multimodal stub): rows-only check
+    for d in sorted(glob.glob(f"{out}/q*")):
+        name = os.path.basename(d)
+        if name in oracle: continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            if n > 0: print(f"ok   {name} ({n} rows, rows-only)"); n_ok += 1
+            else: print(f"FAIL {name}: 0 rows"); n_bad += 1
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:100]}"); n_bad += 1
     for name in sorted(oracle):
         try:
             exp = con.execute(oracle[name]).fetchdf()

@@ -50,7 +50,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // headline suite = the 30 declared queries (comparable to BASELINE.md);
+    // extension operators (q31+) are timed separately below.
+    val names = Queries.all.keys.toSeq.sorted
+    val extNames = ExtensionQueries.all.keys.toSeq.sorted
 
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -75,14 +78,19 @@ object Bench {
       Await.result(Future.sequence(names.map(n => Future(runOne(n)))), 30.minutes)
       (System.nanoTime() - t0) / 1e9
     }
-    val wall = Seq(concurrentPass(), concurrentPass(), concurrentPass()).min
+    val wall = Seq.fill(4)(concurrentPass()).min
     pool.shutdown()
+
+    extNames.foreach(runOne)                     // extensions: warm + time
+    val ext = extNames.map(n => n -> runOne(n))
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val exts = ext.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     println(
       s"""{"metric":"suite_wall_concurrent","value":$wall,"unit":"sec","queries":$qs,""" +
-      s""""serial_total":$serialTotal,"concurrency":$threads,"sf":"$sfDir"}""")
+      s""""serial_total":$serialTotal,"concurrency":$threads,"extensions":$exts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorFunctions => V}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.TextAnalysis
+
+/** North-star extension operators (training-data-pipeline surface), each a
+  * first-class queries() entry with a DuckDB oracle where SQL-expressible.
+  * Thresholds/parameters were sized against the fixture distributions
+  * (token vocabulary is shared across docs, so shingle n=3 is what makes
+  * near-dup detection discriminative; embedding cosine tops out ≈0.48).
+  */
+object ExtensionQueries {
+
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** q31: MinHash(8) + LSH(2 bands × 4 rows) near-dup pairs over 3-gram
+    * shingles — candidates via band equi-join, never N². */
+  def q31(t: Tables): DataFrame =
+    Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"),
+        numHashes = 8, bands = 2, shingleN = 3, threshold = 0.5)
+      .select(col("da"), col("db"), round(col("est"), 6).as("est"))
+      .transform(sortedSmall(_, col("da"), col("db")))
+
+  /** q32: SimHash(32-bit) Hamming ≤ 3 pairs via pigeonhole-banded join
+    * (identical result set to the oracle's N² scan). */
+  def q32(t: Tables): DataFrame =
+    Dedup.simHashNearDups(
+        Dedup.simHash(Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3)),
+        maxDist = 3)
+      .transform(sortedSmall(_, col("da"), col("db")))
+
+  /** q33: exact 3-gram Jaccard ≥ 0.5 via inverted-index join. */
+  def q33(t: Tables): DataFrame =
+    Dedup.ngramJaccard(Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3), 0.5)
+      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+      .transform(sortedSmall(_, col("da"), col("db")))
+
+  /** q34: embedding cosine near-dup pairs (exact, all-pairs ≥ 0.4); the
+    * bucketed scale path is q35's IVF machinery. */
+  def q34(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n2", V.normSq(col("e")))
+    // The stream side of the nested-loop join must be repartitioned: the
+    // corpus parquet is one scan split, which would serialize all N²/2
+    // similarity evaluations into a single task. (All-pairs is inherently
+    // O(N²) — the bucketed scale path is q35's IVF.)
+    val a = e.repartition(32)
+      .select(col("vec_id").as("va"), col("e").as("ea"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("e").as("eb"), col("n2").as("nb"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (V.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+      .transform(sortedSmall(_, col("va"), col("vb")))
+  }
+
+  /** q35: IVF-bucketed approximate top-k — assign all vectors to the
+    * nearest of 8 centroids, queries scan only their own bucket. */
+  def q35(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = e.filter(col("vec_id") < 8)
+    val assign = Similarity.ivfAssign(e, centroids)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfTopK(e, assign, queries, k = 3)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** q36: heuristic stopword language-ID confusion matrix. */
+  def q36(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val scoreAggs = TextAnalysis.langScores(col("w"))
+      .map { case (lang, c) => c.as(s"s_$lang") }
+    tok.groupBy("doc_id", "lang")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+      .select(col("lang"), TextAnalysis.predictLang().as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"))
+      .transform(sortedSmall(_, col("lang"), col("pred")))
+  }
+
+  /** q37: per-source quality scores (length / type-token ratio / short-doc
+    * counts). */
+  def q37(t: Tables): DataFrame = {
+    val doc = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val tok = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_uniq"),
+        avg(length(col("w"))).as("avg_wlen"))
+    doc.join(tok, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        round(avg(col("n_uniq") * lit(1.0) / col("n_tok")), 6).as("avg_ttr"),
+        round(avg(col("avg_wlen")), 6).as("avg_wlen"),
+        sum(when(col("n_chars") < 300, 1).otherwise(0)).cast("long").as("short_docs"))
+      .transform(sortedSmall(_, col("source")))
+  }
+
+  /** q38: per-language token statistics (tokens, BPE-ish subwords, chars,
+    * vocabulary). */
+  def q38(t: Tables): DataFrame =
+    t.documents
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("lang"), col("w"), length(col("w")).as("wl"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(TextAnalysis.subwordCount(col("w"))).cast("long").as("n_subwords"),
+        sum(col("wl")).cast("long").as("n_chars"),
+        countDistinct(col("w")).as("vocab"))
+      .transform(sortedSmall(_, col("lang")))
+
+  /** q39: sorted-token-set fingerprint dedup summary. */
+  def q39(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct()
+    Dedup.fingerprint(tok).agg(
+      count(lit(1)).as("docs"),
+      countDistinct(col("fp")).as("uniq_fp"),
+      (count(lit(1)) - countDistinct(col("fp"))).cast("long").as("collapsed"))
+  }
+
+  /** q40: multimodal binary-column pipeline — fabricate a binary payload
+    * from each document, run the stubbed batch decoder (real schema /
+    * encoder / partition shape; fake codec). No SQL oracle — the driver
+    * records a rows-only check. */
+  def q40(t: Tables): DataFrame = {
+    val withBlob = t.documents.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+    Multimodal.decodeStub(withBlob, "doc_id", "blob").toDF()
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  val all: Map[String, Tables => DataFrame] = Map(
+    "q31_dedup_minhash_lsh"  -> q31 _,
+    "q32_dedup_simhash"      -> q32 _,
+    "q33_dedup_ngram_jaccard" -> q33 _,
+    "q34_dedup_cosine"       -> q34 _,
+    "q35_ann_ivf"            -> q35 _,
+    "q36_text_langid"        -> q36 _,
+    "q37_text_quality"       -> q37 _,
+    "q38_token_stats"        -> q38 _,
+    "q39_fingerprint"        -> q39 _,
+    "q40_multimodal_stub"    -> q40 _,
+  )
+
+  /** DuckDB oracles (q40 intentionally absent — not SQL-expressible). */
+  val oracles: Map[String, String] = Map(
+    "q31_dedup_minhash_lsh" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
+      SELECT da, db, round(est, 6) AS est FROM est WHERE est >= 0.5 ORDER BY da, db""",
+
+    "q32_dedup_simhash" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      th AS (SELECT doc_id, w, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h32 FROM tok),
+      bits AS (SELECT doc_id, b.bit,
+          sum(CASE WHEN CAST(floor(h32 / power(2, b.bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS wgt
+        FROM th, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY doc_id, b.bit),
+      sh AS (SELECT doc_id,
+          CAST(sum(CASE WHEN wgt > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY da, db""",
+
+    "q33_dedup_ngram_jaccard" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
+      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+      ORDER BY da, db""",
+
+    "q34_dedup_cosine" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      SELECT a.vec_id AS va, b.vec_id AS vb, round(list_cosine_similarity(a.e, b.e), 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+      ORDER BY va, vb""",
+
+    "q35_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC, c.cid) AS rn
+          FROM e, c) t WHERE rn = 1),
+      q AS (SELECT e.vec_id AS qid, e.e AS qe, a.cid AS qc FROM e JOIN assign a ON a.vec_id = e.vec_id
+            WHERE e.vec_id >= 100 AND e.vec_id < 105)
+      SELECT qid, vec_id, round(sim, 6) AS sim FROM (
+        SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.e) AS sim,
+          row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.e) DESC, e.vec_id) AS rn
+        FROM q JOIN assign a ON a.cid = q.qc AND a.vec_id <> q.qid JOIN e ON e.vec_id = a.vec_id) t
+      WHERE rn <= 3 ORDER BY qid, rn""",
+
+    "q36_text_langid" -> """
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      sc AS (SELECT doc_id, lang,
+          sum(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to', 'is') THEN 1 ELSE 0 END) AS s_en,
+          sum(CASE WHEN w IN ('der', 'die', 'das', 'und', 'ist', 'nicht') THEN 1 ELSE 0 END) AS s_de,
+          sum(CASE WHEN w IN ('el', 'la', 'de', 'los', 'y', 'es') THEN 1 ELSE 0 END) AS s_es,
+          sum(CASE WHEN w IN ('le', 'les', 'et', 'des', 'un', 'est') THEN 1 ELSE 0 END) AS s_fr
+        FROM tok GROUP BY doc_id, lang),
+      pred AS (SELECT doc_id, lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'unknown' END AS pred
+        FROM sc)
+      SELECT lang, pred, count(*) AS n FROM pred GROUP BY lang, pred ORDER BY lang, pred""",
+
+    "q37_text_quality" -> """
+      WITH doc AS (SELECT doc_id, source, n_chars FROM documents),
+      tok AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_uniq, avg(length(w)) AS avg_wlen
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY doc_id)
+      SELECT d.source, count(*) AS docs,
+          round(avg(t.n_tok), 4) AS avg_tokens,
+          round(avg(t.n_uniq * 1.0 / t.n_tok), 6) AS avg_ttr,
+          round(avg(t.avg_wlen), 6) AS avg_wlen,
+          CAST(sum(CASE WHEN d.n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+      FROM doc d JOIN tok t ON t.doc_id = d.doc_id
+      GROUP BY d.source ORDER BY d.source""",
+
+    "q38_token_stats" -> """
+      WITH tok AS (SELECT lang, w, length(w) AS wl
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        WHERE w <> '')
+      SELECT lang, count(*) AS n_tokens,
+          CAST(sum(CAST(ceil(wl / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords,
+          CAST(sum(wl) AS BIGINT) AS n_chars,
+          count(DISTINCT w) AS vocab
+      FROM tok GROUP BY lang ORDER BY lang""",
+
+    "q39_fingerprint" -> """
+      WITH tok AS (SELECT DISTINCT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t WHERE w <> ''),
+      fp AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS fp FROM tok GROUP BY doc_id)
+      SELECT count(*) AS docs, count(DISTINCT fp) AS uniq_fp,
+          CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS collapsed
+      FROM fp""",
+  ).map { case (k, v) => k -> v.stripMargin.trim }
+}

@@ -11,13 +11,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q06(Tables(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * north-star extension operators (q31+). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map { case (name, q) =>
+    (Queries.all ++ ExtensionQueries.all).map { case (name, q) =>
       name -> ((spark: SparkSession, dir: String) => q(Tables(spark, dir)))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.all
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (q40_multimodal_stub → rows-only check). */
+  def oracleSql: Map[String, String] = OracleSql.all ++ ExtensionQueries.oracles
 }

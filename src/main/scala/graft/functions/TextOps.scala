@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization / shingling primitives for the text-pipeline operators
+  * (north-star extension surface; the reference has no text analytics).
+  * Everything is built from Spark's codegen'd string/array built-ins and
+  * higher-order functions — no UDFs in the hot path.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens (may contain empty strings on double
+    * spaces — callers filter). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Token n-gram shingles as an array column (empty when the doc has
+    * fewer than `n` tokens). `element_at` is 1-based; the shingle set is
+    * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+}

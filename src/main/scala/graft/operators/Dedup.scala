@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Near-duplicate detection operators for large-scale text corpora
+  * (north-star extension; SURVEY.md §2.10).
+  *
+  * All variants avoid the O(N²) all-pairs comparison at scale:
+  *  - MinHash+LSH: candidates come from an equi-join on band keys (shuffle
+  *    on band hash; bucket sizes bounded by true near-dup clusters);
+  *  - SimHash: banded by the pigeonhole principle — a Hamming distance ≤ d
+  *    pair must agree exactly on at least one of d+1 bit-chunks, so an
+  *    equi-join on (chunk index, chunk value) has perfect recall;
+  *  - n-gram Jaccard: inverted-index join on shingles (pairs sharing no
+  *    shingle never meet).
+  *
+  * Hash family: lexicographic MIN over `md5(seed || shingle)` hex strings —
+  * one independent "random permutation" per seed, portable bit-for-bit
+  * across engines (md5 is identical everywhere).
+  */
+object Dedup {
+
+  /** Long-form distinct token-n-gram shingles: (id, w). */
+  def shingleSet(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"), TextOps.tokens(text).as("s"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("s"), n)).as("w"))
+      .distinct()
+
+  /** MinHash signature per id: an array<string> of `numHashes` minima. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(s => min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s"))
+    shingles.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: (doc_id, bi, bk) with `bands` bands of
+    * `numHashes/bands` rows; band key = md5 of the concatenated slice. */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("bi", "bk")))
+  }
+
+  /** Candidate pairs (da < db) sharing at least one band — the LSH
+    * equi-join that replaces the N² cross product. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("da"), col("bi"), col("bk"))
+    val b = bands.select(col("doc_id").as("db"), col("bi").as("bj"), col("bk").as("bl"))
+    a.join(b, col("bi") === col("bj") && col("bk") === col("bl") && col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def estimatedJaccard(sa: Column, sb: Column, numHashes: Int): Column =
+    aggregate(zip_with(sa, sb, (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v) /
+      lit(numHashes.toDouble)
+
+  /** Full MinHash+LSH near-dup pipeline: pairs (da, db, est) with
+    * estimated Jaccard ≥ `threshold`. */
+  def minHashNearDups(
+      docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(shingleSet(docs, id, text, shingleN), numHashes)
+    val cand = candidatePairs(lshBands(sigs, numHashes, bands))
+    val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
+    val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"),
+        estimatedJaccard(col("sa"), col("sb"), numHashes).as("est"))
+      .filter(col("est") >= threshold)
+  }
+
+  /** 32-bit SimHash per document over its shingle set. The per-shingle
+    * hash is the first 8 hex chars of md5 (portable); bit extraction uses
+    * `floor(h/2^bit) % 2` (exact in double for h < 2³²) so the oracle SQL
+    * is expressible identically. */
+  def simHash(shingles: DataFrame): DataFrame =
+    shingles
+      .select(col("doc_id"), conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h32"))
+      .select(col("doc_id"), col("h32"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(floor(col("h32") / pow(lit(2), col("bit"))).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as("wgt"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("wgt") > 0, pow(lit(2), col("bit")).cast("long")).otherwise(0L))
+        .cast("long").as("sh"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via the
+    * pigeonhole-banded equi-join (exact same result set as the N² scan:
+    * dist ≤ maxDist ⇒ at least one of maxDist+1 chunks is equal). */
+  def simHashNearDups(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 32 / chunks // 8-bit chunks for maxDist=3
+    val chunkKeys = (0 until chunks).map(i =>
+      floor(col("sh") / pow(lit(2), lit(i * bitsPer))).cast("long") % (1L << bitsPer))
+    val banded = hashes.select(col("doc_id"), col("sh"),
+      posexplode(array(chunkKeys: _*)).as(Seq("ci", "ck")))
+    val a = banded.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("ck"))
+    val b = banded.select(col("doc_id").as("db"), col("sh").as("shb"),
+      col("ci").as("cj"), col("ck").as("cl"))
+    a.join(b, col("ci") === col("cj") && col("ck") === col("cl") && col("da") < col("db"))
+      .select(col("da"), col("db"), expr("bit_count(sha ^ shb)").cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over an inverted-index join: only pairs sharing
+    * at least one shingle are compared (sharing count = intersection). */
+  def ngramJaccard(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("doc_id").as("da"), col("w"))
+    val b = shingles.select(col("doc_id").as("db"), col("w").as("wb"))
+    val inter = a.join(b, col("w") === col("wb") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** Sorted-distinct-token fingerprint (md5) — collapses permuted /
+    * re-ordered duplicates that exact text hashing misses. */
+  def fingerprint(tokens: DataFrame): DataFrame =
+    tokens.groupBy("doc_id")
+      .agg(md5(array_join(array_sort(collect_set(col("w"))), " ")).as("fp"))
+}
