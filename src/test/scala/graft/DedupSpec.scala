@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 == doc 2 (exact dup); doc 3 is a near-dup of 1 (one token changed);
+  // doc 4 shares nothing; doc 5 is a permutation of doc 1's tokens.
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (4L, "completely different content with no shared trigram shingles here now"),
+    (5L, "today again and again dog lazy the over jumps fox brown quick the")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the exact-dup pair with estimate 1.0") {
+    val pairs = Dedup.minHashNearDups(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("banded simhash equals brute-force N^2 on the corpus") {
+    val hashes = Dedup.simHash(Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3))
+    val banded = Dedup.simHashNearDups(hashes, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val h = hashes.as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- h.keys; b <- h.keys if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute)
+    assert(banded.exists { case (a, b, d) => a == 1L && b == 2L && d == 0L })
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup in (0,1), disjoint absent") {
+    val j = Dedup.ngramJaccard(
+        Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+
+  test("fingerprint collapses token permutations that md5(text) distinguishes") {
+    val tok = corpus
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val fps = Dedup.fingerprint(tok).as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) == fps(5L), "permuted doc must share the sorted-token fingerprint")
+    assert(fps(1L) != fps(4L))
+    val exact = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(exact(1L) != exact(5L), "md5(text) must NOT collapse the permutation")
+  }
+}

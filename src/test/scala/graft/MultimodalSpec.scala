@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "some payload bytes"), (2L, "other payload"), (3L, "x")
+  ).toDF("doc_id", "text").select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+
+  test("decodeStub is deterministic and preserves ids and byte counts") {
+    val a = Multimodal.decodeStub(docs, "doc_id", "blob").collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeStub(docs, "doc_id", "blob").collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "stub decode must be deterministic")
+    assert(a.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(a.find(_.doc_id == 1L).get.n_bytes == "some payload bytes".length)
+    assert(a.forall(m => m.sha.length == 64 && m.width > 0 && m.height > 0))
+  }
+
+  test("frameSample emits n frames per doc with in-range offsets") {
+    val frames = Multimodal.frameSample(docs, "doc_id", "blob", n = 4)
+      .as[(Long, Int, Int, String)].collect()
+    assert(frames.count(_._1 == 1L) == 4)
+    assert(frames.count(_._1 == 3L) == 4, "1-byte payload still yields n frames")
+    assert(frames.forall { case (_, f, off, sha) => f >= 0 && f < 4 && off >= 0 && sha.nonEmpty })
+  }
+}
