@@ -45,17 +45,15 @@ object ExtensionQueries {
   def q34(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("n2", V.normSq(col("e")))
     // The stream side of the nested-loop join must be repartitioned: the
     // corpus parquet is one scan split, which would serialize all N²/2
     // similarity evaluations into a single task. (All-pairs is inherently
     // O(N²) — the bucketed scale path is q35's IVF.)
-    val a = e.repartition(32)
-      .select(col("vec_id").as("va"), col("e").as("ea"), col("n2").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("e").as("eb"), col("n2").as("nb"))
+    val a = e.repartition(32).select(col("vec_id").as("va"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("e").as("eb"))
     a.join(broadcast(b), col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        (V.dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("sim"))
+        graft.plans.GraftFunctions.cosineSimilarity(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= 0.4)
       .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
       .transform(sortedSmall(_, col("va"), col("vb")))

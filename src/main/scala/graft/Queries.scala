@@ -279,19 +279,17 @@ object Queries {
       count(lit(1)).as("total"),
       countDistinct(md5(col("text"))).as("uniq"))
 
-  /** Q25 brute-force cosine top-k: broadcast the 5 query vectors, codegen'd
-    * higher-order-function dot products, per-query top-k via row_number. */
+  /** Q25 brute-force cosine top-k: broadcast the 5 query vectors, native
+    * codegen'd [[graft.plans.CosineSimilarity]] per pair (single fused
+    * loop, no per-row array allocation), per-query top-k via row_number. */
   def q25(t: Tables): DataFrame = {
-    // Precompute each side's squared norm before the join: cosine per pair
-    // then costs one zip_with fold instead of three.
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("n2", V.normSq(col("e")))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
     val pairs = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (V.dot(col("qe"), col("e")) / sqrt(col("qn2") * col("n2"))).as("sim0"))
+        graft.plans.GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim0"))
     val w = Window.partitionBy("qid").orderBy(col("sim0").desc, col("vec_id"))
     pairs
       .withColumn("rn", row_number().over(w))

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types._
   * All loads are lazy `DataFrame`s: nothing is read until an action runs.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Native Catalyst functions (cosine_similarity, …) must exist in the
+  // session registry before plans reference them; idempotent.
+  graft.plans.GraftFunctions.ensureRegistered(spark)
+
   /** Schemas are pinned (FIXTURES.md) rather than inferred: skipping the
     * driver-side footer read saves ~90 ms per table construction, and at
     * production scale avoids a listing+footer fetch on every query. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorFunctions => V}
+import graft.plans.GraftFunctions
 
 /** Similarity search over embedding columns (north-star extension).
   *
@@ -25,7 +25,7 @@ object Similarity {
     val c = centroids.select(col("vec_id").as("cid"), col("e").as("ce"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
     vectors.join(broadcast(c))
-      .select(col("vec_id"), col("cid"), V.cosineSimilarity(col("e"), col("ce")).as("csim"))
+      .select(col("vec_id"), col("cid"), GraftFunctions.cosineSimilarity(col("e"), col("ce")).as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "cid")
@@ -42,7 +42,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     broadcast(q).join(bucket, "qc")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), V.cosineSimilarity(col("qe"), col("e")).as("sim"))
+      .select(col("qid"), col("vec_id"), GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
