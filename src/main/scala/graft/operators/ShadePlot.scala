@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.File
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end plot pipeline — the engine's equivalent of the reference's
+  * `shadems <MS> -x … -y …` flow (`shade_ms/data_plots.py :: get_plot_data`
+  * + `create_plot` [U]): filter → derive axes → 2-D bin-aggregate →
+  * normalize (shade) → optional categorical split → PNG.
+  *
+  * Everything up to the raster is distributed and scale-free (the shuffle
+  * carries ≤ W×H×ncat rows no matter the input size); only the final
+  * ≤W×H-cell raster is collected to render the PNG — the same boundary the
+  * reference draws between datashader (distributed) and matplotlib
+  * (driver).
+  */
+object ShadePlot {
+
+  /** Axis + canvas + options for one plot; `colourBy` mirrors
+    * `--colour-by`, `flagMask` mirrors default flag masking (`--noflags`
+    * off), `conjugate` mirrors uv conjugate mirroring (`--noconj` off). */
+  final case class PlotSpec(
+      x: Column,
+      y: Column,
+      canvas: Canvas,
+      reduction: Seq[Column] = Nil,          // extra --ared aggs, pre-aliased
+      colourBy: Option[Column] = None,
+      flagMask: Option[Column] = None,       // rows where mask is TRUE are dropped
+      conjugate: Boolean = false,
+      norm: String = "eq_hist")              // eq_hist | log | cbrt | linear
+
+  /** Build the raster DataFrame for a spec: (xb, yb[, cat], c[, aggs…]). */
+  def raster(df: DataFrame, spec: PlotSpec): DataFrame = {
+    val masked = spec.flagMask.fold(df)(m => df.filter(!m))
+    val pts =
+      if (!spec.conjugate) masked.select(spec.x.as("px"), spec.y.as("py"))
+      else masked.select(explode(array(
+          struct(spec.x.as("px"), spec.y.as("py")),
+          struct((-spec.x).as("px"), (-spec.y).as("py")))).as("p"))
+        .select(col("p.px").as("px"), col("p.py").as("py"))
+    spec.colourBy match {
+      case Some(cat) =>
+        // conjugate+colourBy would need cat inside the mirror struct; keep simple
+        require(!spec.conjugate, "conjugate with colourBy not supported in one pass")
+        masked.select(spec.x.as("px"), spec.y.as("py"), cat.as("cat"))
+          .groupBy(spec.canvas.xBin(col("px")).as("xb"),
+            spec.canvas.yBin(col("py")).as("yb"), col("cat"))
+          .agg(count(lit(1)).as("c"))
+      case None =>
+        val aggs = count(lit(1)).as("c") +: spec.reduction
+        pts.groupBy(spec.canvas.xBin(col("px")).as("xb"), spec.canvas.yBin(col("py")).as("yb"))
+          .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Apply the spec's normalization, adding a `shade` column in [0, 1]. */
+  def shade(rasterDf: DataFrame, spec: PlotSpec): DataFrame = spec.norm match {
+    case "eq_hist" => Raster.shadeEqHist(rasterDf, col("c"))
+    case "log"     => withMaxNorm(rasterDf, log1p(col("c")))
+    case "cbrt"    => withMaxNorm(rasterDf, cbrt(col("c")))
+    case "linear"  => withMaxNorm(rasterDf, col("c").cast("double"))
+    case other     => throw new IllegalArgumentException(s"unknown norm: $other")
+  }
+
+  private def withMaxNorm(df: DataFrame, v: Column): DataFrame =
+    df.withColumn("shade", round(v / max(v).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))), 6))
+
+  /** Per-group iteration (`--iter-field/-scan/…` [U]): one raster per
+    * distinct group value, computed in a single pass by adding the group
+    * key to the raster keys (Spark-first: grouped, not looped). */
+  def rasterByGroup(df: DataFrame, spec: PlotSpec, group: Column): DataFrame = {
+    val masked = spec.flagMask.fold(df)(m => df.filter(!m))
+    masked.select(group.as("grp"), spec.x.as("px"), spec.y.as("py"))
+      .groupBy(col("grp"), spec.canvas.xBin(col("px")).as("xb"),
+        spec.canvas.yBin(col("py")).as("yb"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Render a shaded raster to PNG (grayscale→fire colormap). The collect
+    * is bounded by canvas size, never data size. */
+  def writePng(shaded: DataFrame, spec: PlotSpec, path: String): Unit = {
+    val w = spec.canvas.width
+    val h = spec.canvas.height
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
+      val x = r.getInt(0)
+      val y = r.getInt(1)
+      val s = r.getDouble(2)
+      // simple deterministic "fire" map: black → red → yellow → white
+      val v = math.max(0.0, math.min(1.0, s))
+      val rC = math.min(255, (v * 3 * 255).toInt)
+      val gC = math.min(255, math.max(0, ((v * 3 - 1) * 255).toInt))
+      val bC = math.min(255, math.max(0, ((v * 3 - 2) * 255).toInt))
+      img.setRGB(x, h - 1 - y, (rC << 16) | (gC << 8) | bC) // y up, like the reference
+    }
+    ImageIO.write(img, "png", new File(path))
+  }
+
+  /** The full `shadems`-equivalent entry: data → raster → shade → PNG. */
+  def plot(df: DataFrame, spec: PlotSpec, pngPath: String): DataFrame = {
+    val shaded = shade(raster(df, spec), spec)
+    writePng(shaded, spec, pngPath)
+    shaded
+  }
+}

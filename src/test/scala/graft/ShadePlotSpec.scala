@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Canvas, ShadePlot}
+import graft.operators.ShadePlot.PlotSpec
+
+class ShadePlotSpec extends SparkSpec {
+
+  private def spec(norm: String = "eq_hist", conj: Boolean = false) = PlotSpec(
+    x = col("l_quantity"), y = col("l_extendedprice"),
+    canvas = Canvas(32, 32, (0.0, 50.0), (900.0, 105000.0)),
+    flagMask = Some(col("l_returnflag") === "R"),
+    conjugate = conj, norm = norm)
+
+  test("end-to-end plot: raster → shade → png, deterministic") {
+    val png = Files.createTempDirectory("shade").resolve("plot.png").toString
+    val shaded = ShadePlot.plot(sf0001.lineitem, spec(), png)
+    assert(new java.io.File(png).length() > 0, "png written")
+    val rows = shaded.collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val s = r.getAs[Double]("shade"); s > 0.0 && s <= 1.0
+    })
+    // flag mask applied: raster count excludes 'R' rows
+    val total = rows.map(_.getAs[Long]("c")).sum
+    assert(total == sf0001.lineitem.filter(col("l_returnflag") =!= "R").count())
+  }
+
+  test("norms: linear/log/cbrt shades are max-normalized to 1") {
+    for (n <- Seq("linear", "log", "cbrt")) {
+      val shaded = ShadePlot.shade(ShadePlot.raster(sf0001.lineitem, spec(n)), spec(n))
+      val maxShade = shaded.agg(max("shade")).head().getDouble(0)
+      assert(maxShade == 1.0, s"norm $n must peak at 1.0")
+    }
+  }
+
+  test("rasterByGroup computes all per-group rasters in one pass") {
+    val grouped = ShadePlot.rasterByGroup(sf0001.lineitem, spec(), col("l_linestatus"))
+    val groups = grouped.select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(groups == Set("F", "O"))
+    // group rasters sum to the ungrouped raster
+    val sumGrouped = grouped.agg(sum("c")).head().getLong(0)
+    val ungrouped = ShadePlot.raster(sf0001.lineitem, spec()).agg(sum("c")).head().getLong(0)
+    assert(sumGrouped == ungrouped)
+  }
+
+  test("categorical raster (colourBy) splits counts per category") {
+    val s = PlotSpec(col("l_quantity"), col("l_extendedprice"),
+      Canvas(16, 16, (0.0, 50.0), (900.0, 105000.0)),
+      colourBy = Some(col("l_returnflag")))
+    val r = ShadePlot.raster(sf0001.lineitem, s)
+    assert(r.columns.toSeq == Seq("xb", "yb", "cat", "c"))
+    assert(r.agg(sum("c")).head().getLong(0) == sf0001.lineitem.count())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("events-streamops")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def eventsStream =
+    spark.readStream.schema(Tables.schemas("events")).parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  test("StreamOps.tumbling over a stream equals the direct batch aggregate") {
+    val q = StreamOps.tumbling(eventsStream, col("ts"), "1 hour",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName("so_t").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_t")
+      .select(col("window.start").as("h"), col("event_type"), col("n")).collect().toSet
+    val want = sf0001.events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect().toSet
+    assert(got == want)
+  }
+
+  test("dedupWithinWatermark suppresses exact duplicates in-stream") {
+    // duplicate every event: stream the file twice under one directory
+    val dir = Files.createTempDirectory("events-dup")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val dupStream = spark.readStream.schema(Tables.schemas("events")).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = StreamOps.dedupWithinWatermark(dupStream, "ts", "1 hour", Seq("event_id"))
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("so_d").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("so_d").head().getLong(0)
+    assert(n == sf0001.events.count(), "each duplicated event kept exactly once")
+  }
+}
