@@ -57,4 +57,19 @@ object Raster {
   /** `--norm log/cbrt/linear` shading variants [U] — plain scalar maps. */
   def shadeLog(raster: DataFrame, countCol: Column, out: String = "shade"): Column = log1p(countCol)
   def shadeCbrt(countCol: Column): Column = cbrt(countCol)
+
+  /** Sparse-pixel spreading (datashader `tf.dynspread` [U], simplified to a
+    * fixed-radius square-kernel convolution): each cell's count is summed
+    * into its neighbors within `radius`. Runs as explode + re-aggregate
+    * over the raster — bounded by canvas size, never data size. */
+  def spread(raster: DataFrame, width: Int, height: Int, radius: Int = 1): DataFrame = {
+    val offsets = for { dx <- -radius to radius; dy <- -radius to radius }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    raster
+      .select(col("xb"), col("yb"), col("c"), explode(array(offsets: _*)).as("o"))
+      .select((col("xb") + col("o.dx")).as("xb"), (col("yb") + col("o.dy")).as("yb"), col("c"))
+      .filter(col("xb") >= 0 && col("xb") < width && col("yb") >= 0 && col("yb") < height)
+      .groupBy("xb", "yb")
+      .agg(sum(col("c")).as("c"))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Subset-selection spec parsing — the engine's version of the reference's
+  * `--field/--scan/--spw/--ant/--corr` index lists and `--chan` slices
+  * (`shade_ms/ms_info.py :: NamedList.get_subset`, chanslice in
+  * `main.py` [U]).
+  *
+  * Grammar:
+  *  - value lists: `"0,2,7"` → membership;
+  *  - inclusive ranges inside lists: `"0,2:5"` → {0} ∪ [2, 5] (the
+  *    NamedList range form);
+  *  - python-style channel slices: `"start:stop[:step]"` with EXCLUSIVE
+  *    stop and optional stride (the `--chan` form), applied to an
+  *    already-exploded position column.
+  *
+  * Both produce plain `Column` predicates, so Catalyst pushes them into
+  * the parquet scan like any other filter.
+  */
+object Subset {
+
+  /** List+range spec (`"0,2:5,9"`) → predicate over an id column. */
+  def membership(spec: String, c: Column): Column =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(':') match {
+        case Array(single) => c === single.trim.toLong
+        case Array(lo, hi) => c.between(lo.trim.toLong, hi.trim.toLong)
+        case _ => throw new IllegalArgumentException(s"bad subset part: '$part'")
+      }
+    }.reduceLeft(_ || _)
+
+  /** Python-slice channel spec (`"start:stop[:step]"`, stop exclusive) →
+    * predicate over a 0-based position column (e.g. posexplode's `pos`). */
+  def chanSlice(spec: String, pos: Column): Column = {
+    val parts = spec.split(":", -1)
+    require(parts.length >= 2 && parts.length <= 3, s"bad chan slice: '$spec'")
+    val start = if (parts(0).isEmpty) 0L else parts(0).trim.toLong
+    val stop = if (parts(1).isEmpty) Long.MaxValue else parts(1).trim.toLong
+    val step = if (parts.length < 3 || parts(2).isEmpty) 1L else parts(2).trim.toLong
+    require(step > 0, s"chan slice step must be positive: '$spec'")
+    val base = pos >= start && pos < stop
+    if (step == 1L) base else base && (pos - start) % step === 0
+  }
+}

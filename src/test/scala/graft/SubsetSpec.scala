@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Raster, Subset}
+
+class SubsetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("membership list+range: '0,2:5,9'") {
+    val got = (0L to 10L).toDF("id")
+      .filter(Subset.membership("0,2:5,9", col("id")))
+      .as[Long].collect().toSet
+    assert(got == Set(0L, 2L, 3L, 4L, 5L, 9L))
+  }
+
+  test("chanSlice python semantics: exclusive stop, stride, open ends") {
+    def sel(spec: String) = (0L to 11L).toDF("pos")
+      .filter(Subset.chanSlice(spec, col("pos"))).as[Long].collect().toSet
+    assert(sel("2:8") == Set(2L, 3L, 4L, 5L, 6L, 7L))
+    assert(sel("2:8:3") == Set(2L, 5L))
+    assert(sel(":4") == Set(0L, 1L, 2L, 3L))
+    assert(sel("8:") == Set(8L, 9L, 10L, 11L))
+    intercept[IllegalArgumentException](Subset.chanSlice("1:2:-1", col("pos")))
+  }
+
+  test("predicates reach the parquet scan (pushed filters)") {
+    val plan = sf0001.orders
+      .filter(Subset.membership("1:100", col("o_orderkey")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderkey,1)"), s"not pushed:\n$plan")
+  }
+
+  test("spread convolves a single cell into its neighborhood") {
+    val raster = Seq((2, 2, 5L)).toDF("xb", "yb", "c")
+    val got = Raster.spread(raster, 8, 8, radius = 1)
+      .as[(Int, Int, Long)].collect().toSet
+    val want = (for { x <- 1 to 3; y <- 1 to 3 } yield (x, y, 5L)).toSet
+    assert(got == want)
+    // corner cell: clipped to canvas
+    val corner = Raster.spread(Seq((0, 0, 1L)).toDF("xb", "yb", "c"), 8, 8, 1).count()
+    assert(corner == 4)
+  }
+
+  test("Engine.open registers the catalog for free-form SQL (TaQL passthrough)") {
+    Engine.open(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem WHERE l_quantity > 49 AND l_returnflag <> 'R'")
+      .head().getLong(0)
+    assert(n > 0)
+    val ev = spark.sql("SELECT min(ts) FROM events").head().getTimestamp(0)
+    assert(ev.toString.startsWith("2024-01-01"), s"events view must be nanos-normalized, got $ev")
+  }
+}
