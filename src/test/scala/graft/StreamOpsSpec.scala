@@ -35,6 +35,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("StreamOps.sliding windows assign each event to duration/slide windows") {
+    val q = StreamOps.sliding(eventsStream, col("ts"), "1 hour", "30 minutes",
+        Seq.empty, Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName("so_s").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every event lands in exactly duration/slide = 2 windows
+    val total = spark.table("so_s").agg(sum("n")).head().getLong(0)
+    assert(total == 2 * sf0001.events.count())
+  }
+
   test("dedupWithinWatermark suppresses exact duplicates in-stream") {
     // duplicate every event: stream the file twice under one directory
     val dir = Files.createTempDirectory("events-dup")
