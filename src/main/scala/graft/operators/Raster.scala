@@ -43,6 +43,25 @@ final case class Canvas(
       .agg(count(lit(1)).as("c"))
 }
 
+object Canvas {
+
+  /** Range autocompute (reference: min/max scan cached before plotting when
+    * `--xmin/--xmax` are absent [U], declared Q09): one aggregate pass over
+    * both axes. The tiny epsilon widens the top edge so the max value does
+    * not clamp into the last bin from outside it. */
+  def auto(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
+      width: Int, height: Int): Canvas = {
+    val r = df.agg(min(x), max(x), min(y), max(y)).head()
+    def widen(lo: Double, hi: Double) = {
+      val eps = math.max(1e-12, (hi - lo) * 1e-9)
+      (lo, hi + eps)
+    }
+    Canvas(width, height,
+      widen(r.getDouble(0), r.getDouble(1)),
+      widen(r.getDouble(2), r.getDouble(3)))
+  }
+}
+
 object Raster {
 
   /** Histogram-equalized shading — datashader `tf.shade(how='eq_hist')` [U]:
