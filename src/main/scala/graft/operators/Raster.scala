@@ -51,9 +51,17 @@ object Canvas {
     * not clamp into the last bin from outside it. */
   def auto(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
       width: Int, height: Int): Canvas = {
-    val r = df.agg(min(x), max(x), min(y), max(y)).head()
+    // cast to double: min/max preserve the input type (long/int/float
+    // axes would make getDouble throw)
+    val r = df.agg(
+      min(x.cast("double")), max(x.cast("double")),
+      min(y.cast("double")), max(y.cast("double"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      "Canvas.auto: no data in selection (min/max are null)")
     def widen(lo: Double, hi: Double) = {
-      val eps = math.max(1e-12, (hi - lo) * 1e-9)
+      // at least one ulp of hi, or the epsilon is absorbed by rounding for
+      // large-magnitude axes (hi + eps == hi) and the range degenerates
+      val eps = math.max(math.ulp(hi), (hi - lo) * 1e-9)
       (lo, hi + eps)
     }
     Canvas(width, height,

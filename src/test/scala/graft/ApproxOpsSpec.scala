@@ -7,15 +7,36 @@ import graft.operators.{ApproxOps, Canvas, Raster}
 class ApproxOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approxDistinct is within rsd of the exact Q14 counts") {
+  test("approxDistinct (incl. pair struct) is within rsd of the exact Q14 counts") {
     val exact = sf0001.lineitem.agg(
-      countDistinct(col("l_suppkey")), countDistinct(col("l_partkey")))
-      .as[(Long, Long)].head()
-    val approx = ApproxOps.approxDistinct(
-      sf0001.lineitem, 0.02, col("l_suppkey"), col("l_partkey"))
-      .as[(Long, Long)].head()
+      countDistinct(col("l_suppkey")), countDistinct(col("l_partkey")),
+      countDistinct(col("l_suppkey"), col("l_partkey")))
+      .as[(Long, Long, Long)].head()
+    val approxDf = ApproxOps.approxDistinct(sf0001.lineitem, 0.02,
+      "ds" -> col("l_suppkey"), "dp" -> col("l_partkey"),
+      "dpair" -> struct(col("l_suppkey"), col("l_partkey")))
+    assert(approxDf.columns.toSeq == Seq("ds", "dp", "dpair"), "aliases preserved")
+    val approx = approxDf.as[(Long, Long, Long)].head()
     assert(math.abs(approx._1 - exact._1).toDouble / exact._1 < 0.1)
     assert(math.abs(approx._2 - exact._2).toDouble / exact._2 < 0.1)
+    assert(math.abs(approx._3 - exact._3).toDouble / exact._3 < 0.1)
+    intercept[IllegalArgumentException](ApproxOps.approxDistinct(sf0001.lineitem, 0.02))
+  }
+
+  test("Canvas.auto handles integer axes, empty selections, and huge-magnitude values") {
+    // long/int axes: min/max preserve input type; auto must cast
+    val c = Canvas.auto(sf0001.lineitem, col("l_suppkey"), col("l_linenumber"), 8, 8)
+    assert(c.xRange._2 > c.xRange._1 && c.yRange._2 > c.yRange._1)
+    // empty selection → clear error, not an NPE
+    val err = intercept[IllegalArgumentException](
+      Canvas.auto(sf0001.lineitem.filter(lit(false)), col("l_quantity"), col("l_tax"), 8, 8))
+    assert(err.getMessage.contains("no data"))
+    // large-magnitude constant axis: epsilon must survive fp rounding
+    val big = spark.range(5).select((col("id") * 0 + 1e12).as("v"))
+    val cb = Canvas.auto(big, col("v"), col("v"), 4, 4)
+    assert(cb.xRange._2 > cb.xRange._1, "ulp-floor epsilon must widen 1e12")
+    val bins = big.select(cb.xBin(col("v"))).distinct().collect().map(_.getInt(0)).toSet
+    assert(bins == Set(0))
   }
 
   test("Canvas.auto computes ranges covering every point (no edge clamp)") {
