@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for the 100 TB path (SURVEY.md §4 physical
+  * config; the builder prompt's "bucketing for co-located joins, salting
+  * for skew").
+  *
+  * These don't change query semantics — they change where the shuffles go:
+  *  - bucketing pre-shuffles a table ONCE at write time; every subsequent
+  *    equi-join/aggregation on the bucket keys reads co-located data and
+  *    plans with no Exchange;
+  *  - salting splits a pathologically hot key across `saltBuckets`
+  *    sub-partitions at the cost of replicating the (small) build side —
+  *    the manual fallback where AQE's skew-join splitting can't help
+  *    (e.g. a single key larger than an executor).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed, sorted table registered in the session
+    * catalog. Joins/aggregations between tables bucketed the same way on
+    * the same keys plan without a shuffle.
+    *
+    * With the in-memory catalog, a previous session can leave the managed
+    * location on disk while the table registration is gone — `overwrite`
+    * then fails with LOCATION_ALREADY_EXISTS. Clean up such orphaned
+    * locations before writing. */
+  def writeBucketed(df: DataFrame, bucketCols: Seq[String], buckets: Int, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    df.write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Skew-resistant equi-join: the probe side's rows are spread across
+    * `saltBuckets` sub-keys (deterministically, by row hash), the build
+    * side is replicated across all of them. Result is identical to
+    * `left.join(right, keys)` for any inner equi-join. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__graft_salt", pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)))
+    val saltedRight = right.withColumn(
+      "__graft_salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__graft_salt").drop("__graft_salt")
+  }
+}
