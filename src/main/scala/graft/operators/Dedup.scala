@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextOps
 
@@ -67,7 +68,11 @@ object Dedup {
       docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // sigs feeds three plan branches (bands + both sides of the estimate
+    // join); without persist the tokenize→min-aggregate chain — the
+    // expensive part — executes three times
     val sigs = minHashSignatures(shingleSet(docs, id, text, shingleN), numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sigs, numHashes, bands))
     val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
     val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
@@ -95,7 +100,10 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via the
     * pigeonhole-banded equi-join (exact same result set as the N² scan:
     * dist ≤ maxDist ⇒ at least one of maxDist+1 chunks is equal). */
-  def simHashNearDups(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashNearDups(hashesIn: DataFrame, maxDist: Int = 3): DataFrame = {
+    // the simhash table is tiny (one long per doc) but its lineage — the
+    // full shingle+bit pipeline — feeds both join sides; persist it
+    val hashes = hashesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = maxDist + 1
     val bitsPer = 32 / chunks // 8-bit chunks for maxDist=3
     val chunkKeys = (0 until chunks).map(i =>
@@ -113,7 +121,10 @@ object Dedup {
 
   /** Exact n-gram Jaccard over an inverted-index join: only pairs sharing
     * at least one shingle are compared (sharing count = intersection). */
-  def ngramJaccard(shingles: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccard(shinglesIn: DataFrame, threshold: Double): DataFrame = {
+    // shingles feed the size aggregate and both sides of the inverted-index
+    // join; persist to avoid recomputing the explode+distinct three times
+    val shingles = shinglesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shingles.select(col("doc_id").as("da"), col("w"))
     val b = shingles.select(col("doc_id").as("db"), col("w").as("wb"))
