@@ -142,7 +142,21 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q41: JSON props parsed as a typed MAP column (`from_json` →
+    * `map<string,int>`) — the MapType variant of Q19's regexp extraction
+    * (SURVEY §2.8 "Map" row). */
+  def q41(t: Tables): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    t.events
+      .select(col("event_type"), element_at(m, "k").as("kv"))
+      .groupBy("event_type")
+      .agg(sum(col("kv")).as("ks"), count(col("kv")).as("nk"))
+      .transform(sortedSmall(_, col("event_type")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
+    "q41_json_map"           -> q41 _,
     "q31_dedup_minhash_lsh"  -> q31 _,
     "q32_dedup_simhash"      -> q32 _,
     "q33_dedup_ngram_jaccard" -> q33 _,
@@ -157,6 +171,11 @@ object ExtensionQueries {
 
   /** DuckDB oracles (q40 intentionally absent — not SQL-expressible). */
   val oracles: Map[String, String] = Map(
+    "q41_json_map" -> """
+      SELECT event_type,
+             CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS ks,
+             count(json_extract(props, '$.k')) AS nk
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q31_dedup_minhash_lsh" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w

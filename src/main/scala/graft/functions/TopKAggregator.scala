@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * TopKAggregatorSpec).
   */
 class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[TopKAggregator.Scored]] {
 
   private def ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
@@ -35,10 +35,18 @@ class TopKAggregator(k: Int)
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
 
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def finish(buf: Seq[(Double, Long)]): Seq[TopKAggregator.Scored] =
+    buf.map { case (s, id) => TopKAggregator.Scored(s, id) }
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  override def outputEncoder: Encoder[Seq[TopKAggregator.Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKAggregator.Scored]]()
+}
+
+object TopKAggregator {
+  /** Named output fields — `array<struct<score,id>>` at the SQL surface
+    * instead of leaked tuple `_1/_2` names. */
+  case class Scored(score: Double, id: Long)
 }

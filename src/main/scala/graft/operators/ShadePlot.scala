@@ -82,6 +82,14 @@ object ShadePlot {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Per-group rasters written as partitioned parquet — the file-output
+    * form of `--iter-*` iteration ("one output per group"): downstream
+    * consumers read a single group via partition pruning. */
+  def writeRastersPartitioned(
+      df: DataFrame, spec: PlotSpec, group: Column, dir: String): Unit =
+    rasterByGroup(df, spec, group)
+      .write.partitionBy("grp").mode("overwrite").parquet(dir)
+
   /** Render a shaded raster to PNG (grayscale→fire colormap). The collect
     * is bounded by canvas size, never data size. */
   def writePng(shaded: DataFrame, spec: PlotSpec, path: String): Unit = {

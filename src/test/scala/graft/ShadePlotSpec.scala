@@ -46,6 +46,18 @@ class ShadePlotSpec extends SparkSpec {
     assert(sumGrouped == ungrouped)
   }
 
+  test("writeRastersPartitioned: one pruned partition per group on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("rasters").toString
+    ShadePlot.writeRastersPartitioned(sf0001.lineitem, spec(), col("l_linestatus"), dir)
+    val parts = new java.io.File(dir).listFiles.map(_.getName).filter(_.startsWith("grp="))
+    assert(parts.toSet == Set("grp=F", "grp=O"))
+    // reading one group prunes to that partition and matches the one-pass result
+    val f = spark.read.parquet(dir).filter(col("grp") === "F").agg(sum("c")).head().getLong(0)
+    val direct = ShadePlot.rasterByGroup(sf0001.lineitem, spec(), col("l_linestatus"))
+      .filter(col("grp") === "F").agg(sum("c")).head().getLong(0)
+    assert(f == direct)
+  }
+
   test("categorical raster (colourBy) splits counts per category") {
     val s = PlotSpec(col("l_quantity"), col("l_extendedprice"),
       Canvas(16, 16, (0.0, 50.0), (900.0, 105000.0)),

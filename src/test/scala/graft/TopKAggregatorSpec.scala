@@ -29,7 +29,7 @@ class TopKAggregatorSpec extends SparkSpec {
       .groupBy("qid")
       .agg(topk(col("sim"), col("vec_id")).as("top"))
       .select(col("qid"), explode(col("top")).as("p"))
-      .select(col("qid"), col("p._2").as("vec_id"), col("p._1").as("sim"))
+      .select(col("qid"), col("p.id").as("vec_id"), col("p.score").as("sim"))
       .as[(Long, Long, Double)].collect().toSet
 
     assert(viaAgg == viaWindow)
@@ -41,7 +41,7 @@ class TopKAggregatorSpec extends SparkSpec {
     val topk = udaf(new TopKAggregator(3))
     def run(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("g").agg(topk(col("score"), col("id")).as("top"))
-        .as[(Long, Seq[(Double, Long)])].collect().toMap
+        .as[(Long, Seq[TopKAggregator.Scored])].collect().toMap
     assert(run(data) == run(data.repartition(17)))
   }
 
@@ -50,7 +50,7 @@ class TopKAggregatorSpec extends SparkSpec {
       .toDF("g", "score", "id")
     val topk = udaf(new TopKAggregator(2))
     val top = data.groupBy("g").agg(topk(col("score"), col("id")).as("top"))
-      .as[(Long, Seq[(Double, Long)])].head()._2
-    assert(top == Seq((5.0, 10L), (5.0, 20L)))
+      .as[(Long, Seq[TopKAggregator.Scored])].head()._2
+    assert(top == Seq(TopKAggregator.Scored(5.0, 10L), TopKAggregator.Scored(5.0, 20L)))
   }
 }
