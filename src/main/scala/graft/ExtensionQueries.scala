@@ -155,8 +155,26 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("event_type")))
   }
 
+  /** q42: TF-IDF top terms per document (tf × ln(N/df); df over the full
+    * corpus, tf restricted to the reported docs; window top-3 to match the
+    * oracle's formulation — TopKAggregator is the proven-equal scale
+    * alternative). */
+  def q42(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val n = t.documents.count()
+    val scored = TextAnalysis.tfIdf(tok, n).filter(col("doc_id") < 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .transform(sortedSmall(_, col("doc_id"), col("rn")))
+      .select(col("doc_id"), col("w"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q41_json_map"           -> q41 _,
+    "q42_tfidf_topterms"     -> q42 _,
     "q31_dedup_minhash_lsh"  -> q31 _,
     "q32_dedup_simhash"      -> q32 _,
     "q33_dedup_ngram_jaccard" -> q33 _,
@@ -176,6 +194,20 @@ object ExtensionQueries {
              CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS ks,
              count(json_extract(props, '$.k')) AS nk
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q42_tfidf_topterms" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w),
+      dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE w <> '' GROUP BY w),
+      n AS (SELECT count(*) AS nd FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.w, tf.tf * ln((SELECT nd FROM n) * 1.0 / dfq.df) AS tfidf
+        FROM tf JOIN dfq ON tf.w = dfq.w WHERE tf.doc_id < 10)
+      SELECT doc_id, w, round(tfidf, 6) AS tfidf FROM (
+        SELECT doc_id, w, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+        FROM scored) t
+      WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q31_dedup_minhash_lsh" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w

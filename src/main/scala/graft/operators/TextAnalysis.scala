@@ -38,4 +38,16 @@ object TextAnalysis {
 
   /** Sub-word unit estimate for a token: BPE-ish `ceil(len/4)`. */
   def subwordCount(w: Column): Column = ceil(length(w) / 4.0).cast("long")
+
+  /** TF-IDF over a long-form token table (doc_id, w): raw term frequency ×
+    * `ln(N / df)`. Document frequency always comes from the FULL corpus
+    * (`tokens`), even when downstream consumers restrict to a document
+    * subset — restrict tf, never df. Returns (doc_id, w, tf, df, tfidf). */
+  def tfIdf(tokens: DataFrame, numDocs: Long): DataFrame = {
+    val tf = tokens.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tokens.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(df, "w")
+      .withColumn("tfidf", col("tf") * log(lit(numDocs.toDouble) / col("df")))
+  }
 }
