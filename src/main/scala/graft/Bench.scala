@@ -85,6 +85,9 @@ object Bench {
     pool.shutdown()
 
     extNames.foreach(runOne)                     // extensions: warm + time
+    // dedup operators persist lineage tables per call; clear between
+    // passes so repeated calls don't accumulate cached blocks
+    spark.sharedState.cacheManager.clearCache()
     val ext = extNames.map(n => n -> runOne(n))
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }

@@ -148,8 +148,10 @@ object ExtensionQueries {
   def q41(t: Tables): DataFrame = {
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    // try_element_at: plain element_at throws under Spark 4's ANSI mode
+    // when a key is absent, where the oracle's json_extract yields NULL
     t.events
-      .select(col("event_type"), element_at(m, "k").as("kv"))
+      .select(col("event_type"), try_element_at(m, lit("k")).as("kv"))
       .groupBy("event_type")
       .agg(sum(col("kv")).as("ks"), count(col("kv")).as("nk"))
       .transform(sortedSmall(_, col("event_type")))

@@ -29,7 +29,15 @@ object Axes {
     *
     * The arithmetic shape `(c - lo) / (hi - lo) * n` is kept verbatim so the
     * result is bit-identical with the declared oracle SQL.
-    */
+    *
+    * Clamping happens in DOUBLE, before the int cast: under Spark 4's
+    * default ANSI mode a NaN axis value (or a bin index beyond int range)
+    * would otherwise throw in the cast before least/greatest could clamp
+    * it. A NaN axis value lands deterministically in bin 0 (observed
+    * least/greatest behavior); callers mirroring datashader's NaN-drop
+    * semantics should filter `isnan` upstream. */
   def bin(c: Column, lo: Double, hi: Double, n: Int): Column =
-    least(lit(n - 1), greatest(lit(0), floor((c - lit(lo)) / (lit(hi) - lit(lo)) * n).cast("int")))
+    least(lit((n - 1).toDouble),
+        greatest(lit(0.0), floor((c - lit(lo)) / (lit(hi) - lit(lo)) * n)))
+      .cast("int")
 }

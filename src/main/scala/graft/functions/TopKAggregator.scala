@@ -18,6 +18,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[TopKAggregator.Scored]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
 
   private def ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }

@@ -41,6 +41,10 @@ object Dedup {
   /** LSH band keys: (doc_id, bi, bk) with `bands` bands of
     * `numHashes/bands` rows; band key = md5 of the concatenated slice. */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
+      "silently drop trailing signature positions, and bands > numHashes " +
+      "would give every doc an identical empty band key (full N^2 blowup)")
     val rows = numHashes / bands
     val bandKeys = (0 until bands).map { b =>
       md5(concat((0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))

@@ -81,9 +81,13 @@ object Raster {
   def shadeEqHist(raster: DataFrame, countCol: Column, out: String = "shade", scale: Int = 6): DataFrame =
     raster.withColumn(out, round(cume_dist().over(Window.orderBy(countCol)), scale))
 
-  /** `--norm log/cbrt/linear` shading variants [U] — plain scalar maps. */
-  def shadeLog(raster: DataFrame, countCol: Column, out: String = "shade"): Column = log1p(countCol)
-  def shadeCbrt(countCol: Column): Column = cbrt(countCol)
+  /** `--norm log/cbrt` shading variants [U] — plain scalar maps, same
+    * shape as [[shadeEqHist]] (ShadePlot.shade applies the max-normalized
+    * forms). */
+  def shadeLog(raster: DataFrame, countCol: Column, out: String = "shade"): DataFrame =
+    raster.withColumn(out, log1p(countCol))
+  def shadeCbrt(raster: DataFrame, countCol: Column, out: String = "shade"): DataFrame =
+    raster.withColumn(out, cbrt(countCol))
 
   /** Sparse-pixel spreading (datashader `tf.dynspread` [U], simplified to a
     * fixed-radius square-kernel convolution): each cell's count is summed

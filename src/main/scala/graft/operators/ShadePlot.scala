@@ -34,28 +34,25 @@ object ShadePlot {
       conjugate: Boolean = false,
       norm: String = "eq_hist")              // eq_hist | log | cbrt | linear
 
+  /** Mirror-through-origin preparation: keeps ALL source columns (so
+    * reduction aggregates and colour categories still resolve) and adds
+    * mirrored axis columns `__px/__py`. */
+  private def withPoints(df: DataFrame, spec: PlotSpec): DataFrame =
+    if (!spec.conjugate) df.withColumn("__px", spec.x).withColumn("__py", spec.y)
+    else df
+      .withColumn("__m", explode(array(
+        struct(spec.x.as("px"), spec.y.as("py")),
+        struct((-spec.x).as("px"), (-spec.y).as("py")))))
+      .withColumn("__px", col("__m.px")).withColumn("__py", col("__m.py"))
+      .drop("__m")
+
   /** Build the raster DataFrame for a spec: (xb, yb[, cat], c[, aggs…]). */
   def raster(df: DataFrame, spec: PlotSpec): DataFrame = {
-    val masked = spec.flagMask.fold(df)(m => df.filter(!m))
-    val pts =
-      if (!spec.conjugate) masked.select(spec.x.as("px"), spec.y.as("py"))
-      else masked.select(explode(array(
-          struct(spec.x.as("px"), spec.y.as("py")),
-          struct((-spec.x).as("px"), (-spec.y).as("py")))).as("p"))
-        .select(col("p.px").as("px"), col("p.py").as("py"))
-    spec.colourBy match {
-      case Some(cat) =>
-        // conjugate+colourBy would need cat inside the mirror struct; keep simple
-        require(!spec.conjugate, "conjugate with colourBy not supported in one pass")
-        masked.select(spec.x.as("px"), spec.y.as("py"), cat.as("cat"))
-          .groupBy(spec.canvas.xBin(col("px")).as("xb"),
-            spec.canvas.yBin(col("py")).as("yb"), col("cat"))
-          .agg(count(lit(1)).as("c"))
-      case None =>
-        val aggs = count(lit(1)).as("c") +: spec.reduction
-        pts.groupBy(spec.canvas.xBin(col("px")).as("xb"), spec.canvas.yBin(col("py")).as("yb"))
-          .agg(aggs.head, aggs.tail: _*)
-    }
+    val pts = withPoints(spec.flagMask.fold(df)(m => df.filter(!m)), spec)
+    val keys = Seq(spec.canvas.xBin(col("__px")).as("xb"), spec.canvas.yBin(col("__py")).as("yb")) ++
+      spec.colourBy.map(_.as("cat"))
+    val aggs = count(lit(1)).as("c") +: spec.reduction
+    pts.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Apply the spec's normalization, adding a `shade` column in [0, 1]. */
@@ -73,13 +70,16 @@ object ShadePlot {
 
   /** Per-group iteration (`--iter-field/-scan/…` [U]): one raster per
     * distinct group value, computed in a single pass by adding the group
-    * key to the raster keys (Spark-first: grouped, not looped). */
+    * key to the raster keys (Spark-first: grouped, not looped). Honors
+    * flag masking, conjugation and reductions like [[raster]]. */
   def rasterByGroup(df: DataFrame, spec: PlotSpec, group: Column): DataFrame = {
-    val masked = spec.flagMask.fold(df)(m => df.filter(!m))
-    masked.select(group.as("grp"), spec.x.as("px"), spec.y.as("py"))
-      .groupBy(col("grp"), spec.canvas.xBin(col("px")).as("xb"),
-        spec.canvas.yBin(col("py")).as("yb"))
-      .agg(count(lit(1)).as("c"))
+    require(spec.colourBy.isEmpty,
+      "rasterByGroup: use the group as the only split; colourBy is not combined here")
+    val pts = withPoints(spec.flagMask.fold(df)(m => df.filter(!m)), spec)
+    val aggs = count(lit(1)).as("c") +: spec.reduction
+    pts.groupBy(group.as("grp"), spec.canvas.xBin(col("__px")).as("xb"),
+        spec.canvas.yBin(col("__py")).as("yb"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-group rasters written as partitioned parquet — the file-output
@@ -93,6 +93,9 @@ object ShadePlot {
   /** Render a shaded raster to PNG (grayscale→fire colormap). The collect
     * is bounded by canvas size, never data size. */
   def writePng(shaded: DataFrame, spec: PlotSpec, path: String): Unit = {
+    require(spec.colourBy.isEmpty,
+      "writePng renders one value per cell; render categorical planes separately " +
+      "(filter on cat) or aggregate them first")
     val w = spec.canvas.width
     val h = spec.canvas.height
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -34,17 +34,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // produces NULL for mismatched lengths / null elements even when both
+  // inputs are non-null — without this, codegen hardwires isNull=false
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
+  // Null semantics match the higher-order-function formulation (and the
+  // DuckDB oracle's spirit): mismatched lengths or a null element yield
+  // NULL, never a silently-truncated similarity.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i)
       val yv = y.getDouble(i)
       dot += xv * yv
@@ -65,16 +74,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  double $xv = $a.getDouble($i);
-        |  double $yv = $b.getDouble($i);
-        |  $dot += $xv * $yv;
-        |  $na += $xv * $xv;
-        |  $nb += $yv * $yv;
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    double $xv = $a.getDouble($i);
+        |    double $yv = $b.getDouble($i);
+        |    $dot += $xv * $yv;
+        |    $na += $xv * $xv;
+        |    $nb += $yv * $yv;
+        |  }
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+        |  }
         |}
-        |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
       """.stripMargin
     })
 

@@ -32,6 +32,12 @@ class AxesSpec extends SparkSpec {
     assert(got == Seq(0, 63, 0, 63, 63))
   }
 
+  test("bin survives NaN and huge values under ANSI mode (clamped, no throw)") {
+    val got = Seq(Double.NaN, 1e300, -1e300).toDF("v")
+      .select(Axes.bin(col("v"), 0.0, 100.0, 64).as("b")).as[Int].collect().toSeq
+    assert(got == Seq(0, 63, 0), "NaN lands in bin 0 (documented); huge values clamp")
+  }
+
   test("amp and phase match hand-computed values") {
     val row = Seq((3.0, 4.0)).toDF("re", "im")
       .select(Axes.amp(col("re"), col("im")).as("a"),

@@ -31,6 +31,16 @@ class CosineExpressionSpec extends SparkSpec {
     assert(diff == 0, "native and HOF cosine must agree on every bit")
   }
 
+  test("mismatched lengths and null elements yield null, not truncated similarity") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d)) AS mism," +
+      "       cosine_similarity(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS nel")
+      .head()
+    assert(r.isNullAt(0), "length mismatch must be null")
+    assert(r.isNullAt(1), "null element must be null")
+  }
+
   test("null inputs yield null") {
     GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(

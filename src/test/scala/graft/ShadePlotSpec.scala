@@ -46,6 +46,17 @@ class ShadePlotSpec extends SparkSpec {
     assert(sumGrouped == ungrouped)
   }
 
+  test("reduction aggregates resolve against source columns (--ared)") {
+    val s = spec().copy(reduction = Seq(
+      round(avg(col("l_tax")), 6).as("m"), max(col("l_discount")).as("mx")))
+    val r = ShadePlot.raster(sf0001.lineitem, s)
+    assert(r.columns.toSeq == Seq("xb", "yb", "c", "m", "mx"))
+    assert(r.count() > 0)
+    // conjugate + reduction together also works now
+    val rc = ShadePlot.raster(sf0001.lineitem, s.copy(conjugate = true))
+    assert(rc.agg(sum("c")).head().getLong(0) == 2 * r.agg(sum("c")).head().getLong(0))
+  }
+
   test("writeRastersPartitioned: one pruned partition per group on disk") {
     val dir = java.nio.file.Files.createTempDirectory("rasters").toString
     ShadePlot.writeRastersPartitioned(sf0001.lineitem, spec(), col("l_linestatus"), dir)
