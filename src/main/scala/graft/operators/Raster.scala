@@ -89,6 +89,25 @@ object Raster {
   def shadeCbrt(raster: DataFrame, countCol: Column, out: String = "shade"): DataFrame =
     raster.withColumn(out, cbrt(countCol))
 
+  /** Dynamic spreading (datashader `tf.dynspread` [U]): grow the spread
+    * radius until at least `threshold` of the canvas is covered (or
+    * `maxRadius` is hit) — dense rasters stay sharp, sparse ones dilate.
+    * The density probe runs on the raster (≤ canvas-size rows). */
+  def dynSpread(
+      raster: DataFrame, width: Int, height: Int,
+      threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
+    val cells = width.toLong * height
+    var r = 0
+    var current = raster
+    var covered = current.count().toDouble / cells
+    while (covered < threshold && r < maxRadius) {
+      r += 1
+      current = spread(raster, width, height, r)
+      covered = current.count().toDouble / cells
+    }
+    current
+  }
+
   /** Sparse-pixel spreading (datashader `tf.dynspread` [U], simplified to a
     * fixed-radius square-kernel convolution): each cell's count is summed
     * into its neighbors within `radius`. Runs as explode + re-aggregate

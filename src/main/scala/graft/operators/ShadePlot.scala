@@ -113,6 +113,33 @@ object ShadePlot {
     ImageIO.write(img, "png", new File(path))
   }
 
+  /** Composite a categorical raster (xb, yb, cat, c) into one RGB PNG:
+    * up to three categories map to the red/green/blue channels, each
+    * eq_hist-shaded independently — datashader's `color_key` compositing
+    * for the `--colour-by` plot. Categories are assigned to channels in
+    * sorted order; >3 categories is rejected. */
+  def writePngCategorical(rasterDf: DataFrame, spec: PlotSpec, path: String): Unit = {
+    val cats = rasterDf.select("cat").distinct()
+      .collect().map(_.get(0).toString).sorted
+    require(cats.nonEmpty && cats.length <= 3,
+      s"RGB compositing supports 1-3 categories, got ${cats.length}")
+    val w = spec.canvas.width
+    val h = spec.canvas.height
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val planes = cats.map { c =>
+      Raster.shadeEqHist(rasterDf.filter(col("cat") === c), col("c"))
+        .select(col("xb"), col("yb"), col("shade")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    }
+    for (x <- 0 until w; y <- 0 until h) {
+      def chan(i: Int): Int =
+        if (i >= planes.length) 0
+        else math.min(255, (planes(i).getOrElse((x, y), 0.0) * 255).toInt)
+      img.setRGB(x, h - 1 - y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
+    }
+    ImageIO.write(img, "png", new File(path))
+  }
+
   /** The full `shadems`-equivalent entry: data → raster → shade → PNG. */
   def plot(df: DataFrame, spec: PlotSpec, pngPath: String): DataFrame = {
     val shaded = shade(raster(df, spec), spec)

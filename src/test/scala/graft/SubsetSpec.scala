@@ -43,6 +43,19 @@ class SubsetSpec extends SparkSpec {
     assert(corner == 4)
   }
 
+  test("dynSpread: dense raster untouched, sparse raster dilates until covered") {
+    import graft.operators.Raster
+    // dense: every cell filled -> radius stays 0 (identity)
+    val dense = (for { x <- 0 until 4; y <- 0 until 4 } yield (x, y, 1L)).toDF("xb", "yb", "c")
+    assert(Raster.dynSpread(dense, 4, 4, threshold = 0.5).count() == 16)
+    assert(Raster.dynSpread(dense, 4, 4, 0.5).collect().map(_.getLong(2)).sum == 16L,
+      "dense raster must come back unspread (radius 0)")
+    // sparse: one point in 16x16 -> grows until >= 12.5% coverage or max
+    val sparse = Seq((8, 8, 1L)).toDF("xb", "yb", "c")
+    val out = Raster.dynSpread(sparse, 16, 16, threshold = 0.125, maxRadius = 3)
+    assert(out.count() >= 32, s"sparse point should dilate to >= 32 cells, got ${out.count()}")
+  }
+
   test("Engine.open registers the catalog for free-form SQL (TaQL passthrough)") {
     Engine.open(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
