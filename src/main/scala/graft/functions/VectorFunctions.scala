@@ -24,4 +24,23 @@ object VectorFunctions {
     * arrays with `col.cast("array<double>")` first. */
   def cosineSimilarity(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** Unit-normalize a vector (zero vectors come back as NaN components —
+    * filter on `normSq > 0` upstream if that matters). */
+  def normalize(a: Column): Column = {
+    val n = sqrt(normSq(a))
+    transform(a, x => x / n)
+  }
+
+  /** Squared Euclidean distance — cheaper than euclidean when only used
+    * for ordering (monotone transform). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def euclidean(a: Column, b: Column): Column = sqrt(distSq(a, b))
+
+  /** Element-wise mean of an array column across rows — the centroid
+    * aggregation for k-means-style IVF training (fixed dimension `dim`). */
+  def meanVector(a: Column, dim: Int): Column =
+    array((0 until dim).map(i => avg(element_at(a, i + 1))): _*)
 }

@@ -13,6 +13,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(d == 32.0)
   }
 
+  test("normalize, distances, centroid aggregation") {
+    val df = Seq((Seq(3.0, 4.0), Seq(0.0, 0.0)), (Seq(1.0, 0.0), Seq(4.0, 4.0))).toDF("a", "b")
+    val norms = df.select(V.normSq(V.normalize(col("a"))).as("n")).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-12))
+    val d = df.select(V.euclidean(col("a"), col("b")).as("d")).as[Double].collect()
+    assert(d(0) == 5.0 && math.abs(d(1) - 5.0) < 1e-12)
+    val centroid = df.agg(V.meanVector(col("a"), 2).as("c"))
+      .as[Seq[Double]].head()
+    assert(centroid == Seq(2.0, 2.0))
+  }
+
   test("cosine identities on 200 seeded random vector pairs: sim(a,a)=1, symmetry, |sim| <= 1") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(200)((
