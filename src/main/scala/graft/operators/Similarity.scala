@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{VectorFunctions => V}
 import graft.plans.GraftFunctions
 
 /** Similarity search over embedding columns (north-star extension).
@@ -22,6 +23,7 @@ object Similarity {
     * tie-break on centroid id): (vec_id, cid). `centroids` must be small —
     * it is broadcast. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
     val c = centroids.select(col("vec_id").as("cid"), col("e").as("ce"))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
     vectors.join(broadcast(c))
@@ -31,10 +33,34 @@ object Similarity {
       .select("vec_id", "cid")
   }
 
+  /** Deterministic Lloyd's iterations for IVF centroid training: init =
+    * the first k vectors by id, fixed iteration count, cosine assignment.
+    * Only the k-row centroid set ever reaches the driver; each iteration
+    * is one broadcast-join assignment pass + one k-group mean aggregate —
+    * the standard distributed k-means shape. Returns (vec_id, e) rows
+    * usable directly as [[ivfAssign]]'s centroid input. */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = vectors.orderBy("vec_id").limit(k)
+      .select(col("e").cast("array<double>")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val cDf = cents.toDF("vec_id", "e")
+      val assign = ivfAssign(vectors, cDf)
+      cents = vectors.join(assign, "vec_id")
+        .groupBy(col("cid"))
+        .agg(V.meanVector(col("e"), dim).as("e"))
+        .select(col("cid"), col("e")).as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents.toDF("vec_id", "e")
+  }
+
   /** IVF top-k: each query searches only the vectors assigned to its own
     * centroid bucket. Returns (qid, vec_id, sim, rn) with rn ≤ k. */
   def ivfTopK(
       vectors: DataFrame, assign: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
     val q = queries.join(assign, "vec_id")
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("cid").as("qc"))
     val bucket = assign.select(col("vec_id"), col("cid").as("qc"))

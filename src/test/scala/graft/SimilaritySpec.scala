@@ -22,6 +22,20 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(0L) == 0L && assign(1L) == 1L)
   }
 
+  test("trainCentroids converges to the cluster means on the toy set") {
+    val trained = Similarity.trainCentroids(vecs, k = 2, iters = 3, dim = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    // cluster of axis-x: {(1,0),(0.9,0.1),(0.95,0.05)} → mean (0.95, 0.05)
+    val c0 = trained(0L)
+    val c1 = trained(1L)
+    assert(math.abs(c0(0) - 0.95) < 1e-9 && math.abs(c0(1) - 0.05) < 1e-9)
+    assert(math.abs(c1(0) - 0.05) < 1e-9 && math.abs(c1(1) - 0.95) < 1e-9)
+    // trained centroids still drive ivfAssign correctly
+    val assign = Similarity.ivfAssign(vecs, trained.toSeq.toDF("vec_id", "e"))
+      .as[(Long, Long)].collect().toMap
+    assert(assign(10L) == 0L && assign(21L) == 1L)
+  }
+
   test("ivfTopK searches only the query's bucket") {
     val assign = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val out = Similarity.ivfTopK(vecs, assign, vecs.filter(col("vec_id") === 10L), k = 5)

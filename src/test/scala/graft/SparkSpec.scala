@@ -15,5 +15,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  graft.plans.GraftFunctions.ensureRegistered(spark)
+
   lazy val sf0001: Tables = Tables(spark, "/root/testdata/sf0.001")
 }
