@@ -55,10 +55,14 @@ object Bench {
     val names = Queries.all.keys.toSeq.sorted
     val extNames = ExtensionQueries.all.keys.toSeq.sorted
 
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect(); () }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -94,9 +98,13 @@ object Bench {
       .mkString("{", ",", "}")
     val exts = ext.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a failing query must be VISIBLE in the JSON — its near-zero "time"
+    // would otherwise report a regression as a speedup
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"suite_wall_concurrent","value":$wall,"unit":"sec","queries":$qs,""" +
-      s""""serial_total":$serialTotal,"concurrency":$threads,"extensions":$exts,"sf":"$sfDir"}""")
+      s""""serial_total":$serialTotal,"concurrency":$threads,"extensions":$exts,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

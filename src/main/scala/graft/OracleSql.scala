@@ -49,20 +49,20 @@ object OracleSql {
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     "q06_raster2d_count" -> """
-      SELECT least(63, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*64) AS INT))) AS xb,
-             least(63, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*64) AS INT))) AS yb,
+      SELECT CAST(least(63, greatest(0, floor((l_quantity - 0.0)/(50.0 - 0.0)*64))) AS INT) AS xb,
+             CAST(least(63, greatest(0, floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*64))) AS INT) AS yb,
              count(*) AS c
       FROM lineitem GROUP BY xb, yb ORDER BY xb, yb""",
 
     "q07_raster2d_mean" -> """
-      SELECT least(31, greatest(0, CAST(floor((l_discount - 0.0)/(0.1 - 0.0)*32) AS INT))) AS xb,
-             least(31, greatest(0, CAST(floor((l_tax - 0.0)/(0.08 - 0.0)*32) AS INT))) AS yb,
+      SELECT CAST(least(31, greatest(0, floor((l_discount - 0.0)/(0.1 - 0.0)*32))) AS INT) AS xb,
+             CAST(least(31, greatest(0, floor((l_tax - 0.0)/(0.08 - 0.0)*32))) AS INT) AS yb,
              count(*) AS c, round(avg(l_extendedprice), 4) AS m, round(max(l_extendedprice), 2) AS mx
       FROM lineitem GROUP BY xb, yb ORDER BY xb, yb""",
 
     "q08_raster2d_count_cat" -> """
-      SELECT least(31, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*32) AS INT))) AS xb,
-             least(31, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32) AS INT))) AS yb,
+      SELECT CAST(least(31, greatest(0, floor((l_quantity - 0.0)/(50.0 - 0.0)*32))) AS INT) AS xb,
+             CAST(least(31, greatest(0, floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32))) AS INT) AS yb,
              l_returnflag AS cat, count(*) AS c
       FROM lineitem GROUP BY xb, yb, cat ORDER BY xb, yb, cat""",
 
@@ -74,8 +74,8 @@ object OracleSql {
 
     "q10_eqhist_cumedist" -> """
       WITH bins AS (
-        SELECT least(63, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*64) AS INT))) AS xb,
-               least(63, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*64) AS INT))) AS yb,
+        SELECT CAST(least(63, greatest(0, floor((l_quantity - 0.0)/(50.0 - 0.0)*64))) AS INT) AS xb,
+               CAST(least(63, greatest(0, floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*64))) AS INT) AS yb,
                count(*) AS c
         FROM lineitem GROUP BY xb, yb)
       SELECT xb, yb, c, round(cume_dist() OVER (ORDER BY c), 6) AS shade
@@ -122,7 +122,7 @@ object OracleSql {
       FROM events GROUP BY d ORDER BY d""",
 
     "q19_json_extract" -> """
-      SELECT event_type, CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS ks, count(*) AS n
+      SELECT event_type, CAST(sum(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT) AS ks, count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q20_array_explode_stats" -> """

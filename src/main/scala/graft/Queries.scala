@@ -232,7 +232,9 @@ object Queries {
     t.events
       .groupBy("event_type")
       .agg(
-        sum(regexp_extract(col("props"), "([0-9]+)", 1).cast("int")).as("ks"),
+        // try_cast: a digit-free props row yields NULL per row instead of
+        // aborting the whole query under ANSI (oracle uses TRY_CAST too)
+        sum(expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS INT)")).as("ks"),
         count(lit(1)).as("n"))
       .transform(sortedSmall(_, col("event_type")))
 

@@ -17,6 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any previous output FIRST: mode(overwrite) only clears the
+      // target when the new write executes, so a query that fails before
+      // writing would otherwise leave a stale (possibly passing) result
+      val target = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(target)) fs.delete(target, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
