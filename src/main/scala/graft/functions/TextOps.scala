@@ -14,6 +14,19 @@ object TextOps {
     * spaces — callers filter). */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Text normalization for training-data cleaning: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    * Pure codegen'd string expressions. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Remove stopwords from a token array (higher-order filter — no
+    * explode/regroup round trip). */
+  def removeStopwords(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    filter(toks, t => !array_contains(sw, t))
+  }
+
   /** Token n-gram shingles as an array column (empty when the doc has
     * fewer than `n` tokens). `element_at` is 1-based; the shingle set is
     * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based). */

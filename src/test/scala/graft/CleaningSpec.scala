@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.Cleaning
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeText: case, punctuation, whitespace runs") {
+    val got = Seq("  Hello,   WORLD!! 42\tfoo_bar  ")
+      .toDF("t").select(TextOps.normalizeText(col("t"))).as[String].head()
+    assert(got == "hello world 42 foo bar")
+  }
+
+  test("removeStopwords filters without explode") {
+    val got = Seq(Seq("the", "quick", "fox", "the")).toDF("toks")
+      .select(TextOps.removeStopwords(col("toks"), Seq("the", "a"))).as[Seq[String]].head()
+    assert(got == Seq("quick", "fox"))
+  }
+
+  test("clean keeps good docs, rejects degenerate ones, quarantine is the complement") {
+    val docs = Seq(
+      (1L, "a genuinely reasonable document with several distinct tokens present here"),
+      (2L, "x x x x x x x x x x x x x x x x x x x x"),  // TTR 1/20 too low
+      (3L, "too short"),                                 // under minTokens
+      (4L, "Supercalifragilisticexpialidocious Pneumonoultramicroscopicsilicovolcanoconiosis " * 5)
+    ).toDF("doc_id", "text")
+    val kept = Cleaning.clean(docs, col("text")).select("doc_id").as[Long].collect().toSet
+    val rej = Cleaning.rejected(docs, col("text")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"only the reasonable doc passes, got $kept")
+    assert(rej == Set(2L, 3L, 4L))
+    assert((kept ++ rej) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("fixture corpus mostly passes the default gate") {
+    val total = sf0001.documents.count()
+    val kept = Cleaning.clean(sf0001.documents, col("text")).count()
+    assert(kept > total * 0.9, s"expected >90% of synthetic docs to pass, got $kept/$total")
+  }
+}
