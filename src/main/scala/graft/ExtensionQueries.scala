@@ -195,7 +195,7 @@ object ExtensionQueries {
       SELECT event_type,
              CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS ks,
              count(json_extract(props, '$.k')) AS nk
-      FROM events GROUP BY event_type ORDER BY event_type""",
+      FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""",
 
     "q42_tfidf_topterms" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -207,9 +207,9 @@ object ExtensionQueries {
         FROM tf JOIN dfq ON tf.w = dfq.w WHERE tf.doc_id < 10)
       SELECT doc_id, w, round(tfidf, 6) AS tfidf FROM (
         SELECT doc_id, w, tfidf,
-               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC NULLS LAST, w NULLS FIRST) AS rn
         FROM scored) t
-      WHERE rn <= 3 ORDER BY doc_id, rn""",
+      WHERE rn <= 3 ORDER BY doc_id NULLS FIRST, rn NULLS FIRST""",
     "q31_dedup_minhash_lsh" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
@@ -230,7 +230,7 @@ object ExtensionQueries {
           ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
            (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
         FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
-      SELECT da, db, round(est, 6) AS est FROM est WHERE est >= 0.5 ORDER BY da, db""",
+      SELECT da, db, round(est, 6) AS est FROM est WHERE est >= 0.5 ORDER BY da NULLS FIRST, db NULLS FIRST""",
 
     "q32_dedup_simhash" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
@@ -246,7 +246,7 @@ object ExtensionQueries {
       SELECT a.doc_id AS da, b.doc_id AS db, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
-      ORDER BY da, db""",
+      ORDER BY da NULLS FIRST, db NULLS FIRST""",
 
     "q33_dedup_ngram_jaccard" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
@@ -258,29 +258,29 @@ object ExtensionQueries {
       SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-      ORDER BY da, db""",
+      ORDER BY da NULLS FIRST, db NULLS FIRST""",
 
     "q34_dedup_cosine" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
       SELECT a.vec_id AS va, b.vec_id AS vb, round(list_cosine_similarity(a.e, b.e), 6) AS sim
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.e, b.e) >= 0.4
-      ORDER BY va, vb""",
+      ORDER BY va NULLS FIRST, vb NULLS FIRST""",
 
     "q35_ann_ivf" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
       assign AS (SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
-            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC, c.cid) AS rn
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
           FROM e, c) t WHERE rn = 1),
       q AS (SELECT e.vec_id AS qid, e.e AS qe, a.cid AS qc FROM e JOIN assign a ON a.vec_id = e.vec_id
             WHERE e.vec_id >= 100 AND e.vec_id < 105)
       SELECT qid, vec_id, round(sim, 6) AS sim FROM (
         SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.e) AS sim,
-          row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.e) DESC, e.vec_id) AS rn
+          row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.e) DESC NULLS LAST, e.vec_id NULLS FIRST) AS rn
         FROM q JOIN assign a ON a.cid = q.qc AND a.vec_id <> q.qid JOIN e ON e.vec_id = a.vec_id) t
-      WHERE rn <= 3 ORDER BY qid, rn""",
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     "q36_text_langid" -> """
       WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -297,7 +297,7 @@ object ExtensionQueries {
                WHEN s_fr > 0 THEN 'fr'
                ELSE 'unknown' END AS pred
         FROM sc)
-      SELECT lang, pred, count(*) AS n FROM pred GROUP BY lang, pred ORDER BY lang, pred""",
+      SELECT lang, pred, count(*) AS n FROM pred GROUP BY lang, pred ORDER BY lang NULLS FIRST, pred NULLS FIRST""",
 
     "q37_text_quality" -> """
       WITH doc AS (SELECT doc_id, source, n_chars FROM documents),
@@ -310,7 +310,7 @@ object ExtensionQueries {
           round(avg(t.avg_wlen), 6) AS avg_wlen,
           CAST(sum(CASE WHEN d.n_chars < 300 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
       FROM doc d JOIN tok t ON t.doc_id = d.doc_id
-      GROUP BY d.source ORDER BY d.source""",
+      GROUP BY d.source ORDER BY d.source NULLS FIRST""",
 
     "q38_token_stats" -> """
       WITH tok AS (SELECT lang, w, length(w) AS wl
@@ -320,12 +320,12 @@ object ExtensionQueries {
           CAST(sum(CAST(ceil(wl / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords,
           CAST(sum(wl) AS BIGINT) AS n_chars,
           count(DISTINCT w) AS vocab
-      FROM tok GROUP BY lang ORDER BY lang""",
+      FROM tok GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "q39_fingerprint" -> """
       WITH tok AS (SELECT DISTINCT doc_id, w FROM (
           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t WHERE w <> ''),
-      fp AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS fp FROM tok GROUP BY doc_id)
+      fp AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w NULLS FIRST)) AS fp FROM tok GROUP BY doc_id)
       SELECT count(*) AS docs, count(DISTINCT fp) AS uniq_fp,
           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS collapsed
       FROM fp""",
