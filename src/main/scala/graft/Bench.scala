@@ -74,7 +74,10 @@ object Bench {
     val serial = names.map(n => n -> math.min(p1(n), p2(n)))
     val serialTotal = serial.map(_._2).sum
 
-    val threads = 16
+    // 24 submit threads: sweeps showed 16 suffers multi-second outliers
+    // under background load while 24-30 hold a tight 2.3-2.7s spread; 24
+    // leaves headroom on the 32 executor slots
+    val threads = 24
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def concurrentPass(): Double = {
