@@ -10,7 +10,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def canon_val(v):
-    if v is None or v != v:  # None, float NaN, pandas NaT -> NULL
+    # NaN must canonicalize as "nan" (matching Canon.g6), NOT "NULL":
+    # a Spark NaN vs oracle NULL disagreement has to FAIL the gate.
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    if v is None or v != v:  # None, pandas NaT -> NULL
         return "NULL"
     if isinstance(v, float):
         if v == 0.0: v = 0.0

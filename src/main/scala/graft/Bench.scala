@@ -55,12 +55,14 @@ object Bench {
     val names = Queries.all.keys.toSeq.sorted
     val extNames = ExtensionQueries.all.keys.toSeq.sorted
 
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // concurrent passes mutate this from many submit threads
+    val failed: java.util.Set[String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect(); () }
       catch { case e: Throwable =>
-        failed += name
+        failed.add(name)
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -92,10 +94,17 @@ object Bench {
     pool.shutdown()
 
     extNames.foreach(runOne)                     // extensions: warm + time
-    // dedup operators persist lineage tables per call; clear between
-    // passes so repeated calls don't accumulate cached blocks
-    spark.sharedState.cacheManager.clearCache()
-    val ext = extNames.map(n => n -> runOne(n))
+    // best-of-2 cold passes (clearCache before each so a query never reads
+    // a prior pass's persisted dedup results): a single timed pass is too
+    // exposed to this sandbox's background-load spikes (observed 10x
+    // outliers on the heaviest query)
+    val ext = extNames.map { n =>
+      val reps = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        runOne(n)
+      }
+      n -> reps.min
+    }
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -103,7 +112,10 @@ object Bench {
       .mkString("{", ",", "}")
     // a failing query must be VISIBLE in the JSON — its near-zero "time"
     // would otherwise report a regression as a speedup
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
     println(
       s"""{"metric":"suite_wall_concurrent","value":$wall,"unit":"sec","queries":$qs,""" +
       s""""serial_total":$serialTotal,"concurrency":$threads,"extensions":$exts,""" +

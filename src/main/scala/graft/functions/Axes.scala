@@ -33,11 +33,17 @@ object Axes {
     * Clamping happens in DOUBLE, before the int cast: under Spark 4's
     * default ANSI mode a NaN axis value (or a bin index beyond int range)
     * would otherwise throw in the cast before least/greatest could clamp
-    * it. A NaN axis value lands deterministically in bin 0 (observed
-    * least/greatest behavior); callers mirroring datashader's NaN-drop
-    * semantics should filter `isnan` upstream. */
+    * it. A NaN axis value is mapped to bin 0 by an explicit `isnan` guard
+    * (datashader drops NaN points; we keep the row but give it a defined
+    * bin so the operator is total — callers mirroring datashader's
+    * NaN-drop semantics should filter `isnan` upstream). The guard exists
+    * because least/greatest NaN propagation would otherwise decide the
+    * bin implicitly (NaN sorts above all doubles in Spark, which would
+    * send NaN to the LAST bin — surprising and engine-specific). */
   def bin(c: Column, lo: Double, hi: Double, n: Int): Column =
-    least(lit((n - 1).toDouble),
-        greatest(lit(0.0), floor((c - lit(lo)) / (lit(hi) - lit(lo)) * n)))
-      .cast("int")
+    when(isnan(c), lit(0))
+      .otherwise(
+        least(lit((n - 1).toDouble),
+            greatest(lit(0.0), floor((c - lit(lo)) / (lit(hi) - lit(lo)) * n)))
+          .cast("int"))
 }

@@ -24,6 +24,19 @@ import graft.functions.TextOps
   */
 object Dedup {
 
+  /** Force `result`, then release the intermediate caches its computation
+    * needed. The pair results are small relative to the corpus (that is
+    * the point of LSH/banding), so holding them cached is bounded; the
+    * intermediates (shingle/signature tables, linear in corpus size) are
+    * not. The returned DataFrame is persisted — callers that loop over
+    * many corpora should `.unpersist()` it when done. */
+  private def materialized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Long-form distinct token-n-gram shingles: (id, w). */
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), TextOps.tokens(text).as("s"))
@@ -67,7 +80,9 @@ object Dedup {
       lit(numHashes.toDouble)
 
   /** Full MinHash+LSH near-dup pipeline: pairs (da, db, est) with
-    * estimated Jaccard ≥ `threshold`. */
+    * estimated Jaccard ≥ `threshold`. Returns a persisted, already
+    * materialized result (see [[materialized]]); `.unpersist()` it when
+    * done. */
   def minHashNearDups(
       docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
@@ -80,10 +95,11 @@ object Dedup {
     val cand = candidatePairs(lshBands(sigs, numHashes, bands))
     val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
     val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
-    cand.join(sa, "da").join(sb, "db")
+    val pairs = cand.join(sa, "da").join(sb, "db")
       .select(col("da"), col("db"),
         estimatedJaccard(col("sa"), col("sb"), numHashes).as("est"))
       .filter(col("est") >= threshold)
+    materialized(pairs, sigs)
   }
 
   /** 32-bit SimHash per document over its shingle set. The per-shingle
@@ -117,10 +133,12 @@ object Dedup {
     val a = banded.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("ck"))
     val b = banded.select(col("doc_id").as("db"), col("sh").as("shb"),
       col("ci").as("cj"), col("ck").as("cl"))
-    a.join(b, col("ci") === col("cj") && col("ck") === col("cl") && col("da") < col("db"))
+    val pairs = a.join(b,
+        col("ci") === col("cj") && col("ck") === col("cl") && col("da") < col("db"))
       .select(col("da"), col("db"), expr("bit_count(sha ^ shb)").cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    materialized(pairs, hashes)
   }
 
   /** Exact n-gram Jaccard over an inverted-index join: only pairs sharing
@@ -134,12 +152,13 @@ object Dedup {
     val b = shingles.select(col("doc_id").as("db"), col("w").as("wb"))
     val inter = a.join(b, col("w") === col("wb") && col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
+    val pairs = inter
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"),
         (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jacc"))
       .filter(col("jacc") >= threshold)
+    materialized(pairs, shingles)
   }
 
   /** Sorted-distinct-token fingerprint (md5) — collapses permuted /

@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((1L, 4L)))
   }
 
+  test("near-dup operators release their intermediate caches (only the result stays)") {
+    spark.sharedState.cacheManager.clearCache()
+    val r1 = Dedup.minHashNearDups(corpus, col("doc_id"), col("text"))
+    val r2 = Dedup.simHashNearDups(
+      Dedup.simHash(Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3)))
+    val r3 = Dedup.ngramJaccard(
+      Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), threshold = 0.5)
+    // each call persists exactly one thing: its materialized result. The
+    // signature/shingle/hash intermediates must be gone — a long-lived
+    // session looping over corpora must not accumulate lineage caches.
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached == 3, s"expected 3 cached results, found $cached cached RDDs")
+    Seq(r1, r2, r3).foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "unpersisting the returned handles must release everything")
+  }
+
   test("fingerprint collapses token permutations that md5(text) distinguishes") {
     val tok = corpus
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
