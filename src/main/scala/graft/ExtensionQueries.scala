@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextOps, VectorFunctions => V}
+import graft.functions.{Rounding, TextOps, VectorFunctions => V}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.operators.TextAnalysis
 
@@ -23,7 +23,7 @@ object ExtensionQueries {
   def q31(t: Tables): DataFrame =
     Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"),
         numHashes = 8, bands = 2, shingleN = 3, threshold = 0.5)
-      .select(col("da"), col("db"), round(col("est"), 6).as("est"))
+      .select(col("da"), col("db"), Rounding.portable(col("est"), 6).as("est"))
       .transform(sortedSmall(_, col("da"), col("db")))
 
   /** q32: SimHash(32-bit) Hamming ≤ 3 pairs via pigeonhole-banded join
@@ -37,7 +37,7 @@ object ExtensionQueries {
   /** q33: exact 3-gram Jaccard ≥ 0.5 via inverted-index join. */
   def q33(t: Tables): DataFrame =
     Dedup.ngramJaccard(Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3), 0.5)
-      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+      .select(col("da"), col("db"), Rounding.portable(col("jacc"), 6).as("jacc"))
       .transform(sortedSmall(_, col("da"), col("db")))
 
   /** q34: embedding cosine near-dup pairs (exact, all-pairs ≥ 0.4); the
@@ -55,7 +55,7 @@ object ExtensionQueries {
       .select(col("va"), col("vb"),
         graft.plans.GraftFunctions.cosineSimilarity(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= 0.4)
-      .select(col("va"), col("vb"), round(col("sim"), 6).as("sim"))
+      .select(col("va"), col("vb"), Rounding.portable(col("sim"), 6).as("sim"))
       .transform(sortedSmall(_, col("va"), col("vb")))
   }
 
@@ -68,7 +68,7 @@ object ExtensionQueries {
     val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
     Similarity.ivfTopK(e, assign, queries, k = 3)
       .transform(sortedSmall(_, col("qid"), col("rn")))
-      .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"))
+      .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
   }
 
   /** q36: heuristic stopword language-ID confusion matrix. */
@@ -99,9 +99,9 @@ object ExtensionQueries {
       .groupBy("source")
       .agg(
         count(lit(1)).as("docs"),
-        round(avg(col("n_tok")), 4).as("avg_tokens"),
-        round(avg(col("n_uniq") * lit(1.0) / col("n_tok")), 6).as("avg_ttr"),
-        round(avg(col("avg_wlen")), 6).as("avg_wlen"),
+        Rounding.portable(avg(col("n_tok")), 4).as("avg_tokens"),
+        Rounding.portable(avg(col("n_uniq") * lit(1.0) / col("n_tok")), 6).as("avg_ttr"),
+        Rounding.portable(avg(col("avg_wlen")), 6).as("avg_wlen"),
         sum(when(col("n_chars") < 300, 1).otherwise(0)).cast("long").as("short_docs"))
       .transform(sortedSmall(_, col("source")))
   }
@@ -146,14 +146,21 @@ object ExtensionQueries {
     * `map<string,int>`) — the MapType variant of Q19's regexp extraction
     * (SURVEY §2.8 "Map" row). */
   def q41(t: Tables): DataFrame = {
+    // Parse as map<string,string> and coerce the ONE key we read:
+    // from_json(map<string,int>) nulls the ENTIRE map when any value in
+    // the document is non-integer, whereas the oracle's json_extract
+    // coerces per key — a bad value under key "j" must not erase key "k".
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
-      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
     // try_element_at: plain element_at throws under Spark 4's ANSI mode
-    // when a key is absent, where the oracle's json_extract yields NULL
+    // when a key is absent, where the oracle's json_extract yields NULL;
+    // try_cast likewise nulls (not throws) a non-numeric value per row.
     t.events
-      .select(col("event_type"), try_element_at(m, lit("k")).as("kv"))
+      .select(col("event_type"), try_element_at(m, lit("k")).as("kraw"))
       .groupBy("event_type")
-      .agg(sum(col("kv")).as("ks"), count(col("kv")).as("nk"))
+      .agg(
+        sum(expr("try_cast(kraw AS INT)")).as("ks"),
+        count(col("kraw")).as("nk"))
       .transform(sortedSmall(_, col("event_type")))
   }
 
@@ -171,7 +178,7 @@ object ExtensionQueries {
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .transform(sortedSmall(_, col("doc_id"), col("rn")))
-      .select(col("doc_id"), col("w"), round(col("tfidf"), 6).as("tfidf"))
+      .select(col("doc_id"), col("w"), Rounding.portable(col("tfidf"), 6).as("tfidf"))
   }
 
   val all: Map[String, Tables => DataFrame] = Map(

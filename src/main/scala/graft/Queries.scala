@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Axes, VectorFunctions => V}
+import graft.functions.{Axes, Rounding, VectorFunctions => V}
 import graft.operators.{Canvas, Raster, Sessionize}
 
 /** The declared query inventory (SURVEY.md §2 / §8) expressed DataFrame-first.
@@ -51,8 +51,8 @@ object Queries {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        round(Axes.amp(col("l_discount"), col("l_tax")), 6).as("amp"),
-        round(Axes.phase(col("l_discount") + 0.001, col("l_tax")), 4).as("phase"))
+        Rounding.portable(Axes.amp(col("l_discount"), col("l_tax")), 6).as("amp"),
+        Rounding.portable(Axes.phase(col("l_discount") + 0.001, col("l_tax")), 4).as("phase"))
       .transform(sortedLarge(_, col("l_orderkey"), col("l_linenumber")))
 
   /** Q02 flag-mask filter + aggregate (`--noflags` masking analog [U]). */
@@ -61,7 +61,7 @@ object Queries {
       .filter(!(col("l_returnflag") === "R") &&
         col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("l_extendedprice"), 2).as("s"))
       .transform(sortedSmall(_, col("l_returnflag")))
 
   /** Q03 subset selection: IN-list + range (`--field/--scan` style [U]). */
@@ -81,7 +81,7 @@ object Queries {
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("custs"), round(sum("c_acctbal"), 2).as("bal"))
+      .agg(count(lit(1)).as("custs"), Rounding.portable(sum("c_acctbal"), 2).as("bal"))
       .transform(sortedSmall(_, col("r_name"), col("n_name")))
 
   /** Q05 per-group statistics (TPC-H Q1 shape; per-field/scan stats [U]). */
@@ -91,9 +91,9 @@ object Queries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
-        round(sum("l_quantity"), 2).as("sq"),
-        round(avg("l_extendedprice"), 4).as("ap"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+        Rounding.portable(sum("l_quantity"), 2).as("sq"),
+        Rounding.portable(avg("l_extendedprice"), 4).as("ap"),
+        Rounding.portable(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
           .as("charge"))
       .transform(sortedSmall(_, col("l_returnflag"), col("l_linestatus")))
 
@@ -112,8 +112,8 @@ object Queries {
     Canvas(32, 32, (0.0, 0.1), (0.0, 0.08))
       .aggPoints(t.lineitem, col("l_discount"), col("l_tax"), Seq(
         count(lit(1)).as("c"),
-        round(avg("l_extendedprice"), 4).as("m"),
-        round(max("l_extendedprice"), 2).as("mx")))
+        Rounding.portable(avg("l_extendedprice"), 4).as("m"),
+        Rounding.portable(max("l_extendedprice"), 2).as("mx")))
       .transform(sortedSmall(_, col("xb"), col("yb")))
 
   /** Q08 categorical raster (`ds.count_cat`, `--colour-by` [U]). */
@@ -125,10 +125,10 @@ object Queries {
   /** Q09 axis range autocompute (min/max cache before plotting [U]). */
   def q09(t: Tables): DataFrame =
     t.lineitem.agg(
-      round(min("l_extendedprice"), 2).as("mn_p"),
-      round(max("l_extendedprice"), 2).as("mx_p"),
-      round(min("l_quantity"), 2).as("mn_q"),
-      round(max("l_quantity"), 2).as("mx_q"),
+      Rounding.portable(min("l_extendedprice"), 2).as("mn_p"),
+      Rounding.portable(max("l_extendedprice"), 2).as("mx_p"),
+      Rounding.portable(min("l_quantity"), 2).as("mn_q"),
+      Rounding.portable(max("l_quantity"), 2).as("mx_q"),
       min("l_shipdate").as("mn_d"),
       max("l_shipdate").as("mx_d"),
       count(lit(1)).as("n"))
@@ -165,8 +165,8 @@ object Queries {
         struct(x.as("x"), y.as("y")),
         struct((-x).as("x"), (-y).as("y")))).as("p"))
       .select(
-        (round(col("p.x"), 4) + 0.0).as("x"),
-        (round(col("p.y"), 4) + 0.0).as("y"))
+        (Rounding.portable(col("p.x"), 4) + 0.0).as("x"),
+        (Rounding.portable(col("p.y"), 4) + 0.0).as("y"))
       .transform(sortedLarge(_, col("x"), col("y")))
   }
 
@@ -177,12 +177,18 @@ object Queries {
       .select("o_orderkey", "o_totalprice")
       .limit(25)
 
-  /** Q14 distinct counts (antenna/baseline enumeration analog [U]). */
+  /** Q14 distinct counts (antenna/baseline enumeration analog [U]).
+    *
+    * The pair count wraps the columns in a struct: multi-argument
+    * `countDistinct(a, b)` drops tuples where EITHER column is null,
+    * but the oracle's `count(*) FROM (SELECT DISTINCT a, b …)` keeps
+    * them. A struct is never null itself, so null-containing tuples
+    * count — identical on null-free data, correct on nullable data. */
   def q14(t: Tables): DataFrame =
     t.lineitem.agg(
       countDistinct(col("l_suppkey")).as("ds"),
       countDistinct(col("l_partkey")).as("dp"),
-      countDistinct(col("l_suppkey"), col("l_partkey")).as("dpair"))
+      countDistinct(struct(col("l_suppkey"), col("l_partkey"))).as("dpair"))
 
   /** Q15 semi + anti join counts. */
   def q15(t: Tables): DataFrame = {
@@ -224,7 +230,7 @@ object Queries {
   def q18(t: Tables): DataFrame =
     t.events
       .groupBy(date_trunc("day", col("ts")).as("d"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("value"), 2).as("s"))
       .transform(sortedSmall(_, col("d")))
 
   /** Q19 JSON field extraction over `events.props` (extension). */
@@ -246,9 +252,9 @@ object Queries {
       .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
       .groupBy("pos")
       .agg(
-        round(avg("v"), 6).as("a"),
-        round(min("v"), 6).as("mn"),
-        round(max("v"), 6).as("mx"))
+        Rounding.portable(avg("v"), 6).as("a"),
+        Rounding.portable(min("v"), 6).as("mn"),
+        Rounding.portable(max("v"), 6).as("mx"))
       .transform(sortedSmall(_, col("pos")))
 
   // ── §2.9 time / sessions / streams (batch parity forms) ───────────────
@@ -257,7 +263,7 @@ object Queries {
   def q21(t: Tables): DataFrame =
     t.events
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("value"), 2).as("s"))
       .transform(sortedSmall(_, col("h"), col("event_type")))
 
   /** Q22 gap sessionization (streaming parity: `session_window`). */
@@ -307,7 +313,7 @@ object Queries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .transform(sortedSmall(_, col("qid"), col("rn")))
-      .select(col("qid"), col("vec_id"), round(col("sim0"), 6).as("sim"))
+      .select(col("qid"), col("vec_id"), Rounding.portable(col("sim0"), 6).as("sim"))
   }
 
   /** Q26 token top-n (tokenize → count; text-analysis north star). */
@@ -332,7 +338,7 @@ object Queries {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("bal"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("s_acctbal"), 2).as("bal"))
       .transform(sortedSmall(_, col("r_name").asc_nulls_first, col("n_name").asc_nulls_first))
 
   /** Q28 INTERSECT (distinct set semantics). */

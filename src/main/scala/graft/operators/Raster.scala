@@ -79,7 +79,8 @@ object Raster {
     * raw data — so the single-partition sort is bounded by canvas size.
     */
   def shadeEqHist(raster: DataFrame, countCol: Column, out: String = "shade", scale: Int = 6): DataFrame =
-    raster.withColumn(out, round(cume_dist().over(Window.orderBy(countCol)), scale))
+    raster.withColumn(out,
+      graft.functions.Rounding.portable(cume_dist().over(Window.orderBy(countCol)), scale))
 
   /** `--norm log/cbrt` shading variants [U] — plain scalar maps, same
     * shape as [[shadeEqHist]] (ShadePlot.shade applies the max-normalized
