@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding
+import graft.operators.Canvas
+
+/** Round-2 coverage queries: operators from SURVEY §2 (and the north-star
+  * surface) that round 1 implemented or declared but did not hash-gate
+  * against the DuckDB oracle — the sliding window (§2.9 "Q21 variant"),
+  * the remaining `--ared` reductions (first/last/std — datashader's
+  * `ds.first/ds.last/ds.std` [U]), cube grouping sets, exact percentiles,
+  * window frame specs beyond sessionize, pivot shaping, and string edit
+  * distance.
+  *
+  * Conventions as in [[Queries]]: aliases match the oracle SQL exactly,
+  * rank/row_number/length-family results cast to long (DuckDB BIGINT),
+  * rounding via [[Rounding.portable]], every ORDER BY pins NULLS
+  * FIRST/LAST to Spark's defaults.
+  */
+object CoverageQueries {
+
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** q43: sliding-window aggregate — Spark's native `window(ts, 1h, 15m)`
+    * in batch mode (each event lands in windowDuration/slide = 4 windows;
+    * the streaming form is StreamOps.sliding over the same expression).
+    * Output is bounded by hours×4×event_types regardless of input size. */
+  def q43(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("value"), 2).as("s"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("s"))
+      .transform(sortedSmall(_, col("ws"), col("event_type")))
+
+  /** q44: CUBE grouping sets with grouping_id — the full §2.5 "grouping
+    * sets / rollup / cube" row (Q27 gates only rollup). gid disambiguates
+    * aggregation-NULLs from (absent here) data-NULLs. */
+  def q44(t: Tables): DataFrame =
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Rounding.portable(sum("s_acctbal"), 2).as("bal"))
+      .select("r_name", "n_name", "gid", "n", "bal")
+      .transform(sortedSmall(_,
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first, col("gid")))
+
+  /** q45: exact interpolated percentiles per group (range autocompute's
+    * robust sibling — quantile axis limits instead of min/max). Spark
+    * `percentile` ≡ DuckDB `quantile_cont` (both linear interpolation on
+    * the sorted values). */
+  def q45(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        Rounding.portable(element_at(col("p"), 1), 4).as("p25"),
+        Rounding.portable(element_at(col("p"), 2), 4).as("p50"),
+        Rounding.portable(element_at(col("p"), 3), 4).as("p75"),
+        col("n"))
+      .transform(sortedSmall(_, col("l_returnflag")))
+
+  /** q46: trailing moving average — window frame spec (`ROWS BETWEEN 3
+    * PRECEDING AND CURRENT ROW`) beyond Q22's running sum. The event_id
+    * filter restricts the OUTPUT only; the frame sees every event, so it
+    * must run below the filter (contrast Q16, where the filter partitions
+    * align and push below the window). */
+  def q46(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    t.events
+      .withColumn("ma0", avg("value").over(w))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"),
+        Rounding.portable(col("ma0"), 6).as("ma"))
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
+  /** q47: pivot (long → wide shaping; the per-corr column layout a
+    * shadeMS user gets from `--iter-corr` outputs, as one table). */
+  def q47(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Rounding.portable(sum("l_quantity"), 2))
+      .transform(sortedSmall(_, col("l_linestatus")))
+
+  /** q48: string-similarity nearest neighbor by Levenshtein distance —
+    * deterministic ties (distance, then partner key) via row_number. The
+    * filtered side is small and broadcast; at corpus scale the same shape
+    * runs behind an LSH/q-gram prefilter (Dedup) instead of all-pairs. */
+  def q48(t: Tables): DataFrame = {
+    val p = t.part.filter(col("p_partkey") % 40 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    val a = p.select(col("p_partkey").as("pa"), col("p_name").as("na"))
+    val b = p.select(col("p_partkey").as("pb"), col("p_name").as("nb"))
+    val pairs = a.join(broadcast(b), col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("d"))
+    val w = Window.partitionBy("pa").orderBy(col("d"), col("pb"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("pa"), col("pb").as("nn"), col("d"))
+      .transform(sortedSmall(_, col("pa")))
+  }
+
+  private val canvas32 = Canvas(32, 32, (0.0, 50.0), (900.0, 105000.0))
+
+  /** q49: raster first/last reductions (`--ared first/last`, datashader
+    * `ds.first/ds.last` [U]) — earliest/latest l_extendedprice per cell in
+    * (l_shipdate, l_orderkey, l_linenumber) order via min_by/max_by over a
+    * struct: exact values, no floating aggregation, one pass. */
+  def q49(t: Tables): DataFrame = {
+    val ord = struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    canvas32.aggPoints(t.lineitem, col("l_quantity"), col("l_extendedprice"), Seq(
+        min_by(col("l_extendedprice"), ord).as("fv"),
+        max_by(col("l_extendedprice"), ord).as("lv"),
+        count(lit(1)).as("c")))
+      .transform(sortedSmall(_, col("xb"), col("yb")))
+  }
+
+  /** q50: raster std/variance reduction (`--ared std` [U]). Sample
+    * std/var, like datashader's ds.std over a cell's values. */
+  def q50(t: Tables): DataFrame =
+    canvas32.aggPoints(t.lineitem, col("l_quantity"), col("l_extendedprice"), Seq(
+        count(lit(1)).as("c"),
+        Rounding.portable(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+        Rounding.portable(var_samp(col("l_extendedprice")), 0).as("vr")))
+      .transform(sortedSmall(_, col("xb"), col("yb")))
+
+  val all: Map[String, Tables => DataFrame] = Map(
+    "q43_sliding_window"   -> q43 _,
+    "q44_cube"             -> q44 _,
+    "q45_percentiles"      -> q45 _,
+    "q46_moving_avg"       -> q46 _,
+    "q47_pivot"            -> q47 _,
+    "q48_string_nn"        -> q48 _,
+    "q49_raster_firstlast" -> q49 _,
+    "q50_raster_std"       -> q50 _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q43_sliding_window" -> """
+      SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS s
+      FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS ws,
+                   event_type, value
+            FROM events, unnest(range(0, 4)) AS t(i)) w
+      GROUP BY ws, event_type
+      ORDER BY ws NULLS FIRST, event_type NULLS FIRST""",
+
+    "q44_cube" -> """
+      SELECT r_name, n_name, CAST(grouping(r_name, n_name) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(s_acctbal), 2) AS bal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, gid NULLS FIRST""",
+
+    "q45_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
+
+    "q46_moving_avg" -> """
+      SELECT event_id, user_id, round(ma0, 6) AS ma FROM (
+        SELECT event_id, user_id,
+               avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma0
+        FROM events) t
+      WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
+
+    "q47_pivot" -> """
+      SELECT l_linestatus,
+             round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+             round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+             round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus NULLS FIRST""",
+
+    "q48_string_nn" -> """
+      WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 40 = 0),
+      pairs AS (
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS d
+        FROM p a JOIN p b ON a.p_partkey <> b.p_partkey)
+      SELECT pa, nn, d FROM (
+        SELECT pa, pb AS nn, d,
+               row_number() OVER (PARTITION BY pa ORDER BY d NULLS FIRST, pb NULLS FIRST) AS rn
+        FROM pairs) t
+      WHERE rn = 1 ORDER BY pa NULLS FIRST""",
+
+    "q49_raster_firstlast" -> """
+      WITH pts AS (
+        SELECT least(31, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*32) AS INT))) AS xb,
+               least(31, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32) AS INT))) AS yb,
+               l_extendedprice AS v, l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem),
+      r AS (
+        SELECT xb, yb, v,
+               row_number() OVER (PARTITION BY xb, yb
+                 ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST) AS rf,
+               row_number() OVER (PARTITION BY xb, yb
+                 ORDER BY l_shipdate DESC NULLS LAST, l_orderkey DESC NULLS LAST, l_linenumber DESC NULLS LAST) AS rl
+        FROM pts)
+      SELECT xb, yb,
+             max(CASE WHEN rf = 1 THEN v END) AS fv,
+             max(CASE WHEN rl = 1 THEN v END) AS lv,
+             count(*) AS c
+      FROM r GROUP BY xb, yb ORDER BY xb, yb""",
+
+    "q50_raster_std" -> """
+      SELECT least(31, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*32) AS INT))) AS xb,
+             least(31, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32) AS INT))) AS yb,
+             count(*) AS c,
+             round(stddev_samp(l_extendedprice), 4) AS sd,
+             round(var_samp(l_extendedprice), 0) AS vr
+      FROM lineitem GROUP BY xb, yb ORDER BY xb, yb""",
+  )
+}
