@@ -113,28 +113,54 @@ object ShadePlot {
     ImageIO.write(img, "png", new File(path))
   }
 
-  /** Composite a categorical raster (xb, yb, cat, c) into one RGB PNG:
-    * up to three categories map to the red/green/blue channels, each
-    * eq_hist-shaded independently — datashader's `color_key` compositing
-    * for the `--colour-by` plot. Categories are assigned to channels in
-    * sorted order; >3 categories is rejected. */
-  def writePngCategorical(rasterDf: DataFrame, spec: PlotSpec, path: String): Unit = {
-    val cats = rasterDf.select("cat").distinct()
-      .collect().map(_.get(0).toString).sorted
-    require(cats.nonEmpty && cats.length <= 3,
-      s"RGB compositing supports 1-3 categories, got ${cats.length}")
+  /** Deterministic n-color key — datashader's `color_key` default:
+    * the first three categories get the pure R/G/B primaries (backward
+    * compatible with the round-1 ≤3-category compositor), later ones get
+    * golden-angle-spaced hues so any two are maximally separated no matter
+    * how many categories show up. */
+  def colorKey(cats: Seq[String]): Map[String, (Int, Int, Int)] =
+    cats.zipWithIndex.map { case (c, i) =>
+      val rgb =
+        if (i < 3) Seq((255, 0, 0), (0, 255, 0), (0, 0, 255))(i)
+        else {
+          val hue = ((i - 3) * 0.6180339887498949 + 0.1) % 1.0
+          val c2 = java.awt.Color.getHSBColor(hue.toFloat, 0.85f, 1.0f)
+          (c2.getRed, c2.getGreen, c2.getBlue)
+        }
+      c -> rgb
+    }.toMap
+
+  /** Composite a categorical raster (xb, yb, cat, c) into one RGB PNG —
+    * datashader's `color_key` compositing for the `--colour-by` plot, for
+    * ANY number of categories: each category is eq_hist-shaded
+    * independently (one pass over the raster, windowed per category, not
+    * one query per category), then cell color = shade-weighted additive
+    * mix of the category colors, channel-clamped. With ≤3 categories and
+    * the default key this reduces to the round-1 one-channel-per-category
+    * composite. Pass `key` to pin category→color assignments. */
+  def writePngCategorical(rasterDf: DataFrame, spec: PlotSpec, path: String,
+      key: Map[String, (Int, Int, Int)] = null): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    // per-category eq_hist in ONE plan: cume_dist partitioned by cat
+    val shaded = rasterDf
+      .withColumn("shade", cume_dist().over(
+        Window.partitionBy(col("cat")).orderBy(col("c"))))
+      .select(col("xb"), col("yb"), col("cat").cast("string"), col("shade"))
+      .collect()
+    val cats = shaded.map(_.getString(2)).distinct.sorted.toSeq
+    require(cats.nonEmpty, "categorical composite of an empty raster")
+    val k = Option(key).getOrElse(colorKey(cats))
     val w = spec.canvas.width
     val h = spec.canvas.height
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    val planes = cats.map { c =>
-      Raster.shadeEqHist(rasterDf.filter(col("cat") === c), col("c"))
-        .select(col("xb"), col("yb"), col("shade")).collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val acc = Array.ofDim[Double](w, h, 3)
+    shaded.foreach { r =>
+      val (x, y, s) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      val (cr, cg, cb) = k(r.getString(2))
+      acc(x)(y)(0) += s * cr; acc(x)(y)(1) += s * cg; acc(x)(y)(2) += s * cb
     }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     for (x <- 0 until w; y <- 0 until h) {
-      def chan(i: Int): Int =
-        if (i >= planes.length) 0
-        else math.min(255, (planes(i).getOrElse((x, y), 0.0) * 255).toInt)
+      def chan(i: Int): Int = math.min(255, acc(x)(y)(i).toInt)
       img.setRGB(x, h - 1 - y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
     }
     ImageIO.write(img, "png", new File(path))

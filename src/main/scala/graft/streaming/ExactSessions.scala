@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization with explicitly-pinned boundary semantics,
+  * matching the batch oracle (Q22's lag + running-sum form): an event at
+  * precisely `gapSeconds` after the previous one STAYS in the session
+  * (`> gap` breaks, `<= gap` stays).
+  *
+  * Round 1 suspected Spark's built-in `session_window(ts, gap)` diverges
+  * at the boundary (strict-< merge of half-open windows); round-2 testing
+  * REFUTED that — adjacent windows `[0, gap)` / `[gap, 2·gap)` do
+  * coalesce, so the built-in agrees with the oracle even at the exact gap
+  * (pinned in ExactSessionsSpec). This implementation therefore exists as
+  * the engine's custom-state streaming surface (SURVEY §2.9's
+  * `flatMapGroupsWithState` row): the gap rule is written in user code
+  * rather than inherited from window-merge internals, and the same state
+  * machine extends to rules `session_window` cannot express (per-key gap,
+  * capped session length, count-bounded sessions). State per user is the
+  * list of still-open sessions; a session is emitted once the event-time
+  * watermark passes its last event by more than the gap, at which point
+  * no future event (all `>= watermark`) can extend it.
+  *
+  * Scale: state per key is O(open sessions), not O(events) — each event
+  * either extends a session (merging any sessions it bridges) or opens
+  * one, and the watermark continuously retires old ones. The shuffle is
+  * the same single exchange on the session key as the batch window form.
+  */
+object ExactSessions {
+
+  /** One event of the session stream (`ts` must be the watermark column). */
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+
+  /** A finalized session. */
+  final case class SessionResult(user_id: Long, t0: Timestamp, t1: Timestamp, n: Long)
+
+  /** Open-session state: inclusive bounds in microseconds + event count. */
+  final case class Open(t0: Long, t1: Long, n: Long)
+
+  private def micros(ts: Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos.toLong / 1000L
+
+  private def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Sessionize a (watermarked-on-`ts`) stream of [[SessionEvent]]s,
+    * emitting each session exactly once (Append mode) when the watermark
+    * retires it. `watermarkDelay` is the lateness bound (e.g. "0 seconds"
+    * for in-order replay, "1 hour" for late data). */
+  def sessionizeExact(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long,
+      watermarkDelay: String): Dataset[SessionResult] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def fn(uid: Long, it: Iterator[SessionEvent],
+        state: GroupState[List[Open]]): Iterator[SessionResult] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var sessions = state.getOption.getOrElse(Nil)
+      // Fold the batch's events in (event-)time order; each event merges
+      // every session it is within `gap` of (it can bridge at most two).
+      it.map(e => micros(e.ts)).toArray.sorted.foreach { ts =>
+        val (mergeable, rest) = sessions.partition(s =>
+          ts >= s.t0 - gapUs && ts <= s.t1 + gapUs)
+        sessions = Open(
+          (ts +: mergeable.map(_.t0)).min,
+          (ts +: mergeable.map(_.t1)).max,
+          1L + mergeable.map(_.n).sum) :: rest
+      }
+      // Retire sessions the watermark has passed: any future event has
+      // ts >= wm, and exactly-at-gap still merges, so only t1 + gap < wm
+      // is unreachable (strict <).
+      val (closed, open) = sessions.partition(s => s.t1 + gapUs < wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open.sortBy(_.t0))
+        // wake when the earliest open session becomes retirable
+        val wakeMs = (open.map(_.t1 + gapUs).min / 1000L) + 1L
+        state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      closed.sortBy(_.t0).iterator
+        .map(s => SessionResult(uid, toTs(s.t0), toTs(s.t1), s.n))
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -69,6 +69,32 @@ class ShadePlotSpec extends SparkSpec {
     assert(f == direct)
   }
 
+  test("n-category composite: distinct colors, single-category pixels stay pure") {
+    import spark.implicits._
+    // 6 categories (> the old RGB-channel limit of 3), one category per
+    // column stripe so every lit pixel is single-category
+    val raster = (0 until 6).flatMap(i =>
+      Seq((i, 0, s"cat$i", 10L), (i, 1, s"cat$i", 20L)))
+      .toDF("xb", "yb", "cat", "c")
+    val s = PlotSpec(col("x"), col("y"), Canvas(8, 8, (0.0, 1.0), (0.0, 1.0)))
+    val png = Files.createTempDirectory("catpng").resolve("cat.png").toString
+    ShadePlot.writePngCategorical(raster, s, png)
+    val img = javax.imageio.ImageIO.read(new java.io.File(png))
+    // stripe i at yb=1 has the max count in its category -> shade 1.0 ->
+    // the pixel is exactly the category's key color
+    val key = ShadePlot.colorKey((0 until 6).map(i => s"cat$i"))
+    for (i <- 0 until 6) {
+      val (r, g, b) = key(s"cat$i")
+      val px = img.getRGB(i, 8 - 1 - 1)
+      assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((r, g, b)),
+        s"stripe $i must render its pure key color")
+    }
+    // all 6 colors distinct, first three are the R/G/B primaries
+    assert(key.values.toSet.size == 6)
+    assert(Seq("cat0", "cat1", "cat2").map(key) ==
+      Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)))
+  }
+
   test("categorical raster (colourBy) splits counts per category") {
     val s = PlotSpec(col("l_quantity"), col("l_extendedprice"),
       Canvas(16, 16, (0.0, 50.0), (900.0, 105000.0)),
