@@ -55,7 +55,11 @@ object CoverageQueries {
   /** q45: exact interpolated percentiles per group (range autocompute's
     * robust sibling — quantile axis limits instead of min/max). Spark
     * `percentile` ≡ DuckDB `quantile_cont` (both linear interpolation on
-    * the sorted values). */
+    * the sorted values). Exact percentile buffers each group's values in
+    * the aggregation state (ObjectHashAggregate) — fine per-cell/per-group
+    * at gate scale, but at 100 TB the drop-in is the KLL sketch
+    * (`ApproxOps.approxRange` / `percentile_approx`), whose partials merge
+    * associatively like any other aggregate. */
   def q45(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak harness (round-1 methodology, kept as a tool): replicate
+  * sf0.1 N× with shifted keys into /dev/shm and run the coverage queries
+  * with the library's default scale configs (AQE on, 32 shuffle
+  * partitions, default splits) — catches output-grows-with-input and
+  * quadratic-blowup problems no fixed-SF benchmark can.
+  * Usage: sbt "runMain graft.Soak [multiplier]"  (default 10). */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val out = s"/dev/shm/graft-soak-x$mult"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", "/dev/shm/spark-graft-soak-tmp")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = Tables(spark, "/root/testdata/sf0.1")
+
+    def replicate(df: DataFrame, name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val copies = (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
+      copies.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
+    // lineitem: shift orderkey so copies do not collide
+    replicate(src.lineitem, "lineitem",
+      (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L)))
+    // part: shift partkey (q48 filters p_partkey % 40 = 0 — shift by a
+    // multiple of 40 so each copy contributes the same share)
+    replicate(src.part, "part",
+      (d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L)))
+    // events: replicate the RAW table (ts stays nanos-long) shifting
+    // event_id and user_id — distinct user populations so session/window
+    // key counts scale, not per-key depth
+    replicate(
+      spark.read.schema(Tables.schemas("events"))
+        .parquet("/root/testdata/sf0.1/events.parquet"),
+      "events",
+      (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+    // small dims: straight copies
+    Seq("region", "nation", "supplier").foreach { n =>
+      spark.read.parquet(s"/root/testdata/sf0.1/$n.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
+    }
+
+    val t = Tables(spark, out)
+    val qs = CoverageQueries.all.toSeq.sortBy(_._1)
+    qs.foreach { case (_, q) => q(t).collect() } // warm
+    qs.foreach { case (n, q) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); q(t).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[soak] x$mult $n ${times.min}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -54,6 +54,19 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
 
+  test("sliding 1h/15m window stream state equals batch q43") {
+    val streamed = runToCompletion(
+      graft.streaming.StreamOps.sliding(
+        eventsStream, col("ts"), "1 hour", "15 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          graft.functions.Rounding.portable(sum("value"), 2).as("s"))),
+      "t43")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("s"))
+    val batch = CoverageQueries.q43(sf0001)
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
+
   test("watermarked windowed stream (1h watermark) still converges to batch Q21 counts") {
     val streamed = runToCompletion(
       eventsStream
