@@ -144,6 +144,20 @@ object CoverageQueries {
         Rounding.portable(var_samp(col("l_extendedprice")), 0).as("vr")))
       .transform(sortedSmall(_, col("xb"), col("yb")))
 
+  /** q51: bivariate statistics + conditional aggregation — correlation,
+    * sample covariance, regression slope (the "how does y scale with x"
+    * companion to the raster's visual answer) and a FILTER-style
+    * conditional count. */
+  def q51(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        Rounding.portable(corr(col("l_quantity"), col("l_extendedprice")), 6).as("co"),
+        Rounding.portable(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+        count_if(col("l_discount") > 0.05).as("nd"),
+        Rounding.portable(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"))
+      .transform(sortedSmall(_, col("l_returnflag")))
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q43_sliding_window"   -> q43 _,
     "q44_cube"             -> q44 _,
@@ -153,6 +167,7 @@ object CoverageQueries {
     "q48_string_nn"        -> q48 _,
     "q49_raster_firstlast" -> q49 _,
     "q50_raster_std"       -> q50 _,
+    "q51_bivariate_stats"  -> q51 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +250,13 @@ object CoverageQueries {
              round(stddev_samp(l_extendedprice), 4) AS sd,
              round(var_samp(l_extendedprice), 0) AS vr
       FROM lineitem GROUP BY xb, yb ORDER BY xb, yb""",
+
+    "q51_bivariate_stats" -> """
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6) AS co,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+             CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS nd,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
   )
 }
