@@ -27,10 +27,11 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("da"), col("db")))
 
   /** q32: SimHash(32-bit) Hamming ≤ 3 pairs via pigeonhole-banded join
-    * (identical result set to the oracle's N² scan). */
+    * (identical result set to the oracle's N² scan). Hashes come from the
+    * native one-pass expression — no shingle explode. */
   def q32(t: Tables): DataFrame =
     Dedup.simHashNearDups(
-        Dedup.simHash(Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3)),
+        Dedup.simHashNative(t.documents, col("doc_id"), col("text"), 3),
         maxDist = 3)
       .transform(sortedSmall(_, col("da"), col("db")))
 

@@ -44,6 +44,9 @@ object Soak {
       (d, i) => d
         .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
         .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+    // documents: shift doc_id (near-dup pair structure replicates per copy)
+    replicate(src.documents, "documents",
+      (d, i) => d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
     // small dims: straight copies
     Seq("region", "nation", "supplier").foreach { n =>
       spark.read.parquet(s"/root/testdata/sf0.1/$n.parquet")
@@ -51,7 +54,9 @@ object Soak {
     }
 
     val t = Tables(spark, out)
-    val qs = CoverageQueries.all.toSeq.sortBy(_._1)
+    val dedupQs = Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
+      .map(n => n -> ExtensionQueries.all(n))
+    val qs = CoverageQueries.all.toSeq.sortBy(_._1) ++ dedupQs
     qs.foreach { case (_, q) => q(t).collect() } // warm
     qs.foreach { case (n, q) =>
       val times = (1 to 2).map { _ =>

@@ -43,13 +43,40 @@ object Dedup {
       .select(col("doc_id"), explode(TextOps.shingles(col("s"), n)).as("w"))
       .distinct()
 
-  /** MinHash signature per id: an array<string> of `numHashes` minima. */
+  /** MinHash signature per id, SQL-composed form: an array<string> of
+    * `numHashes` minima aggregated over exploded shingle rows. Kept as the
+    * cross-check for [[minHashSignaturesNative]] (NativeHashParitySpec
+    * asserts bit-equality); the native form is the scale path. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int = 8): DataFrame = {
     val aggs = (0 until numHashes).map(s => min(md5(concat(lit(s"$s|"), col("w")))).as(s"h$s"))
     shingles.groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** MinHash signatures via the native one-pass expression
+    * ([[graft.plans.TextHashExpressions.MinHashSignature]]): identical
+    * signatures with NO shingle explode, NO shuffle and NO aggregation —
+    * signature derivation is a map stage, so the only shuffle left in the
+    * LSH pipeline is the bounded band join. Docs with fewer than
+    * `shingleN` tokens are dropped, matching the composed form (they
+    * produce no shingle rows). */
+  def minHashSignaturesNative(
+      docs: DataFrame, id: Column, text: Column,
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame =
+    docs.select(id.as("doc_id"),
+        graft.plans.GraftFunctions
+          .minHashSignature(TextOps.tokens(text), shingleN, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** 32-bit SimHash via the native one-pass expression
+    * ([[graft.plans.TextHashExpressions.SimHash32]]) — replaces the
+    * explode(shingles)×32-bit-rows aggregation pipeline of [[simHash]]
+    * with a per-row computation. */
+  def simHashNative(docs: DataFrame, id: Column, text: Column, shingleN: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"),
+        graft.plans.GraftFunctions.simHash32(TextOps.tokens(text), shingleN).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** LSH band keys: (doc_id, bi, bk) with `bands` bands of
     * `numHashes/bands` rows; band key = md5 of the concatenated slice. */
@@ -88,9 +115,9 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     // sigs feeds three plan branches (bands + both sides of the estimate
-    // join); without persist the tokenize→min-aggregate chain — the
-    // expensive part — executes three times
-    val sigs = minHashSignatures(shingleSet(docs, id, text, shingleN), numHashes)
+    // join); persist so the per-row md5 signature loop — the expensive
+    // part — executes once, not three times
+    val sigs = minHashSignaturesNative(docs, id, text, shingleN, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sigs, numHashes, bands))
     val sa = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
@@ -102,7 +129,8 @@ object Dedup {
     materialized(pairs, sigs)
   }
 
-  /** 32-bit SimHash per document over its shingle set. The per-shingle
+  /** 32-bit SimHash per document over its shingle set, SQL-composed form
+    * (kept as the cross-check for [[simHashNative]]). The per-shingle
     * hash is the first 8 hex chars of md5 (portable); bit extraction uses
     * `floor(h/2^bit) % 2` (exact in double for h < 2³²) so the oracle SQL
     * is expressible identically. */

@@ -23,6 +23,12 @@ object GraftFunctions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def literalInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   val all: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
@@ -30,6 +36,25 @@ object GraftFunctions {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"cosine_similarity requires exactly 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"minhash_signature(tokens, shingleN, numHashes) takes 3 arguments, got ${exprs.length}")
+        TextHashExpressions.MinHashSignature(exprs.head,
+          literalInt(exprs(1), "minhash_signature", "shingleN"),
+          literalInt(exprs(2), "minhash_signature", "numHashes"))
+      }),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"simhash32(tokens, shingleN) takes 2 arguments, got ${exprs.length}")
+        TextHashExpressions.SimHash32(exprs.head,
+          literalInt(exprs(1), "simhash32", "shingleN"))
       }))
 
   /** Idempotent programmatic registration into the session's function
@@ -43,7 +68,13 @@ object GraftFunctions {
     }
   }
 
-  /** Column-API surface for the native expression (requires registration). */
+  /** Column-API surface for the native expressions (requires registration). */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+  def minHashSignature(tokens: Column, shingleN: Int, numHashes: Int): Column =
+    call_function("minhash_signature", tokens,
+      org.apache.spark.sql.functions.lit(shingleN),
+      org.apache.spark.sql.functions.lit(numHashes))
+  def simHash32(tokens: Column, shingleN: Int): Column =
+    call_function("simhash32", tokens, org.apache.spark.sql.functions.lit(shingleN))
 }

@@ -1,0 +1,180 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass per-document text-hash signatures as native Catalyst
+  * expressions — the scale path for the near-dup operators.
+  *
+  * The SQL-composed pipelines in [[graft.operators.Dedup]] build
+  * signatures by EXPLODING the shingle set (one row per shingle, ×32 rows
+  * per shingle for SimHash bit weights) and re-aggregating per document —
+  * at 100 TB that shuffles the entire shingle volume, which round-1 soak
+  * measurements showed is the dominant near-dup cost (linear in corpus
+  * text size, >10× the document row count). These expressions compute the
+  * identical signatures inside the row pipeline: no explode, no shuffle,
+  * no aggregation — signature derivation becomes a map stage, and the
+  * only remaining shuffle in LSH dedup is the (bounded) band join.
+  *
+  * Hash parity is bit-exact with the composed form and the DuckDB oracle:
+  * the same `md5(seed || "|" || shingle)` hex strings, the same
+  * lexicographic minima, the same `conv(substr(md5(w),1,8),16,10)` 32-bit
+  * value and ±1 bit-weight vote (asserted equal in NativeHashParitySpec;
+  * q31/q32 oracle hashes unchanged).
+  *
+  * CodegenFallback is deliberate: the md5 loop dominates per-row cost, so
+  * splitting the whole-stage-codegen span costs nothing measurable, and
+  * an interpreted eval keeps the md5 byte-handling identical to Spark's
+  * own `Md5` expression (both call java.security.MessageDigest).
+  */
+object TextHashExpressions {
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HEX((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** MessageDigest is stateful and NOT thread-safe; the expression
+    * instance is shared across concurrently-running tasks, so the digest
+    * is per-thread. */
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Builds the shingle strings of `toks` (all tokens, empties included —
+    * identical to `TextOps.shingles` over `TextOps.tokens`) and feeds each
+    * to `f`. Returns false when the doc has fewer than `n` tokens. */
+  private def eachShingle(input: Any, n: Int)(f: String => Unit): Boolean = {
+    val toks = input.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return false
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      f(sb.toString)
+      i += 1
+    }
+    true
+  }
+
+  private def checkTokensType(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<string> tokens, got ${other.catalogString}")
+    }
+
+  /** `minhash_signature(tokens, shingleN, numHashes)` → array<string>:
+    * per seed s, the lexicographic minimum of `md5('s|' || shingle)` over
+    * the doc's token n-gram shingles (duplicates are harmless under MIN,
+    * so no distinct pass is needed). NULL when the doc has < n tokens —
+    * matching the composed pipeline, where such docs produce no shingle
+    * rows and drop out of the signature aggregation. */
+  final case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+    override def prettyName: String = "minhash_signature"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // NULL on non-null input (short docs): without this override codegen
+    // would treat isNull as literal false and lose the null path
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTokensType(child, prettyName)
+
+    // per-seed prefix bytes ("0|", "1|", …) precomputed once per instance
+    @transient private lazy val prefixBytes: Array[Array[Byte]] =
+      Array.tabulate(numHashes)(s => s"$s|".getBytes(StandardCharsets.UTF_8))
+
+    override def nullSafeEval(input: Any): Any = {
+      val md = md5.get()
+      val mins = new Array[String](numHashes)
+      val any = eachShingle(input, shingleN) { shingle =>
+        // encode the shingle once; each seed digests prefix-bytes + these
+        val sBytes = shingle.getBytes(StandardCharsets.UTF_8)
+        var s = 0
+        while (s < numHashes) {
+          md.reset()
+          md.update(prefixBytes(s))
+          md.update(sBytes)
+          val h = hex(md.digest())
+          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          s += 1
+        }
+      }
+      if (!any) null
+      else new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `simhash32(tokens, shingleN)` → bigint: the 32-bit SimHash over the
+    * doc's DISTINCT shingles (bit weights vote +1/−1 per shingle, so
+    * duplicates must be collapsed — the composed pipeline's `.distinct()`).
+    * Bit b of the per-shingle hash is bit b of the first-8-hex-chars value
+    * of md5(shingle), exactly `conv(substring(md5(w),1,8),16,10)`. NULL
+    * when the doc has < n tokens. */
+  final case class SimHash32(child: Expression, shingleN: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+
+    override def prettyName: String = "simhash32"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTokensType(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val md = md5.get()
+      val seen = new java.util.HashSet[String]
+      val wgt = new Array[Int](32)
+      val any = eachShingle(input, shingleN) { shingle =>
+        if (seen.add(shingle)) {
+          md.reset()
+          val h = hex(md.digest(shingle.getBytes(StandardCharsets.UTF_8)))
+          val h32 = java.lang.Long.parseLong(h.substring(0, 8), 16)
+          var b = 0
+          while (b < 32) {
+            wgt(b) += (if (((h32 >> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      if (!any) null
+      else {
+        var sh = 0L
+        var b = 0
+        while (b < 32) { if (wgt(b) > 0) sh |= 1L << b; b += 1 }
+        sh
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Bit-equality of the native one-pass signature expressions with the
+  * SQL-composed explode+aggregate pipelines they replace — on a synthetic
+  * corpus (incl. the short-doc null edge) and on real fixture documents. */
+class NativeHashParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content with no shared trigram shingles here now"),
+    (4L, "double  space tokens stay"),   // split keeps the empty token
+    (5L, "short doc"),                    // < 3 tokens -> no signature
+    (6L, "repeat repeat repeat repeat repeat repeat") // duplicate shingles
+  ).toDF("doc_id", "text")
+
+  test("native minhash signatures equal the explode+min pipeline (incl. short-doc drop)") {
+    val composed = Dedup.minHashSignatures(
+        Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), numHashes = 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val native = Dedup.minHashSignaturesNative(corpus, col("doc_id"), col("text"), 3, 8)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == composed)
+    assert(!native.contains(5L), "a doc with < n tokens has no signature in either form")
+  }
+
+  test("native simhash equals the explode+bit-vote pipeline") {
+    val composed = Dedup.simHash(
+        Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3))
+      .as[(Long, Long)].collect().toMap
+    val native = Dedup.simHashNative(corpus, col("doc_id"), col("text"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(native == composed)
+  }
+
+  test("parity holds on real fixture documents (sf0.001)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val composedSig = Dedup.minHashSignatures(
+        Dedup.shingleSet(docs, col("doc_id"), col("text"), 3), numHashes = 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val nativeSig = Dedup.minHashSignaturesNative(docs, col("doc_id"), col("text"), 3, 8)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nativeSig == composedSig)
+    val composedSh = Dedup.simHash(Dedup.shingleSet(docs, col("doc_id"), col("text"), 3))
+      .as[(Long, Long)].collect().toMap
+    val nativeSh = Dedup.simHashNative(docs, col("doc_id"), col("text"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSh == composedSh)
+  }
+
+  test("SQL registration: the functions are callable from spark.sql") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT minhash_signature(split('a b c d', ' '), 3, 4) AS sig,
+                simhash32(split('a b c d', ' '), 3) AS sh""").head()
+    assert(r.getSeq[String](0).length == 4)
+    assert(r.getLong(1) >= 0L && r.getLong(1) <= 0xFFFFFFFFL)
+  }
+}
