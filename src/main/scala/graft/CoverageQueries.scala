@@ -101,24 +101,20 @@ object CoverageQueries {
       .transform(sortedSmall(_, col("l_linestatus")))
 
   /** q48: string-similarity nearest neighbor by Levenshtein distance —
-    * deterministic ties (distance, then partner key) via row_number. The
-    * filtered side is small and broadcast; at corpus scale the same shape
-    * runs behind an LSH/q-gram prefilter (Dedup) instead of all-pairs. */
-  def q48(t: Tables): DataFrame = {
-    val p = t.part.filter(col("p_partkey") % 40 === 0)
-      .select(col("p_partkey"), col("p_name"))
-    val a = p.select(col("p_partkey").as("pa"), col("p_name").as("na"))
-    val b = p.select(col("p_partkey").as("pb"), col("p_name").as("nb"))
-    val pairs = a.join(broadcast(b), col("pa") =!= col("pb"))
-      .select(col("pa"), col("pb"),
-        levenshtein(col("na"), col("nb")).cast("long").as("d"))
-    val w = Window.partitionBy("pa").orderBy(col("d"), col("pb"))
-    pairs
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("pa"), col("pb").as("nn"), col("d"))
+    * deterministic ties (distance, then partner key). Runs through
+    * [[graft.operators.Similarity.stringNearestNeighbor]], whose
+    * length-band prefilter (adjacent-string upper bound + the
+    * `lev >= |len diff|` lower bound) gives the EXACT all-pairs answer
+    * while evaluating levenshtein only inside the length band — the
+    * corpus-scale shape, proven equal to brute force in SimilaritySpec.
+    * The oracle states the brute-force form; the hashes agree because the
+    * prefilter is exact. */
+  def q48(t: Tables): DataFrame =
+    graft.operators.Similarity.stringNearestNeighbor(
+        t.part.filter(col("p_partkey") % 40 === 0),
+        col("p_partkey"), col("p_name"))
+      .select(col("sid").as("pa"), col("nn"), col("d"))
       .transform(sortedSmall(_, col("pa")))
-  }
 
   private val canvas32 = Canvas(32, 32, (0.0, 50.0), (900.0, 105000.0))
 

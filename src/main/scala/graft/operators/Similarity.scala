@@ -72,4 +72,46 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** EXACT string nearest neighbor by Levenshtein distance without the
+    * all-pairs cross product (q48's corpus-scale shape).
+    *
+    * Uses the length lower bound `lev(a,b) >= |len(a)-len(b)|` with a
+    * cheap per-string upper bound:
+    *
+    *  1. sort strings by (length, id) and compute `dUp(a)` = the distance
+    *     to an ADJACENT string in that order — an upper bound on a's true
+    *     NN distance, because the adjacent string is some valid partner;
+    *  2. candidate pairs are only those with `|len(a)-len(b)| <= dUp(a)`:
+    *     any pruned b has `lev(a,b) >= lenDiff > dUp(a) >= d*(a)` —
+    *     strictly farther than the best, so it can be neither the NN nor
+    *     an id-tie-break competitor. The adjacent partner itself always
+    *     survives the filter, so the candidate set is never empty.
+    *
+    * Result: (sid, nn, d) — identical to the brute-force all-pairs answer
+    * (asserted in SimilaritySpec), with the heavy levenshtein evaluated
+    * only on the length band the data actually requires. The bound pass
+    * sorts (id, string, length) triples globally — lead/lag over a total
+    * order; the candidate join and distance evaluation (the O(n·band)
+    * heavy part) stay fully distributed. */
+  def stringNearestNeighbor(df: DataFrame, id: Column, s: Column): DataFrame = {
+    val base = df.select(id.as("sid"), s.as("str"), length(s).as("len"))
+    val w = Window.orderBy(col("len"), col("sid"))
+    val bounds = base
+      .withColumn("prev", lag(col("str"), 1).over(w))
+      .withColumn("next", lead(col("str"), 1).over(w))
+      .withColumn("dUp", least(
+        coalesce(levenshtein(col("str"), col("prev")), lit(Int.MaxValue)),
+        coalesce(levenshtein(col("str"), col("next")), lit(Int.MaxValue))))
+      .select(col("sid").as("pa"), col("str").as("na"),
+        col("len").as("la"), col("dUp"))
+    val b = base.select(col("sid").as("pb"), col("str").as("nb"), col("len").as("lb"))
+    val w2 = Window.partitionBy("pa").orderBy(col("d"), col("pb"))
+    bounds.join(b,
+        col("pa") =!= col("pb") && abs(col("la") - col("lb")) <= col("dUp"))
+      .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("pa").as("sid"), col("pb").as("nn"), col("d"))
+  }
 }

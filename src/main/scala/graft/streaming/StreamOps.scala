@@ -40,4 +40,22 @@ object StreamOps {
       events: DataFrame, tsCol: String, delay: String, keyCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join (Q23's shape as two live streams): equi
+    * key + event-time range conjunct. Both sides carry watermarks and the
+    * join condition bounds `rightTs` to a window after `leftTs`, which is
+    * exactly what Spark's state-cleanup analysis needs to evict buffered
+    * rows — without the range bound the join state would grow forever.
+    * Batch parity: the same expression over batch frames equals Q23's
+    * pair set (StreamingParitySpec). */
+  def intervalJoin(
+      left: DataFrame, leftTs: String, leftDelay: String,
+      right: DataFrame, rightTs: String, rightDelay: String,
+      equi: Column, windowSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    l.join(r, equi &&
+      col(rightTs) > col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
 }

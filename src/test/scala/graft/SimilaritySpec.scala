@@ -36,6 +36,41 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(10L) == 0L && assign(21L) == 1L)
   }
 
+  test("stringNearestNeighbor: length-band prefilter answer equals brute force") {
+    val parts = Tables(spark, "/root/testdata/sf0.001").part
+      .select(col("p_partkey"), col("p_name"))
+    val fast = Similarity.stringNearestNeighbor(parts, col("p_partkey"), col("p_name"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force all-pairs with the identical (d, pb) tie-break
+    val a = parts.select(col("p_partkey").as("pa"), col("p_name").as("na"))
+    val b = parts.select(col("p_partkey").as("pb"), col("p_name").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pa").orderBy(col("d"), col("pb"))
+    val brute = a.join(b, col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fast == brute, "prefiltered exact NN must equal the all-pairs answer")
+    assert(fast.nonEmpty)
+    // the prefilter must actually prune: candidate pairs (length band per
+    // the adjacent-string upper bound, recomputed here) < all pairs
+    val rows = parts.select(col("p_partkey"), col("p_name"), length(col("p_name")))
+      .as[(Long, String, Int)].collect().sortBy(r => (r._3, r._1))
+    def lev(x: String, y: String): Int =
+      org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(x, y)
+    val dUp = rows.indices.map { i =>
+      val cands = Seq(i - 1, i + 1).filter(rows.indices.contains)
+      cands.map(j => lev(rows(i)._2, rows(j)._2)).min
+    }
+    val candidates = rows.indices.map { i =>
+      rows.count(r => r._1 != rows(i)._1 && math.abs(r._3 - rows(i)._3) <= dUp(i))
+    }.map(_.toLong).sum
+    val allPairs = rows.length.toLong * (rows.length - 1)
+    assert(candidates < allPairs,
+      s"prefilter must prune: $candidates candidate pairs vs $allPairs all pairs")
+  }
+
   test("ivfTopK searches only the query's bucket") {
     val assign = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val out = Similarity.ivfTopK(vecs, assign, vecs.filter(col("vec_id") === 10L), k = 5)

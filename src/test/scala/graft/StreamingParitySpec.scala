@@ -67,6 +67,32 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
 
+  test("stream-stream interval join pairs equal batch Q23's join") {
+    val e1 = eventsStream.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u1"), col("ts").as("ts1"))
+    val e2 = eventsStream.select(col("user_id").as("u2"), col("ts").as("ts2"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      e1, "ts1", "1 hour", e2, "ts2", "1 hour",
+      col("u1") === col("u2"), windowSeconds = 600L)
+    val q = joined.select(col("event_id"), col("ts2"))
+      .writeStream.format("memory").queryName("t23")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t23").collect().toSet
+
+    val b = sf0001.events
+    val b1 = b.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u1"), col("ts").as("ts1"))
+    val b2 = b.select(col("user_id").as("u2"), col("ts").as("ts2"))
+    val batch = b1.join(b2,
+        col("u1") === col("u2") &&
+        col("ts2") > col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 600 SECONDS"))
+      .select(col("event_id"), col("ts2")).collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must produce at least one joined pair")
+  }
+
   test("watermarked windowed stream (1h watermark) still converges to batch Q21 counts") {
     val streamed = runToCompletion(
       eventsStream
