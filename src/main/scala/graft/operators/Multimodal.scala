@@ -66,4 +66,22 @@ object Multimodal {
       }
       .toDF("doc_id", "frame", "offset", "frame_sha")
   }
+
+  /** Media-lake layout: payloads + decoded metadata written as parquet
+    * PARTITIONED BY the decoded format. This is the 100 TB shape — binary
+    * blobs ride along in parquet pages, metadata columns are scannable
+    * without touching blob bytes (column pruning), and a format-filtered
+    * read prunes whole directories before any I/O (partition pruning —
+    * asserted on the plan in MultimodalSpec). */
+  def writeMediaLake(df: DataFrame, idCol: String, blobCol: String, dir: String): Unit = {
+    val meta = decodeStub(df, idCol, blobCol).toDF()
+    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
+      .join(meta, "doc_id")
+      .write.partitionBy("format").mode("overwrite").parquet(dir)
+  }
+
+  /** Format-pruned read over a [[writeMediaLake]] layout. */
+  def readFormat(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String): DataFrame =
+    spark.read.parquet(dir).filter(col("format") === format)
 }

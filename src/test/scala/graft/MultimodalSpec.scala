@@ -20,6 +20,35 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(m => m.sha.length == 64 && m.width > 0 && m.height > 0))
   }
 
+  test("media lake: format-partitioned layout, pruned reads, intact blobs") {
+    val dir = java.nio.file.Files.createTempDirectory("medialake").toString
+    Multimodal.writeMediaLake(docs, "doc_id", "blob", dir)
+    // one directory per decoded format
+    val parts = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("format=")).toSet
+    val formats = Multimodal.decodeStub(docs, "doc_id", "blob")
+      .collect().map(m => s"format=${m.format}").toSet
+    assert(parts == formats)
+    // a format filter is a PARTITION filter (pruned before I/O), not a data filter
+    val someFormat = formats.head.stripPrefix("format=")
+    val pruned = Multimodal.readFormat(spark, dir, someFormat)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains(s"PartitionFilters: [isnotnull(format"),
+      s"format filter must prune partitions, plan was:\n$scan")
+    // blobs survive the roundtrip byte-for-byte
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("blob")).collect()
+      .map(r => r.getLong(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(back == Map(1L -> "some payload bytes", 2L -> "other payload", 3L -> "x"))
+    // metadata is scannable without the blob column in the read schema
+    val metaOnly = spark.read.parquet(dir).select("doc_id", "n_bytes", "sha")
+    val schemaLine = metaOnly.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("ReadSchema:")).getOrElse("")
+    assert(schemaLine.nonEmpty && !schemaLine.contains("blob"),
+      s"metadata scan must prune the blob column; scan read: $schemaLine")
+    assert(metaOnly.count() == 3)
+  }
+
   test("frameSample emits n frames per doc with in-range offsets") {
     val frames = Multimodal.frameSample(docs, "doc_id", "blob", n = 4)
       .as[(Long, Int, Int, String)].collect()
