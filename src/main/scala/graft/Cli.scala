@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Canvas, ShadePlot}
+import graft.operators.ShadePlot.PlotSpec
+
+/** The `shadems`-equivalent command line (reference: `shade_ms/main.py ::
+  * main` [U] — `shadems <MS> -x TIME -y DATA:amp --colour-by CORR`):
+  * open a data directory, derive two axis expressions, rasterize, shade,
+  * write raster parquet and/or a PNG. Axis arguments are full SQL
+  * expressions, so the reference's derived axes (`DATA:amp` etc.) are
+  * spelled directly — e.g. `-x "sqrt(u*u + v*v)"` — and `--where` is the
+  * `--taql` analogue (arbitrary predicate, pushed to the scan by
+  * Catalyst).
+  *
+  * Example:
+  * {{{
+  * sbt 'runMain graft.Cli --dir /root/testdata/sf0.001 --table lineitem \
+  *   -x l_quantity -y l_extendedprice --width 64 --height 64 \
+  *   --colour-by l_returnflag --png /tmp/plot.png --out /tmp/raster'
+  * }}}
+  */
+object Cli {
+
+  final case class Args(opts: Map[String, String]) {
+    def get(k: String): Option[String] = opts.get(k)
+    def req(k: String): String = opts.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required option --$k"))
+    def int(k: String, dflt: Int): Int = opts.get(k).map(_.toInt).getOrElse(dflt)
+    def dbl(k: String): Option[Double] = opts.get(k).map(_.toDouble)
+    def flag(k: String): Boolean = opts.contains(k)
+  }
+
+  /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases. */
+  def parse(argv: Seq[String]): Args = {
+    val alias = Map("-x" -> "--x", "-y" -> "--y")
+    val flags = Set("--noconj", "--conj", "--noflags")
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < argv.length) {
+      val key = alias.getOrElse(argv(i), argv(i))
+      require(key.startsWith("--"), s"unexpected argument: ${argv(i)}")
+      if (flags.contains(key)) { m(key.drop(2)) = "true"; i += 1 }
+      else {
+        require(i + 1 < argv.length, s"option $key needs a value")
+        m(key.drop(2)) = argv(i + 1); i += 2
+      }
+    }
+    Args(m.toMap)
+  }
+
+  private def reduction(a: Args): Seq[Column] =
+    (a.get("ared"), a.get("aaxis")) match {
+      case (None, _) => Nil
+      case (Some(r), ax) =>
+        val v = expr(ax.getOrElse(
+          throw new IllegalArgumentException("--ared needs --aaxis")))
+        val ord = a.get("order").map(expr).getOrElse(v)
+        Seq(r match {
+          case "count" => count(v).as("ared")
+          case "sum"   => sum(v).as("ared")
+          case "mean"  => avg(v).as("ared")
+          case "std"   => stddev_samp(v).as("ared")
+          case "min"   => min(v).as("ared")
+          case "max"   => max(v).as("ared")
+          case "first" => min_by(v, ord).as("ared")
+          case "last"  => max_by(v, ord).as("ared")
+          case other => throw new IllegalArgumentException(s"unknown --ared $other")
+        })
+    }
+
+  /** Testable entry: returns the number of raster cells written. */
+  def run(argv: Seq[String], spark: SparkSession): Long = {
+    val a = parse(argv)
+    val t = Engine.open(spark, a.req("dir"))
+    val table = spark.table(a.req("table"))
+    val df = a.get("where").fold(table)(w => table.filter(expr(w)))
+    val x = expr(a.req("x"))
+    val y = expr(a.req("y"))
+    val w = a.int("width", 256)
+    val h = a.int("height", 256)
+    val canvas = (a.dbl("xmin"), a.dbl("xmax"), a.dbl("ymin"), a.dbl("ymax")) match {
+      case (Some(x0), Some(x1), Some(y0), Some(y1)) => Canvas(w, h, (x0, x1), (y0, y1))
+      case _ => Canvas.auto(df, x, y, w, h) // reference: min/max autocompute
+    }
+    val spec = PlotSpec(
+      x = x, y = y, canvas = canvas,
+      reduction = reduction(a),
+      colourBy = a.get("colour-by").map(expr),
+      flagMask = a.get("flag-col").filterNot(_ => a.flag("noflags")).map(expr),
+      conjugate = a.flag("conj"),
+      norm = a.get("norm").getOrElse("eq_hist"))
+
+    val cells: Long = a.get("iter") match {
+      case Some(g) =>
+        val dir = a.req("out") // per-group output requires a directory sink
+        ShadePlot.writeRastersPartitioned(df, spec, expr(g), dir)
+        spark.read.parquet(dir).count()
+      case None =>
+        val raster = ShadePlot.raster(df, spec)
+        val shaded =
+          if (spec.colourBy.isEmpty) ShadePlot.shade(raster, spec) else raster
+        a.get("out").foreach(dir =>
+          shaded.coalesce(1).write.mode("overwrite").parquet(dir))
+        a.get("png").foreach { png =>
+          if (spec.colourBy.isEmpty) ShadePlot.writePng(shaded, spec, png)
+          else ShadePlot.writePngCategorical(raster, spec, png)
+        }
+        shaded.count()
+    }
+    println(s"[cli] $cells raster cells" +
+      a.get("png").map(p => s"; png: $p").getOrElse("") +
+      a.get("out").map(p => s"; raster: $p").getOrElse(""))
+    cells
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session()
+    try run(args.toSeq, spark) finally spark.stop()
+  }
+}

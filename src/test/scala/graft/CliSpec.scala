@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+/** Drives the shadems-equivalent CLI end-to-end on fixture data. */
+class CliSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    Files.createTempDirectory("cli").resolve(name).toString
+
+  test("flagship: auto-ranged eq_hist plot with png + raster outputs") {
+    val png = tmp("plot.png")
+    val out = tmp("raster")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--width", "64", "--height", "64",
+      "--png", png, "--out", out), spark)
+    assert(cells > 0)
+    assert(new java.io.File(png).length() > 0)
+    val raster = spark.read.parquet(out)
+    assert(raster.count() == cells)
+    assert(raster.columns.toSeq == Seq("xb", "yb", "c", "shade"))
+  }
+
+  test("derived-expression axes with --where and explicit ranges (amp analog)") {
+    val out = tmp("amp")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "sqrt(l_discount*l_discount + l_tax*l_tax)", "-y", "l_quantity",
+      "--where", "l_orderkey % 2 = 0",
+      "--xmin", "0", "--xmax", "0.2", "--ymin", "0", "--ymax", "50",
+      "--width", "32", "--height", "32", "--out", out), spark)
+    assert(cells > 0 && cells <= 32L * 32L)
+  }
+
+  test("categorical colour-by composite png") {
+    val png = tmp("cat.png")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--colour-by", "l_returnflag",
+      "--width", "16", "--height", "16", "--png", png), spark)
+    assert(cells > 0)
+    assert(new java.io.File(png).length() > 0)
+  }
+
+  test("--ared mean reduction and --iter per-group partitioned output") {
+    val out = tmp("iter")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--aaxis", "l_tax", "--ared", "mean",
+      "--iter", "l_linestatus",
+      "--width", "16", "--height", "16", "--out", out), spark)
+    assert(cells > 0)
+    val groups = new java.io.File(out).listFiles.map(_.getName)
+      .filter(_.startsWith("grp=")).toSet
+    assert(groups == Set("grp=F", "grp=O"))
+    assert(spark.read.parquet(out).columns.contains("ared"))
+  }
+
+  test("events table works through the CLI (nanos normalization inside Engine.open)") {
+    val out = tmp("events")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "events",
+      "-x", "unix_micros(ts) / 1000000.0", "-y", "value",
+      "--width", "32", "--height", "32", "--out", out), spark)
+    assert(cells > 0)
+  }
+}
