@@ -154,6 +154,37 @@ object CoverageQueries {
         Rounding.portable(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"))
       .transform(sortedSmall(_, col("l_returnflag")))
 
+  /** q52: ordered list aggregation (collect → sort → join) — deterministic
+    * by construction (sorted before joining), unlike raw collect_list
+    * whose element order is partition-arrival-dependent. */
+  def q52(t: Tables): DataFrame =
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        countDistinct(col("n_name")).as("nn"))
+      .transform(sortedSmall(_, col("r_name")))
+
+  /** q53: window navigation functions (lag/lead/first_value/nth_value)
+    * over an explicit ROWS frame; raw values pass through exactly (no
+    * floating arithmetic). Output restricted after the window like q46. */
+  def q53(t: Tables): DataFrame = {
+    // lag/lead are offset functions — Spark rejects an explicit frame on
+    // them; first/nth_value take the ROWS frame
+    val nav = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val framed = nav.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(nav).as("prevv"),
+        lead(col("value"), 1).over(nav).as("nextv"),
+        first(col("value")).over(framed).as("firstv"),
+        nth_value(col("value"), 2).over(framed).as("secondv"))
+      .filter(col("event_id") % 100 === 0)
+      .drop("value")
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q43_sliding_window"   -> q43 _,
     "q44_cube"             -> q44 _,
@@ -164,6 +195,8 @@ object CoverageQueries {
     "q49_raster_firstlast" -> q49 _,
     "q50_raster_std"       -> q50 _,
     "q51_bivariate_stats"  -> q51 _,
+    "q52_listagg"          -> q52 _,
+    "q53_window_nav"       -> q53 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +287,23 @@ object CoverageQueries {
              CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS nd,
              round(regr_slope(l_extendedprice, l_quantity), 6) AS slope
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
+
+    "q52_listagg" -> """
+      SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+             count(DISTINCT n_name) AS nn
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name NULLS FIRST""",
+
+    "q53_window_nav" -> """
+      SELECT event_id, user_id, prevv, nextv, firstv, secondv FROM (
+        SELECT event_id, user_id,
+               lag(value, 1) OVER w AS prevv,
+               lead(value, 1) OVER w AS nextv,
+               first_value(value) OVER w AS firstv,
+               nth_value(value, 2) OVER w AS secondv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+      WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
   )
 }
