@@ -67,6 +67,52 @@ object Multimodal {
       .toDF("doc_id", "frame", "offset", "frame_sha")
   }
 
+  /** Resize analogue: target dimensions + a deterministic content hash of
+    * the "resampled" payload (stub: the real kernel would decode, resample
+    * and re-encode here; the partition-preserving batch shape, the typed
+    * output and the determinism contract are what production swaps onto). */
+  def resizeStub(df: DataFrame, idCol: String, blobCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val meta = fakeDecode(id, bytes)
+        val scale = targetW.toDouble / math.max(meta.width, 1)
+        (id, targetW, targetH, scale,
+          sha256Hex(bytes ++ s"|$targetW x $targetH".getBytes("UTF-8")))
+      })
+      .toDF("doc_id", "width", "height", "scale", "sha")
+  }
+
+  /** Feature-extraction analogue: a deterministic unit-norm float vector
+    * derived from payload bytes (stub for a real image/audio embedding
+    * model). The output column is schema-compatible with the `embeddings`
+    * table, so the whole similarity surface — brute-force cosine top-k,
+    * IVF bucketing (`Similarity`), cosine near-dup (q34) — composes
+    * directly onto decoded media (asserted in MultimodalSpec). */
+  def featureStub(df: DataFrame, idCol: String, blobCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val md = MessageDigest.getInstance("SHA-256")
+        // expand the digest into dim pseudo-features, then L2-normalize
+        val raw = Array.tabulate(dim) { i =>
+          md.reset()
+          md.update(bytes)
+          md.update(i.toByte)
+          val d = md.digest()
+          (((d(0) & 0xff) << 8 | (d(1) & 0xff)).toFloat / 65535f) - 0.5f
+        }
+        val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+        (id, raw.map(_ / norm))
+      })
+      .toDF(idCol, "embedding")
+  }
+
   /** Media-lake layout: payloads + decoded metadata written as parquet
     * PARTITIONED BY the decoded format. This is the 100 TB shape — binary
     * blobs ride along in parquet pages, metadata columns are scannable

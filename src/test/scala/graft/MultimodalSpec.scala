@@ -49,6 +49,33 @@ class MultimodalSpec extends SparkSpec {
     assert(metaOnly.count() == 3)
   }
 
+  test("resizeStub: deterministic typed output with target dims") {
+    val a = Multimodal.resizeStub(docs, "doc_id", "blob", 64, 48).collect()
+    val b = Multimodal.resizeStub(docs, "doc_id", "blob", 64, 48).collect()
+    assert(a.toSeq.sortBy(_.getLong(0)) == b.toSeq.sortBy(_.getLong(0)))
+    assert(a.forall(r => r.getInt(1) == 64 && r.getInt(2) == 48 && r.getString(4).length == 64))
+  }
+
+  test("featureStub vectors are unit-norm and compose with the similarity operators") {
+    import graft.operators.Similarity
+    val feats = Multimodal.featureStub(docs, "doc_id", "blob", dim = 16)
+    val rows = feats.as[(Long, Seq[Float])].collect()
+    assert(rows.length == 3 && rows.forall(_._2.length == 16))
+    rows.foreach { case (_, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"unit norm expected, got $n")
+    }
+    // schema-compatible with the similarity surface: run IVF assignment
+    // over the extracted features (centroids = first 2 docs' vectors)
+    val vecs = feats.select(col("doc_id").as("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val assign = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") <= 2))
+      .as[(Long, Long)].collect().toMap
+    assert(assign.keySet == Set(1L, 2L, 3L))
+    assert(assign(1L) == 1L && assign(2L) == 2L,
+      "a centroid's own vector must assign to itself (cosine 1.0)")
+  }
+
   test("frameSample emits n frames per doc with in-range offsets") {
     val frames = Multimodal.frameSample(docs, "doc_id", "blob", n = 4)
       .as[(Long, Int, Int, String)].collect()
