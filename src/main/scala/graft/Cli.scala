@@ -105,7 +105,8 @@ object Cli {
         a.get("out").foreach(dir =>
           shaded.coalesce(1).write.mode("overwrite").parquet(dir))
         a.get("png").foreach { png =>
-          if (spec.colourBy.isEmpty) ShadePlot.writePng(shaded, spec, png)
+          if (spec.colourBy.isEmpty)
+            ShadePlot.writePng(shaded, spec, png, a.get("cmap").getOrElse("fire"))
           else ShadePlot.writePngCategorical(raster, spec, png)
         }
         shaded.count()

@@ -90,24 +90,46 @@ object ShadePlot {
     rasterByGroup(df, spec, group)
       .write.partitionBy("grp").mode("overwrite").parquet(dir)
 
-  /** Render a shaded raster to PNG (grayscale→fire colormap). The collect
-    * is bounded by canvas size, never data size. */
-  def writePng(shaded: DataFrame, spec: PlotSpec, path: String): Unit = {
+  /** Deterministic colormaps (`--cmap` analog): shade in [0,1] → RGB.
+    * "fire" is black→red→yellow→white; "gray" linear; "viridis" a
+    * piecewise-linear approximation of the matplotlib default. */
+  def colormap(name: String)(v0: Double): (Int, Int, Int) = {
+    val v = math.max(0.0, math.min(1.0, v0))
+    name match {
+      case "fire" =>
+        (math.min(255, (v * 3 * 255).toInt),
+         math.min(255, math.max(0, ((v * 3 - 1) * 255).toInt)),
+         math.min(255, math.max(0, ((v * 3 - 2) * 255).toInt)))
+      case "gray" =>
+        val g = (v * 255).toInt; (g, g, g)
+      case "viridis" =>
+        // control points sampled from the published colormap
+        val pts = Array(
+          (0.0, (68, 1, 84)), (0.25, (59, 82, 139)), (0.5, (33, 145, 140)),
+          (0.75, (94, 201, 98)), (1.0, (253, 231, 37)))
+        val i = math.min(pts.length - 2, (v * (pts.length - 1)).toInt)
+        val ((v0p, (r0, g0, b0)), (v1p, (r1, g1, b1))) = (pts(i), pts(i + 1))
+        val f = (v - v0p) / (v1p - v0p)
+        ((r0 + f * (r1 - r0)).toInt, (g0 + f * (g1 - g0)).toInt, (b0 + f * (b1 - b0)).toInt)
+      case other => throw new IllegalArgumentException(s"unknown colormap: $other")
+    }
+  }
+
+  /** Render a shaded raster to PNG. The collect is bounded by canvas
+    * size, never data size. */
+  def writePng(shaded: DataFrame, spec: PlotSpec, path: String,
+      cmap: String = "fire"): Unit = {
     require(spec.colourBy.isEmpty,
       "writePng renders one value per cell; render categorical planes separately " +
       "(filter on cat) or aggregate them first")
     val w = spec.canvas.width
     val h = spec.canvas.height
+    val map = colormap(cmap) _
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
       val x = r.getInt(0)
       val y = r.getInt(1)
-      val s = r.getDouble(2)
-      // simple deterministic "fire" map: black → red → yellow → white
-      val v = math.max(0.0, math.min(1.0, s))
-      val rC = math.min(255, (v * 3 * 255).toInt)
-      val gC = math.min(255, math.max(0, ((v * 3 - 1) * 255).toInt))
-      val bC = math.min(255, math.max(0, ((v * 3 - 2) * 255).toInt))
+      val (rC, gC, bC) = map(r.getDouble(2))
       img.setRGB(x, h - 1 - y, (rC << 16) | (gC << 8) | bC) // y up, like the reference
     }
     ImageIO.write(img, "png", new File(path))

@@ -69,6 +69,24 @@ class ShadePlotSpec extends SparkSpec {
     assert(f == direct)
   }
 
+  test("colormaps: endpoints and monotone luminance") {
+    for (cm <- Seq("fire", "gray", "viridis")) {
+      val f = ShadePlot.colormap(cm) _
+      // defined and in-range over the whole domain, including clamping
+      for (v <- Seq(-0.5, 0.0, 0.25, 0.5, 0.75, 1.0, 1.5)) {
+        val (r, g, b) = f(v)
+        assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+      }
+      // luminance grows with shade (dark = sparse, bright = dense)
+      def lum(v: Double) = { val (r, g, b) = f(v); 0.299 * r + 0.587 * g + 0.114 * b }
+      val ls = Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(lum)
+      assert(ls == ls.sorted, s"$cm luminance must be monotone: $ls")
+    }
+    assert(ShadePlot.colormap("gray")(1.0) == ((255, 255, 255)))
+    assert(ShadePlot.colormap("fire")(0.0) == ((0, 0, 0)))
+    intercept[IllegalArgumentException](ShadePlot.colormap("nope")(0.5))
+  }
+
   test("n-category composite: distinct colors, single-category pixels stay pure") {
     import spark.implicits._
     // 6 categories (> the old RGB-channel limit of 3), one category per
