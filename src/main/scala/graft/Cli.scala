@@ -33,7 +33,15 @@ object Cli {
     def flag(k: String): Boolean = opts.contains(k)
   }
 
-  /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases. */
+  private val known = Set(
+    "dir", "table", "x", "y", "where", "width", "height",
+    "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
+    "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
+    "conj", "noconj", "noflags")
+
+  /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
+    * Unknown options are rejected — a misspelled option falling back to a
+    * default would silently produce the wrong plot. */
   def parse(argv: Seq[String]): Args = {
     val alias = Map("-x" -> "--x", "-y" -> "--y")
     val flags = Set("--noconj", "--conj", "--noflags")
@@ -42,6 +50,8 @@ object Cli {
     while (i < argv.length) {
       val key = alias.getOrElse(argv(i), argv(i))
       require(key.startsWith("--"), s"unexpected argument: ${argv(i)}")
+      require(known.contains(key.drop(2)),
+        s"unknown option $key (known: ${known.toSeq.sorted.map("--" + _).mkString(", ")})")
       if (flags.contains(key)) { m(key.drop(2)) = "true"; i += 1 }
       else {
         require(i + 1 < argv.length, s"option $key needs a value")
@@ -57,7 +67,10 @@ object Cli {
       case (Some(r), ax) =>
         val v = expr(ax.getOrElse(
           throw new IllegalArgumentException("--ared needs --aaxis")))
-        val ord = a.get("order").map(expr).getOrElse(v)
+        // first/last are ORDER-based reductions; defaulting the order to
+        // the value itself would silently turn them into min/max
+        def ord = expr(a.get("order").getOrElse(throw new IllegalArgumentException(
+          s"--ared $r needs --order <expr> (the axis that defines first/last, e.g. a timestamp)")))
         Seq(r match {
           case "count" => count(v).as("ared")
           case "sum"   => sum(v).as("ared")
@@ -81,9 +94,17 @@ object Cli {
     val y = expr(a.req("y"))
     val w = a.int("width", 256)
     val h = a.int("height", 256)
-    val canvas = (a.dbl("xmin"), a.dbl("xmax"), a.dbl("ymin"), a.dbl("ymax")) match {
+    // Per-axis limits compose with autocompute (reference: any subset of
+    // --xmin/--xmax/--ymin/--ymax may be given; the rest come from the
+    // min/max scan) — a partially-specified range must never be dropped.
+    val bounds = (a.dbl("xmin"), a.dbl("xmax"), a.dbl("ymin"), a.dbl("ymax"))
+    val canvas = bounds match {
       case (Some(x0), Some(x1), Some(y0), Some(y1)) => Canvas(w, h, (x0, x1), (y0, y1))
-      case _ => Canvas.auto(df, x, y, w, h) // reference: min/max autocompute
+      case (xmin, xmax, ymin, ymax) =>
+        val auto = Canvas.auto(df, x, y, w, h)
+        Canvas(w, h,
+          (xmin.getOrElse(auto.xRange._1), xmax.getOrElse(auto.xRange._2)),
+          (ymin.getOrElse(auto.yRange._1), ymax.getOrElse(auto.yRange._2)))
     }
     val spec = PlotSpec(
       x = x, y = y, canvas = canvas,

@@ -57,9 +57,13 @@ object Soak {
     val dedupQs = Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
       .map(n => n -> ExtensionQueries.all(n))
     val qs = CoverageQueries.all.toSeq.sortBy(_._1) ++ dedupQs
-    qs.foreach { case (_, q) => q(t).collect() } // warm
+    qs.foreach { case (_, q) => q(t).collect() } // warm (JIT/codegen)
     qs.foreach { case (n, q) =>
       val times = (1 to 2).map { _ =>
+        // the dedup operators persist their results; an identical fresh
+        // plan would read that cache and time a cache scan, not the
+        // pipeline — clear before every rep (same reason as Bench)
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime(); q(t).collect()
         (System.nanoTime() - t0) / 1e9
       }

@@ -103,7 +103,9 @@ object Multimodal {
         val raw = Array.tabulate(dim) { i =>
           md.reset()
           md.update(bytes)
-          md.update(i.toByte)
+          // full 4-byte index: a single-byte seed would wrap at 256 and
+          // silently duplicate coordinates i and i+256 for dim > 256
+          md.update(java.nio.ByteBuffer.allocate(4).putInt(i).array())
           val d = md.digest()
           (((d(0) & 0xff) << 8 | (d(1) & 0xff)).toFloat / 65535f) - 0.5f
         }
@@ -120,9 +122,20 @@ object Multimodal {
     * read prunes whole directories before any I/O (partition pruning —
     * asserted on the plan in MultimodalSpec). */
   def writeMediaLake(df: DataFrame, idCol: String, blobCol: String, dir: String): Unit = {
-    val meta = decodeStub(df, idCol, blobCol).toDF()
-    df.select(col(idCol).cast("long").as("doc_id"), col(blobCol).as("blob"))
-      .join(meta, "doc_id")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // single map pass carrying blob + metadata together: a decode-then-
+    // join formulation would scan (and decode) the source twice and
+    // shuffle every blob byte through a same-cardinality join — at the
+    // advertised scale that shuffle IS the cost. The only exchange here
+    // is the write's partitionBy.
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = fakeDecode(id, bytes)
+        (id, bytes, m.width, m.height, m.n_bytes, m.sha, m.format)
+      })
+      .toDF("doc_id", "blob", "width", "height", "n_bytes", "sha", "format")
       .write.partitionBy("format").mode("overwrite").parquet(dir)
   }
 

@@ -163,11 +163,14 @@ object ShadePlot {
   def writePngCategorical(rasterDf: DataFrame, spec: PlotSpec, path: String,
       key: Map[String, (Int, Int, Int)] = null): Unit = {
     import org.apache.spark.sql.expressions.Window
-    // per-category eq_hist in ONE plan: cume_dist partitioned by cat
+    // per-category eq_hist in ONE plan: cume_dist partitioned by cat.
+    // NULL categories render as their own "(null)" key instead of
+    // NPE-ing the driver-side sort below.
     val shaded = rasterDf
       .withColumn("shade", cume_dist().over(
         Window.partitionBy(col("cat")).orderBy(col("c"))))
-      .select(col("xb"), col("yb"), col("cat").cast("string"), col("shade"))
+      .select(col("xb"), col("yb"),
+        coalesce(col("cat").cast("string"), lit("(null)")).as("cat"), col("shade"))
       .collect()
     val cats = shaded.map(_.getString(2)).distinct.sorted.toSeq
     require(cats.nonEmpty, "categorical composite of an empty raster")

@@ -40,12 +40,15 @@ object ExactSessions {
   /** Open-session state: inclusive bounds in microseconds + event count. */
   final case class Open(t0: Long, t1: Long, n: Long)
 
-  private def micros(ts: Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos.toLong / 1000L
+  // floorDiv: getTime/1000 truncates toward zero, which mis-places
+  // pre-epoch timestamps by up to a second (-500 ms would become +0.5 s
+  // once the always-positive nanos are added back)
+  private[graft] def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos.toLong / 1000L
 
-  private def toTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000L * 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+  private[graft] def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

@@ -60,6 +60,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(out).columns.contains("ared"))
   }
 
+  test("misspelled options, order-less first/last, and partial ranges are handled") {
+    intercept[IllegalArgumentException](Cli.parse(Seq("--widht", "64")))
+    intercept[IllegalArgumentException] {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "-x", "l_quantity", "-y", "l_extendedprice",
+        "--aaxis", "l_tax", "--ared", "first",
+        "--width", "8", "--height", "8"), spark)
+    }
+    // a partial range must be honored, not silently dropped: clamp x to
+    // a narrow window and the x-bins collapse accordingly
+    val out = tmp("partial")
+    Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--xmin", "0", "--xmax", "1",
+      "--width", "8", "--height", "8", "--out", out), spark)
+    val xbs = spark.read.parquet(out).select("xb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(xbs.subsetOf(Set(0, 7)),
+      s"with x clamped to [0,1), quantities >= 1 must pile into the edge bins, got $xbs")
+  }
+
   test("events table works through the CLI (nanos normalization inside Engine.open)") {
     val out = tmp("events")
     val cells = Cli.run(Seq(

@@ -69,6 +69,23 @@ class ExactSessionsSpec extends SparkSpec {
     assert(got.map(_.n) == Seq(3L), s"expected one fused session of 3 events: $got")
   }
 
+  test("micros/toTs round-trip exactly, including pre-epoch timestamps (floor semantics)") {
+    // NOTE pre-epoch events cannot flow through the STREAM itself: Spark
+    // initializes the event-time watermark to epoch 0, so they are
+    // dropped as late in the first batch regardless of operator. The
+    // conversions must still be correct (truncate-toward-zero would turn
+    // -0.5 s into +0.5 s once the always-positive nanos are added).
+    val preA = Timestamp.valueOf("1969-12-31 23:59:59")
+    preA.setNanos(500000000) // -0.5 s from epoch
+    assert(ExactSessions.micros(preA) == -500000L)
+    val cases = Seq(preA, Timestamp.valueOf("1969-12-31 23:45:00"), base,
+      at(1800, 1), at(123456, 999999))
+    cases.foreach { ts =>
+      val rt = ExactSessions.toTs(ExactSessions.micros(ts))
+      assert(rt == ts, s"round-trip mismatch: $ts -> $rt")
+    }
+  }
+
   test("fixture replay: finalized sessions equal batch Q22 sessionization") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val events = t.events.select(col("user_id"), col("ts"))

@@ -36,7 +36,10 @@ class StreamingParitySpec extends SparkSpec {
     val streamed = runToCompletion(
       eventsStream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s")),
+        // same rounding rule as batch q21 (Rounding.portable): built-in
+        // round would diverge on decimal-half-way sums
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.portable(sum("value"), 2).as("s")),
       "t21")
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("s"))
     val batch = Queries.q21(sf0001)
