@@ -55,7 +55,15 @@ object Soak {
 
     val t = Tables(spark, out)
     val dedupQs = Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
-      .map(n => n -> ExtensionQueries.all(n))
+      .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
+      // the 64-bit scale variant (not oracle-gated; measured here to back
+      // the N²/buckets claim against the 32-bit contract form)
+      "simhash64_scale" -> ((t: Tables) =>
+        graft.operators.Dedup.simHashNearDups(
+          graft.operators.Dedup.simHash64Native(
+            t.documents, org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"), 3),
+          maxDist = 3, bits = 64)))
     val qs = CoverageQueries.all.toSeq.sortBy(_._1) ++ dedupQs
     qs.foreach { case (_, q) => q(t).collect() } // warm (JIT/codegen)
     qs.foreach { case (n, q) =>

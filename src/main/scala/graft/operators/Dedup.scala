@@ -78,6 +78,13 @@ object Dedup {
         graft.plans.GraftFunctions.simHash32(TextOps.tokens(text), shingleN).as("sh"))
       .filter(col("sh").isNotNull)
 
+  /** 64-bit native SimHash — pair with `simHashNearDups(…, bits = 64)`
+    * for the corpus-scale band join (see there). */
+  def simHash64Native(docs: DataFrame, id: Column, text: Column, shingleN: Int = 3): DataFrame =
+    docs.select(id.as("doc_id"),
+        graft.plans.GraftFunctions.simHash64(TextOps.tokens(text), shingleN).as("sh"))
+      .filter(col("sh").isNotNull)
+
   /** LSH band keys: (doc_id, bi, bk) with `bands` bands of
     * `numHashes/bands` rows; band key = md5 of the concatenated slice. */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -147,15 +154,24 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via the
     * pigeonhole-banded equi-join (exact same result set as the N² scan:
-    * dist ≤ maxDist ⇒ at least one of maxDist+1 chunks is equal). */
-  def simHashNearDups(hashesIn: DataFrame, maxDist: Int = 3): DataFrame = {
+    * dist ≤ maxDist ⇒ at least one of maxDist+1 chunks is equal).
+    *
+    * `bits` selects the hash width: 32 (q32's oracle contract) or 64
+    * ([[simHash64Native]] — the corpus-scale variant: 16-bit chunks give
+    * (maxDist+1)·2^16 buckets instead of (maxDist+1)·2^8, cutting the
+    * constant-bucket candidate growth N²/buckets by ~256×). Chunk keys
+    * use integer shift/mask, not floor/pow: double arithmetic is exact
+    * only to 2^53 and would corrupt keys of full 64-bit hashes. */
+  def simHashNearDups(hashesIn: DataFrame, maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
     // the simhash table is tiny (one long per doc) but its lineage — the
     // full shingle+bit pipeline — feeds both join sides; persist it
     val hashes = hashesIn.persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = maxDist + 1
-    val bitsPer = 32 / chunks // 8-bit chunks for maxDist=3
+    val bitsPer = bits / chunks // 8-bit chunks for 32/maxDist=3; 16 for 64
+    val mask = (1L << bitsPer) - 1L
     val chunkKeys = (0 until chunks).map(i =>
-      floor(col("sh") / pow(lit(2), lit(i * bitsPer))).cast("long") % (1L << bitsPer))
+      shiftrightunsigned(col("sh"), i * bitsPer).bitwiseAND(lit(mask)))
     val banded = hashes.select(col("doc_id"), col("sh"),
       posexplode(array(chunkKeys: _*)).as(Seq("ci", "ck")))
     val a = banded.select(col("doc_id").as("da"), col("sh").as("sha"), col("ci"), col("ck"))

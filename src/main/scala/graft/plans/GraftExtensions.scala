@@ -55,6 +55,15 @@ object GraftFunctions {
           s"simhash32(tokens, shingleN) takes 2 arguments, got ${exprs.length}")
         TextHashExpressions.SimHash32(exprs.head,
           literalInt(exprs(1), "simhash32", "shingleN"))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"simhash64(tokens, shingleN) takes 2 arguments, got ${exprs.length}")
+        TextHashExpressions.SimHash64(exprs.head,
+          literalInt(exprs(1), "simhash64", "shingleN"))
       }))
 
   /** Idempotent programmatic registration into the session's function
@@ -77,4 +86,6 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def simHash32(tokens: Column, shingleN: Int): Column =
     call_function("simhash32", tokens, org.apache.spark.sql.functions.lit(shingleN))
+  def simHash64(tokens: Column, shingleN: Int): Column =
+    call_function("simhash64", tokens, org.apache.spark.sql.functions.lit(shingleN))
 }

@@ -177,4 +177,50 @@ object TextHashExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** `simhash64(tokens, shingleN)` → bigint: 64-bit SimHash over the
+    * doc's distinct shingles — the corpus-scale variant of [[SimHash32]].
+    * Same construction with the full first-16-hex-chars md5 value, so the
+    * Hamming-≤3 pigeonhole band join gets 4 chunks of 16 bits: 4×65536
+    * buckets instead of 32-bit's 4×256, shrinking candidate-pair growth
+    * by ~256× at equal corpus size (q32's oracle stays 32-bit; this is
+    * the documented scale path, equivalence-tested against the N² scan). */
+  final case class SimHash64(child: Expression, shingleN: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+
+    override def prettyName: String = "simhash64"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTokensType(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val md = md5.get()
+      val seen = new java.util.HashSet[String]
+      val wgt = new Array[Int](64)
+      val any = eachShingle(input, shingleN) { shingle =>
+        if (seen.add(shingle)) {
+          md.reset()
+          val h = hex(md.digest(shingle.getBytes(StandardCharsets.UTF_8)))
+          val h64 = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16)
+          var b = 0
+          while (b < 64) {
+            wgt(b) += (if (((h64 >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      if (!any) null
+      else {
+        var sh = 0L
+        var b = 0
+        while (b < 64) { if (wgt(b) > 0) sh |= 1L << b; b += 1 }
+        sh
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -53,6 +53,25 @@ class NativeHashParitySpec extends SparkSpec {
     assert(nativeSh == composedSh)
   }
 
+  test("64-bit simhash banded join equals brute-force N^2 (corpus + fixtures)") {
+    for (docs <- Seq(corpus, Tables(spark, "/root/testdata/sf0.001").documents)) {
+      val hashes = Dedup.simHash64Native(docs, col("doc_id"), col("text"), 3)
+      val h = hashes.as[(Long, Long)].collect().toMap
+      val banded = Dedup.simHashNearDups(hashes, maxDist = 3, bits = 64)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = (for {
+        a <- h.keys; b <- h.keys if a < b
+        d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 3
+      } yield (a, b, d.toLong)).toSet
+      assert(banded == brute, s"64-bit pigeonhole banding must have exact recall")
+    }
+    // a full-width hash actually uses the high bits (sign bit reachable)
+    val fixtureHashes = Dedup.simHash64Native(
+        Tables(spark, "/root/testdata/sf0.001").documents, col("doc_id"), col("text"), 3)
+      .as[(Long, Long)].collect().map(_._2)
+    assert(fixtureHashes.exists(h => (h >>> 32) != 0), "high 32 bits must be populated")
+  }
+
   test("SQL registration: the functions are callable from spark.sql") {
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val r = spark.sql(
