@@ -185,6 +185,41 @@ object CoverageQueries {
       .transform(sortedSmall(_, col("event_id")))
   }
 
+  /** q54: date arithmetic over a fact join — order-to-ship latency in
+    * days, histogrammed in 30-day buckets (floor division is exercised on
+    * negative spans too: the synthetic shipdates precede their order
+    * dates). Timestamps are midnight-aligned so Spark's date-based
+    * datediff equals DuckDB's boundary-crossing date_diff. */
+  def q54(t: Tables): DataFrame = {
+    val dd = datediff(col("l_shipdate"), col("o_orderdate"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(floor(dd / 30).cast("long").as("mb"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(dd).cast("long").as("mn"),
+        max(dd).cast("long").as("mx"))
+      .transform(sortedSmall(_, col("mb")))
+  }
+
+  /** q55: array higher-order functions applied directly (the Q20/Q25
+    * pipelines go through explode/custom expressions; this gates
+    * transform/filter/aggregate/array_max as lambdas over the embedding
+    * arrays — the no-explode long-form bridge). */
+  def q55(t: Tables): DataFrame = {
+    val e = col("embedding")
+    t.embeddings
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        col("vec_id"),
+        size(filter(e, x => x > 0)).cast("long").as("npos"),
+        Rounding.portable(
+          aggregate(transform(e, x => x.cast("double") * 2), lit(0.0d), (acc, x) => acc + x),
+          5).as("s2"),
+        Rounding.portable(array_max(e).cast("double"), 6).as("mx"))
+      .transform(sortedSmall(_, col("vec_id")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q43_sliding_window"   -> q43 _,
     "q44_cube"             -> q44 _,
@@ -197,6 +232,8 @@ object CoverageQueries {
     "q51_bivariate_stats"  -> q51 _,
     "q52_listagg"          -> q52 _,
     "q53_window_nav"       -> q53 _,
+    "q54_date_arith"       -> q54 _,
+    "q55_array_hof"        -> q55 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,5 +342,20 @@ object CoverageQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
       WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
+
+    "q54_date_arith" -> """
+      SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30) AS BIGINT) AS mb,
+             count(*) AS n,
+             CAST(min(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS mn,
+             CAST(max(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS mx
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY mb ORDER BY mb NULLS FIRST""",
+
+    "q55_array_hof" -> """
+      SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS npos,
+             round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)), 5) AS s2,
+             round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx
+      FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id NULLS FIRST""",
   )
 }
