@@ -114,11 +114,24 @@ object Cli {
       conjugate = a.flag("conj"),
       norm = a.get("norm").getOrElse("eq_hist"))
 
-    val cells: Long = a.get("iter") match {
+    val (cells, pngNote) = a.get("iter") match {
       case Some(g) =>
+        // one pass builds every group's raster; parquet and PNGs are both
+        // per-group outputs of the same grouped plan (reference: the
+        // --iter-* loop writes one PNG per field/scan/corr [U])
         val dir = a.req("out") // per-group output requires a directory sink
-        ShadePlot.writeRastersPartitioned(df, spec, expr(g), dir)
-        spark.read.parquet(dir).count()
+        val grouped = ShadePlot.rasterByGroup(df, spec, expr(g))
+        // the grouped raster feeds two sinks (parquet + PNGs); persist so
+        // the input is scanned once — the raster itself is canvas-bounded
+        val both = a.get("png").isDefined
+        if (both) grouped.persist()
+        try {
+          grouped.write.partitionBy("grp").mode("overwrite").parquet(dir)
+          val pngs = a.get("png").map(t =>
+            ShadePlot.writePngPerGroup(grouped, spec, t, a.get("cmap").getOrElse("fire")))
+          (spark.read.parquet(dir).count(),
+            pngs.map(ps => s"; pngs: ${ps.size} (${ps.headOption.getOrElse("")} …)"))
+        } finally if (both) { grouped.unpersist(blocking = false); () }
       case None =>
         val raster = ShadePlot.raster(df, spec)
         val shaded =
@@ -130,10 +143,10 @@ object Cli {
             ShadePlot.writePng(shaded, spec, png, a.get("cmap").getOrElse("fire"))
           else ShadePlot.writePngCategorical(raster, spec, png)
         }
-        shaded.count()
+        (shaded.count(), a.get("png").map(p => s"; png: $p"))
     }
     println(s"[cli] $cells raster cells" +
-      a.get("png").map(p => s"; png: $p").getOrElse("") +
+      pngNote.getOrElse("") +
       a.get("out").map(p => s"; raster: $p").getOrElse(""))
     cells
   }

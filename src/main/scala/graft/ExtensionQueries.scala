@@ -19,7 +19,14 @@ object ExtensionQueries {
     df.repartition(1).sortWithinPartitions(cols: _*)
 
   /** q31: MinHash(8) + LSH(2 bands × 4 rows) near-dup pairs over 3-gram
-    * shingles — candidates via band equi-join, never N². */
+    * shingles — candidates via band equi-join, never N².
+    *
+    * Cache contract (applies to q32/q33 too): the dedup operators return a
+    * persisted pair table (small — that is the point of banding) so the
+    * sort below doesn't recompute the pipeline; a caller running MANY
+    * dedup calls in one session should wrap them in [[Dedup.withPairs]]
+    * or `.unpersist()` the result when done. Bench/Soak clearCache
+    * between reps; the verify driver runs each query once per session. */
   def q31(t: Tables): DataFrame =
     Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"),
         numHashes = 8, bands = 2, shingleN = 3, threshold = 0.5)

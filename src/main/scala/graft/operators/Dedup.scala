@@ -37,6 +37,15 @@ object Dedup {
     out
   }
 
+  /** Loan pattern for the persisted results of [[minHashNearDups]] /
+    * [[simHashNearDups]] / [[ngramJaccard]]: runs `f` over the pair table
+    * and unpersists it afterwards, so long-lived sessions (notebooks,
+    * verify drivers) running many dedup calls never accumulate cached pair
+    * tables. Callers that keep the raw DataFrame instead own the
+    * `.unpersist()` (see each operator's scaladoc). */
+  def withPairs[T](pairs: DataFrame)(f: DataFrame => T): T =
+    try f(pairs) finally { pairs.unpersist(blocking = false); () }
+
   /** Long-form distinct token-n-gram shingles: (id, w). */
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), TextOps.tokens(text).as("s"))

@@ -90,6 +90,59 @@ object ShadePlot {
     rasterByGroup(df, spec, group)
       .write.partitionBy("grp").mode("overwrite").parquet(dir)
 
+  /** Expand a PNG path template for one group value: a literal `{}` token
+    * is substituted (the reference's `--png` filename token expansion
+    * [U]); without a token the group is appended before the extension. */
+  def pngPathForGroup(template: String, grp: String): String = {
+    // keep group values filesystem-safe without losing distinctness
+    val safe = grp.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+    if (template.contains("{}")) template.replace("{}", safe)
+    else {
+      val i = template.lastIndexOf('.')
+      if (i <= template.lastIndexOf('/')) s"${template}_$safe"
+      else s"${template.substring(0, i)}_$safe${template.substring(i)}"
+    }
+  }
+
+  /** One PNG per group from a [[rasterByGroup]] raster — the file-per-group
+    * form of the reference's `--iter-*` plot loop [U], computed as ONE
+    * distributed plan: normalization is windowed per group (each group is
+    * shaded independently, exactly as separate plots would be), and only
+    * the ≤ W×H×ngroups raster ever reaches the driver. Intended for the
+    * reference's iteration axes (fields/scans/corrs — low cardinality);
+    * the collect is bounded by canvas size × group count, never data size.
+    * Returns the written paths (one per group, sorted by group value). */
+  def writePngPerGroup(grouped: DataFrame, spec: PlotSpec, template: String,
+      cmap: String = "fire"): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy(col("grp"))
+    val shadeCol = spec.norm match {
+      case "eq_hist" => cume_dist().over(byGrp.orderBy(col("c")))
+      case "log"     => log1p(col("c")) / max(log1p(col("c"))).over(byGrp)
+      case "cbrt"    => cbrt(col("c")) / max(cbrt(col("c"))).over(byGrp)
+      case "linear"  => col("c").cast("double") / max(col("c").cast("double")).over(byGrp)
+      case other     => throw new IllegalArgumentException(s"unknown norm: $other")
+    }
+    val rows = grouped
+      .withColumn("shade", shadeCol)
+      .select(coalesce(col("grp").cast("string"), lit("(null)")).as("grp"),
+        col("xb"), col("yb"), col("shade"))
+      .collect()
+    val w = spec.canvas.width
+    val h = spec.canvas.height
+    val map = colormap(cmap) _
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (g, cells) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      cells.foreach { r =>
+        val (rC, gC, bC) = map(r.getDouble(3))
+        img.setRGB(r.getInt(1), h - 1 - r.getInt(2), (rC << 16) | (gC << 8) | bC)
+      }
+      val path = pngPathForGroup(template, g)
+      ImageIO.write(img, "png", new File(path))
+      path
+    }
+  }
+
   /** Deterministic colormaps (`--cmap` analog): shade in [0,1] → RGB.
     * "fire" is black→red→yellow→white; "gray" linear; "viridis" a
     * piecewise-linear approximation of the matplotlib default. */
@@ -174,7 +227,13 @@ object ShadePlot {
       .collect()
     val cats = shaded.map(_.getString(2)).distinct.sorted.toSeq
     require(cats.nonEmpty, "categorical composite of an empty raster")
-    val k = Option(key).getOrElse(colorKey(cats))
+    // a caller-supplied key may not cover every observed category (including
+    // the synthesized "(null)" key for NULL categories) — fall back to the
+    // generated palette for the rest instead of throwing an opaque
+    // NoSuchElementException from deep inside the pixel loop
+    val generated = colorKey(cats)
+    val k: Map[String, (Int, Int, Int)] =
+      if (key == null) generated else generated ++ key
     val w = spec.canvas.width
     val h = spec.canvas.height
     val acc = Array.ofDim[Double](w, h, 3)

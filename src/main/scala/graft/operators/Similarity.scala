@@ -93,7 +93,13 @@ object Similarity {
     * only on the length band the data actually requires. The bound pass
     * sorts (id, string, length) triples globally — lead/lag over a total
     * order; the candidate join and distance evaluation (the O(n·band)
-    * heavy part) stay fully distributed. */
+    * heavy part) stay fully distributed.
+    *
+    * Scale ceiling: the lookup side is BROADCAST (correct and
+    * measured-fast at gate/soak scale), so the corpus must fit Spark's
+    * broadcast limit (~8 GB) and driver memory. Above that, use
+    * [[stringNearestNeighborPartitioned]] — same exact answer through a
+    * shuffled equi-join on length-band keys, with no broadcast at all. */
   def stringNearestNeighbor(df: DataFrame, id: Column, s: Column): DataFrame = {
     val base = df.select(id.as("sid"), s.as("str"), length(s).as("len"))
     val w = Window.orderBy(col("len"), col("sid"))
@@ -122,6 +128,56 @@ object Similarity {
     // (measured 5x slower than brute force at x10 before this hint)
     bounds.join(broadcast(b),
         col("pa") =!= col("pb") && abs(col("la") - col("lb")) <= col("dUp"))
+      .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("pa").as("sid"), col("pb").as("nn"), col("d"))
+  }
+
+  /** [[stringNearestNeighbor]] for corpora past the broadcast ceiling:
+    * the same exact length-band prune, expressed as a shuffled EQUI-join.
+    *
+    * Each probe row explodes into its candidate length keys
+    * `[len-dUp, len+dUp]` (dUp clamped to the corpus max length — with a
+    * single-row corpus the adjacent-string bound is +∞ and an unclamped
+    * sequence would explode unboundedly); the corpus side is keyed by its
+    * own length. `join on key = lb` is then a plain shuffle/sort-merge
+    * equi-join — both sides partition by the key, no broadcast, no
+    * nested-loop — and the band predicate `|la-lb| <= dUp` holds by
+    * construction of the key range. Probe-side cost is O(n·dUp) exploded
+    * rows; dUp is data-adaptive (the distance to an adjacent-length
+    * neighbor), so tight corpora explode narrow bands. Skewed length
+    * buckets (natural-language corpora pile up at common lengths) split
+    * under AQE skew-join handling at scale.
+    *
+    * Answer (including id tie-breaks) is identical to
+    * [[stringNearestNeighbor]] and brute force (SimilaritySpec). */
+  def stringNearestNeighborPartitioned(df: DataFrame, id: Column, s: Column): DataFrame = {
+    val base = df.select(id.as("sid"), s.as("str"), length(s).as("len"))
+    val w = Window.orderBy(col("len"), col("sid"))
+    val all = Window.partitionBy(lit(1)) // one extra window fn over the same exchange
+    val bounds = base
+      .withColumn("prev", lag(col("str"), 1).over(w))
+      .withColumn("next", lead(col("str"), 1).over(w))
+      .withColumn("maxLen", max(col("len")).over(all))
+      .withColumn("dUp", least(
+        coalesce(levenshtein(col("str"), col("prev")), lit(Int.MaxValue)),
+        coalesce(levenshtein(col("str"), col("next")), lit(Int.MaxValue)),
+        col("maxLen")))
+      .select(col("sid").as("pa"), col("str").as("na"),
+        col("len").as("la"), col("dUp"))
+    val probes = bounds
+      .withColumn("lb", explode(sequence(
+        greatest(col("la") - col("dUp"), lit(0)), col("la") + col("dUp"))))
+      // same AQE trap as stringNearestNeighbor: the exploded probe table is
+      // tiny on the wire but each joined row costs a levenshtein — pin the
+      // partition count so the work stays parallel
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("lb"))
+    val corpus = base.select(col("sid").as("pb"), col("str").as("nb"), col("len").as("lb"))
+    val w2 = Window.partitionBy("pa").orderBy(col("d"), col("pb"))
+    probes.join(corpus, Seq("lb"))
+      .filter(col("pa") =!= col("pb"))
       .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
       .withColumn("rn", row_number().over(w2))
       .filter(col("rn") === 1)

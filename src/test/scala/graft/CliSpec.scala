@@ -60,6 +60,25 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(out).columns.contains("ared"))
   }
 
+  test("--iter with --png writes one PNG per group") {
+    val out = tmp("iterpng")
+    val png = tmp("iter_{}.png")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--iter", "l_linestatus",
+      "--width", "16", "--height", "16", "--out", out, "--png", png), spark)
+    assert(cells > 0)
+    for (g <- Seq("F", "O")) {
+      val f = new java.io.File(png.replace("{}", g))
+      assert(f.length() > 0, s"per-group png for $g must be written")
+    }
+    // without a {} token the group lands before the extension
+    assert(graft.operators.ShadePlot.pngPathForGroup("/tmp/a/p.png", "O") == "/tmp/a/p_O.png")
+    assert(graft.operators.ShadePlot.pngPathForGroup("/tmp/a.dir/p", "O") == "/tmp/a.dir/p_O")
+    assert(graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "x y") == "/t/p_x_y.png")
+  }
+
   test("misspelled options, order-less first/last, and partial ranges are handled") {
     intercept[IllegalArgumentException](Cli.parse(Seq("--widht", "64")))
     intercept[IllegalArgumentException] {

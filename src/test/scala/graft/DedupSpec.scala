@@ -61,6 +61,12 @@ class DedupSpec extends SparkSpec {
     Seq(r1, r2, r3).foreach(_.unpersist(blocking = true))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "unpersisting the returned handles must release everything")
+    // the loan form owns the cleanup: nothing stays cached after withPairs
+    val n = Dedup.withPairs(
+      Dedup.minHashNearDups(corpus, col("doc_id"), col("text")))(_.count())
+    assert(n >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withPairs must unpersist the pair table it loaned out")
   }
 
   test("fingerprint collapses token permutations that md5(text) distinguishes") {

@@ -113,6 +113,25 @@ class ShadePlotSpec extends SparkSpec {
       Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)))
   }
 
+  test("categorical composite: partial caller key falls back to generated colors") {
+    import spark.implicits._
+    // caller pins cat0 only; cat1 and a NULL category must fall back to the
+    // generated palette instead of NoSuchElementException-ing
+    val raster = Seq((0, 0, "cat0", 10L), (1, 0, "cat1", 10L))
+      .toDF("xb", "yb", "cat", "c")
+      .union(Seq((2, 0, 20L)).toDF("xb", "yb", "c")
+        .select(col("xb"), col("yb"), lit(null).cast("string").as("cat"), col("c")))
+    val s = PlotSpec(col("x"), col("y"), Canvas(4, 4, (0.0, 1.0), (0.0, 1.0)))
+    val png = Files.createTempDirectory("partkey").resolve("p.png").toString
+    ShadePlot.writePngCategorical(raster, s, png, key = Map("cat0" -> ((10, 20, 30))))
+    val img = javax.imageio.ImageIO.read(new java.io.File(png))
+    val px = img.getRGB(0, 4 - 1 - 0)
+    assert((((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)) == ((10, 20, 30)),
+      "the pinned category must use the caller's color")
+    // the two fallback pixels rendered some non-black color
+    assert((img.getRGB(1, 3) & 0xffffff) != 0 && (img.getRGB(2, 3) & 0xffffff) != 0)
+  }
+
   test("categorical raster (colourBy) splits counts per category") {
     val s = PlotSpec(col("l_quantity"), col("l_extendedprice"),
       Canvas(16, 16, (0.0, 50.0), (900.0, 105000.0)),

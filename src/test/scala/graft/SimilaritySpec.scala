@@ -71,6 +71,25 @@ class SimilaritySpec extends SparkSpec {
       s"prefilter must prune: $candidates candidate pairs vs $allPairs all pairs")
   }
 
+  test("stringNearestNeighborPartitioned equals the broadcast form (and brute force)") {
+    val parts = Tables(spark, "/root/testdata/sf0.001").part
+      .select(col("p_partkey"), col("p_name"))
+    val broadcastForm =
+      Similarity.stringNearestNeighbor(parts, col("p_partkey"), col("p_name"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val partitioned =
+      Similarity.stringNearestNeighborPartitioned(parts, col("p_partkey"), col("p_name"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(partitioned == broadcastForm,
+      "the no-broadcast equi-join form must give the identical exact answer")
+    assert(partitioned.nonEmpty)
+    // degenerate corpora must not explode the unbounded dUp into a sequence
+    val two = Seq((1L, "abc"), (2L, "zz")).toDF("id", "s")
+    val nn = Similarity.stringNearestNeighborPartitioned(two, col("id"), col("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(nn == Set((1L, 2L, 3L), (2L, 1L, 3L)))
+  }
+
   test("ivfTopK searches only the query's bucket") {
     val assign = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2))
     val out = Similarity.ivfTopK(vecs, assign, vecs.filter(col("vec_id") === 10L), k = 5)
