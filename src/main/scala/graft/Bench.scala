@@ -53,7 +53,8 @@ object Bench {
     // headline suite = the 30 declared queries (comparable to BASELINE.md);
     // extension operators (q31+) are timed separately below.
     val names = Queries.all.keys.toSeq.sorted
-    val extNames = (ExtensionQueries.all.keys ++ CoverageQueries.all.keys).toSeq.sorted
+    val extNames = (ExtensionQueries.all.keys ++ CoverageQueries.all.keys ++
+      PipelineQueries.all.keys).toSeq.sorted
 
     // concurrent passes mutate this from many submit threads
     val failed: java.util.Set[String] =

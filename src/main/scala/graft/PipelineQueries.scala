@@ -1,0 +1,355 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Rounding, TextOps}
+import graft.operators.{Cleaning, Dedup, Sampling, TimeSeries}
+
+/** Round-3 queries: the training-data-pipeline operations a 100 TB corpus
+  * build needs beyond pairwise dedup — deterministic (stratified) hash
+  * sampling, dedup-cluster resolution via connected components, text
+  * cleaning / PII redaction, forward fill and calendar gap fill — plus the
+  * remaining SQL-surface rows (unpivot, GROUPING SETS, RANGE frames,
+  * correlated scalar subqueries, array set ops, bigram counts).
+  *
+  * Conventions as in [[Queries]]: aliases match the oracle SQL exactly,
+  * count/size/rank-family results cast to long (DuckDB BIGINT), rounding
+  * via [[Rounding.portable]], ORDER BY pins a total order.
+  */
+object PipelineQueries {
+
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** q56: deterministic stratified hash sampling — per-returnflag keep
+    * rates decided by an md5 bucket of the row key ([[Sampling]]): the
+    * same rows are kept on any engine, partitioning, or run, unlike
+    * `df.sample`. A pure predicate — no shuffle, pushdown-eligible. */
+  def q56(t: Tables): DataFrame =
+    Sampling.stratifiedHashSample(
+        t.lineitem,
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        col("l_returnflag"),
+        Map("A" -> 0.25, "N" -> 0.10, "R" -> 0.50))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("l_quantity"), 2).as("qty"))
+      .transform(sortedSmall(_, col("l_returnflag")))
+
+  /** q57: dedup-cluster resolution — MinHash+LSH near-dup pairs promoted
+    * to components ([[Dedup.connectedComponents]]), one row per cluster
+    * with its representative (min doc_id), size, and member list. This is
+    * the step that makes pairwise near-dup output actionable: keep `rep`,
+    * drop the other members. */
+  def q57(t: Tables): DataFrame = {
+    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
+    Dedup.withPairs(pairs) { p =>
+      Dedup.connectedComponents(p)
+        .groupBy("rep")
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
+        .transform(sortedSmall(_, col("rep")))
+    }
+  }
+
+  /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
+    * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
+  def q58(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        Rounding.portable(sum("l_quantity"), 2).as("qty"),
+        Rounding.portable(sum("l_extendedprice"), 2).as("price"),
+        Rounding.portable(sum("l_discount"), 2).as("disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
+      .transform(sortedSmall(_, col("l_returnflag"), col("measure")))
+
+  /** q59: forward fill (`last_value IGNORE NULLS`) — carry the latest
+    * non-null measurement forward within each user's event sequence.
+    * Nulls are synthesized deterministically (every 5th event) since the
+    * fixture has none; `was_null` marks the filled rows. */
+  def q59(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("v", when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("ff0", TimeSeries.forwardFill(col("v"), w))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"),
+        Rounding.portable(col("ff0"), 2).as("ff"),
+        col("v").isNull.cast("int").as("was_null"))
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
+  /** q60: event-time RANGE frame — trailing 1-hour window per user keyed
+    * on the ORDER BY value (seconds), not row position: each row's frame
+    * is [t−3600 s, t]. The time-domain sibling of q46's ROWS frame. */
+  def q60(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600L, Window.currentRow)
+    t.events
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n"),
+        Rounding.portable(sum("value").over(w), 2).as("s"))
+      .filter(col("event_id") % 100 === 0)
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
+  /** q61: array set operations — per-document stopword/content split via
+    * `array_intersect` / `array_except` / `array_distinct` (set semantics:
+    * distinct element counts), the no-explode form of vocabulary
+    * bookkeeping. */
+  def q61(t: Tables): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val toks = split(col("text"), " ")
+    t.documents
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        size(array_intersect(toks, stop)).cast("long").as("nstop"),
+        size(array_except(toks, stop)).cast("long").as("nuniq"),
+        size(array_distinct(toks)).cast("long").as("ndist"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q62: markup stripping + PII redaction ([[Cleaning.stripMarkup]] /
+    * [[Cleaning.redactPii]]) — the fixture text is plain tokens, so the
+    * markup/PII is synthesized deterministically around it; the md5 of the
+    * cleaned text gates every replacement byte-for-byte. */
+  def q62(t: Tables): DataFrame = {
+    val raw = concat(
+      lit("<p id=\""), col("doc_id").cast("string"), lit("\">"), col("text"),
+      lit("</p> <a href=\"http://x.example\">link</a> contact user"),
+      col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val cleaned = Cleaning.redactPii(Cleaning.stripMarkup(raw))
+    t.documents
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), md5(cleaned).as("h"), length(cleaned).cast("long").as("len"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q63: explicit GROUPING SETS (beyond Q27 rollup / q44 cube): the
+    * (flag, status), (flag), () lattice with grouping_id. */
+  def q63(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Rounding.portable(sum("l_quantity"), 2).as("qty"))
+      .transform(sortedSmall(_,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("gid")))
+
+  /** q64: correlated scalar subquery (decorrelated by Catalyst into a
+    * left outer aggregate join — `.explain` shows no per-row subplan),
+    * exercised through `spark.sql` since the DataFrame API has no scalar
+    * subquery surface. Views are query-prefixed to stay collision-free in
+    * a shared session. */
+  def q64(t: Tables): DataFrame = {
+    t.customer.createOrReplaceTempView("q64_customer")
+    t.orders.createOrReplaceTempView("q64_orders")
+    t.spark.sql("""
+      SELECT c_mktsegment, count(*) AS n, avg(mx) AS am0 FROM (
+        SELECT c_mktsegment,
+               (SELECT max(o_totalprice) FROM q64_orders o
+                WHERE o.o_custkey = c.c_custkey) AS mx
+        FROM q64_customer c) t
+      WHERE mx > 400000 GROUP BY c_mktsegment""")
+      .select(col("c_mktsegment"), col("n"),
+        Rounding.portable(col("am0"), 2).as("am"))
+      .transform(sortedSmall(_, col("c_mktsegment")))
+  }
+
+  /** q65: calendar gap fill ([[TimeSeries.grid]]/[[TimeSeries.gapFill]]) —
+    * hourly error-event series densified to the full hourly grid of the
+    * whole event table, absent hours as explicit zeros. Grid and
+    * aggregated data side are both bounded (≤ one row per hour), so the
+    * fill join broadcasts regardless of input scale. */
+  def q65(t: Tables): DataFrame = {
+    val hourly = t.events
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), Rounding.portable(sum("value"), 2).as("s"))
+    val grid = TimeSeries.grid(t.events, date_trunc("hour", col("ts")), "1 HOUR", "h")
+    TimeSeries.gapFill(grid, hourly, "h", Map("n" -> lit(0L), "s" -> lit(0.0)))
+      .transform(sortedSmall(_, col("h")))
+  }
+
+  /** q66: bigram frequency (token 2-grams over the corpus, top 20 with a
+    * total-order tie-break) — the n-gram statistics pass of an LM data
+    * pipeline, built on [[TextOps.shingles]]. */
+  def q66(t: Tables): DataFrame =
+    t.documents
+      .select(explode(TextOps.shinglesNative(TextOps.tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+      .transform(sortedSmall(_, col("n").desc, col("bg")))
+
+  val all: Map[String, Tables => DataFrame] = Map(
+    "q56_hash_sample"    -> q56 _,
+    "q57_dedup_clusters" -> q57 _,
+    "q58_unpivot"        -> q58 _,
+    "q59_forward_fill"   -> q59 _,
+    "q60_range_frame"    -> q60 _,
+    "q61_array_setops"   -> q61 _,
+    "q62_text_clean"     -> q62 _,
+    "q63_grouping_sets"  -> q63 _,
+    "q64_scalar_subquery" -> q64 _,
+    "q65_gap_fill"       -> q65 _,
+    "q66_bigrams"        -> q66 _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q56_hash_sample" -> """
+      WITH k AS (SELECT l_returnflag, l_quantity,
+        CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+          CAST(l_linenumber AS VARCHAR))), 1, 4)) AS INT) AS b
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM k
+      WHERE b < CASE l_returnflag WHEN 'A' THEN 16384 WHEN 'N' THEN 6554
+                                  WHEN 'R' THEN 32768 ELSE -1 END
+      GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
+
+    "q57_dedup_clusters" -> """
+      WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db),
+      edges AS (SELECT da AS src, db AS dst FROM est WHERE est >= 0.5
+                UNION SELECT db, da FROM est WHERE est >= 0.5),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+      SELECT rep, count(*) AS n,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM comp GROUP BY rep ORDER BY rep NULLS FIRST""",
+
+    "q58_unpivot" -> """
+      WITH wide AS (SELECT l_returnflag,
+          round(sum(l_quantity), 2) AS qty,
+          round(sum(l_extendedprice), 2) AS price,
+          round(sum(l_discount), 2) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+        UNION ALL SELECT l_returnflag, 'price', price FROM wide
+        UNION ALL SELECT l_returnflag, 'disc', disc FROM wide) u
+      ORDER BY l_returnflag NULLS FIRST, measure NULLS FIRST""",
+
+    "q59_forward_fill" -> """
+      SELECT event_id, user_id, round(ff0, 2) AS ff,
+             CAST(v IS NULL AS INT) AS was_null FROM (
+        SELECT event_id, user_id, v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff0
+        FROM (SELECT event_id, user_id, ts,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+              FROM events) base) t
+      WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
+
+    "q60_range_frame" -> """
+      SELECT event_id, user_id, n, s FROM (
+        SELECT event_id, user_id,
+               count(*) OVER w AS n,
+               round(sum(value) OVER w, 2) AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) t
+      WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
+
+    "q61_array_setops" -> """
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn
+                  FROM documents WHERE doc_id % 25 = 0)
+      SELECT doc_id,
+        CAST(count(DISTINCT CASE WHEN tkn IN ('the','a','of','and','to') THEN tkn END) AS BIGINT) AS nstop,
+        CAST(count(DISTINCT CASE WHEN tkn NOT IN ('the','a','of','and','to') THEN tkn END) AS BIGINT) AS nuniq,
+        CAST(count(DISTINCT tkn) AS BIGINT) AS ndist
+      FROM tk GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+
+    "q62_text_clean" -> """
+      WITH raw AS (SELECT doc_id,
+          concat('<p id="', CAST(doc_id AS VARCHAR), '">', text,
+                 '</p> <a href="http://x.example">link</a> contact user',
+                 CAST(doc_id AS VARCHAR), '@mail.example.com or 555-',
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS r
+        FROM documents WHERE doc_id % 25 = 0),
+      c1 AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(r, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS s
+        FROM raw),
+      c2 AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS s
+        FROM c1)
+      SELECT doc_id, md5(s) AS h, CAST(length(s) AS BIGINT) AS len
+      FROM c2 ORDER BY doc_id NULLS FIRST""",
+
+    "q63_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid NULLS FIRST""",
+
+    "q64_scalar_subquery" -> """
+      SELECT c_mktsegment, n, round(am0, 2) AS am FROM (
+        SELECT c_mktsegment, count(*) AS n, avg(mx) AS am0 FROM (
+          SELECT c_mktsegment,
+                 (SELECT max(o_totalprice) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey) AS mx
+          FROM customer c) t
+        WHERE mx > 400000 GROUP BY c_mktsegment) g
+      ORDER BY c_mktsegment NULLS FIRST""",
+
+    "q65_gap_fill" -> """
+      WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+                             round(sum(value), 2) AS s
+                      FROM events WHERE event_type = 'error' GROUP BY 1),
+      grid AS (SELECT unnest(generate_series(
+                 (SELECT min(date_trunc('hour', ts)) FROM events),
+                 (SELECT max(date_trunc('hour', ts)) FROM events),
+                 INTERVAL 1 HOUR)) AS h)
+      SELECT g.h AS h, coalesce(n, 0) AS n, coalesce(s, 0.0) AS s
+      FROM grid g LEFT JOIN hourly ON g.h = hourly.h
+      ORDER BY h""",
+
+    "q66_bigrams" -> """
+      WITH doc AS (SELECT string_split(lower(text), ' ') AS s FROM documents),
+      bg AS (SELECT concat(s[i], ' ', s[i+1]) AS bg
+             FROM doc, unnest(range(1, greatest(len(s), 1))) AS t(i))
+      SELECT bg, count(*) AS n FROM bg GROUP BY bg
+      ORDER BY n DESC, bg LIMIT 20""",
+  )
+}

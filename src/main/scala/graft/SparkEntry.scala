@@ -14,13 +14,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * north-star extension operators (q31+). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Queries.all ++ ExtensionQueries.all ++ CoverageQueries.all).map { case (name, q) =>
-      name -> ((spark: SparkSession, dir: String) => q(Tables(spark, dir)))
-    }
+    (Queries.all ++ ExtensionQueries.all ++ CoverageQueries.all ++ PipelineQueries.all)
+      .map { case (name, q) =>
+        name -> ((spark: SparkSession, dir: String) => q(Tables(spark, dir)))
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
     * (q40_multimodal_stub → rows-only check). */
   def oracleSql: Map[String, String] =
-    OracleSql.all ++ ExtensionQueries.oracles ++ CoverageQueries.oracles
+    OracleSql.all ++ ExtensionQueries.oracles ++ CoverageQueries.oracles ++
+      PipelineQueries.oracles
 }

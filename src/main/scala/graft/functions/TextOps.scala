@@ -29,10 +29,22 @@ object TextOps {
 
   /** Token n-gram shingles as an array column (empty when the doc has
     * fewer than `n` tokens). `element_at` is 1-based; the shingle set is
-    * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based). */
+    * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based).
+    *
+    * This is the composed (higher-order-function) form, kept as the
+    * independent cross-check for [[shinglesNative]]; HOF lambdas evaluate
+    * interpreted (no codegen), so hot paths use the native expression. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Identical shingle array via the native `word_ngrams` expression
+    * ([[graft.plans.TextHashExpressions.WordNGrams]]) — one JVM loop per
+    * row instead of an interpreted lambda per element (~10× on shingle-
+    * heavy scans). Equality with [[shingles]] pinned in
+    * NativeHashParitySpec. */
+  def shinglesNative(toks: Column, n: Int): Column =
+    graft.plans.GraftFunctions.wordNGrams(toks, n)
 }

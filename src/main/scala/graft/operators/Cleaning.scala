@@ -44,4 +44,21 @@ object Cleaning {
     * auditing what the gate removed. */
   def rejected(df: DataFrame, text: Column, t: Thresholds = Thresholds()): DataFrame =
     withQuality(df, text, t).filter(!col("keep")).drop("toks", "keep")
+
+  /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the
+    * boilerplate-removal step for HTML-scraped corpora. Codegen'd string
+    * built-ins only; the tag pattern is RE2-safe (no backtracking
+    * constructs) so the identical regex runs on Java and RE2 engines. */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Redact common PII patterns (emails, phone-like digit groups) with
+    * typed placeholders — the redact-on-ingest stage of a training-data
+    * pipeline (redact BEFORE any write: once a blob lands in the lake the
+    * copy is out of your control). Patterns are RE2-safe. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(
+      text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(email, "\\b\\d{3}[-.]\\d{4}\\b", "[PHONE]")
+  }
 }

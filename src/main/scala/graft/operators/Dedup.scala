@@ -46,10 +46,12 @@ object Dedup {
   def withPairs[T](pairs: DataFrame)(f: DataFrame => T): T =
     try f(pairs) finally { pairs.unpersist(blocking = false); () }
 
-  /** Long-form distinct token-n-gram shingles: (id, w). */
+  /** Long-form distinct token-n-gram shingles: (id, w). Shingle derivation
+    * uses the native `word_ngrams` expression (identical output to the HOF
+    * form, pinned in NativeHashParitySpec; ~10× on shingle-heavy scans). */
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), TextOps.tokens(text).as("s"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("s"), n)).as("w"))
+      .select(col("doc_id"), explode(TextOps.shinglesNative(col("s"), n)).as("w"))
       .distinct()
 
   /** MinHash signature per id, SQL-composed form: an array<string> of
@@ -219,4 +221,65 @@ object Dedup {
   def fingerprint(tokens: DataFrame): DataFrame =
     tokens.groupBy("doc_id")
       .agg(md5(array_join(array_sort(collect_set(col("w"))), " ")).as("fp"))
+
+  /** Connected components over a near-dup pair table — the cluster
+    * resolution step that turns pairwise LSH/SimHash/Jaccard matches into
+    * dedup groups: near-duplication is not transitive, but the keep-one
+    * policy of a dedup pipeline is applied per *component* (keep the
+    * representative, drop every other member).
+    *
+    * Iterative minimum-label propagation: every vertex starts labeled with
+    * itself; each round labels flow across edges in both directions and
+    * every vertex keeps the minimum label seen. Each round is ONE shuffle
+    * (the `groupBy(id).min(rep)`) over O(V+E) rows, and converges in
+    * O(component diameter) rounds — near-dup clusters are shallow stars or
+    * short chains around a common original, so a handful of rounds
+    * suffices; `maxIter` bounds pathological chains. For graphs with deep
+    * chains at corpus scale, the drop-in with the same per-round shuffle
+    * shape is large-star/small-star (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond"), which converges in O(log² n) rounds.
+    *
+    * Per round the labels are `localCheckpoint`ed: without truncation the
+    * logical plan doubles per iteration (the classic iterative-lineage
+    * explosion). On a cluster, prefer `sparkContext.setCheckpointDir` +
+    * `checkpoint()` for fault-tolerant truncation.
+    *
+    * Convergence test: labels only ever decrease, so the label sum is
+    * monotone non-increasing and "sum unchanged" is an exact fixpoint test
+    * — one tiny aggregate per round instead of a join-and-compare. Ids
+    * must be numeric (sum-able); the sum is taken at decimal(38,0) so any
+    * long id range is overflow-safe.
+    *
+    * Returns (id, rep): the component representative (minimum member id)
+    * for every vertex that appears in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame, a: String = "da", b: String = "db",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.get(0)
+    var prev = labelSum(labels)
+    var converged = prev == null // empty pair table → nothing to iterate
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("rep"))
+      labels = labels.union(prop)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prev
+      prev = s
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
 }

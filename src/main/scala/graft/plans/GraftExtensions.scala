@@ -56,6 +56,15 @@ object GraftFunctions {
         TextHashExpressions.SimHash32(exprs.head,
           literalInt(exprs(1), "simhash32", "shingleN"))
       }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"word_ngrams(tokens, n) takes 2 arguments, got ${exprs.length}")
+        TextHashExpressions.WordNGrams(exprs.head,
+          literalInt(exprs(1), "word_ngrams", "n"))
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(
         classOf[TextHashExpressions.SimHash64].getName, "simhash64"),
@@ -84,6 +93,8 @@ object GraftFunctions {
     call_function("minhash_signature", tokens,
       org.apache.spark.sql.functions.lit(shingleN),
       org.apache.spark.sql.functions.lit(numHashes))
+  def wordNGrams(tokens: Column, n: Int): Column =
+    call_function("word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
   def simHash32(tokens: Column, shingleN: Int): Column =
     call_function("simhash32", tokens, org.apache.spark.sql.functions.lit(shingleN))
   def simHash64(tokens: Column, shingleN: Int): Column =

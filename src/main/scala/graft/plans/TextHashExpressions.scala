@@ -133,6 +133,51 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** `word_ngrams(tokens, n)` → array<string>: the token n-gram shingle
+    * array, element-for-element identical to the higher-order-function
+    * form (`TextOps.shingles`): empty array when the doc has fewer than
+    * `n` tokens, duplicates preserved, single-space joined.
+    *
+    * Exists for throughput, not semantics: Spark's higher-order functions
+    * (`transform`, `aggregate`, …) have no codegen — each element
+    * evaluates a lambda through interpreted expression nodes, which
+    * measured ~10× slower than this single-pass loop on the bigram-count
+    * query (q66). The HOF form stays as the independent cross-check
+    * (NativeHashParitySpec). */
+  final case class WordNGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"n must be >= 1, got $n")
+
+    override def prettyName: String = "word_ngrams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTokensType(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val len = toks.numElements()
+      if (len < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](len - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= len - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `simhash32(tokens, shingleN)` → bigint: the 32-bit SimHash over the
     * doc's DISTINCT shingles (bit weights vote +1/−1 per shingle, so
     * duplicates must be collapsed — the composed pipeline's `.distinct()`).

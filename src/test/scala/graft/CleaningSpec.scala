@@ -34,6 +34,18 @@ class CleaningSpec extends SparkSpec {
     assert((kept ++ rej) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("stripMarkup removes tags and collapses the leftover whitespace") {
+    val got = Seq("""<p class="x">hello <b>world</b></p> <br/> done""")
+      .toDF("t").select(Cleaning.stripMarkup(col("t"))).as[String].head()
+    assert(got == "hello world done")
+  }
+
+  test("redactPii replaces emails and phone-like groups, leaves the rest") {
+    val got = Seq("write a.user+tag@sub.example.org or call 555-0175 x 12-34")
+      .toDF("t").select(Cleaning.redactPii(col("t"))).as[String].head()
+    assert(got == "write [EMAIL] or call [PHONE] x 12-34")
+  }
+
   test("fixture corpus mostly passes the default gate") {
     val total = sf0001.documents.count()
     val kept = Cleaning.clean(sf0001.documents, col("text")).count()

@@ -69,6 +69,40 @@ class DedupSpec extends SparkSpec {
       "withPairs must unpersist the pair table it loaned out")
   }
 
+  test("connectedComponents: chains, cliques, singleton pairs, determinism") {
+    // component A: a 6-vertex CHAIN (10-11-12-13-14-15) — needs several
+    // propagation rounds, so this exercises the iteration, not just round 1;
+    // component B: a triangle clique; component C: one isolated pair.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)
+    ).toDF("da", "db")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(got(_) == 10L), s"chain must collapse to 10: $got")
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 11, "every vertex in the pair table gets a label, nothing else")
+  }
+
+  test("connectedComponents matches brute-force union-find on a derived graph") {
+    // deterministic pseudo-random graph: edge (i, j) when j = (i*7) % 40 differs
+    val es = (0L until 40L).map(i => (i, (i * 7) % 40)).filter { case (a, b) => a != b }
+    val got = Dedup.connectedComponents(es.toDF("da", "db")).as[(Long, Long)].collect().toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map((0L until 40L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val reps = (0L until 40L).groupBy(find).flatMap { case (_, m) => m.map(_ -> m.min) }
+    val verts = es.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(got == reps.view.filterKeys(verts).toMap)
+  }
+
+  test("connectedComponents on an empty pair table returns an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("fingerprint collapses token permutations that md5(text) distinguishes") {
     val tok = corpus
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))

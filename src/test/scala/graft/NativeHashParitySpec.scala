@@ -19,6 +19,27 @@ class NativeHashParitySpec extends SparkSpec {
     (6L, "repeat repeat repeat repeat repeat repeat") // duplicate shingles
   ).toDF("doc_id", "text")
 
+  test("native word_ngrams equals the HOF shingle form (all n, edges included)") {
+    import graft.functions.TextOps
+    val both = Seq(1, 2, 3, 5).map { n =>
+      corpus.select(
+        col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), n).as("hof"),
+        TextOps.shinglesNative(TextOps.tokens(col("text")), n).as("native"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+    }
+    both.flatten.foreach { case (id, hof, native) =>
+      assert(native == hof, s"doc $id diverged")
+    }
+    // fixture docs too
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val fix = docs.select(
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("hof"),
+        TextOps.shinglesNative(TextOps.tokens(col("text")), 3).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    fix.foreach { case (hof, native) => assert(native == hof) }
+  }
+
   test("native minhash signatures equal the explode+min pipeline (incl. short-doc drop)") {
     val composed = Dedup.minHashSignatures(
         Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), numHashes = 8)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample is deterministic and partitioning-independent") {
+    val df = sf0001.lineitem
+    val key = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+    val once = Sampling.hashSample(df, key, 0.25)
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    // same rows regardless of physical layout — the property df.sample lacks
+    val shuffled = Sampling.hashSample(df.repartition(17, col("l_partkey")), key, 0.25)
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    assert(once == shuffled, "hash sampling must not depend on partitioning")
+    assert(once.nonEmpty)
+  }
+
+  test("sampled fraction is close to the requested fraction") {
+    val df = sf0001.lineitem
+    val total = df.count().toDouble
+    val key = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val got = Sampling.hashSample(df, key, f).count() / total
+      assert(math.abs(got - f) < 0.05, s"fraction $f sampled $got")
+    }
+    assert(Sampling.hashSample(df, key, 0.0).count() == 0)
+    assert(Sampling.hashSample(df, key, 1.0).count() == total)
+  }
+
+  test("stratified sample applies per-stratum fractions and drops unlisted strata") {
+    val df = sf0001.lineitem
+    val key = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+    val rates = Map("A" -> 0.8, "N" -> 0.1) // "R" intentionally absent
+    val got = Sampling.stratifiedHashSample(df, key, col("l_returnflag"), rates)
+      .groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    val totals = df.groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("R"), "unlisted stratum must be dropped entirely")
+    assert(math.abs(got("A").toDouble / totals("A") - 0.8) < 0.1)
+    assert(math.abs(got("N").toDouble / totals("N") - 0.1) < 0.1)
+  }
+
+  test("the sample predicate reaches the scan as a pushed filter stage (no shuffle)") {
+    val plan = Sampling.hashSample(
+      sf0001.lineitem, col("l_orderkey"), 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash sampling must be shuffle-free:\n$plan")
+  }
+}

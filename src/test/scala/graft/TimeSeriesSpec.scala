@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("grid spans min..max inclusive at the given step") {
+    val df = Seq(ts("2024-01-01 03:15:00"), ts("2024-01-01 07:59:00"))
+      .toDF("t")
+    val g = TimeSeries.grid(df, date_trunc("hour", col("t")), "1 HOUR", "h")
+      .as[Timestamp].collect()
+    assert(g.length == 5, s"03..07 inclusive = 5 hours, got ${g.toSeq}")
+    assert(g.head == ts("2024-01-01 03:00:00") && g.last == ts("2024-01-01 07:00:00"))
+  }
+
+  test("gapFill zero-fills absent buckets and keeps present ones") {
+    val data = Seq((ts("2024-01-01 03:00:00"), 2L), (ts("2024-01-01 06:00:00"), 5L))
+      .toDF("h", "n")
+    val grid = TimeSeries.grid(
+      Seq(ts("2024-01-01 03:30:00"), ts("2024-01-01 06:30:00")).toDF("t"),
+      date_trunc("hour", col("t")), "1 HOUR", "h")
+    val got = TimeSeries.gapFill(grid, data, "h", Map("n" -> lit(0L)))
+      .orderBy("h").as[(Timestamp, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 0L, 0L, 5L))
+  }
+
+  test("forwardFill carries the last non-null forward, null until first value") {
+    val df = Seq(
+      (1L, 1, None: Option[Double]), (1L, 2, Some(7.0)), (1L, 3, None),
+      (1L, 4, None), (1L, 5, Some(9.0)), (2L, 1, None)
+    ).toDF("k", "seq", "v")
+    val w = Window.partitionBy("k").orderBy("seq")
+    val got = df.select(col("k"), col("seq"), TimeSeries.forwardFill(col("v"), w).as("ff"))
+      .orderBy("k", "seq").as[(Long, Int, Option[Double])].collect().toSeq
+    assert(got.map(_._3) == Seq(None, Some(7.0), Some(7.0), Some(7.0), Some(9.0), None))
+  }
+}
