@@ -47,6 +47,17 @@ object Soak {
     // documents: shift doc_id (near-dup pair structure replicates per copy)
     replicate(src.documents, "documents",
       (d, i) => d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+    // orders: o_orderkey shifted IDENTICALLY to l_orderkey so the fact
+    // join (q54) stays consistent; o_custkey tracks the customer shift
+    replicate(src.orders, "orders",
+      (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 1000000L)))
+    replicate(src.customer, "customer",
+      (d, i) => d.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 1000000L)))
+    // embeddings: shift by a multiple of 100 (q55 samples vec_id % 100)
+    replicate(src.embeddings, "embeddings",
+      (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
     // small dims: straight copies
     Seq("region", "nation", "supplier").foreach { n =>
       spark.read.parquet(s"/root/testdata/sf0.1/$n.parquet")
@@ -64,7 +75,7 @@ object Soak {
             t.documents, org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"), 3),
           maxDist = 3, bits = 64)))
-    val qs = CoverageQueries.all.toSeq.sortBy(_._1) ++ dedupQs
+    val qs = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++ dedupQs
     qs.foreach { case (_, q) => q(t).collect() } // warm (JIT/codegen)
     qs.foreach { case (n, q) =>
       val times = (1 to 2).map { _ =>
