@@ -63,4 +63,28 @@ class StreamOpsSpec extends SparkSpec {
     val n = spark.table("so_d").head().getLong(0)
     assert(n == sf0001.events.count(), "each duplicated event kept exactly once")
   }
+
+  test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
+    // the Spark-first payoff: Sampling/Cleaning are plain Column
+    // predicates, so the SAME operator code drives batch and readStream —
+    // nothing to reimplement for the streaming ingest path
+    val docsDir = Files.createTempDirectory("docs-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema(Tables.schemas("documents")).parquet(docsDir.toString)
+    val staged = graft.operators.Cleaning.clean(
+      graft.operators.Sampling.hashSample(docsStream, col("doc_id"), 0.5),
+      col("text"))
+    assert(staged.isStreaming, "the composed pipeline must still be a streaming frame")
+    val q = staged.writeStream.format("memory").queryName("so_s")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_s").select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Cleaning.clean(
+        graft.operators.Sampling.hashSample(sf0001.documents, col("doc_id"), 0.5),
+        col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, "stream and batch select identical rows")
+  }
 }
