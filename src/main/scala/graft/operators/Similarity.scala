@@ -73,6 +73,56 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Approximate cosine near-dup pairs via signed-random-projection LSH —
+    * the corpus-scale candidate generator for q34's exact all-pairs form
+    * (which is inherently O(N²): a broadcast NLJ evaluating every pair).
+    *
+    * Classic LSH-by-tables: `tables` independent hash tables, each keyed
+    * by `bandBits` sign bits of Gaussian random projections (hyperplanes
+    * drawn once, driver-side, from a fixed seed — the operator is fully
+    * deterministic). Two vectors collide in a table iff all its sign bits
+    * agree; P(bit agrees) = 1 − θ/π (Charikar's SRP property), so a pair
+    * at cosine ≥ 0.9 collides in ≥1 of 8×8-bit tables w.p. ≈ 0.93 while a
+    * random pair (p = ½) collides w.p. ≈ 8/256 — the candidate join
+    * touches ~N²/32 pairs instead of N²/2, and widening `bandBits` (16 at
+    * corpus scale) sharpens that ratio quadratically. Candidates are then
+    * verified with the EXACT cosine, so precision is 1 by construction —
+    * LSH only costs recall, never correctness of emitted pairs.
+    *
+    * Shuffle shape: signature derivation is a map stage (no shuffle), the
+    * candidate join is an equi-join on (table, band-key) — the identical
+    * banding shape as MinHash/SimHash dedup — and the verify join is two
+    * hash joins on vector id. At 100 TB: same plan, wider bands.
+    */
+  def cosineLshNearDups(
+      vectors: DataFrame, id: Column, vec: Column, dim: Int,
+      threshold: Double, tables: Int = 8, bandBits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val rnd = new scala.util.Random(seed)
+    // hyperplanes[t][b] = dim Gaussian weights; deterministic given seed
+    val planes = Array.fill(tables, bandBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val e = vectors.select(id.as("vid"), vec.cast("array<double>").as("e"))
+    val keys = (0 until tables).map { t =>
+      (0 until bandBits).foldLeft(lit(0)) { (acc, b) =>
+        acc * 2 + (V.dot(col("e"), array(planes(t)(b).map(lit): _*)) > 0).cast("int")
+      }
+    }
+    // sigs feed both sides of the band join AND the verify lookups
+    val sigs = e.select(col("vid"), col("e"), posexplode(array(keys: _*)).as(Seq("bi", "bk")))
+    val a = sigs.select(col("vid").as("da"), col("bi"), col("bk"))
+    val b = sigs.select(col("vid").as("db"), col("bi").as("bj"), col("bk").as("bl"))
+    val cand = a.join(b,
+        col("bi") === col("bj") && col("bk") === col("bl") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    val ea = e.select(col("vid").as("da"), col("e").as("ea"))
+    val eb = e.select(col("vid").as("db"), col("e").as("eb"))
+    cand.join(ea, "da").join(eb, "db")
+      .select(col("da"), col("db"),
+        GraftFunctions.cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** EXACT string nearest neighbor by Levenshtein distance without the
     * all-pairs cross product (q48's corpus-scale shape).
     *

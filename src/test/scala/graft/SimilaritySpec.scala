@@ -97,4 +97,44 @@ class SimilaritySpec extends SparkSpec {
     // bucket 0 contains {0, 10, 11}: neighbors of 10 are 0 and 11, never cluster 1
     assert(out == Set((10L, 0L), (10L, 11L)))
   }
+
+  test("cosine LSH: exact precision, high recall on embedding near-dups, deterministic") {
+    // SRP-LSH targets NEAR-DUPLICATE embeddings (cosine >= ~0.9) — the
+    // dedup regime, where a handful of sign bits separates dup from
+    // non-dup. (The fixture embeddings top out at pairwise cosine ~0.5 —
+    // weakly-similar search territory, which is q35's IVF path, not LSH.)
+    // Synthetic near-dup corpus: 40 cluster centers, 3 jittered copies
+    // each; within-cluster cosine ~0.99+, cross-cluster ~0.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (for {
+      c <- 0 until 40
+      base = Array.fill(dim)(rnd.nextGaussian())
+      j <- 0 until 3
+    } yield ((c * 10 + j).toLong,
+        unit(base.zipWithIndex.map { case (x, _) => x + rnd.nextGaussian() * 0.02 }).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val thresh = 0.9
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = e.select(col("vec_id").as("da"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("db"), col("e").as("eb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        graft.plans.GraftFunctions.cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= thresh)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 100, s"clusters must generate near-dup pairs, got ${brute.size}")
+    val lsh = Similarity.cosineLshNearDups(emb, col("vec_id"), col("embedding"), dim, thresh)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "every emitted pair is cosine-verified — precision 1")
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${brute.size}) below the 8x8-bit design point")
+    // determinism: hyperplanes are seed-derived, so reruns are identical
+    val again = Similarity.cosineLshNearDups(emb, col("vec_id"), col("embedding"), dim, thresh)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(again == lsh)
+  }
 }
