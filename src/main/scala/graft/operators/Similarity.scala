@@ -94,22 +94,32 @@ object Similarity {
     * banding shape as MinHash/SimHash dedup — and the verify join is two
     * hash joins on vector id. At 100 TB: same plan, wider bands.
     */
+  /** The composed (HOF-fold) band-key derivation — kept as the
+    * independent cross-check for the native `srp_bands` expression
+    * (bit-equality pinned in SimilaritySpec). Interpreted per element;
+    * the native expression is the production path. */
+  private[graft] def srpBandKeysComposed(
+      e: Column, dim: Int, tables: Int, bandBits: Int, seed: Int): Seq[Column] = {
+    val rnd = new scala.util.Random(seed.toLong)
+    val planes = Array.fill(tables, bandBits)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until tables).map { t =>
+      (0 until bandBits).foldLeft(lit(0)) { (acc, b) =>
+        acc * 2 + (V.dot(e, array(planes(t)(b).map(lit): _*)) > 0).cast("int")
+      }
+    }
+  }
+
   def cosineLshNearDups(
       vectors: DataFrame, id: Column, vec: Column, dim: Int,
       threshold: Double, tables: Int = 8, bandBits: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Int = 42): DataFrame = {
     GraftFunctions.ensureRegistered(vectors.sparkSession)
-    val rnd = new scala.util.Random(seed)
-    // hyperplanes[t][b] = dim Gaussian weights; deterministic given seed
-    val planes = Array.fill(tables, bandBits)(Array.fill(dim)(rnd.nextGaussian()))
     val e = vectors.select(id.as("vid"), vec.cast("array<double>").as("e"))
-    val keys = (0 until tables).map { t =>
-      (0 until bandBits).foldLeft(lit(0)) { (acc, b) =>
-        acc * 2 + (V.dot(col("e"), array(planes(t)(b).map(lit): _*)) > 0).cast("int")
-      }
-    }
-    // sigs feed both sides of the band join AND the verify lookups
-    val sigs = e.select(col("vid"), col("e"), posexplode(array(keys: _*)).as(Seq("bi", "bk")))
+    // band keys via the native expression: one flat loop per row instead
+    // of tables×bandBits×dim interpreted HOF lambda evaluations
+    val sigs = e.select(col("vid"), col("e"),
+      posexplode(GraftFunctions.srpBands(col("e"), tables, bandBits, dim, seed))
+        .as(Seq("bi", "bk")))
     val a = sigs.select(col("vid").as("da"), col("bi"), col("bk"))
     val b = sigs.select(col("vid").as("db"), col("bi").as("bj"), col("bk").as("bl"))
     val cand = a.join(b,

@@ -65,6 +65,18 @@ object GraftFunctions {
         TextHashExpressions.WordNGrams(exprs.head,
           literalInt(exprs(1), "word_ngrams", "n"))
       }),
+    (FunctionIdentifier("srp_bands"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.SrpBands].getName, "srp_bands"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 5) throw new IllegalArgumentException(
+          s"srp_bands(vec, tables, bandBits, dim, seed) takes 5 arguments, got ${exprs.length}")
+        TextHashExpressions.SrpBands(exprs.head,
+          literalInt(exprs(1), "srp_bands", "tables"),
+          literalInt(exprs(2), "srp_bands", "bandBits"),
+          literalInt(exprs(3), "srp_bands", "dim"),
+          literalInt(exprs(4), "srp_bands", "seed").toLong)
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(
         classOf[TextHashExpressions.SimHash64].getName, "simhash64"),
@@ -95,6 +107,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def wordNGrams(tokens: Column, n: Int): Column =
     call_function("word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
+  def srpBands(vec: Column, tables: Int, bandBits: Int, dim: Int, seed: Int): Column =
+    call_function("srp_bands", vec,
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(bandBits),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(seed))
   def simHash32(tokens: Column, shingleN: Int): Column =
     call_function("simhash32", tokens, org.apache.spark.sql.functions.lit(shingleN))
   def simHash64(tokens: Column, shingleN: Int): Column =

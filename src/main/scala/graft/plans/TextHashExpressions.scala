@@ -178,6 +178,71 @@ object TextHashExpressions {
       copy(child = newChild)
   }
 
+  /** `srp_bands(vec, tables, bandBits, dim, seed)` → array<int>: the
+    * signed-random-projection LSH band keys of an `array<double>`
+    * embedding — per table t, `bandBits` sign bits of Gaussian
+    * hyperplane projections, packed big-endian into one int key.
+    *
+    * The hyperplane matrix is derived per expression INSTANCE from
+    * `seed` via `scala.util.Random` (Java LCG — stable across JVMs), in
+    * exactly the order the composed form draws it
+    * (`Array.fill(tables, bandBits)(Array.fill(dim)(nextGaussian))`), so
+    * the keys are bit-identical to the HOF fold (pinned in
+    * SimilaritySpec). Exists for the same reason as [[WordNGrams]]: the
+    * HOF `aggregate(zip_with(...))` dot products evaluate an interpreted
+    * lambda per element — tables×bandBits×dim lambda evaluations per row
+    * versus one flat loop here. Dot products truncate to the shorter of
+    * (vector length, dim), matching `zip_with`. */
+  final case class SrpBands(
+      child: Expression, tables: Int, bandBits: Int, dim: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(tables >= 1 && bandBits >= 1 && bandBits <= 31 && dim >= 1,
+      s"invalid srp_bands($tables, $bandBits, $dim)")
+
+    override def prettyName: String = "srp_bands"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got ${other.catalogString}")
+      }
+
+    // [tables*bandBits][dim], drawn t-major then bit — the composed order
+    @transient private lazy val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(tables * bandBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val n = math.min(vec.numElements(), dim)
+      val v = new Array[Double](n)
+      var d = 0
+      while (d < n) { v(d) = vec.getDouble(d); d += 1 }
+      val keys = new Array[Any](tables)
+      var t = 0
+      while (t < tables) {
+        var key = 0
+        var b = 0
+        while (b < bandBits) {
+          val plane = planes(t * bandBits + b)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v(i) * plane(i); i += 1 }
+          key = key * 2 + (if (dot > 0) 1 else 0)
+          b += 1
+        }
+        keys(t) = key
+        t += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `simhash32(tokens, shingleN)` → bigint: the 32-bit SimHash over the
     * doc's DISTINCT shingles (bit weights vote +1/−1 per shingle, so
     * duplicates must be collapsed — the composed pipeline's `.distinct()`).

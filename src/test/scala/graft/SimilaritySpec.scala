@@ -137,4 +137,20 @@ class SimilaritySpec extends SparkSpec {
       .select("da", "db").as[(Long, Long)].collect().toSet
     assert(again == lsh)
   }
+
+  test("native srp_bands keys equal the composed HOF fold bit-for-bit") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (tables, bits, dim, seed) = (8, 8, 64, 42)
+    val composed = Similarity.srpBandKeysComposed(col("e"), dim, tables, bits, seed)
+    val both = emb.select(
+        col("vec_id"),
+        array(composed: _*).as("hof"),
+        graft.plans.GraftFunctions.srpBands(col("e"), tables, bits, dim, seed).as("native"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, hof, native) =>
+      assert(native == hof, s"vector $id band keys diverged")
+    }
+  }
 }
