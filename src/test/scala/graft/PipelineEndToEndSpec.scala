@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Dedup, Sampling}
+import graft.sources.Formats
+
+/** The whole training-data pipeline, end to end, on real fixture docs:
+  * text-format ingest → quality gate → near-dup pairs → cluster
+  * resolution → keep-one-per-cluster → stratified sample → partitioned
+  * columnar write. Each stage is an operator this library ships; the
+  * test asserts the invariants a corpus build actually relies on.
+  */
+class PipelineEndToEndSpec extends SparkSpec {
+
+  private val tmp = "/tmp/graft-pipeline-e2e"
+
+  test("ingest → clean → dedup → sample → partitioned write, invariants end to end") {
+    val docs = sf0001.documents
+
+    // 1. ingest: the corpus arrives as a CSV drop, schema pinned
+    Formats.writeCsv(docs, s"$tmp/drop")
+    val ingested = Formats.readCsv(spark, s"$tmp/drop", Tables.schemas("documents"))
+    assert(ingested.count() == docs.count())
+
+    // 2. quality gate (keep side only; rejects are auditable separately)
+    val cleaned = Cleaning.clean(ingested, col("text"))
+    val nCleaned = cleaned.count()
+    assert(nCleaned > 0 && nCleaned <= docs.count())
+
+    // 3. near-dup pairs → connected components → drop every non-representative
+    val pairs = Dedup.minHashNearDups(cleaned, col("doc_id"), col("text"))
+    val deduped = Dedup.withPairs(pairs) { p =>
+      val drop = Dedup.connectedComponents(p)
+        .filter(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"))
+      cleaned.join(drop, Seq("doc_id"), "left_anti")
+    }
+    val nDeduped = deduped.count()
+    assert(nDeduped < nCleaned, "the fixture corpus contains near-dups; some must drop")
+    // invariant: the kept set has no remaining near-dup pair
+    val residual = Dedup.withPairs(
+      Dedup.minHashNearDups(deduped, col("doc_id"), col("text")))(_.count())
+    assert(residual == 0, s"kept set must be pair-free, found $residual residual pairs")
+
+    // 4. deterministic stratified sample by language
+    val rates = Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "it" -> 0.5)
+    val sampled = Sampling.stratifiedHashSample(
+      deduped, col("doc_id"), col("lang"), rates)
+    val perLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullLang = deduped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.getOrElse("en", 0L) == fullLang.getOrElse("en", 0L),
+      "rate-1.0 stratum keeps everything")
+    perLang.keys.filter(_ != "en").foreach { l =>
+      assert(perLang(l) <= fullLang(l)) // subsampled strata shrink
+    }
+
+    // 5. columnar home, partitioned by the iteration key
+    sampled.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/home")
+    val home = spark.read.parquet(s"$tmp/home")
+    assert(home.count() == sampled.count())
+    // partition pruning: a lang filter must read only that partition
+    val pruned = home.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"lang filter must prune partitions:\n$scan")
+    assert(pruned.count() == perLang.getOrElse("en", 0L))
+  }
+}
