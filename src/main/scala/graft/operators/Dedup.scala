@@ -256,8 +256,11 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, a: String = "da", b: String = "db",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // defensive hygiene: a NULL endpoint would create a NULL vertex whose
+    // label never resolves, and a self-pair adds nothing
+    val clean = pairs.filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
+    val edges = clean.select(col(a).as("src"), col(b).as("dst"))
+      .union(clean.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -281,5 +284,18 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     labels
+  }
+
+  /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`
+    * into components and anti-join every non-representative member out of
+    * `docs`. This is the call a corpus build actually makes; q57 exposes
+    * the intermediate cluster table for auditing. The surviving set is
+    * pair-free by construction (re-running the pair detector on it finds
+    * nothing — asserted in PipelineEndToEndSpec). */
+  def dropNearDups(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("__dropId"))
+    docs.join(losers, id === col("__dropId"), "left_anti")
   }
 }

@@ -21,6 +21,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  /** CSV cannot natively distinguish an empty string from NULL (both are
+    * an empty field), so writer and reader agree on a convention: NULL is
+    * an explicit `\N` sentinel, the empty string is written QUOTED (`""`)
+    * and read back with the default empty-value mapping. A genuine `\N`
+    * string value in the data would be read back as NULL (the classic
+    * tradeoff; pick a different sentinel if your corpus can contain it).
+    * Roundtrip of text/empty/NULL pinned in FormatsSpec. */
+  private val NullSentinel = "\\N"
+  private val QuotedEmpty = "\"\""
+
   /** CSV with header, ISO-8601 timestamps, explicit schema. FAILFAST by
     * default: a malformed row at ingest is a producer bug to surface, not
     * a row to silently null out. */
@@ -30,6 +40,8 @@ object Formats {
       .schema(schema)
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+      .option("nullValue", NullSentinel)
+      .option("emptyValue", "")
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .csv(path)
 
@@ -37,6 +49,8 @@ object Formats {
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .option("nullValue", NullSentinel)
+      .option("emptyValue", QuotedEmpty)
       .csv(path)
 
   /** JSON-lines with explicit schema (no inference pre-scan). */

@@ -103,6 +103,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("connectedComponents ignores null endpoints and self-pairs") {
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (Some(3L), Some(3L)), // self-pair: no edge
+      (None, Some(4L)), (Some(5L), None)          // null endpoints: dropped
+    ).toDF("da", "db")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L),
+      s"only the clean pair contributes vertices, got $got")
+  }
+
+  test("dropNearDups leaves exactly one representative per cluster") {
+    val docs = corpus // docs 1,2,3,5 near-dup cluster(s); 4 unrelated
+    val pairs = Dedup.minHashNearDups(docs, col("doc_id"), col("text"))
+    val kept = Dedup.withPairs(pairs)(p =>
+      Dedup.dropNearDups(docs, col("doc_id"), p))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L), "the unpaired doc always survives")
+    assert(kept.contains(1L), "the minimum id of a cluster is its representative")
+    assert(!kept.contains(2L), "the exact dup of doc 1 is dropped")
+    // survivors re-deduplicate to nothing
+    val residual = Dedup.withPairs(
+      Dedup.minHashNearDups(docs.filter(col("doc_id").isin(kept.toSeq: _*)),
+        col("doc_id"), col("text")))(_.count())
+    assert(residual == 0)
+  }
+
   test("fingerprint collapses token permutations that md5(text) distinguishes") {
     val tok = corpus
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))

@@ -47,6 +47,20 @@ class FormatsSpec extends SparkSpec {
       .filter(col("a").isNotNull).count() == 1)
   }
 
+  test("CSV roundtrip distinguishes NULL from empty string (sentinel contract)") {
+    val df = Seq((1L, Some("text")), (2L, Some("")), (3L, None))
+      .toDF("id", "s")
+    Formats.writeCsv(df, s"$tmp/nulls_csv")
+    val back = Formats.readCsv(spark, s"$tmp/nulls_csv",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+      .as[(Long, Option[String])].collect().toMap
+    assert(back(1L) == Some("text"))
+    assert(back(2L) == Some(""), "empty string must come back empty, not NULL")
+    assert(back(3L) == None, "NULL must come back NULL, not empty")
+  }
+
   test("ingest conversion: text drop queried via its columnar copy matches the source") {
     val src = sf0001.lineitem
     Formats.writeCsv(src, s"$tmp/drop_csv")

@@ -31,10 +31,7 @@ class PipelineEndToEndSpec extends SparkSpec {
     // 3. near-dup pairs → connected components → drop every non-representative
     val pairs = Dedup.minHashNearDups(cleaned, col("doc_id"), col("text"))
     val deduped = Dedup.withPairs(pairs) { p =>
-      val drop = Dedup.connectedComponents(p)
-        .filter(col("id") =!= col("rep"))
-        .select(col("id").as("doc_id"))
-      cleaned.join(drop, Seq("doc_id"), "left_anti")
+      Dedup.dropNearDups(cleaned, col("doc_id"), p)
     }
     val nDeduped = deduped.count()
     assert(nDeduped < nCleaned, "the fixture corpus contains near-dups; some must drop")

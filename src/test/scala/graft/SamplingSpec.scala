@@ -43,6 +43,20 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("N").toDouble / totals("N") - 0.1) < 0.1)
   }
 
+  test("null keys sample as one entity instead of silently vanishing") {
+    val df = Seq((Some("k1"), 1), (None, 2), (None, 3), (Some("k2"), 4))
+      .toDF("key", "v")
+    // fraction 1.0 must keep EVERY row, null keys included — a naive
+    // md5(null)=null bucket would drop them at any fraction
+    assert(Sampling.hashSample(df, col("key"), 1.0).count() == 4)
+    // and the two null-key rows always travel together
+    for (f <- Seq(0.2, 0.5, 0.8)) {
+      val kept = Sampling.hashSample(df, col("key"), f)
+        .filter(col("key").isNull).count()
+      assert(kept == 0L || kept == 2L, s"null-key rows must be all-or-nothing, got $kept at $f")
+    }
+  }
+
   test("the sample predicate reaches the scan as a pushed filter stage (no shuffle)") {
     val plan = Sampling.hashSample(
       sf0001.lineitem, col("l_orderkey"), 0.5).queryExecution.executedPlan.toString
