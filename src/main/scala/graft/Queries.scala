@@ -183,12 +183,22 @@ object Queries {
     * `countDistinct(a, b)` drops tuples where EITHER column is null,
     * but the oracle's `count(*) FROM (SELECT DISTINCT a, b …)` keeps
     * them. A struct is never null itself, so null-containing tuples
-    * count — identical on null-free data, correct on nullable data. */
+    * count — identical on null-free data, correct on nullable data.
+    *
+    * Three independent single-distinct branches cross-joined, NOT one
+    * agg with three distincts: the single-agg form plans an Expand (×3
+    * rows, plus a grouping id, through one shuffle), while the branches
+    * each shuffle only their own narrow distinct set and their stages
+    * run DAG-parallel — measured 0.58 s vs 0.84 s at sf0.1 (the one
+    * formulation change that beat the round-1 sweeps). Cost shift at
+    * scale: the branch form scans the (column-pruned) source once per
+    * branch instead of once total — with a columnar source that is two
+    * extra narrow-column reads, cheaper than tripling the shuffle. */
   def q14(t: Tables): DataFrame =
-    t.lineitem.agg(
-      countDistinct(col("l_suppkey")).as("ds"),
-      countDistinct(col("l_partkey")).as("dp"),
-      countDistinct(struct(col("l_suppkey"), col("l_partkey"))).as("dpair"))
+    t.lineitem.agg(countDistinct(col("l_suppkey")).as("ds"))
+      .crossJoin(t.lineitem.agg(countDistinct(col("l_partkey")).as("dp")))
+      .crossJoin(t.lineitem.agg(
+        countDistinct(struct(col("l_suppkey"), col("l_partkey"))).as("dpair")))
 
   /** Q15 semi + anti join counts. */
   def q15(t: Tables): DataFrame = {
