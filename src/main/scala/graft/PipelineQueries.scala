@@ -196,6 +196,38 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("n").desc, col("bg")))
 
+  /** q67: keep-latest-per-key dedup — the "retain each document's newest
+    * version" policy (row_number over (key, recency) = 1), the ordered
+    * sibling of q24's content dedup. One window shuffle on the key;
+    * at scale identical to the top-k-per-group shape (WindowGroupLimit
+    * pushes the rn=1 filter into the sort). */
+  def q67(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"))
+      .transform(sortedSmall(_, col("user_id")))
+  }
+
+  /** q68: multi-match extraction (`regexp_extract_all` → explode) — link
+    * inventory over a corpus, the URL-density / domain-frequency pass of
+    * a web-scrape pipeline (URLs synthesized deterministically; the
+    * fixture text has none). */
+  def q68(t: Tables): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" see http://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example/page"), col("doc_id").cast("string"),
+      lit(" and https://www.ref.example/x"), (col("doc_id") % 3).cast("string"))
+    t.documents
+      .select(explode(regexp_extract_all(raw, lit("https?://[^ ]+"), lit(0))).as("url"))
+      .select(regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .transform(sortedSmall(_, col("domain")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q56_hash_sample"    -> q56 _,
     "q57_dedup_clusters" -> q57 _,
@@ -208,6 +240,8 @@ object PipelineQueries {
     "q64_scalar_subquery" -> q64 _,
     "q65_gap_fill"       -> q65 _,
     "q66_bigrams"        -> q66 _,
+    "q67_keep_latest"    -> q67 _,
+    "q68_url_extract"    -> q68 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,5 +385,22 @@ object PipelineQueries {
              FROM doc, unnest(range(1, greatest(len(s), 1))) AS t(i))
       SELECT bg, count(*) AS n FROM bg GROUP BY bg
       ORDER BY n DESC, bg LIMIT 20""",
+
+    "q67_keep_latest" -> """
+      SELECT user_id, event_id AS last_event, ts AS last_ts, event_type AS last_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id NULLS FIRST""",
+
+    "q68_url_extract" -> """
+      WITH raw AS (SELECT concat(text,
+          ' see http://site', CAST(doc_id % 7 AS VARCHAR),
+          '.example/page', CAST(doc_id AS VARCHAR),
+          ' and https://www.ref.example/x', CAST(doc_id % 3 AS VARCHAR)) AS r
+        FROM documents),
+      u AS (SELECT unnest(regexp_extract_all(r, 'https?://[^ ]+')) AS url FROM raw)
+      SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain, count(*) AS n
+      FROM u GROUP BY domain ORDER BY domain NULLS FIRST""",
   )
 }
