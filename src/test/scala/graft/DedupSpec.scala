@@ -98,6 +98,23 @@ class DedupSpec extends SparkSpec {
     assert(got == reps.view.filterKeys(verts).toMap)
   }
 
+  test("connectedComponents: a 200-vertex chain converges well under maxIter (pointer jumping)") {
+    // plain one-hop propagation needs O(diameter)=200 rounds; path halving
+    // must close this chain inside the default 25-round budget
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 0L),
+      s"all 200 chain vertices must label to 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponents THROWS rather than returning a wrong labeling at maxIter") {
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents on an empty pair table returns an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")
     assert(Dedup.connectedComponents(empty).count() == 0)
