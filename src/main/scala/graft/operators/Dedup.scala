@@ -276,11 +276,14 @@ object Dedup {
     var converged = prev == null // empty pair table → nothing to iterate
     var it = 0
     while (!converged && it < maxIter) {
-      // (a) edge propagation: min over own label and neighbors' labels
+      // (a) edge propagation: min over own label and neighbors' labels.
+      // Checkpointed BEFORE the jump join: both join sides read it, and
+      // without materialization each side would re-execute the groupBy.
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("rep"))
       val propagated = labels.union(prop)
         .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
       // (b) pointer jump: rep := rep's rep (labels are monotone, so the
       // jump target is always <= the current rep; left join keeps roots,
       // whose rep is not itself a vertex key with a smaller label)
