@@ -228,6 +228,58 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("domain")))
   }
 
+  /** q69: null-aware NOT IN — the three-valued-logic trap as a gated
+    * semantic: the same NOT IN over a subquery that contains a NULL
+    * returns NO rows (any comparison with NULL is unknown). Spark plans
+    * the null-aware anti join for this; both counts are gated so a
+    * future planner change that "fixes" the semantics would surface. */
+  def q69(t: Tables): DataFrame = {
+    t.customer.createOrReplaceTempView("q69_customer")
+    t.orders.createOrReplaceTempView("q69_orders")
+    t.spark.sql("""
+      SELECT
+        CAST((SELECT count(*) FROM q69_customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM q69_orders WHERE o_totalprice > 450000)) AS BIGINT) AS n_clean,
+        CAST((SELECT count(*) FROM q69_customer WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END
+            FROM q69_orders WHERE o_totalprice > 450000)) AS BIGINT) AS n_nullpoisoned""")
+  }
+
+  /** q70: FULL OUTER join — monthly order activity vs monthly shipping
+    * activity; months present on only one side survive with a zero fill
+    * (the §2.4 join family's last uncovered member). */
+  def q70(t: Tables): DataFrame = {
+    val om = t.orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("no"))
+    val lm = t.lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+      .agg(count(lit(1)).as("nl"))
+    om.join(lm, Seq("m"), "full_outer")
+      .select(col("m"), coalesce(col("no"), lit(0L)).as("no"),
+        coalesce(col("nl"), lit(0L)).as("nl"))
+      .transform(sortedSmall(_, col("m")))
+  }
+
+  /** q71: LATERAL correlated subquery — per-region top-2 nations by
+    * supplier balance, the "top-k per outer row" shape written as the
+    * SQL standard's lateral join (Spark decorrelates it into a window
+    * under the hood; rounding applied OUTSIDE the lateral ordering so
+    * both engines rank the same unrounded sums). */
+  def q71(t: Tables): DataFrame = {
+    t.region.createOrReplaceTempView("q71_region")
+    t.nation.createOrReplaceTempView("q71_nation")
+    t.supplier.createOrReplaceTempView("q71_supplier")
+    t.spark.sql("""
+      SELECT r_name, n_name, bal0 FROM q71_region r,
+      LATERAL (SELECT n_name, sum(s_acctbal) AS bal0
+               FROM q71_nation n JOIN q71_supplier s ON s_nationkey = n_nationkey
+               WHERE n_regionkey = r.r_regionkey
+               GROUP BY n_name ORDER BY bal0 DESC, n_name LIMIT 2) t""")
+      .select(col("r_name"), col("n_name"), Rounding.portable(col("bal0"), 2).as("bal"))
+      .transform(sortedSmall(_, col("r_name"), col("bal").desc, col("n_name")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q56_hash_sample"    -> q56 _,
     "q57_dedup_clusters" -> q57 _,
@@ -242,6 +294,9 @@ object PipelineQueries {
     "q66_bigrams"        -> q66 _,
     "q67_keep_latest"    -> q67 _,
     "q68_url_extract"    -> q68 _,
+    "q69_not_in_null"    -> q69 _,
+    "q70_full_outer"     -> q70 _,
+    "q71_lateral_topk"   -> q71 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +457,32 @@ object PipelineQueries {
       u AS (SELECT unnest(regexp_extract_all(r, 'https?://[^ ]+')) AS url FROM raw)
       SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain, count(*) AS n
       FROM u GROUP BY domain ORDER BY domain NULLS FIRST""",
+
+    "q69_not_in_null" -> """
+      SELECT
+        CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)) AS BIGINT) AS n_clean,
+        CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL ELSE o_custkey END
+            FROM orders WHERE o_totalprice > 450000)) AS BIGINT) AS n_nullpoisoned""",
+
+    "q70_full_outer" -> """
+      WITH om AS (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS no
+                  FROM orders GROUP BY 1),
+      lm AS (SELECT date_trunc('month', l_shipdate) AS m, count(*) AS nl
+             FROM lineitem GROUP BY 1)
+      SELECT coalesce(om.m, lm.m) AS m,
+             coalesce(no, 0) AS no, coalesce(nl, 0) AS nl
+      FROM om FULL JOIN lm ON om.m = lm.m
+      ORDER BY m NULLS FIRST""",
+
+    "q71_lateral_topk" -> """
+      SELECT r_name, n_name, round(bal0, 2) AS bal FROM (
+        SELECT r_name, n_name, bal0 FROM region r,
+        LATERAL (SELECT n_name, sum(s_acctbal) AS bal0
+                 FROM nation n JOIN supplier s ON s_nationkey = n_nationkey
+                 WHERE n_regionkey = r.r_regionkey
+                 GROUP BY n_name ORDER BY bal0 DESC, n_name LIMIT 2) t) x
+      ORDER BY r_name NULLS FIRST, bal DESC NULLS LAST, n_name NULLS FIRST""",
   )
 }
