@@ -28,6 +28,10 @@ object TimeSeries {
     * grid length — broadcast it and the fill is shuffle-free. */
   def gapFill(gridDf: DataFrame, dataAgg: DataFrame, key: String,
       fills: Map[String, Column]): DataFrame = {
+    val unknown = fills.keySet -- dataAgg.columns.toSet - key
+    require(unknown.isEmpty,
+      s"gapFill fills reference columns not in the data side: ${unknown.mkString(", ")} " +
+      s"(have: ${dataAgg.columns.mkString(", ")}) — a typo here would silently leave NULLs")
     val filled = dataAgg.columns.filterNot(_ == key).map { c =>
       fills.get(c).map(d => coalesce(col(c), d)).getOrElse(col(c)).as(c)
     }

@@ -32,6 +32,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(2L, 0L, 0L, 5L))
   }
 
+  test("grid over an empty source is empty (sequence of NULL bounds explodes to nothing)") {
+    val empty = Seq.empty[Timestamp].toDF("t")
+    assert(TimeSeries.grid(empty, date_trunc("hour", col("t")), "1 HOUR").count() == 0)
+  }
+
+  test("gapFill rejects fill keys that are not data columns (typo guard)") {
+    val data = Seq((ts("2024-01-01 03:00:00"), 2L)).toDF("h", "n")
+    val grid = Seq(ts("2024-01-01 03:00:00")).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.gapFill(grid, data, "h", Map("m" -> lit(0L))) // "m" is a typo for "n"
+    }
+    assert(e.getMessage.contains("m"))
+  }
+
   test("forwardFill carries the last non-null forward, null until first value") {
     val df = Seq(
       (1L, 1, None: Option[Double]), (1L, 2, Some(7.0)), (1L, 3, None),
