@@ -196,6 +196,70 @@ object Dedup {
     materialized(pairs, hashes)
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (the PPJoin-family
+    * optimization; Bayardo et al. "Scaling Up All Pairs Similarity
+    * Search", Xiao et al. PPJoin): identical result set to
+    * [[ngramJaccard]], far fewer candidate pairs.
+    *
+    * Principle: under any global total order on shingles (lexicographic
+    * here), if `jacc(A,B) >= t` then the required overlap is at least
+    * `ceil(t*max(|A|,|B|))`, and two sets with overlap >= α must share an
+    * element within their first `|X| - α + 1` elements — so indexing only
+    * each doc's PREFIX (its `|X| - ceil(t*|X|) + 1` smallest shingles, a
+    * valid relaxation per side) finds every qualifying pair. At t = 0.5
+    * the index halves per side (≈4× fewer candidate join rows); a size
+    * filter (`min >= t*max`, implied by jacc >= t) prunes survivors
+    * before the exact intersection count, which runs only on candidates.
+    *
+    * Shuffle shape: one window per doc (prefix ranks), the prefix
+    * equi-join, then two hash joins keyed on doc id for the exact
+    * recount — each stage keyed, no broadcast needed, AQE-splittable on
+    * skewed shingles. Equivalence with the full inverted-index form is
+    * asserted in DedupSpec on corpus and fixtures.
+    *
+    * Measured on the FIXTURES it loses (3.2 s vs 1.6 s at sf0.1; at soak
+    * ×10 its timed reps did not finish in a window where the full form
+    * completes in seconds): the synthetic corpus draws from a closed ~100-token
+    * vocabulary, so every trigram is shared by many documents and the
+    * lexicographic prefix prunes almost nothing while paying two extra
+    * joins — the same data property that sank q48's q-gram bound in
+    * round 2. On a natural (Zipfian-vocabulary) corpus the prefix carries
+    * the rare shingles and candidates collapse; that is the documented
+    * 100 TB path, while q33 keeps the simple inverted-index form that
+    * wins on this data. */
+  def ngramJaccardPrefix(shinglesIn: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    val shingles = shinglesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("w")
+    val ranked = shingles
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked.filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    val a = prefix.select(col("doc_id").as("da"), col("w"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("db"), col("w").as("wb"), col("n").as("nb"))
+    val cand = a.join(b, col("w") === col("wb") && col("da") < col("db") &&
+        // size bound: jacc >= t ⇒ min(|A|,|B|) >= t·max(|A|,|B|)
+        col("nb") >= lit(threshold) * col("na") &&
+        col("na") >= lit(threshold) * col("nb"))
+      .select("da", "db").distinct()
+    // exact intersection count, candidates only
+    val ia = shingles.select(col("doc_id").as("da"), col("w"))
+    val ib = shingles.select(col("doc_id").as("db"), col("w"))
+    val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand.join(ia, "da")
+      .join(ib, Seq("db", "w"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+    materialized(pairs, shingles)
+  }
+
   /** Exact n-gram Jaccard over an inverted-index join: only pairs sharing
     * at least one shingle are compared (sharing count = intersection). */
   def ngramJaccard(shinglesIn: DataFrame, threshold: Double): DataFrame = {

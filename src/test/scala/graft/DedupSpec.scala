@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(got == reps.view.filterKeys(verts).toMap)
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index form (corpus + fixtures)") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val sh = Dedup.shingleSet(df, col("doc_id"), col("text"), 3)
+      val full = Dedup.withPairs(Dedup.ngramJaccard(sh, t))(
+        _.as[(Long, Long, Double)].collect().toSet)
+      val pref = Dedup.withPairs(Dedup.ngramJaccardPrefix(sh, t))(
+        _.as[(Long, Long, Double)].collect().toSet)
+      (full, pref)
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val (full, pref) = pairsOf(corpus, t)
+      assert(pref == full, s"threshold $t diverged on the synthetic corpus")
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (full, pref) = pairsOf(docs, 0.5)
+    assert(full.nonEmpty && pref == full, "fixture divergence")
+  }
+
   test("connectedComponents: a 200-vertex chain converges well under maxIter (pointer jumping)") {
     // plain one-hop propagation needs O(diameter)=200 rounds; path halving
     // must close this chain inside the default 25-round budget
