@@ -37,7 +37,7 @@ object Cli {
     "dir", "table", "x", "y", "where", "width", "height",
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
-    "conj", "noconj", "noflags")
+    "conj", "noconj", "noflags", "sample", "sample-key")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -89,7 +89,18 @@ object Cli {
     val a = parse(argv)
     val t = Engine.open(spark, a.req("dir"))
     val table = spark.table(a.req("table"))
-    val df = a.get("where").fold(table)(w => table.filter(expr(w)))
+    val filtered = a.get("where").fold(table)(w => table.filter(expr(w)))
+    // --sample: deterministic md5-bucket row subset (plot a reproducible
+    // fraction of an arbitrarily large table; same rows on every run and
+    // any partitioning — unlike TABLESAMPLE). The key must be a stable
+    // row expression; rows sharing a key travel together.
+    val df = (a.get("sample"), a.get("sample-key")) match {
+      case (Some(f), Some(k)) =>
+        graft.operators.Sampling.hashSample(filtered, expr(k), f.toDouble)
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "--sample needs --sample-key <expr> (a stable row key, e.g. the row id)")
+      case _ => filtered
+    }
     val x = expr(a.req("x"))
     val y = expr(a.req("y"))
     val w = a.int("width", 256)

@@ -110,4 +110,29 @@ class CliSpec extends SparkSpec {
       "--width", "32", "--height", "32", "--out", out), spark)
     assert(cells > 0)
   }
+
+  test("--sample draws a deterministic subset; reruns identical, fewer points than full") {
+    def total(out: String, extra: Seq[String]): Double = {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "-x", "l_quantity", "-y", "l_extendedprice",
+        "--xmin", "0", "--xmax", "55", "--ymin", "900", "--ymax", "105000",
+        "--width", "32", "--height", "32", "--out", out) ++ extra, spark)
+      spark.read.parquet(out).agg(org.apache.spark.sql.functions.sum("c"))
+        .head().getLong(0).toDouble
+    }
+    val full = total(tmp("full"), Seq.empty)
+    val s1 = total(tmp("s1"), Seq("--sample", "0.3", "--sample-key",
+      "concat(l_orderkey, ':', l_linenumber)"))
+    val s2 = total(tmp("s2"), Seq("--sample", "0.3", "--sample-key",
+      "concat(l_orderkey, ':', l_linenumber)"))
+    assert(s1 == s2, "the sample must be identical across runs")
+    assert(s1 > 0 && s1 < full, s"sampled points $s1 must be a strict subset of $full")
+    assert(math.abs(s1 / full - 0.3) < 0.05, s"fraction off: ${s1 / full}")
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Seq("--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "-x", "l_quantity", "-y", "l_extendedprice", "--sample", "0.5"), spark)
+    }
+    assert(e.getMessage.contains("sample-key"))
+  }
 }
