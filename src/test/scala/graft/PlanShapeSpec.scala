@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape gates: the scale properties docs/PLANS.txt
+  * documents, asserted so a regression (a lost pushdown, a broadcast
+  * that degrades to shuffle, a partial aggregate that disappears) fails
+  * the build instead of silently shipping a slower plan. String checks
+  * run against the pre-AQE plan of each query on sf0.001 tables.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): String =
+    plan(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+
+  test("q02: the flag predicate reaches the parquet scan (PushedFilters)") {
+    val p = q("q02_filter_flagmask")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"predicate must push to the scan:\n$p")
+  }
+
+  test("q04: both dimension joins broadcast") {
+    val p = q("q04_dim_join_chain")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation and region must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no dimension SMJ expected:\n$p")
+  }
+
+  test("q06: the raster is a partial+final hash aggregate around one exchange") {
+    val p = q("q06_raster2d_count")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial and final hash aggregates expected:\n$p")
+  }
+
+  test("q13: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = q("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not full-sort:\n$p")
+  }
+
+  test("q65: the gap-fill join broadcasts the bounded side") {
+    val p = q("q65_gap_fill")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"fill join must broadcast:\n$p")
+  }
+
+  test("q67: rn=1 keep-latest pushes the limit into the sort (WindowGroupLimit)") {
+    val p = q("q67_keep_latest")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=1 filter must push below the window:\n$p")
+  }
+
+  test("native minhash signatures are a pure map stage (no exchange, no aggregate)") {
+    val sigs = graft.operators.Dedup.minHashSignaturesNative(
+      sf0001.documents, col("doc_id"), col("text"))
+    val p = plan(sigs)
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"signature derivation must not shuffle or aggregate:\n$p")
+  }
+
+  test("q66: bigram counting partially aggregates below its exchange") {
+    val p = q("q66_bigrams")
+    val exchangeIdx = p.indexOf("Exchange")
+    val partialIdx = p.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"a partial HashAggregate must sit below the exchange (map-side combine):\n$p")
+  }
+}
