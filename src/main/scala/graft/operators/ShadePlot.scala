@@ -94,8 +94,18 @@ object ShadePlot {
     * is substituted (the reference's `--png` filename token expansion
     * [U]); without a token the group is appended before the extension. */
   def pngPathForGroup(template: String, grp: String): String = {
-    // keep group values filesystem-safe without losing distinctness
-    val safe = grp.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+    // keep group values filesystem-safe without losing distinctness: when
+    // sanitization changes the value, distinct groups like "a/b" and "a_b"
+    // would collapse to one filename (and one would silently overwrite the
+    // other) — append a short hash of the ORIGINAL value to disambiguate
+    val mapped = grp.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+    val safe =
+      if (mapped == grp) grp
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(grp.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"${mapped}-$h"
+      }
     if (template.contains("{}")) template.replace("{}", safe)
     else {
       val i = template.lastIndexOf('.')

@@ -18,9 +18,15 @@ object TimeSeries {
     * (partial min/max per partition, tiny exchange), and the grid explodes
     * from that single row — O(grid length) rows out regardless of input
     * size, so the grid side of [[gapFill]] is always bounded. */
-  def grid(src: DataFrame, tsExpr: Column, step: String, as: String = "g"): DataFrame =
+  def grid(src: DataFrame, tsExpr: Column, step: String, as: String = "g"): DataFrame = {
+    // `step` is interpolated into SQL text — validate it here so a typo (or
+    // a quote) fails at the call site with a clear message instead of an
+    // opaque parse error (or an injected fragment) deep in analysis
+    require(step.matches("""(?i)\d+\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?"""),
+      s"grid step must look like '<n> SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR', got: '$step'")
     src.agg(min(tsExpr).as("mn"), max(tsExpr).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"), expr(s"INTERVAL '$step'"))).as(as))
+  }
 
   /** Left-join bucket-aggregated `dataAgg` onto the dense grid, filling
     * the named columns where the data has no bucket. `dataAgg` is grouped

@@ -163,9 +163,17 @@ object TextHashExpressions {
       while (i <= len - n) {
         sb.setLength(0)
         var k = 0
+        var wrote = false
         while (k < n) {
-          if (k > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + k).toString)
+          // concat_ws semantics: null elements are skipped entirely (no
+          // separator emitted) — the HOF form tolerates containsNull
+          // arrays, so this loop must too (parity pinned in
+          // NativeHashParitySpec)
+          if (!toks.isNullAt(i + k)) {
+            if (wrote) sb.append(' ')
+            sb.append(toks.getUTF8String(i + k).toString)
+            wrote = true
+          }
           k += 1
         }
         out(i) = UTF8String.fromString(sb.toString)

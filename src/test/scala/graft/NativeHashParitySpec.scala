@@ -40,6 +40,28 @@ class NativeHashParitySpec extends SparkSpec {
     fix.foreach { case (hof, native) => assert(native == hof) }
   }
 
+  test("word_ngrams tolerates null array elements exactly like concat_ws (no NPE)") {
+    import graft.functions.TextOps
+    // user-supplied arrays can carry nulls (word_ngrams is a registered SQL
+    // function); the HOF form's concat_ws silently skips null elements, so
+    // the native loop must produce the identical shingle strings
+    val withNulls = Seq(
+      (1L, Seq("a", null, "b", "c")),
+      (2L, Seq[String](null, null, null)),
+      (3L, Seq("x", null))
+    ).toDF("doc_id", "toks")
+    Seq(1, 2, 3).foreach { n =>
+      val rows = withNulls.select(
+          col("doc_id"),
+          TextOps.shingles(col("toks"), n).as("hof"),
+          TextOps.shinglesNative(col("toks"), n).as("native"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      rows.foreach { case (id, hof, native) =>
+        assert(native == hof, s"doc $id diverged at n=$n: hof=$hof native=$native")
+      }
+    }
+  }
+
   test("native minhash signatures equal the explode+min pipeline (incl. short-doc drop)") {
     val composed = Dedup.minHashSignatures(
         Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), numHashes = 8)

@@ -28,6 +28,17 @@ class ShadePlotSpec extends SparkSpec {
     assert(total == sf0001.lineitem.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("pngPathForGroup: sanitized-but-distinct groups never collide") {
+    // "a/b" and "a_b" both sanitize to "a_b"; the original-value hash
+    // suffix keeps them distinct (a collision silently overwrites a PNG)
+    val paths = Seq("a/b", "a_b", "a b").map(g =>
+      ShadePlot.pngPathForGroup("/tmp/out/{}.png", g))
+    assert(paths.distinct.size == paths.size, s"collision: $paths")
+    // values that are already filesystem-safe keep their clean name
+    assert(ShadePlot.pngPathForGroup("/tmp/out/{}.png", "scan-3.corr")
+      == "/tmp/out/scan-3.corr.png")
+  }
+
   test("norms: linear/log/cbrt shades are max-normalized to 1") {
     for (n <- Seq("linear", "log", "cbrt")) {
       val shaded = ShadePlot.shade(ShadePlot.raster(sf0001.lineitem, spec(n)), spec(n))

@@ -37,6 +37,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.grid(empty, date_trunc("hour", col("t")), "1 HOUR").count() == 0)
   }
 
+  test("grid rejects malformed step strings at the call site (injection/typo guard)") {
+    val df = Seq(ts("2024-01-01 03:15:00")).toDF("t")
+    Seq("1 FORTNIGHT", "1' HOUR", "HOUR", "1HOUR; DROP").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        TimeSeries.grid(df, col("t"), bad)
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    // the whitelist still admits the documented unit spellings
+    assert(TimeSeries.grid(df, col("t"), "30 MINUTES").count() == 1)
+  }
+
   test("gapFill rejects fill keys that are not data columns (typo guard)") {
     val data = Seq((ts("2024-01-01 03:00:00"), 2L)).toDF("h", "n")
     val grid = Seq(ts("2024-01-01 03:00:00")).toDF("h")
