@@ -140,13 +140,17 @@ object ExtensionQueries {
       (count(lit(1)) - countDistinct(col("fp"))).cast("long").as("collapsed"))
   }
 
-  /** q40: multimodal binary-column pipeline — fabricate a binary payload
-    * from each document, run the stubbed batch decoder (real schema /
-    * encoder / partition shape; fake codec). No SQL oracle — the driver
-    * records a rows-only check. */
+  /** q40: multimodal image pipeline with a REAL codec — synthesize one
+    * encoded PNG/BMP/GIF per document (content derived deterministically
+    * from doc_id, see [[Multimodal.synthImageBytes]]), then decode it with
+    * javax.imageio: format sniffed from the container bytes, dimensions
+    * and exact per-channel pixel sums from a full pixel read. The oracle
+    * re-derives every output value arithmetically from doc_id — so a
+    * decoder that misreads the container, the dimensions, or any pixel
+    * hash-mismatches. */
   def q40(t: Tables): DataFrame = {
-    val withBlob = t.documents.select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
-    Multimodal.decodeStub(withBlob, "doc_id", "blob").toDF()
+    val blobs = Multimodal.synthImages(t.documents.select(col("doc_id")), "doc_id")
+    Multimodal.decodeImages(blobs, "doc_id", "blob").toDF()
       .transform(sortedSmall(_, col("doc_id")))
   }
 
@@ -201,11 +205,29 @@ object ExtensionQueries {
     "q37_text_quality"       -> q37 _,
     "q38_token_stats"        -> q38 _,
     "q39_fingerprint"        -> q39 _,
-    "q40_multimodal_stub"    -> q40 _,
+    "q40_multimodal_decode"  -> q40 _,
   )
 
-  /** DuckDB oracles (q40 intentionally absent — not SQL-expressible). */
+  /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
+    * INPUT images are synthesized from doc_id under a documented
+    * arithmetic contract — so the oracle re-derives format, dimensions
+    * and exact channel sums from doc_id without decoding anything. */
   val oracles: Map[String, String] = Map(
+    "q40_multimodal_decode" -> """
+      WITH dims AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+               CAST(8 + doc_id % 32 AS INTEGER) AS width,
+               CAST(8 + doc_id % 24 AS INTEGER) AS height,
+               doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+               (doc_id*3) % 256 AS rb, (doc_id*5) % 256 AS gb, (doc_id*11) % 256 AS bb
+        FROM documents)
+      SELECT doc_id, format, width, height,
+             CAST(width * (((height+1)//2)*ra + (height//2)*rb) AS BIGINT) AS sum_r,
+             CAST(width * (((height+1)//2)*ga + (height//2)*gb) AS BIGINT) AS sum_g,
+             CAST(width * (((height+1)//2)*ba + (height//2)*bb) AS BIGINT) AS sum_b
+      FROM dims ORDER BY doc_id NULLS FIRST""",
+
     "q41_json_map" -> """
       SELECT event_type,
              CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS ks,

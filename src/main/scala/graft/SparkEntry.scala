@@ -20,8 +20,8 @@ object SparkEntry {
       }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops
-    * (q40_multimodal_stub → rows-only check). */
+    * the same parquet tables — every query, q40's real image decode
+    * included (its synthesized inputs make the decode SQL-predictable). */
   def oracleSql: Map[String, String] =
     OracleSql.all ++ ExtensionQueries.oracles ++ CoverageQueries.oracles ++
       PipelineQueries.oracles

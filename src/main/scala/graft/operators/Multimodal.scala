@@ -49,6 +49,124 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
   }
 
+  // ---------------------------------------------------------------------
+  // Real image codec path — javax.imageio ships PNG/BMP/GIF/JPEG codecs
+  // with every JDK, so image decode needs no external dependency. The
+  // remaining decodeStub covers only formats with no JVM codec here
+  // (webp/audio/video).
+  // ---------------------------------------------------------------------
+
+  /** Decoded-image metadata: dimensions from the real decoder plus exact
+    * per-channel pixel sums (sums, not means, so the values stay integral
+    * and bit-comparable across engines). */
+  final case class ImageMeta(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** The deterministic image-synthesis contract (shared by the Scala
+    * generator and the q40 SQL oracle, which re-derives every value below
+    * arithmetically from `doc_id`):
+    *  - format: id%3 → png / bmp / gif (all lossless in javax.imageio, so
+    *    decoded pixels equal encoded pixels exactly; JPEG decode is real
+    *    too but lossy, covered by MultimodalSpec with dimension-only
+    *    assertions);
+    *  - width 8+id%32, height 8+id%24;
+    *  - two horizontal bands: top ceil(h/2) rows in color A =
+    *    (id, 7id, 13id) % 256, bottom floor(h/2) rows in color B =
+    *    (3id, 5id, 11id) % 256.
+    * Requires non-negative ids (SQL `%` and Scala `%` agree only there). */
+  private[graft] def synthFormat(id: Long): String =
+    (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" }
+
+  private[graft] def synthImageBytes(id: Long, fmt: String): Array[Byte] = {
+    require(id >= 0, s"image synthesis requires non-negative ids, got $id")
+    val w = (8 + id % 32).toInt
+    val h = (8 + id % 24).toInt
+    val a = ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+    val b = ((id * 3 % 256).toInt, (id * 5 % 256).toInt, (id * 11 % 256).toInt)
+    def rgb(c: (Int, Int, Int)): Int = c._1 << 16 | c._2 << 8 | c._3
+    // GIF is palette-based: hand it an indexed image whose palette IS the
+    // two band colors, so the writer quantizes to exactly those (an RGB
+    // image would invite writer-chosen palette quantization and break the
+    // lossless contract); PNG/BMP/JPEG take plain RGB
+    val img =
+      if (fmt == "gif") {
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(a._1.toByte, b._1.toByte),
+          Array(a._2.toByte, b._2.toByte),
+          Array(a._3.toByte, b._3.toByte))
+        new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      } else new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val c = if (y < (h + 1) / 2) rgb(a) else rgb(b)
+      var x = 0
+      while (x < w) { img.setRGB(x, y, c); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
+    require(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  /** One real encoded image per input row: (`idCol`, blob). Format and
+    * content derive deterministically from the id (see the contract on
+    * [[synthImageBytes]]). */
+  def synthImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthImageBytes(id, synthFormat(id)))))
+      .toDF(idCol, "blob")
+  }
+
+  /** REAL image decode, batch-per-partition: container sniffing via the
+    * registered ImageIO readers (not trusted metadata), then a full pixel
+    * decode with per-channel sums. This is the production kernel shape —
+    * the only thing a cluster deployment changes is the codec set. */
+  def decodeImages(df: DataFrame, idCol: String, blobCol: String): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"doc $id: no ImageIO reader for payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(id, fmt, w, h, sr, sg, sb)
+          } finally reader.dispose()
+        }
+      }
+  }
+
   /** Frame-sample analogue: slice `n` evenly spaced fixed-size windows out
     * of a payload (video keyframe sampling shape, stub payload math). */
   def frameSample(df: DataFrame, idCol: String, blobCol: String, n: Int): DataFrame = {

@@ -20,6 +20,49 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(m => m.sha.length == 64 && m.width > 0 && m.height > 0))
   }
 
+  test("real codec roundtrip: synth png/bmp/gif decode to the arithmetic contract") {
+    // ids crossing the format cycle, the 256 color wrap, and both parities
+    // of height (the two bands split differently for odd/even heights)
+    val ids = Seq(0L, 1L, 2L, 3L, 20L, 255L, 256L, 257L, 1000L, 12345L)
+    val blobs = Multimodal.synthImages(ids.toDF("doc_id"), "doc_id")
+    val metas = Multimodal.decodeImages(blobs, "doc_id", "blob")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas.keySet == ids.toSet)
+    ids.foreach { id =>
+      val m = metas(id)
+      val (w, h) = ((8 + id % 32).toInt, (8 + id % 24).toInt)
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" }
+      assert(m.format == expFmt, s"doc $id: sniffed ${m.format}, wrote $expFmt")
+      assert(m.width == w && m.height == h, s"doc $id dims: $m")
+      val (top, bot) = ((h + 1) / 2, h / 2)
+      assert(m.sum_r == w.toLong * (top * (id % 256) + bot * (id * 3 % 256)), s"doc $id r: $m")
+      assert(m.sum_g == w.toLong * (top * (id * 7 % 256) + bot * (id * 5 % 256)), s"doc $id g: $m")
+      assert(m.sum_b == w.toLong * (top * (id * 13 % 256) + bot * (id * 11 % 256)), s"doc $id b: $m")
+    }
+  }
+
+  test("real codec: format is sniffed from bytes, not trusted metadata") {
+    // decode a payload whose id-derived format WOULD be png but whose
+    // bytes are a real jpeg — the sniffer must report what the bytes are
+    val jpegBytes = Multimodal.synthImageBytes(9L, "jpeg") // 9%3==0 -> png by id
+    val df = Seq((9L, jpegBytes)).toDF("doc_id", "blob")
+    val m = Multimodal.decodeImages(df, "doc_id", "blob").collect().head
+    assert(m.format == "jpeg", s"sniffed ${m.format}")
+    // jpeg is lossy: dimensions are exact, pixel sums only approximate
+    assert(m.width == (8 + 9 % 32) && m.height == (8 + 9 % 24))
+    val exact = w9Sums
+    assert(math.abs(m.sum_r - exact._1).toDouble / math.max(exact._1, 1) < 0.15,
+      s"jpeg sum_r too far from source: $m vs $exact")
+  }
+
+  private lazy val w9Sums: (Long, Long, Long) = {
+    val (w, h) = (8L + 9 % 32, (8 + 9 % 24))
+    val (top, bot) = ((h + 1) / 2, h / 2)
+    (w * (top * (9 % 256) + bot * (9 * 3 % 256)),
+     w * (top * (9 * 7 % 256) + bot * (9 * 5 % 256)),
+     w * (top * (9 * 13 % 256) + bot * (9 * 11 % 256)))
+  }
+
   test("media lake: format-partitioned layout, pruned reads, intact blobs") {
     val dir = java.nio.file.Files.createTempDirectory("medialake").toString
     Multimodal.writeMediaLake(docs, "doc_id", "blob", dir)
