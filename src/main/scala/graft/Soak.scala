@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * with the library's default scale configs (AQE on, 32 shuffle
   * partitions, default splits) — catches output-grows-with-input and
   * quadratic-blowup problems no fixed-SF benchmark can.
-  * Usage: sbt "runMain graft.Soak [multiplier]"  (default 10). */
+  * Usage: sbt "runMain graft.Soak [multiplier] [nameFilter]"  (default 10;
+  * a filter substring runs only matching queries, skipping table
+  * replication when none of the selected queries reads the tables). */
 object Soak {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val nameFilter = args.lift(1)
     val out = s"/dev/shm/graft-soak-x$mult"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,9 +24,53 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Zipfian-skew dedup scenario (no fixture involvement — the fixture
+    // corpus has a CLOSED vocabulary where every shingle is frequent, so a
+    // df-cap there proves nothing): n docs all sharing a 6-token
+    // boilerplate header (4 stop trigrams with df = n, each contributing
+    // ~n²/2 inverted-index join rows — the quadratic skew ceiling), in
+    // twin pairs whose unique trigrams have df = 2 (the true near-dups).
+    // The capped form must (a) lift the ceiling and (b) return exactly the
+    // n/2 twin pairs — both asserted here, timed like any soak query.
+    def skewCorpus(n: Int): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("the quick brown fox jumps over "),
+          concat_ws(" ", (0 until 5).map(k =>
+            concat(lit(s"u${k}x"), col("id") % lit(n / 2))): _*)).as("text"))
+    val skewN = mult * 1000
+    def skewShingles(t: Tables) = graft.operators.Dedup.shingleSet(
+      skewCorpus(skewN), col("doc_id"), col("text"), 3)
+    val skewQs: Seq[(String, Tables => DataFrame)] = Seq(
+      "jaccard_skew_uncapped" -> ((t: Tables) =>
+        graft.operators.Dedup.ngramJaccard(skewShingles(t), 0.9)),
+      "jaccard_skew_dfcap" -> ((t: Tables) => {
+        val pairs = graft.operators.Dedup.ngramJaccardCapped(skewShingles(t), 0.9, dfCap = 100L)
+        val got = pairs.count()
+        require(got == skewN / 2, s"dfcap recall broke: $got of ${skewN / 2} twin pairs")
+        pairs
+      }))
+
     val src = Tables(spark, "/root/testdata/sf0.1")
 
+    // the skew queries synthesize their corpus inline — when a filter
+    // selects only those, the (minutes-long) table replication is skipped
+    val tableQsAll = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++
+      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
+        .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
+        // the 64-bit scale variant (not oracle-gated; measured here to back
+        // the N²/buckets claim against the 32-bit contract form)
+        "simhash64_scale" -> ((t: Tables) =>
+          graft.operators.Dedup.simHashNearDups(
+            graft.operators.Dedup.simHash64Native(
+              t.documents, org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"), 3),
+            maxDist = 3, bits = 64))))
+    def selected[A](qs: Seq[(String, A)]) =
+      qs.filter { case (n, _) => nameFilter.forall(n.contains) }
+    val tableQs = selected(tableQsAll)
+
     def replicate(df: DataFrame, name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      if (tableQs.isEmpty) return
       val copies = (0 until mult).map(i => shift(df, i)).reduce(_ unionAll _)
       copies.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
     }
@@ -59,23 +106,13 @@ object Soak {
     replicate(src.embeddings, "embeddings",
       (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
     // small dims: straight copies
-    Seq("region", "nation", "supplier").foreach { n =>
+    if (tableQs.nonEmpty) Seq("region", "nation", "supplier").foreach { n =>
       spark.read.parquet(s"/root/testdata/sf0.1/$n.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
     }
 
-    val t = Tables(spark, out)
-    val dedupQs = Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
-      .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
-      // the 64-bit scale variant (not oracle-gated; measured here to back
-      // the N²/buckets claim against the 32-bit contract form)
-      "simhash64_scale" -> ((t: Tables) =>
-        graft.operators.Dedup.simHashNearDups(
-          graft.operators.Dedup.simHash64Native(
-            t.documents, org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text"), 3),
-          maxDist = 3, bits = 64)))
-    val qs = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++ dedupQs
+    val t = if (tableQs.nonEmpty) Tables(spark, out) else null
+    val qs = tableQs ++ selected(skewQs)
     qs.foreach { case (_, q) => q(t).collect() } // warm (JIT/codegen)
     qs.foreach { case (n, q) =>
       val times = (1 to 2).map { _ =>

@@ -280,6 +280,62 @@ object Dedup {
     materialized(pairs, shingles)
   }
 
+  /** [[ngramJaccard]] with a document-frequency cap on the inverted index
+    * (the standard stop-shingle guard; Bayardo et al. §5 "Scaling Up All
+    * Pairs Similarity Search" use the same high-frequency-last ordering
+    * insight): at corpus scale a Zipfian head shingle shared by k docs
+    * contributes k² candidate join rows — one ubiquitous trigram ("in the
+    * end", boilerplate headers) makes the per-shingle join quadratic in
+    * corpus size. Capping is the cheap fix: shingles with df > `dfCap`
+    * are dropped from the CANDIDATE index only.
+    *
+    * Exactness contract (asserted in DedupSpec):
+    *  - every emitted pair carries its EXACT Jaccard — the intersection
+    *    recount below runs over the full uncapped shingle sets, keyed by
+    *    doc id (stop shingles count toward `i`, they just don't generate
+    *    candidates);
+    *  - a qualifying pair is missed only if EVERY shared shingle has
+    *    df > dfCap. When no shingle exceeds the cap the result is
+    *    identical to [[ngramJaccard]]. For near-dup thresholds (t ≥ 0.7,
+    *    dozens of shared shingles/doc) a pair sharing exclusively
+    *    corpus-head shingles is boilerplate by construction — the pairs a
+    *    df-cap drops are the ones a dedup pipeline mines with
+    *    [[fingerprint]] instead.
+    *
+    * Shuffle shape: df agg (one shuffle, map-side combined) + the capped
+    * inverted-index join + the same doc-keyed recount joins as
+    * [[ngramJaccardPrefix]] — every stage keyed, AQE-splittable, nothing
+    * broadcast-dependent. */
+  def ngramJaccardCapped(shinglesIn: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val shingles = shinglesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = shingles
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("w")
+    val indexed = shingles.join(rare, "w")
+    val a = indexed.select(col("doc_id").as("da"), col("w"))
+    val b = indexed.select(col("doc_id").as("db"), col("w").as("wb"))
+    val cand = a.join(b, col("w") === col("wb") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    // exact intersection recount over the FULL shingle sets (cap applies
+    // to candidate generation only)
+    val ia = shingles.select(col("doc_id").as("da"), col("w"))
+    val ib = shingles.select(col("doc_id").as("db"), col("w"))
+    val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand.join(ia, "da")
+      .join(ib, Seq("db", "w"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("i") * lit(1.0) / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+    materialized(pairs, shingles)
+  }
+
   /** Sorted-distinct-token fingerprint (md5) — collapses permuted /
     * re-ordered duplicates that exact text hashing misses. */
   def fingerprint(tokens: DataFrame): DataFrame =

@@ -116,6 +116,48 @@ class DedupSpec extends SparkSpec {
     assert(full.nonEmpty && pref == full, "fixture divergence")
   }
 
+  test("df-capped jaccard: identical to uncapped when no shingle exceeds the cap") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame, t: Double, cap: Long) = {
+      val sh = Dedup.shingleSet(df, col("doc_id"), col("text"), 3)
+      val full = Dedup.withPairs(Dedup.ngramJaccard(sh, t))(
+        _.as[(Long, Long, Double)].collect().toSet)
+      val capped = Dedup.withPairs(Dedup.ngramJaccardCapped(sh, t, cap))(
+        _.as[(Long, Long, Double)].collect().toSet)
+      (full, capped)
+    }
+    // cap above every shingle's df -> exact equivalence (corpus + fixtures)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val (full, capped) = pairsOf(corpus, t, cap = 1000L)
+      assert(capped == full, s"threshold $t diverged with a non-binding cap")
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (full, capped) = pairsOf(docs, 0.5, cap = 100000L)
+    assert(full.nonEmpty && capped == full, "fixture divergence with non-binding cap")
+  }
+
+  test("df-capped jaccard: binding cap keeps exact scores, misses only all-stop-shingle pairs") {
+    // docs 1/2 share ONLY the ubiquitous shingle "a b c" (df=4 > cap);
+    // docs 3/4 share it too but ALSO share the rare "x y z" (df=2 <= cap)
+    val skewed = Seq(
+      (1L, "a b c p q r s"),
+      (2L, "a b c t u v w"),
+      (3L, "a b c x y z h"),
+      (4L, "a b c x y z k")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(skewed, col("doc_id"), col("text"), 3)
+    val full = Dedup.withPairs(Dedup.ngramJaccard(sh, 0.05))(
+      _.as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap)
+    val capped = Dedup.withPairs(Dedup.ngramJaccardCapped(sh, 0.05, dfCap = 3L))(
+      _.as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap)
+    // (3,4) survives: candidate from the rare shared shingle, and its
+    // Jaccard is EXACT (the stop shingle still counts in the recount)
+    assert(capped.contains((3L, 4L)) && capped((3L, 4L)) == full((3L, 4L)))
+    // (1,2) is the documented miss: every shared shingle is over-cap
+    assert(full.contains((1L, 2L)) && !capped.contains((1L, 2L)))
+    // nothing else appears or changes score
+    assert(capped.forall { case (k, v) => full(k) == v })
+  }
+
   test("connectedComponents: a 200-vertex chain converges well under maxIter (pointer jumping)") {
     // plain one-hop propagation needs O(diameter)=200 rounds; path halving
     // must close this chain inside the default 25-round budget
