@@ -41,6 +41,41 @@ object StreamOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression, state bounded by the watermark: the
+    * MinHash signature ([[graft.operators.Dedup.minHashSignaturesNative]])
+    * is a pure map stage — no shuffle, no aggregation — so it composes
+    * directly with `dropDuplicatesWithinWatermark` keyed on the signature.
+    * A document is suppressed when an earlier in-watermark document has
+    * the IDENTICAL signature, i.e. estimated Jaccard 1.0 at `numHashes`
+    * resolution: exact duplicates, token permutations and very-high-
+    * overlap rewrites (batch q31's est=1.0 pairs — parity asserted in
+    * StreamOpsSpec on replay).
+    *
+    * Deliberately NOT band-OR LSH semantics (est ≥ t for t < 1): "any
+    * band collides" needs per-band state PLUS a per-doc verdict
+    * aggregation — a (flat)MapGroupsWithState stage feeding a second
+    * stateful operator, a combination Structured Streaming does not
+    * support in one query — and threshold near-dup is not transitive, so
+    * sub-1.0 suppression depends on arrival order either way. The
+    * corpus-scale shape for threshold dedup stays batch (LSH pairs →
+    * connected components → [[graft.operators.Dedup.dropNearDups]]);
+    * this operator is the streaming-ingest guard in front of it.
+    *
+    * Documents with fewer than `shingleN` tokens have no signature; they
+    * get a per-document fallback key so they always pass (matching batch,
+    * where unsignable docs never join any pair). */
+  def nearDupWithinWatermark(
+      docs: DataFrame, id: Column, text: Column, tsCol: String, delay: String,
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame =
+    docs.withColumn("__minhash_key",
+        coalesce(
+          array_join(graft.plans.GraftFunctions.minHashSignature(
+            graft.functions.TextOps.tokens(text), shingleN, numHashes), "|"),
+          concat(lit("unsignable:"), id.cast("string"))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__minhash_key"))
+      .drop("__minhash_key")
+
   /** Stream-stream interval join (Q23's shape as two live streams): equi
     * key + event-time range conjunct. Both sides carry watermarks and the
     * join condition bounds `rightTs` to a window after `leftTs`, which is

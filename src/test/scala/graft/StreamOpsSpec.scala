@@ -64,6 +64,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(n == sf0001.events.count(), "each duplicated event kept exactly once")
   }
 
+  test("nearDupWithinWatermark suppresses signature-identical docs, parity with batch q31 est=1.0") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 1==2 exact dup; 3 near-dup of 1 (est < 1 -> must be KEPT);
+    // 4==5 exact dup; 6,7 too short to sign (must both be KEPT)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different content with no shared trigram shingles here now"),
+      (5L, "completely different content with no shared trigram shingles here now"),
+      (6L, "tiny doc"),
+      (7L, "tiny doc")
+    ).toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+    val dir = Files.createTempDirectory("docs-neardup")
+    corpus.write.mode("overwrite").parquet(dir.toString)
+
+    val docsStream = spark.readStream.schema(corpus.schema).parquet(dir.toString)
+    val q = StreamOps.nearDupWithinWatermark(
+        docsStream, col("doc_id"), col("text"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("so_nd").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("so_nd").select("doc_id")
+      .as[Long].collect().toSet
+
+    // batch q31 pipeline on the same corpus: est=1.0 pairs are the
+    // signature-identical groups the stream must collapse
+    val est1 = Dedup.withPairs(
+      Dedup.minHashNearDups(corpus, col("doc_id"), col("text")))(
+      _.filter(col("est") === 1.0).as[(Long, Long, Double)].collect()
+        .map(p => Set(p._1, p._2)).toSeq)
+    assert(est1.toSet == Set(Set(1L, 2L), Set(4L, 5L)), s"batch est=1.0 pairs: $est1")
+
+    // exactly one survivor per signature-identical group
+    est1.foreach { pair =>
+      assert((kept & pair).size == 1, s"group $pair: kept=$kept")
+    }
+    // everything not signature-identical to a kept doc is kept: the
+    // sub-1.0 near-dup, the disjoint doc, and both unsignable short docs
+    assert(kept.contains(3L), "est<1 near-dup must NOT be suppressed")
+    assert(kept.contains(6L) && kept.contains(7L),
+      "unsignable docs must always pass (unique fallback key)")
+    assert(kept.size == 5, s"kept=$kept")
+  }
+
   test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
     // the Spark-first payoff: Sampling/Cleaning are plain Column
     // predicates, so the SAME operator code drives batch and readStream —
