@@ -362,10 +362,14 @@ object Dedup {
     * per-round shape as large-star/small-star (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond").
     *
-    * Per round the labels are `localCheckpoint`ed: without truncation the
+    * Per round the labels are checkpointed: without truncation the
     * logical plan doubles per iteration (the classic iterative-lineage
-    * explosion). On a cluster, prefer `sparkContext.setCheckpointDir` +
-    * `checkpoint()` for fault-tolerant truncation.
+    * explosion). Default is `localCheckpoint` (executor-local blocks —
+    * fastest, but lost with an executor or the driver). Pass
+    * `checkpointDir` for RELIABLE checkpointing on a long cluster run:
+    * each round's labels are then written to that (HDFS/object-store)
+    * directory and the multi-hour CC of a 100 TB dedup survives executor
+    * loss instead of recomputing from round 0.
     *
     * Convergence test: labels only ever decrease, so the label sum is
     * monotone non-increasing and "sum unchanged" is an exact fixpoint test
@@ -379,7 +383,16 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, a: String = "da", b: String = "db",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    // reliable vs local truncation: same plan either way, different
+    // durability (see scaladoc). `checkpoint()` requires the context
+    // checkpoint dir; set it from the parameter (idempotent), never unset.
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // defensive hygiene: a NULL endpoint would create a NULL vertex whose
     // label never resolves, and a self-pair adds nothing
     val clean = pairs.filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
@@ -389,7 +402,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+      .transform(truncate)
     def labelSum(df: DataFrame): Any =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head.get(0)
     var prev = labelSum(labels)
@@ -403,7 +416,7 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
       val propagated = labels.union(prop)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint()
+        .transform(truncate)
       // (b) pointer jump: rep := rep's rep (labels are monotone, so the
       // jump target is always <= the current rep; left join keeps roots,
       // whose rep is not itself a vertex key with a smaller label)
@@ -411,7 +424,7 @@ object Dedup {
       val reps = propagated.select(col("id").as("jid"), col("rep").as("rep2"))
       labels = jump.join(reps, Seq("jid"), "left")
         .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint()
+        .transform(truncate)
       val s = labelSum(labels)
       converged = s == prev
       prev = s

@@ -175,6 +175,22 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents with checkpointDir uses reliable checkpoints, same labeling") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the reliable path must have actually written checkpoint data
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      s"no checkpoint data written under $dir — reliable path not exercised")
+  }
+
   test("connectedComponents on an empty pair table returns an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")
     assert(Dedup.connectedComponents(empty).count() == 0)
