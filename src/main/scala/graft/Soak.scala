@@ -43,12 +43,8 @@ object Soak {
     val skewQs: Seq[(String, Tables => DataFrame)] = Seq(
       "jaccard_skew_uncapped" -> ((t: Tables) =>
         graft.operators.Dedup.ngramJaccard(skewShingles(t), 0.9)),
-      "jaccard_skew_dfcap" -> ((t: Tables) => {
-        val pairs = graft.operators.Dedup.ngramJaccardCapped(skewShingles(t), 0.9, dfCap = 100L)
-        val got = pairs.count()
-        require(got == skewN / 2, s"dfcap recall broke: $got of ${skewN / 2} twin pairs")
-        pairs
-      }))
+      "jaccard_skew_dfcap" -> ((t: Tables) =>
+        graft.operators.Dedup.ngramJaccardCapped(skewShingles(t), 0.9, dfCap = 100L)))
 
     val src = Tables(spark, "/root/testdata/sf0.1")
 
@@ -113,6 +109,14 @@ object Soak {
 
     val t = if (tableQs.nonEmpty) Tables(spark, out) else null
     val qs = tableQs ++ selected(skewQs)
+    // dfcap recall gate, asserted ONCE here OUTSIDE the timed reps: a
+    // count+require inside the timed lambda double-materializes the pair
+    // table and inflates the dfcap number the a/b comparison relies on
+    if (qs.exists(_._1 == "jaccard_skew_dfcap")) {
+      val got = graft.operators.Dedup
+        .ngramJaccardCapped(skewShingles(t), 0.9, dfCap = 100L).count()
+      require(got == skewN / 2, s"dfcap recall broke: $got of ${skewN / 2} twin pairs")
+    }
     qs.foreach { case (_, q) => q(t).collect() } // warm (JIT/codegen)
     qs.foreach { case (n, q) =>
       val times = (1 to 2).map { _ =>

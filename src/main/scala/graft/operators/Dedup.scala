@@ -369,7 +369,16 @@ object Dedup {
     * `checkpointDir` for RELIABLE checkpointing on a long cluster run:
     * each round's labels are then written to that (HDFS/object-store)
     * directory and the multi-hour CC of a 100 TB dedup survives executor
-    * loss instead of recomputing from round 0.
+    * loss instead of recomputing from round 0. Reliable snapshots are NOT
+    * removed by Spark (the ContextCleaner only deletes them when the RDD
+    * is GC'd AND `spark.cleaner.referenceTracking.cleanCheckpoints` was
+    * set at driver start), so without intervention ~2 snapshots per round
+    * accumulate — at 100 TB that is real storage. This implementation
+    * therefore deletes superseded `rdd-*` snapshots itself after each
+    * round's labels checkpoint is materialized (only the newest snapshot
+    * — the one backing the live `labels` frame — is kept). The FINAL
+    * snapshot stays behind because it backs the returned DataFrame: pass
+    * a dedicated directory and remove it once the result is consumed.
     *
     * Convergence test: labels only ever decrease, so the label sum is
     * monotone non-increasing and "sum unchanged" is an exact fixpoint test
@@ -387,12 +396,30 @@ object Dedup {
     // reliable vs local truncation: same plan either way, different
     // durability (see scaladoc). `checkpoint()` requires the context
     // checkpoint dir; set it from the parameter (idempotent), never unset.
-    val truncate: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
+    val sc = pairs.sparkSession.sparkContext
+    val (truncate, dropStaleSnapshots): (DataFrame => DataFrame, () => Unit) =
+      checkpointDir match {
+        case Some(dir) =>
+          sc.setCheckpointDir(dir)
+          val clean = () => try {
+            // RDD ids are monotone, so the highest-numbered rdd-* dir is
+            // the snapshot backing the live labels frame; everything older
+            // is garbage once the round's eager checkpoint materialized.
+            // Best-effort: a failed delete must not fail the CC itself.
+            val base = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+            val fs = base.getFileSystem(sc.hadoopConfiguration)
+            if (fs.exists(base)) {
+              val snaps = fs.listStatus(base).map(_.getPath)
+                .filter(_.getName.startsWith("rdd-"))
+              if (snaps.length > 1) {
+                val keep = snaps.maxBy(_.getName.stripPrefix("rdd-").toInt)
+                snaps.filterNot(_ == keep).foreach(p => fs.delete(p, true))
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          ((df: DataFrame) => df.checkpoint(), clean)
+        case None => ((df: DataFrame) => df.localCheckpoint(), () => ())
+      }
     // defensive hygiene: a NULL endpoint would create a NULL vertex whose
     // label never resolves, and a self-pair adds nothing
     val clean = pairs.filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
@@ -429,6 +456,10 @@ object Dedup {
       converged = s == prev
       prev = s
       it += 1
+      // the round's labels checkpoint is materialized (checkpoint() is
+      // eager); the round's propagated snapshot and all earlier rounds'
+      // are now unreferenced — reclaim them (no-op for localCheckpoint)
+      dropStaleSnapshots()
     }
     edges.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(

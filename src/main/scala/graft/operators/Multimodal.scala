@@ -162,7 +162,12 @@ object Multimodal {
               y += 1
             }
             ImageMeta(id, fmt, w, h, sr, sg, sb)
-          } finally reader.dispose()
+          } finally {
+            // dispose() releases the reader but NOT the input stream it
+            // was given — close iis too or each row leaks a stream handle
+            reader.dispose()
+            iis.close()
+          }
         }
       }
   }

@@ -56,9 +56,14 @@ object TextHashExpressions {
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** Builds the shingle strings of `toks` (all tokens, empties included —
-    * identical to `TextOps.shingles` over `TextOps.tokens`) and feeds each
-    * to `f`. Returns false when the doc has fewer than `n` tokens. */
+  /** Builds the shingle strings of `toks` (empties included — identical to
+    * `TextOps.shingles` over `TextOps.tokens`) and feeds each to `f`. Null
+    * elements are skipped with concat_ws semantics (no separator emitted),
+    * exactly as [[WordNGrams]] does — the composed `explode(word_ngrams)`
+    * pipeline tolerates containsNull arrays, so the registered signature
+    * functions must produce the same shingles or the two surfaces diverge
+    * (parity pinned in NativeHashParitySpec). Returns false when the doc
+    * has fewer than `n` tokens. */
   private def eachShingle(input: Any, n: Int)(f: String => Unit): Boolean = {
     val toks = input.asInstanceOf[ArrayData]
     val len = toks.numElements()
@@ -68,9 +73,13 @@ object TextHashExpressions {
     while (i <= len - n) {
       sb.setLength(0)
       var k = 0
+      var wrote = false
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        if (!toks.isNullAt(i + k)) {
+          if (wrote) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          wrote = true
+        }
         k += 1
       }
       f(sb.toString)

@@ -76,7 +76,13 @@ class CliSpec extends SparkSpec {
     // without a {} token the group lands before the extension
     assert(graft.operators.ShadePlot.pngPathForGroup("/tmp/a/p.png", "O") == "/tmp/a/p_O.png")
     assert(graft.operators.ShadePlot.pngPathForGroup("/tmp/a.dir/p", "O") == "/tmp/a.dir/p_O")
-    assert(graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "x y") == "/t/p_x_y.png")
+    // a sanitized group value gets a short hash of the ORIGINAL value so
+    // distinct groups can never collapse onto one filename
+    assert(graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "x y") == "/t/p_x_y-c8d1ae92.png")
+    assert(graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "a/b") !=
+      graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "a_b"))
+    assert(graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "a b") !=
+      graft.operators.ShadePlot.pngPathForGroup("/t/p.png", "a/b"))
   }
 
   test("misspelled options, order-less first/last, and partial ranges are handled") {

@@ -189,6 +189,16 @@ class DedupSpec extends SparkSpec {
       f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
     assert(anyFile(new java.io.File(dir)),
       s"no checkpoint data written under $dir — reliable path not exercised")
+    // ...and reclaimed every superseded snapshot: ~2 accumulate per round
+    // unless CC deletes them itself (Spark's ContextCleaner won't here);
+    // only the final labels snapshot may remain
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).toSeq.flatten.flatMap(c =>
+        (if (c.isDirectory && c.getName.startsWith("rdd-")) Seq(c) else Nil) ++
+          (if (c.isDirectory) rddDirs(c) else Nil))
+    val remaining = rddDirs(new java.io.File(dir))
+    assert(remaining.length == 1,
+      s"stale checkpoint snapshots not reclaimed: ${remaining.map(_.getName)}")
   }
 
   test("connectedComponents on an empty pair table returns an empty labeling") {

@@ -62,6 +62,46 @@ class NativeHashParitySpec extends SparkSpec {
     }
   }
 
+  test("minhash_signature / simhash32 / simhash64 tolerate null array elements (no NPE, parity)") {
+    import graft.functions.TextOps
+    import graft.plans.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    // the registered SQL functions shingle internally via eachShingle; a
+    // null-bearing array must yield the same shingles as the composed
+    // explode(word_ngrams) pipeline (concat_ws semantics: nulls skipped),
+    // not an NPE and not silently different signatures
+    val withNulls = Seq(
+      (1L, Seq("a", null, "b", "c", "d")),
+      (2L, Seq[String](null, null, null)),
+      (3L, Seq("x", "y", null, "x", "y")),
+      (4L, Seq("short", null)) // < n tokens -> NULL signature in both forms
+    ).toDF("doc_id", "toks")
+    val shingleRows = withNulls
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 3)).as("w"))
+      .distinct()
+    val composedSig = Dedup.minHashSignatures(shingleRows, numHashes = 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val nativeSig = withNulls
+      .select(col("doc_id"), GraftFunctions.minHashSignature(col("toks"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nativeSig == composedSig)
+    assert(!nativeSig.contains(4L), "a doc with < n tokens stays signature-free")
+    val composedSh = Dedup.simHash(shingleRows).as[(Long, Long)].collect().toMap
+    val nativeSh = withNulls
+      .select(col("doc_id"), GraftFunctions.simHash32(col("toks"), 3).as("sh"))
+      .filter(col("sh").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    assert(nativeSh == composedSh)
+    // simhash64 has no composed twin at width 64 — the gate here is
+    // null-tolerance plus determinism of the skip semantics
+    val sh64 = withNulls
+      .select(col("doc_id"), GraftFunctions.simHash64(col("toks"), 3).as("sh"))
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(sh64(4L) == null)
+    assert(sh64(1L) != null && sh64(2L) != null && sh64(3L) != null)
+  }
+
   test("native minhash signatures equal the explode+min pipeline (incl. short-doc drop)") {
     val composed = Dedup.minHashSignatures(
         Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3), numHashes = 8)
