@@ -34,26 +34,58 @@ object Similarity {
   }
 
   /** Deterministic Lloyd's iterations for IVF centroid training: init =
-    * the first k vectors by id, fixed iteration count, cosine assignment.
-    * Only the k-row centroid set ever reaches the driver; each iteration
-    * is one broadcast-join assignment pass + one k-group mean aggregate —
-    * the standard distributed k-means shape. Returns (vec_id, e) rows
-    * usable directly as [[ivfAssign]]'s centroid input. */
-  def trainCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    * the first k vectors by id, cosine assignment, up to `iters` rounds
+    * with an ε-convergence stop — when the maximum L2 centroid movement
+    * of a round is ≤ `eps`, later rounds cannot change the assignment and
+    * are pure waste (at 100 TB each skipped round saves a full corpus
+    * assignment pass). The default eps=0 stops only on bit-identical
+    * centroids, so results are unchanged for existing callers: once
+    * movement is exactly 0 every further round is a no-op by
+    * construction. Only the k-row centroid set ever reaches the driver;
+    * each iteration is one broadcast-join assignment pass + one k-group
+    * mean aggregate — the standard distributed k-means shape. Returns
+    * (vec_id, e) rows usable directly as [[ivfAssign]]'s centroid
+    * input. */
+  def trainCentroids(
+      vectors: DataFrame, k: Int, iters: Int, dim: Int,
+      eps: Double = 0.0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    trainCentroidsConverged(vectors, k, iters, dim, eps)._1.toDF("vec_id", "e")
+  }
+
+  /** [[trainCentroids]] plus the number of rounds actually run — the
+    * observable the early-stop spec pins (callers use the DataFrame
+    * form). */
+  private[graft] def trainCentroidsConverged(
+      vectors: DataFrame, k: Int, iters: Int, dim: Int,
+      eps: Double): (Seq[(Long, Seq[Double])], Int) = {
     val spark = vectors.sparkSession
     import spark.implicits._
     var cents: Seq[(Long, Seq[Double])] = vectors.orderBy("vec_id").limit(k)
       .select(col("e").cast("array<double>")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    for (_ <- 0 until iters) {
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < iters && moved > eps) {
+      val prev = cents.toMap
       val cDf = cents.toDF("vec_id", "e")
       val assign = ivfAssign(vectors, cDf)
       cents = vectors.join(assign, "vec_id")
         .groupBy(col("cid"))
         .agg(V.meanVector(col("e"), dim).as("e"))
         .select(col("cid"), col("e")).as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      // max L2 movement over surviving centroids; a centroid whose
+      // cluster emptied is gone for good (no row carries its cid again),
+      // so it cannot contribute movement in later rounds either
+      moved = cents.map { case (id, e) =>
+        prev.get(id).fold(Double.MaxValue) { p =>
+          math.sqrt(e.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }.foldLeft(0.0)(math.max)
+      it += 1
     }
-    cents.toDF("vec_id", "e")
+    (cents, it)
   }
 
   /** IVF top-k: each query searches only the vectors assigned to its own

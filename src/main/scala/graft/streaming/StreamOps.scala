@@ -17,7 +17,11 @@ object StreamOps {
       keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     events.groupBy(window(ts, duration) +: keys: _*).agg(aggs.head, aggs.tail: _*)
 
-  /** Sliding-window variant. */
+  /** Sliding-window variant. Lateness note (pinned in
+    * StreamingParitySpec): under a watermark the drop is PER WINDOW, not
+    * per row — the aggregation filters on window.end vs the watermark, so
+    * a late row is dropped from its already-closed windows but still
+    * counts in any of its windows the watermark has not passed. */
   def sliding(
       events: DataFrame, ts: Column, duration: String, slide: String,
       keys: Seq[Column], aggs: Seq[Column]): DataFrame =

@@ -36,6 +36,24 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(10L) == 0L && assign(21L) == 1L)
   }
 
+  test("trainCentroids stops early once centroid movement hits the ε floor") {
+    // on this corpus the assignment is stable after round 1 and the means
+    // are bit-identical from round 2 on — a fixed-iteration loop would
+    // burn every remaining round on no-op corpus passes
+    val (cents, used) = Similarity.trainCentroidsConverged(
+      vecs, k = 2, iters = 50, dim = 2, eps = 0.0)
+    assert(used < 50, s"ran all $used rounds — ε stop never fired")
+    assert(used <= 3, s"toy set must converge in <= 3 rounds, took $used")
+    // the early-stopped result is EXACTLY the fixed-iteration result
+    val fixed = Similarity.trainCentroids(vecs, k = 2, iters = used, dim = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents.toMap == fixed)
+    // a loose ε stops sooner than the exact one, never later
+    val (_, loose) = Similarity.trainCentroidsConverged(
+      vecs, k = 2, iters = 50, dim = 2, eps = 1.0)
+    assert(loose <= used)
+  }
+
   test("stringNearestNeighbor: length-band prefilter answer equals brute force") {
     val parts = Tables(spark, "/root/testdata/sf0.001").part
       .select(col("p_partkey"), col("p_name"))

@@ -96,6 +96,69 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce at least one joined pair")
   }
 
+  test("sliding window under lateness: streamed state equals batch over the on-time rows") {
+    // LateDataSpec pins tumbling-window drop semantics; sliding windows
+    // are the harder case because one late row spans SEVERAL windows and
+    // the drop is PER WINDOW, not per row: the aggregation filters on
+    // window.end vs the watermark, so a late row is dropped from its
+    // already-closed windows but STILL lands in any window the watermark
+    // has not closed (measured here — an event-time-vs-watermark filter
+    // would drop it everywhere). Parity oracle: a driver-side simulation
+    // of exactly that rule over the replay schedule.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    def slid(df: DataFrame) = graft.streaming.StreamOps.sliding(
+      df.withColumn("ts", timestamp_seconds(col("sec")))
+        .withWatermark("ts", "10 minutes"),
+      col("ts"), "10 minutes", "5 minutes",
+      Seq.empty, Seq(count(lit(1)).as("n"), sum("v").as("s")))
+    val q = slid(input.toDF().toDF("sec", "v"))
+      .writeStream.format("memory").queryName("slide_late")
+      .outputMode("append").start()
+    // batch 1: on-time rows + a 1500s row that moves the watermark to 900s
+    input.addData((0L, 1L), (120L, 2L), (540L, 3L), (1500L, 4L))
+    q.processAllAvailable()
+    // batch 2: 125s is late for both its windows; 850s is late even though
+    // its second window [600,1200) is still open; 2000s is on time
+    input.addData((125L, 50L), (850L, 60L), (2000L, 5L))
+    q.processAllAvailable()
+    // batch 3: flush — watermark 3400s closes every window through 2000s
+    input.addData((4000L, 6L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_late")
+      .select(col("window.start").cast("long"), col("n"), col("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    // independent oracle: replay the schedule with the per-window rule.
+    // Watermark at each batch = max event time of PRIOR batches - 10 min;
+    // a (row, window) contribution survives iff window.end > that
+    // watermark; a window is emitted iff window.end <= the final
+    // watermark (4000 - 600 = 3400).
+    val schedule = Seq(
+      0L -> Seq((0L, 1L), (120L, 2L), (540L, 3L), (1500L, 4L)),
+      900L -> Seq((125L, 50L), (850L, 60L), (2000L, 5L)),
+      1400L -> Seq((4000L, 6L)))
+    val contributions = for {
+      (wm, rows) <- schedule
+      (sec, v) <- rows
+      wStart <- (sec / 300 * 300 - 300) to (sec / 300 * 300) by 300
+      if wStart + 600 > wm // late-for-this-window contributions dropped
+      if wStart + 600 <= 3400 // only flushed windows are in the output
+    } yield (wStart, v)
+    val expected = contributions.groupBy(_._1).map { case (w, cs) =>
+      (w, cs.size.toLong, cs.map(_._2).sum)
+    }.toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+    // the discriminating case: 850s arrived behind the 900s watermark, so
+    // its [300,900) window (end 900 <= wm) lost it, but the still-open
+    // [600,1200) window kept it
+    assert(streamed.contains((600L, 1L, 60L)),
+      "a late row must still reach its not-yet-closed sliding windows")
+    assert(streamed.contains((300L, 1L, 3L)),
+      "a late row must be dropped from its already-closed sliding windows")
+  }
+
   test("watermarked windowed stream (1h watermark) still converges to batch Q21 counts") {
     val streamed = runToCompletion(
       eventsStream
