@@ -360,7 +360,9 @@ object Dedup {
     * fits in a double-exponential of 25. Each round is two shuffles
     * (edge groupBy-min + jump join) over O(V+E) rows — the same
     * per-round shape as large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond").
+    * "Connected Components in MapReduce and Beyond"; that variant is
+    * implemented as [[connectedComponentsStars]] for hub-heavy or
+    * adversarially deep graphs — equivalence pinned in DedupSpec).
     *
     * Per round the labels are checkpointed: without truncation the
     * logical plan doubles per iteration (the classic iterative-lineage
@@ -390,36 +392,45 @@ object Dedup {
     * Returns (id, rep): the component representative (minimum member id)
     * for every vertex that appears in `pairs`.
     */
+  /** Shared iterative-lineage truncation for the CC variants: per-round
+    * `localCheckpoint` by default, reliable `checkpoint` when a directory
+    * is given, plus the best-effort reclamation of superseded `rdd-*`
+    * snapshots (see [[connectedComponents]]'s scaladoc for why Spark
+    * never deletes those itself). */
+  private def truncation(
+      df: DataFrame, checkpointDir: Option[String]): (DataFrame => DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    checkpointDir match {
+      case Some(dir) =>
+        sc.setCheckpointDir(dir)
+        val clean = () => try {
+          // RDD ids are monotone, so the highest-numbered rdd-* dir is
+          // the snapshot backing the live frame; everything older is
+          // garbage once the round's eager checkpoint materialized.
+          // Best-effort: a failed delete must not fail the CC itself.
+          val base = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+          val fs = base.getFileSystem(sc.hadoopConfiguration)
+          if (fs.exists(base)) {
+            val snaps = fs.listStatus(base).map(_.getPath)
+              .filter(_.getName.startsWith("rdd-"))
+            if (snaps.length > 1) {
+              val keep = snaps.maxBy(_.getName.stripPrefix("rdd-").toInt)
+              snaps.filterNot(_ == keep).foreach(p => fs.delete(p, true))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        ((d: DataFrame) => d.checkpoint(), clean)
+      case None => ((d: DataFrame) => d.localCheckpoint(), () => ())
+    }
+  }
+
   def connectedComponents(
       pairs: DataFrame, a: String = "da", b: String = "db",
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     // reliable vs local truncation: same plan either way, different
     // durability (see scaladoc). `checkpoint()` requires the context
     // checkpoint dir; set it from the parameter (idempotent), never unset.
-    val sc = pairs.sparkSession.sparkContext
-    val (truncate, dropStaleSnapshots): (DataFrame => DataFrame, () => Unit) =
-      checkpointDir match {
-        case Some(dir) =>
-          sc.setCheckpointDir(dir)
-          val clean = () => try {
-            // RDD ids are monotone, so the highest-numbered rdd-* dir is
-            // the snapshot backing the live labels frame; everything older
-            // is garbage once the round's eager checkpoint materialized.
-            // Best-effort: a failed delete must not fail the CC itself.
-            val base = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-            val fs = base.getFileSystem(sc.hadoopConfiguration)
-            if (fs.exists(base)) {
-              val snaps = fs.listStatus(base).map(_.getPath)
-                .filter(_.getName.startsWith("rdd-"))
-              if (snaps.length > 1) {
-                val keep = snaps.maxBy(_.getName.stripPrefix("rdd-").toInt)
-                snaps.filterNot(_ == keep).foreach(p => fs.delete(p, true))
-              }
-            }
-          } catch { case scala.util.control.NonFatal(_) => () }
-          ((df: DataFrame) => df.checkpoint(), clean)
-        case None => ((df: DataFrame) => df.localCheckpoint(), () => ())
-      }
+    val (truncate, dropStaleSnapshots) = truncation(pairs, checkpointDir)
     // defensive hygiene: a NULL endpoint would create a NULL vertex whose
     // label never resolves, and a self-pair adds nothing
     val clean = pairs.filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
@@ -467,6 +478,97 @@ object Dedup {
       "component diameter exceeds the double-exponential reach of the " +
       "pointer-jumped propagation; raise maxIter")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * literature-standard alternative to [[connectedComponents]]'s
+    * label-propagation + pointer-jumping, with the identical (id, rep =
+    * component minimum) contract (equivalence pinned in DedupSpec,
+    * including a 10k-vertex chain).
+    *
+    * Where the two differ at scale: here the state IS the edge set — each
+    * round rewrites edges toward one star per component — while the
+    * sibling keeps a per-vertex label table re-joined against the static
+    * edge set every round. On graphs with extreme-degree hubs (a
+    * boilerplate document near-duplicate to millions of others) the
+    * sibling re-shuffles the hub's full edge list every round; here
+    * large-star re-points the hub's neighbors at the component minimum
+    * and those edges then collapse under `distinct`, shrinking the
+    * working set as it converges. Convergence: O(log n) rounds
+    * (alternation theorem 4.2 of the paper), vs O(log diameter) for the
+    * pointer-jumped sibling — so the sibling stays the default (fewer
+    * rounds on the shallow, hub-free graphs LSH actually emits) and this
+    * is the escape hatch for hub-heavy or adversarially deep inputs.
+    *
+    * Per round: large-star connects every neighbor LARGER than a vertex
+    * to the minimum of its closed neighborhood; small-star then re-points
+    * the smaller neighbors and the vertex itself at that minimum. The
+    * fixpoint (every edge already (child, componentMin)) is detected by
+    * an (edge-count, order-independent xxhash64 checksum) pair repeating
+    * — two tiny aggregates per round, the same trick as the sibling's
+    * label sum. Hitting `maxIter` without the fixpoint THROWS. */
+  def connectedComponentsStars(
+      pairs: DataFrame, a: String = "da", b: String = "db",
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val (truncate, dropStaleSnapshots) = truncation(pairs, checkpointDir)
+    val cleanPairs = pairs.filter(col(a).isNotNull && col(b).isNotNull && col(a) =!= col(b))
+    // edges as (u, v): undirected content, stored once per unordered pair
+    var edges = cleanPairs
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .distinct()
+      .transform(truncate)
+
+    // large-star: for each x, m = min(N(x) ∪ {x}); emit (y, m) for every
+    // neighbor y > x. m <= x < y, so emitted edges are (greater, smaller)
+    // and never self-loops.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbr.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      nbr.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: orient every edge large→small; for each x,
+    // m = min of its smaller neighbors; emit (y, m) for the other smaller
+    // neighbors and (x, m) for x itself.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("x"), least(col("u"), col("v")).as("y"))
+      val mins = dir.groupBy("x").agg(min(col("y")).as("m"))
+      dir.join(mins, "x")
+        .filter(col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .union(mins.select(col("x").as("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    def sig(e: DataFrame): (Long, Any) = {
+      val r = e.agg(
+        count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.get(1))
+    }
+    var prev = sig(edges)
+    var converged = prev._1 == 0L // empty pair table → nothing to iterate
+    var it = 0
+    while (!converged && it < maxIter) {
+      edges = smallStar(largeStar(edges)).transform(truncate)
+      val s = sig(edges)
+      converged = s == prev
+      prev = s
+      it += 1
+      dropStaleSnapshots()
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIter rounds; raise maxIter")
+    // fixpoint edges are (member, componentMin) stars; roots carry no
+    // outgoing edge and label themselves
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .union(edges.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
   }
 
   /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`

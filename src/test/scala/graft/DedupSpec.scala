@@ -201,6 +201,42 @@ class DedupSpec extends SparkSpec {
       s"stale checkpoint snapshots not reclaimed: ${remaining.map(_.getName)}")
   }
 
+  test("connectedComponentsStars equals the pointer-jumped sibling on mixed graphs") {
+    // same shapes as the sibling's tests: chain + clique + isolated pair,
+    // then the derived pseudo-random graph — identical (id, rep) output
+    val mixed = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)
+    ).toDF("da", "db")
+    val derived = (0L until 40L).map(i => (i, (i * 7) % 40))
+      .filter { case (a, b) => a != b }.toDF("da", "db")
+    for (pairs <- Seq(mixed, derived)) {
+      val stars = Dedup.connectedComponentsStars(pairs).as[(Long, Long)].collect().toMap
+      val jumped = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(stars == jumped)
+    }
+    // null endpoints and self-pairs get the same defensive treatment
+    val dirty = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), Some(4L)), (Some(2L), Some(5L)))
+      .toDF("da", "db")
+    val got = Dedup.connectedComponentsStars(dirty).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+    // empty input
+    assert(Dedup.connectedComponentsStars(Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
+  }
+
+  test("connectedComponentsStars labels a 10k-vertex chain (the pathological-depth case)") {
+    // diameter 10_000: plain one-hop propagation would need 10k rounds;
+    // star alternation must close it in O(log n) — well under maxIter=50
+    val n = 10000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("da"), (col("id") + 1).as("db"))
+    val got = Dedup.connectedComponentsStars(chain)
+    assert(got.count() == n)
+    assert(got.filter(col("rep") =!= 0L).count() == 0L,
+      "every chain vertex must label to the minimum vertex 0")
+  }
+
   test("connectedComponents on an empty pair table returns an empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("da", "db")
     assert(Dedup.connectedComponents(empty).count() == 0)
