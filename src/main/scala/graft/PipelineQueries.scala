@@ -55,6 +55,25 @@ object PipelineQueries {
     }
   }
 
+  /** q72: q57's cluster resolution re-run through the large-star/
+    * small-star CC variant ([[Dedup.connectedComponentsStars]]) — the
+    * IDENTICAL oracle (DuckDB's recursive-CTE reachability) hash-gates
+    * that both CC algorithms resolve the same LSH pair table to the same
+    * clusters; an independent check the in-tree equivalence spec can't
+    * provide. */
+  def q72(t: Tables): DataFrame = {
+    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
+    Dedup.withPairs(pairs) { p =>
+      Dedup.connectedComponentsStars(p)
+        .groupBy("rep")
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
+        .transform(sortedSmall(_, col("rep")))
+    }
+  }
+
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
   def q58(t: Tables): DataFrame =
@@ -297,21 +316,14 @@ object PipelineQueries {
     "q69_not_in_null"    -> q69 _,
     "q70_full_outer"     -> q70 _,
     "q71_lateral_topk"   -> q71 _,
+    "q72_dedup_clusters_stars" -> q72 _,
   )
 
-  val oracles: Map[String, String] = Map(
-    "q56_hash_sample" -> """
-      WITH k AS (SELECT l_returnflag, l_quantity,
-        CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
-          CAST(l_linenumber AS VARCHAR))), 1, 4)) AS INT) AS b
-        FROM lineitem)
-      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
-      FROM k
-      WHERE b < CASE l_returnflag WHEN 'A' THEN 16384 WHEN 'N' THEN 6554
-                                  WHEN 'R' THEN 32768 ELSE -1 END
-      GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
-
-    "q57_dedup_clusters" -> """
+  /** q57/q72 shared oracle: the dedup-cluster resolution is
+    * algorithm-agnostic (recursive-CTE reachability in DuckDB), so both
+    * the pointer-jumped and the large-star/small-star CC paths are
+    * hash-gated against the same independent implementation. */
+  private val dedupClustersOracle: String = """
       WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
               FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
@@ -340,7 +352,22 @@ object PipelineQueries {
       comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
       SELECT rep, count(*) AS n,
              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-      FROM comp GROUP BY rep ORDER BY rep NULLS FIRST""",
+      FROM comp GROUP BY rep ORDER BY rep NULLS FIRST"""
+
+  val oracles: Map[String, String] = Map(
+    "q56_hash_sample" -> """
+      WITH k AS (SELECT l_returnflag, l_quantity,
+        CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+          CAST(l_linenumber AS VARCHAR))), 1, 4)) AS INT) AS b
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM k
+      WHERE b < CASE l_returnflag WHEN 'A' THEN 16384 WHEN 'N' THEN 6554
+                                  WHEN 'R' THEN 32768 ELSE -1 END
+      GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
+
+    "q57_dedup_clusters" -> dedupClustersOracle,
+    "q72_dedup_clusters_stars" -> dedupClustersOracle,
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

@@ -46,6 +46,20 @@ object Soak {
       "jaccard_skew_dfcap" -> ((t: Tables) =>
         graft.operators.Dedup.ngramJaccardCapped(skewShingles(t), 0.9, dfCap = 100L)))
 
+    // CC-variant a/b on the structures that separate them: one deep chain
+    // (diameter = n, stresses round count) plus one max-degree hub
+    // (fanout = n, stresses per-round edge volume), disjoint components.
+    // Collect is the (id, rep) labeling — linear in vertices, as in q57.
+    val ccN = mult * 10000L
+    def ccGraph: DataFrame = spark.range(ccN)
+      .select((col("id") + 1000000000L).as("da"), (col("id") + 1000000001L).as("db"))
+      .unionAll(spark.range(ccN).select(lit(0L).as("da"), (col("id") + 1L).as("db")))
+    val ccQs: Seq[(String, Tables => DataFrame)] = Seq(
+      "cc_chainhub_jumped" -> ((_: Tables) =>
+        graft.operators.Dedup.connectedComponents(ccGraph, maxIter = 50)),
+      "cc_chainhub_stars" -> ((_: Tables) =>
+        graft.operators.Dedup.connectedComponentsStars(ccGraph, maxIter = 50)))
+
     val src = Tables(spark, "/root/testdata/sf0.1")
 
     // the skew queries synthesize their corpus inline — when a filter
@@ -108,7 +122,7 @@ object Soak {
     }
 
     val t = if (tableQs.nonEmpty) Tables(spark, out) else null
-    val qs = tableQs ++ selected(skewQs)
+    val qs = tableQs ++ selected(skewQs) ++ selected(ccQs)
     // dfcap recall gate, asserted ONCE here OUTSIDE the timed reps: a
     // count+require inside the timed lambda double-materializes the pair
     // table and inflates the dfcap number the a/b comparison relies on

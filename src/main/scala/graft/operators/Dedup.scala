@@ -497,9 +497,18 @@ object Dedup {
     * and those edges then collapse under `distinct`, shrinking the
     * working set as it converges. Convergence: O(log n) rounds
     * (alternation theorem 4.2 of the paper), vs O(log diameter) for the
-    * pointer-jumped sibling — so the sibling stays the default (fewer
-    * rounds on the shallow, hub-free graphs LSH actually emits) and this
-    * is the escape hatch for hub-heavy or adversarially deep inputs.
+    * pointer-jumped sibling.
+    *
+    * MEASURED (Soak `cc_chainhub` a/b, 2×10⁵-edge chain+hub graph,
+    * warm best-of-2): jumped 16.4 s, stars 24.4 s — stars pays ~6
+    * shuffles per round (two symmetrize/orient passes, two groupBys, two
+    * distincts) against the sibling's ~3, and at this scale per-round
+    * cost dominates. The sibling therefore stays the default for every
+    * in-tree pipeline (q57); this variant's practical value today is
+    * (a) ids need no numeric form (below) and (b) algorithmic diversity
+    * under the same oracle (q72 hash-gates both against DuckDB's
+    * recursive CTE). Re-evaluate the default only with a measured win on
+    * a real hub-heavy corpus.
     *
     * Per round: large-star connects every neighbor LARGER than a vertex
     * to the minimum of its closed neighborhood; small-star then re-points
@@ -507,7 +516,13 @@ object Dedup {
     * fixpoint (every edge already (child, componentMin)) is detected by
     * an (edge-count, order-independent xxhash64 checksum) pair repeating
     * — two tiny aggregates per round, the same trick as the sibling's
-    * label sum. Hitting `maxIter` without the fixpoint THROWS. */
+    * label sum. Hitting `maxIter` without the fixpoint THROWS.
+    *
+    * Unlike the sibling (whose fixpoint test SUMS labels and therefore
+    * needs numeric ids), this variant only compares and hashes ids — any
+    * orderable type works, including raw string document keys (pinned in
+    * DedupSpec), saving the id-assignment join a 100 TB corpus keyed by
+    * URL or content hash would otherwise need. */
   def connectedComponentsStars(
       pairs: DataFrame, a: String = "da", b: String = "db",
       maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {

@@ -225,6 +225,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsStars(Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
   }
 
+  test("connectedComponentsStars works on STRING ids (no numeric-label requirement)") {
+    // the sibling's fixpoint test sums labels, so it needs numeric ids;
+    // stars only compares/hashes them — a corpus keyed by URL or content
+    // hash skips the id-assignment join entirely
+    val pairs = Seq(
+      ("url/a", "url/b"), ("url/b", "url/c"), ("url/x", "url/y")
+    ).toDF("da", "db")
+    val got = Dedup.connectedComponentsStars(pairs).as[(String, String)].collect().toMap
+    assert(got == Map(
+      "url/a" -> "url/a", "url/b" -> "url/a", "url/c" -> "url/a",
+      "url/x" -> "url/x", "url/y" -> "url/x"))
+  }
+
   test("connectedComponentsStars labels a 10k-vertex chain (the pathological-depth case)") {
     // diameter 10_000: plain one-hop propagation would need 10k rounds;
     // star alternation must close it in O(log n) — well under maxIter=50
