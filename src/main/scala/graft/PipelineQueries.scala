@@ -74,6 +74,21 @@ object PipelineQueries {
     }
   }
 
+  /** q73: multimodal AUDIO pipeline with a real codec — the q40 pattern
+    * applied to sound: synthesize one WAV (PCM s16le mono, content a
+    * closed-form function of doc_id, see
+    * [[graft.operators.Multimodal.synthWavBytes]]), decode it with
+    * javax.sound.sampled (header facts from the parser, every sample read
+    * back), and let the oracle re-derive channel count, rate, bit depth
+    * and exact sample sum/min/max arithmetically — a decoder that
+    * misparses the header or any single sample hash-mismatches. */
+  def q73(t: Tables): DataFrame = {
+    val blobs = graft.operators.Multimodal.synthAudio(
+      t.documents.select(col("doc_id")), "doc_id")
+    graft.operators.Multimodal.decodeAudio(blobs, "doc_id", "blob").toDF()
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
   def q58(t: Tables): DataFrame =
@@ -317,6 +332,7 @@ object PipelineQueries {
     "q70_full_outer"     -> q70 _,
     "q71_lateral_topk"   -> q71 _,
     "q72_dedup_clusters_stars" -> q72 _,
+    "q73_audio_decode"   -> q73 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -368,6 +384,24 @@ object PipelineQueries {
 
     "q57_dedup_clusters" -> dedupClustersOracle,
     "q72_dedup_clusters_stars" -> dedupClustersOracle,
+
+    // q73: the decode is real (javax.sound.sampled); the INPUT WAVs are
+    // synthesized under the closed-form contract on synthWavBytes, so the
+    // oracle re-derives every value from doc_id without decoding anything
+    // (the audio twin of q40's image oracle)
+    "q73_audio_decode" -> """
+      WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS ns FROM documents),
+      s AS (SELECT doc_id, ns, ((doc_id*31 + i*17) % 2001) - 1000 AS v
+            FROM n, unnest(range(0, ns)) AS t(i))
+      SELECT doc_id,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(16 AS INTEGER) AS bits,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(v) AS BIGINT) AS sum_s,
+             CAST(min(v) AS INTEGER) AS min_s,
+             CAST(max(v) AS INTEGER) AS max_s
+      FROM s GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

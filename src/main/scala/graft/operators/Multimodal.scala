@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * by a batch-oriented per-partition kernel — the Scala analogue of a
   * vectorized Python `mapInPandas` decode stage.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment): [[decodeStub]] derives deterministic fake media metadata
-  * from the raw bytes. Everything around the stub — the binary column
-  * schema, the `Dataset` encoder boundary, partition-preserving execution,
-  * and the typed output schema — is the real production shape: swap
-  * `fakeDecode` for a JNI/codec call and nothing else changes.
+  * Image decode ([[decodeImages]], javax.imageio: PNG/BMP/GIF/JPEG) and
+  * audio decode ([[decodeAudio]], javax.sound.sampled: WAV/PCM) are REAL
+  * — both parse the container with the JDK codec and read every
+  * pixel/sample back, hash-gated against arithmetic oracles (q40/q73).
+  * Only formats with no JVM codec in this environment stay stubbed
+  * (webp, compressed audio, video): [[decodeStub]] derives deterministic
+  * fake metadata from the raw bytes, and everything around it — the
+  * binary column schema, the `Dataset` encoder boundary,
+  * partition-preserving execution, the typed output schema — is the real
+  * production shape: swap `fakeDecode` for a JNI/codec call and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -170,6 +175,96 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // Real audio codec path — javax.sound.sampled ships a WAV/PCM parser
+  // with every JDK, so audio decode (like image decode above) needs no
+  // external dependency. Compressed audio (mp3/ogg/aac) and video remain
+  // stubbed: no JVM codec exists here.
+  // ---------------------------------------------------------------------
+
+  /** Decoded-audio metadata: container facts from the real parser plus
+    * exact integer sample statistics (sum/min/max, not float RMS, so the
+    * values stay bit-comparable across engines). */
+  final case class AudioMeta(
+      doc_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      sum_s: Long,
+      min_s: Int,
+      max_s: Int)
+
+  /** The deterministic audio-synthesis contract (shared by the Scala
+    * generator and the q73 SQL oracle, which re-derives every value
+    * arithmetically from `doc_id`): PCM signed 16-bit little-endian mono
+    * at 8000 Hz, n = 100 + id%400 samples, sample i =
+    * ((id·31 + i·17) mod 2001) − 1000. Requires non-negative ids (SQL and
+    * Scala `%` agree only there). */
+  private[graft] def synthWavBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"audio synthesis requires non-negative ids, got $id")
+    val n = (100 + id % 400).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i.toLong * 17) % 2001) - 1000).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** One real WAV payload per input row: (`idCol`, blob) — the audio twin
+    * of [[synthImages]]. */
+  def synthAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWavBytes(id))))
+      .toDF(idCol, "blob")
+  }
+
+  /** REAL audio decode, batch-per-partition: the container is parsed by
+    * `javax.sound.sampled.AudioSystem` (header facts come from the codec,
+    * not trusted metadata) and every PCM frame is read back for exact
+    * integer sample statistics. Same production kernel shape as
+    * [[decodeImages]] — a cluster deployment only widens the codec set. */
+  def decodeAudio(df: DataFrame, idCol: String, blobCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"doc $id: expected PCM_SIGNED, got ${fmt.getEncoding}")
+          require(fmt.getSampleSizeInBits == 16, s"doc $id: expected 16-bit samples")
+          val data = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var (n, sum) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            n += 1; sum += s
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+          }
+          AudioMeta(id, fmt.getChannels, fmt.getSampleRate.toInt,
+            fmt.getSampleSizeInBits, n, sum, mn, mx)
+        } finally ais.close()
+      })
   }
 
   /** Frame-sample analogue: slice `n` evenly spaced fixed-size windows out

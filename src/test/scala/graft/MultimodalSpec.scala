@@ -63,6 +63,29 @@ class MultimodalSpec extends SparkSpec {
      w * (top * (9 * 13 % 256) + bot * (9 * 11 % 256)))
   }
 
+  test("real audio codec roundtrip: synth WAV decodes to the arithmetic contract") {
+    import org.apache.spark.sql.functions.col
+    val ids = Seq(0L, 1L, 7L, 399L, 1000L).toDF("doc_id")
+    val got = Multimodal.decodeAudio(Multimodal.synthAudio(ids, "doc_id"), "doc_id", "blob")
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 1L, 7L, 399L, 1000L)) {
+      val m = got(id)
+      // header facts come from the real parser, not the writer
+      assert(m.channels == 1 && m.sample_rate == 8000 && m.bits == 16)
+      // sample stats recomputed independently from the contract
+      val n = 100 + id % 400
+      val samples = (0L until n).map(i => ((id * 31 + i * 17) % 2001) - 1000)
+      assert(m.n_samples == n)
+      assert(m.sum_s == samples.sum, s"doc $id sample sum")
+      assert(m.min_s == samples.min && m.max_s == samples.max)
+    }
+    // a corrupt payload fails loudly, not silently
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(bad, "doc_id", "blob").collect()
+    }
+  }
+
   test("media lake: format-partitioned layout, pruned reads, intact blobs") {
     val dir = java.nio.file.Files.createTempDirectory("medialake").toString
     Multimodal.writeMediaLake(docs, "doc_id", "blob", dir)
