@@ -89,6 +89,18 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q74: train/eval decontamination ([[Dedup.crossContamination]]) —
+    * docs with doc_id % 7 == 0 play the benchmark suite; every other
+    * document sharing a 5-token shingle with any of them is flagged with
+    * its shared-shingle count. The fixture's near-dup twins guarantee
+    * non-trivial contamination at every SF. */
+  def q74(t: Tables): DataFrame = {
+    val evalDocs = t.documents.filter(col("doc_id") % 7 === 0)
+    val trainDocs = t.documents.filter(col("doc_id") % 7 =!= 0)
+    Dedup.crossContamination(trainDocs, evalDocs, col("doc_id"), col("text"), n = 5)
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
   def q58(t: Tables): DataFrame =
@@ -333,6 +345,7 @@ object PipelineQueries {
     "q71_lateral_topk"   -> q71 _,
     "q72_dedup_clusters_stars" -> q72 _,
     "q73_audio_decode"   -> q73 _,
+    "q74_decontaminate"  -> q74 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -402,6 +415,17 @@ object PipelineQueries {
              CAST(min(v) AS INTEGER) AS min_s,
              CAST(max(v) AS INTEGER) AS max_s
       FROM s GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+
+    "q74_decontaminate" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               concat(s[i], ' ', s[i+1], ' ', s[i+2], ' ', s[i+3], ' ', s[i+4]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 3, 1))) AS t(i)),
+      ev AS (SELECT DISTINCT w FROM sh WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, w FROM sh WHERE doc_id % 7 <> 0)
+      SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM tr JOIN ev USING (w)
+      GROUP BY tr.doc_id ORDER BY tr.doc_id NULLS FIRST""",
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

@@ -586,6 +586,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Train/eval DECONTAMINATION — the corpus-build step that keeps
+    * benchmark answers out of the training set: a training document is
+    * contaminated when it shares any token `n`-gram with any eval
+    * document (the published recipe: GPT-3 app. C / PaLM use 8–13-gram
+    * collision against the benchmark suites). Returns one row per
+    * contaminated train doc: (doc_id, n_shared = distinct shared
+    * shingles) — callers anti-join this against the corpus to drop or
+    * audit.
+    *
+    * Shuffle shape: both sides map to distinct (doc, shingle) via the
+    * native `word_ngrams` expression (no aggregation), then one equi-join
+    * on the shingle string and one groupBy on the flagged doc id. The
+    * eval side collapses to DISTINCT shingles first — benchmark suites
+    * are tiny next to a 100 TB corpus, so AQE broadcasts that side and
+    * the train side never shuffles at all; with a pathologically large
+    * eval set the plan degrades to a plain shuffled equi-join, still
+    * linear. Boilerplate n-grams shared by everything (license headers)
+    * behave like q33's stop shingles: pre-filter them from the EVAL side
+    * (one df-cap pass over the small side) if precision matters. */
+  def crossContamination(
+      train: DataFrame, eval: DataFrame, id: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    val trainShingles = shingleSet(train, id, text, n)
+    val evalShingles = shingleSet(eval, id, text, n).select(col("w")).distinct()
+    trainShingles.join(evalShingles, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`
     * into components and anti-join every non-representative member out of
     * `docs`. This is the call a corpus build actually makes; q57 exposes

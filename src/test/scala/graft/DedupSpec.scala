@@ -225,6 +225,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsStars(Seq.empty[(Long, Long)].toDF("da", "db")).count() == 0)
   }
 
+  test("crossContamination flags exactly the train docs sharing an n-gram with eval") {
+    val docs = Seq(
+      // eval doc: the "benchmark answer"
+      (100L, "the capital of france is paris and always was"),
+      // contaminated: contains the eval 5-gram "the capital of france is"
+      (1L, "we know the capital of france is paris indeed"),
+      // shares two distinct eval 5-grams
+      (2L, "the capital of france is paris and more text"),
+      // clean: shares words but no 5-gram run
+      (3L, "paris is the capital city of modern france today")
+    ).toDF("doc_id", "text")
+    val evalDocs = docs.filter(col("doc_id") === 100L)
+    val trainDocs = docs.filter(col("doc_id") =!= 100L)
+    val got = Dedup.crossContamination(trainDocs, evalDocs, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1: shares "the capital of france is", "capital of france is paris"
+    assert(got.contains(1L) && got(1L) == 2L, s"doc 1 overlap: $got")
+    // doc 2: those two plus "of france is paris and" => 3
+    assert(got(2L) == 3L, s"doc 2 overlap: $got")
+    assert(!got.contains(3L), "word overlap without an n-gram run is NOT contamination")
+    // an empty eval set flags nothing
+    assert(Dedup.crossContamination(
+      trainDocs, evalDocs.filter(lit(false)), col("doc_id"), col("text"), 5).count() == 0)
+  }
+
   test("connectedComponentsStars works on STRING ids (no numeric-label requirement)") {
     // the sibling's fixpoint test sums labels, so it needs numeric ids;
     // stars only compares/hashes them — a corpus keyed by URL or content
