@@ -39,7 +39,13 @@ object MicroBench {
         SparkEntry.queries(n)(spark, sfDir).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[micro] $n best=${times.min}%.3f median=${times.sorted.apply(reps / 2)}%.3f " +
+      // True median: average the two middle elements for even reps (the old
+      // `sorted(reps / 2)` reported the upper-middle, biasing noisy boxes up).
+      val sorted = times.sorted
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
+      println(f"[micro] $n best=${times.min}%.3f median=$median%.3f " +
         f"worst=${times.max}%.3f reps=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()

@@ -179,26 +179,28 @@ object Queries {
 
   /** Q14 distinct counts (antenna/baseline enumeration analog [U]).
     *
-    * The pair count wraps the columns in a struct: multi-argument
-    * `countDistinct(a, b)` drops tuples where EITHER column is null,
-    * but the oracle's `count(*) FROM (SELECT DISTINCT a, b …)` keeps
-    * them. A struct is never null itself, so null-containing tuples
-    * count — identical on null-free data, correct on nullable data.
+    * One pass: the distinct (l_suppkey, l_partkey) PAIR set is computed
+    * first (~80 k rows at sf0.1 — it is the partsupp relation), and both
+    * single-column distinct counts are derived FROM it: every suppkey /
+    * partkey in the table appears in at least one pair, so
+    * `countDistinct` over the pair set equals `countDistinct` over the
+    * source (both drop nulls). The pair count is a plain `count(*)` over
+    * the same set — the distinct already happened, and (unlike
+    * multi-argument `countDistinct(a, b)`, which drops tuples where
+    * EITHER column is null) it keeps null-containing tuples, matching
+    * the oracle's `count(*) FROM (SELECT DISTINCT a, b …)`.
     *
-    * Three independent single-distinct branches cross-joined, NOT one
-    * agg with three distincts: the single-agg form plans an Expand (×3
-    * rows, plus a grouping id, through one shuffle), while the branches
-    * each shuffle only their own narrow distinct set and their stages
-    * run DAG-parallel — measured 0.58 s vs 0.84 s at sf0.1 (the one
-    * formulation change that beat the round-1 sweeps). Cost shift at
-    * scale: the branch form scans the (column-pruned) source once per
-    * branch instead of once total — with a columnar source that is two
-    * extra narrow-column reads, cheaper than tripling the shuffle. */
+    * This replaces three cross-joined full-table distinct shuffles
+    * (round ≤6 form, 0.88 s serial at sf0.1) with ONE heavy shuffle over
+    * the 600 k-row table; the follow-up multi-distinct aggregate plans an
+    * Expand, but over the 80 k-row pair set that is noise. At 100× the
+    * win grows: one wide shuffle instead of three. */
   def q14(t: Tables): DataFrame =
-    t.lineitem.agg(countDistinct(col("l_suppkey")).as("ds"))
-      .crossJoin(t.lineitem.agg(countDistinct(col("l_partkey")).as("dp")))
-      .crossJoin(t.lineitem.agg(
-        countDistinct(struct(col("l_suppkey"), col("l_partkey"))).as("dpair")))
+    t.lineitem.select("l_suppkey", "l_partkey").distinct()
+      .agg(
+        countDistinct(col("l_suppkey")).as("ds"),
+        countDistinct(col("l_partkey")).as("dp"),
+        count(lit(1)).as("dpair"))
 
   /** Q15 semi + anti join counts. */
   def q15(t: Tables): DataFrame = {
