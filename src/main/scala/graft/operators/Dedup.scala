@@ -376,11 +376,18 @@ object Dedup {
     * is GC'd AND `spark.cleaner.referenceTracking.cleanCheckpoints` was
     * set at driver start), so without intervention ~2 snapshots per round
     * accumulate — at 100 TB that is real storage. This implementation
-    * therefore deletes superseded `rdd-*` snapshots itself after each
-    * round's labels checkpoint is materialized (only the newest snapshot
-    * — the one backing the live `labels` frame — is kept). The FINAL
-    * snapshot stays behind because it backs the returned DataFrame: pass
-    * a dedicated directory and remove it once the result is consumed.
+    * therefore deletes superseded snapshots itself after each round's
+    * labels checkpoint is materialized (only the newest snapshot — the
+    * one backing the live `labels` frame — is kept). Reclamation tracks
+    * the EXACT paths this call's own checkpoints created (read back from
+    * each checkpointed RDD), never inferring liveness from directory
+    * listings — snapshots belonging to any other checkpoint user of the
+    * same SparkContext (a concurrent CC call, unrelated user code) are
+    * untouchable by construction. The FINAL snapshot stays behind because
+    * it backs the returned DataFrame: pass a dedicated directory and
+    * remove it once the result is consumed (repeated runs against one
+    * directory therefore leave one final snapshot each — those back
+    * results whose lifetime only the caller knows).
     *
     * Convergence test: labels only ever decrease, so the label sum is
     * monotone non-increasing and "sum unchanged" is an exact fixpoint test
@@ -394,32 +401,55 @@ object Dedup {
     */
   /** Shared iterative-lineage truncation for the CC variants: per-round
     * `localCheckpoint` by default, reliable `checkpoint` when a directory
-    * is given, plus the best-effort reclamation of superseded `rdd-*`
-    * snapshots (see [[connectedComponents]]'s scaladoc for why Spark
-    * never deletes those itself). */
+    * is given, plus the best-effort reclamation of superseded snapshots
+    * (see [[connectedComponents]]'s scaladoc for why Spark never deletes
+    * those itself).
+    *
+    * Reclamation deletes ONLY snapshot paths this call itself created:
+    * each `checkpoint()`'s materialized path is read back from the
+    * checkpointed RDD (the returned frame's plan is a `LogicalRDD` over
+    * it) and recorded; cleanup drops every recorded path but the newest.
+    * Directory listings are never consulted, so snapshots from any other
+    * checkpoint user of the same SparkContext — concurrent CC calls,
+    * unrelated user checkpoints, leftovers from prior runs — can never be
+    * collected by this call, no matter where the context's checkpoint
+    * location pointed when they were written.
+    *
+    * The context checkpoint location is only (re)set when it is not
+    * already inside `dir` — `setCheckpointDir` mints a fresh UUID
+    * subdirectory on every call, so repeated CC runs against one
+    * directory would otherwise scatter one subdirectory per run. */
   private def truncation(
       df: DataFrame, checkpointDir: Option[String]): (DataFrame => DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     checkpointDir match {
       case Some(dir) =>
-        sc.setCheckpointDir(dir)
-        val clean = () => try {
-          // RDD ids are monotone, so the highest-numbered rdd-* dir is
-          // the snapshot backing the live frame; everything older is
-          // garbage once the round's eager checkpoint materialized.
-          // Best-effort: a failed delete must not fail the CC itself.
-          val base = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-          val fs = base.getFileSystem(sc.hadoopConfiguration)
-          if (fs.exists(base)) {
-            val snaps = fs.listStatus(base).map(_.getPath)
-              .filter(_.getName.startsWith("rdd-"))
-            if (snaps.length > 1) {
-              val keep = snaps.maxBy(_.getName.stripPrefix("rdd-").toInt)
-              snaps.filterNot(_ == keep).foreach(p => fs.delete(p, true))
-            }
+        val want = new org.apache.hadoop.fs.Path(dir)
+        val fs = want.getFileSystem(sc.hadoopConfiguration)
+        val alreadyInside = sc.getCheckpointDir.exists { cur =>
+          val parent = new org.apache.hadoop.fs.Path(cur).getParent
+          parent != null && fs.makeQualified(parent) == fs.makeQualified(want)
+        }
+        if (!alreadyInside) sc.setCheckpointDir(dir)
+        val created = scala.collection.mutable.ArrayBuffer.empty[String]
+        val truncate = (d: DataFrame) => {
+          val out = d.checkpoint()
+          out.queryExecution.logical.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+          }.flatten.foreach(created += _)
+          out
+        }
+        val clean = () => {
+          // Best-effort: a failed delete must not fail the CC itself
+          // (the snapshot is merely orphaned, as it would be without
+          // reclamation at all).
+          while (created.length > 1) {
+            val p = new org.apache.hadoop.fs.Path(created.remove(0))
+            try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            catch { case scala.util.control.NonFatal(_) => () }
           }
-        } catch { case scala.util.control.NonFatal(_) => () }
-        ((d: DataFrame) => d.checkpoint(), clean)
+        }
+        (truncate, clean)
       case None => ((d: DataFrame) => d.localCheckpoint(), () => ())
     }
   }
@@ -513,10 +543,16 @@ object Dedup {
     * Per round: large-star connects every neighbor LARGER than a vertex
     * to the minimum of its closed neighborhood; small-star then re-points
     * the smaller neighbors and the vertex itself at that minimum. The
-    * fixpoint (every edge already (child, componentMin)) is detected by
+    * fixpoint (every edge already (child, componentMin)) is SCREENED by
     * an (edge-count, order-independent xxhash64 checksum) pair repeating
-    * — two tiny aggregates per round, the same trick as the sibling's
-    * label sum. Hitting `maxIter` without the fixpoint THROWS.
+    * — two tiny aggregates per round. Unlike the sibling's label sum
+    * (monotone, so equality is exact), a 64-bit hash-sum can in principle
+    * collide between two different edge sets, so a signature match is
+    * CONFIRMED exactly before declaring convergence: one anti-join
+    * (`exceptAll` empty — with counts already equal, one side suffices
+    * for set equality over these distinct edge sets) that runs only on
+    * signature match, i.e. once per call. Hitting `maxIter` without the
+    * fixpoint THROWS.
     *
     * Unlike the sibling (whose fixpoint test SUMS labels and therefore
     * needs numeric ids), this variant only compares and hashes ids — any
@@ -570,9 +606,12 @@ object Dedup {
     var converged = prev._1 == 0L // empty pair table → nothing to iterate
     var it = 0
     while (!converged && it < maxIter) {
+      val prevEdges = edges
       edges = smallStar(largeStar(edges)).transform(truncate)
       val s = sig(edges)
-      converged = s == prev
+      // exact confirmation BEFORE the stale-snapshot drop (prevEdges'
+      // snapshot must still exist to be compared against)
+      converged = s == prev && edges.exceptAll(prevEdges).isEmpty
       prev = s
       it += 1
       dropStaleSnapshots()
@@ -602,14 +641,41 @@ object Dedup {
     * are tiny next to a 100 TB corpus, so AQE broadcasts that side and
     * the train side never shuffles at all; with a pathologically large
     * eval set the plan degrades to a plain shuffled equi-join, still
-    * linear. Boilerplate n-grams shared by everything (license headers)
-    * behave like q33's stop shingles: pre-filter them from the EVAL side
-    * (one df-cap pass over the small side) if precision matters. */
+    * linear.
+    *
+    * `normalize = true` runs [[graft.functions.TextOps.normalizeText]]
+    * (lowercase, punctuation → space, whitespace collapsed) on BOTH sides
+    * before shingling — the published recipes normalize before matching,
+    * because a benchmark answer that was re-punctuated or re-wrapped when
+    * pasted into a training document otherwise escapes the exact n-gram
+    * collision (pinned in DedupSpec). Off by default: normalization
+    * changes which n-grams exist, so it is part of a pipeline's contract.
+    *
+    * `evalDfCap = Some(k)` drops eval-side shingles that appear in more
+    * than `k` DISTINCT eval documents before the join — the q33 stop-
+    * shingle escape hatch for boilerplate n-grams (license headers,
+    * shared prompt preambles) that would otherwise flag half the corpus.
+    * The df pass runs on the SMALL side only, so it costs one aggregate
+    * over the eval shingles, nothing on the train side. */
   def crossContamination(
       train: DataFrame, eval: DataFrame, id: Column, text: Column,
-      n: Int = 8): DataFrame = {
-    val trainShingles = shingleSet(train, id, text, n)
-    val evalShingles = shingleSet(eval, id, text, n).select(col("w")).distinct()
+      n: Int = 8, normalize: Boolean = false,
+      evalDfCap: Option[Long] = None): DataFrame = {
+    evalDfCap.foreach(c => require(c >= 1, s"evalDfCap must be >= 1, got $c"))
+    val t = if (normalize) TextOps.normalizeText(text) else text
+    // n_shared counts DISTINCT shared shingles, which relies on the train
+    // side being distinct per (doc_id, w). shingleSet guarantees that
+    // today; the defensive distinct() pins the invariant HERE and is free
+    // (RemoveRedundantAggregates collapses back-to-back identical
+    // aggregates, so no second shuffle is planned).
+    val trainShingles = shingleSet(train, id, t, n).distinct()
+    val evalSh = shingleSet(eval, id, t, n)
+    val evalShingles = evalDfCap match {
+      case Some(cap) =>
+        evalSh.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("w")
+      case None => evalSh.select(col("w")).distinct()
+    }
     trainShingles.join(evalShingles, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_shared"))

@@ -201,6 +201,39 @@ class DedupSpec extends SparkSpec {
       s"stale checkpoint snapshots not reclaimed: ${remaining.map(_.getName)}")
   }
 
+  test("snapshot reclamation never touches checkpoints CC did not create") {
+    // A foreign snapshot sitting in the ACTIVE checkpoint location (the
+    // worst case: same SparkContext, same UUID subdir CC will write into)
+    // must survive — reclamation tracks the exact paths CC created, it
+    // does not police the directory. rdd-999999 outnumbers any real rdd
+    // id, so a max-id liveness heuristic would keep IT and delete CC's
+    // own live snapshot instead.
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-foreign").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val active = new java.io.File(new java.net.URI(spark.sparkContext.getCheckpointDir.get))
+    val foreign = new java.io.File(active, "rdd-999999")
+    assert(foreign.mkdirs())
+    java.nio.file.Files.writeString(foreign.toPath.resolve("part-00000"), "foreign")
+
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val labels = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    assert(foreign.isDirectory && new java.io.File(foreign, "part-00000").isFile,
+      "foreign checkpoint snapshot was deleted by CC's reclamation")
+    // CC still reclaimed its own superseded snapshots: foreign + 1 final
+    val snaps = Option(active.listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    assert(snaps.length == 2,
+      s"expected foreign + one final snapshot, got ${snaps.map(_.getName).sorted.toSeq}")
+    // ...and reused the already-active UUID subdir instead of minting a
+    // new one per call (repeated runs share one location)
+    val subdirs = Option(new java.io.File(dir).listFiles).toSeq.flatten.filter(_.isDirectory)
+    assert(subdirs.length == 1,
+      s"CC minted a fresh UUID subdir despite the active one being inside $dir")
+  }
+
   test("connectedComponentsStars equals the pointer-jumped sibling on mixed graphs") {
     // same shapes as the sibling's tests: chain + clique + isolated pair,
     // then the derived pseudo-random graph — identical (id, rep) output
@@ -248,6 +281,59 @@ class DedupSpec extends SparkSpec {
     // an empty eval set flags nothing
     assert(Dedup.crossContamination(
       trainDocs, evalDocs.filter(lit(false)), col("doc_id"), col("text"), 5).count() == 0)
+  }
+
+  test("crossContamination normalize=true catches a re-punctuated benchmark answer") {
+    val evalDocs = Seq(
+      (100L, "the capital of france is paris and always was")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      // the eval answer pasted with different punctuation/casing/wrapping:
+      // every raw 5-gram differs ("France," vs "france", double space)
+      (1L, "Quiz answer: The capital of  France, is Paris! and more"),
+      // clean control
+      (2L, "completely unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.crossContamination(
+      trainDocs, evalDocs, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(!raw.contains(1L),
+      s"without normalization the re-punctuated twin must escape (documents differ token-wise): $raw")
+    val norm = Dedup.crossContamination(
+      trainDocs, evalDocs, col("doc_id"), col("text"), n = 5, normalize = true)
+      .as[(Long, Long)].collect().toMap
+    assert(norm.contains(1L) && norm(1L) >= 1L,
+      s"normalization must restore the 5-gram collision: $norm")
+    assert(!norm.contains(2L), s"clean doc flagged: $norm")
+  }
+
+  test("crossContamination evalDfCap drops boilerplate shingles shared across eval docs") {
+    // "shared license header text begins here" appears in ALL THREE eval
+    // docs — boilerplate; the real answer 5-gram appears in one
+    val evalDocs = Seq(
+      (100L, "shared license header text begins here the capital of france is paris"),
+      (101L, "shared license header text begins here some other benchmark answer two"),
+      (102L, "shared license header text begins here a third benchmark item three")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      // carries ONLY the boilerplate header run
+      (1L, "shared license header text begins here unrelated training content"),
+      // carries the real eval answer
+      (2L, "we know the capital of france is paris indeed")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.crossContamination(
+      trainDocs, evalDocs, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(uncapped.contains(1L) && uncapped.contains(2L),
+      s"uncapped must flag both (boilerplate included): $uncapped")
+    // cap = 1: shingles in >1 distinct eval docs (the header run) are dropped
+    val capped = Dedup.crossContamination(
+      trainDocs, evalDocs, col("doc_id"), col("text"), n = 5, evalDfCap = Some(1L))
+      .as[(Long, Long)].collect().toMap
+    assert(!capped.contains(1L),
+      s"boilerplate-only doc must be unflagged under the cap: $capped")
+    assert(capped.contains(2L),
+      s"genuinely contaminated doc must stay flagged under the cap: $capped")
   }
 
   test("connectedComponentsStars works on STRING ids (no numeric-label requirement)") {
