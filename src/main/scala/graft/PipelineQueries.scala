@@ -101,6 +101,28 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q75: INCREMENTAL corpus dedup ([[Dedup.incrementalNearDups]]) — the
+    * daily-ingest operation: docs with doc_id % 5 == 0 arrive as the new
+    * batch, the rest are the existing corpus represented ONLY by its
+    * persisted MinHash signature table (text never re-read). Output =
+    * every near-dup pair touching a new doc, at the same (8 hashes, 2
+    * bands, 3-shingle, est ≥ 0.5) contract as q31 — by the composition
+    * law pinned in DedupSpec this equals q31's full-corpus output
+    * filtered to pairs with a new-doc side, which is exactly what the
+    * oracle computes. */
+  def q75(t: Tables): DataFrame = {
+    val batch = t.documents.filter(col("doc_id") % 5 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 5 =!= 0)
+    val corpusSigs = Dedup.minHashSignaturesNative(
+      corpus, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+    val (pairs, _) = Dedup.incrementalNearDups(
+      batch, col("doc_id"), col("text"), corpusSigs,
+      numHashes = 8, bands = 2, shingleN = 3, threshold = 0.5)
+    pairs
+      .select(col("da"), col("db"), Rounding.portable(col("est"), 6).as("est"))
+      .transform(sortedSmall(_, col("da"), col("db")))
+  }
+
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
   def q58(t: Tables): DataFrame =
@@ -346,6 +368,7 @@ object PipelineQueries {
     "q72_dedup_clusters_stars" -> q72 _,
     "q73_audio_decode"   -> q73 _,
     "q74_decontaminate"  -> q74 _,
+    "q75_incremental_dedup" -> q75 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -426,6 +449,33 @@ object PipelineQueries {
       SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
       FROM tr JOIN ev USING (w)
       GROUP BY tr.doc_id ORDER BY tr.doc_id NULLS FIRST""",
+
+    // q75: the oracle runs the FULL-corpus q31 pipeline and keeps the
+    // pairs with a new-batch (doc_id % 5 = 0) side — the composition law
+    // (DedupSpec) makes that identical to the incremental computation
+    "q75_incremental_dedup" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
+      SELECT da, db, round(est, 6) AS est FROM est
+      WHERE est >= 0.5 AND (da % 5 = 0 OR db % 5 = 0)
+      ORDER BY da NULLS FIRST, db NULLS FIRST""",
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

@@ -147,6 +147,72 @@ object Dedup {
     materialized(pairs, sigs)
   }
 
+  /** INCREMENTAL near-dup detection — the operation a production corpus
+    * runs daily: "dedup this NEW batch against the EXISTING corpus"
+    * without recomputing all pairs. The corpus is represented by its
+    * persisted MinHash signature table (doc_id, sig) — the output of
+    * [[minHashSignaturesNative]], written once per ingest (e.g. via
+    * [[Layout.writeBucketed]] on doc_id) and unioned forward here; the
+    * corpus TEXT is never re-read and never re-shingled.
+    *
+    * Returns (pairs, updatedSignatures):
+    *  - `pairs` — (da, db, est ≥ threshold) covering new×corpus AND
+    *    new×new; corpus×corpus pairs were reported by earlier calls.
+    *    Running this over any split of a corpus and unioning with the
+    *    prior corpus-only pairs reproduces [[minHashNearDups]] over the
+    *    whole corpus EXACTLY (same bands → same candidates → same
+    *    estimates; pinned in DedupSpec). Persisted + materialized like
+    *    the batch operators — `.unpersist()` when done.
+    *  - `updatedSignatures` — corpus signatures ∪ the new batch's, the
+    *    input for tomorrow's call. Lazy: writing it to the signature
+    *    table is one map-only append of the new rows (the plan reuses the
+    *    corpus table as-is).
+    *
+    * Shuffle shape at 100 TB: the corpus side is ONE map-only pass over
+    * the signature table (band keys derived in the projection — no
+    * shingling, no aggregation) into the band equi-join; the new batch
+    * (tiny by comparison) is the build side AQE broadcasts. Nothing in
+    * the plan scales with corpus pair count. Signature parameters
+    * (`numHashes`, `shingleN`, and the band count) must match the ones
+    * the corpus table was built with — band keys are positional slices of
+    * the signature array, so a mismatch silently produces disjoint keys;
+    * callers should store them alongside the table. */
+  def incrementalNearDups(
+      newBatch: DataFrame, id: Column, text: Column,
+      corpusSignatures: DataFrame,
+      numHashes: Int = 8, bands: Int = 2, shingleN: Int = 3,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    // new-batch signatures feed four branches (bands, both estimate join
+    // sides, the returned union); persist for the pair materialization
+    val newSigs = minHashSignaturesNative(newBatch, id, text, shingleN, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newBands = lshBands(newSigs, numHashes, bands)
+    val corpusBands = lshBands(corpusSignatures, numHashes, bands)
+    // new × corpus: da/db ordered least/greatest to keep minHashNearDups'
+    // (da < db) convention; `=!=` guards a re-ingested doc id matching
+    // its own corpus signature
+    val nc = newBands.select(col("doc_id").as("dn"), col("bi"), col("bk"))
+      .join(corpusBands.select(col("doc_id").as("dc"), col("bi").as("bj"), col("bk").as("bl")),
+        col("bi") === col("bj") && col("bk") === col("bl") && col("dn") =!= col("dc"))
+      .select(least(col("dn"), col("dc")).as("da"), greatest(col("dn"), col("dc")).as("db"))
+      .distinct()
+    // new × new: the intra-batch pairs (corpus and batch ids are disjoint
+    // sets, so the two candidate tables cannot overlap)
+    val cand = nc.union(candidatePairs(newBands))
+    val allSigs = corpusSignatures.unionByName(newSigs)
+    val sa = allSigs.select(col("doc_id").as("da"), col("sig").as("sa"))
+    val sb = allSigs.select(col("doc_id").as("db"), col("sig").as("sb"))
+    val pairs = cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"),
+        estimatedJaccard(col("sa"), col("sb"), numHashes).as("est"))
+      .filter(col("est") >= threshold)
+    // newSigs is released with the other intermediates (the loan-pattern
+    // convention of this file): consuming updatedSignatures recomputes
+    // the new batch's signatures once — one map-only pass over the SMALL
+    // side, cheaper than a dangling cache entry nobody owns.
+    (materialized(pairs, newSigs), allSigs)
+  }
+
   /** 32-bit SimHash per document over its shingle set, SQL-composed form
     * (kept as the cross-check for [[simHashNative]]). The per-shingle
     * hash is the first 8 hex chars of md5 (portable); bit extraction uses

@@ -24,6 +24,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("incremental near-dups over a split corpus composes to the full-corpus result") {
+    // canonical daily-ingest shape: corpus = docs 1-3, new batch = docs 4-5
+    // (doc 5 permutes doc 1's tokens — a cross-split candidate; doc 4 shares
+    // nothing), so both the new×corpus and new×new paths are exercised.
+    val corpus0 = corpus.filter(col("doc_id") <= 3L)
+    val batch = corpus.filter(col("doc_id") > 3L)
+    val corpusSigs = Dedup.minHashSignaturesNative(
+      corpus0, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+
+    val (incPairs, updatedSigs) = Dedup.incrementalNearDups(
+      batch, col("doc_id"), col("text"), corpusSigs)
+    val inc = incPairs.as[(Long, Long, Double)].collect().toSet
+
+    val full = Dedup.withPairs(Dedup.minHashNearDups(corpus, col("doc_id"), col("text")))(
+      _.as[(Long, Long, Double)].collect().toSet)
+    val priorOnly = Dedup.withPairs(Dedup.minHashNearDups(corpus0, col("doc_id"), col("text")))(
+      _.as[(Long, Long, Double)].collect().toSet)
+
+    // exact composition: prior corpus-only pairs + incremental = full run
+    assert(priorOnly.union(inc) == full,
+      s"composition broke: prior=$priorOnly inc=$inc full=$full")
+    // the incremental part is exactly the full pairs touching a new doc
+    assert(inc == full.filter(p => p._1 > 3L || p._2 > 3L),
+      s"incremental pairs must be the new-doc slice of the full result: $inc")
+    // updated signature table = signatures of the whole corpus
+    val want = Dedup.minHashSignaturesNative(
+        corpus, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+      .as[(Long, Seq[String])].collect().toMap
+    val got = updatedSigs.as[(Long, Seq[String])].collect().toMap
+    assert(got == want, "updatedSignatures must cover corpus + batch")
+    incPairs.unpersist()
+  }
+
+  test("incremental near-dups: an intra-batch duplicate pair is found (new x new path)") {
+    // both twins arrive in the SAME batch — nothing in the corpus matches
+    val corpus0 = corpus.filter(col("doc_id") === 4L)
+    val batch = corpus.filter(col("doc_id") === 1L || col("doc_id") === 2L)
+    val sigs = Dedup.minHashSignaturesNative(
+      corpus0, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+    val (pairs, _) = Dedup.incrementalNearDups(batch, col("doc_id"), col("text"), sigs)
+    val got = pairs.as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1.0,
+      s"intra-batch exact dup must be found: $got")
+    pairs.unpersist()
+  }
+
   test("banded simhash equals brute-force N^2 on the corpus") {
     val hashes = Dedup.simHash(Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3))
     val banded = Dedup.simHashNearDups(hashes, maxDist = 3)
