@@ -89,6 +89,21 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q76: multi-frame decode ([[graft.operators.Multimodal.decodeFrames]])
+    * — real animated-GIF payloads synthesized per document under the
+    * closed-form contract on synthGifBytes, then REALLY decoded frame by
+    * frame (javax.imageio sequence reader; frame count from a stream
+    * scan). The oracle re-derives (frame, dims, exact channel sums)
+    * arithmetically from doc_id — a decoder that drops a frame, reads
+    * frames in the wrong order, or mis-decodes one palette entry
+    * hash-mismatches. */
+  def q76(t: Tables): DataFrame = {
+    val blobs = graft.operators.Multimodal.synthGifs(
+      t.documents.select(col("doc_id")), "doc_id")
+    graft.operators.Multimodal.decodeFrames(blobs, "doc_id", "blob").toDF()
+      .transform(sortedSmall(_, col("doc_id"), col("frame")))
+  }
+
   /** q74: train/eval decontamination ([[Dedup.crossContamination]]) —
     * docs with doc_id % 7 == 0 play the benchmark suite; every other
     * document sharing a 5-token shingle with any of them is flagged with
@@ -369,6 +384,7 @@ object PipelineQueries {
     "q73_audio_decode"   -> q73 _,
     "q74_decontaminate"  -> q74 _,
     "q75_incremental_dedup" -> q75 _,
+    "q76_gif_frames"     -> q76 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -476,6 +492,27 @@ object PipelineQueries {
       SELECT da, db, round(est, 6) AS est FROM est
       WHERE est >= 0.5 AND (da % 5 = 0 OR db % 5 = 0)
       ORDER BY da NULLS FIRST, db NULLS FIRST""",
+
+    // q76: the decode is real (javax.imageio GIF sequence frames); the
+    // INPUT GIFs are synthesized under the closed-form contract on
+    // synthGifBytes, so the oracle re-derives every frame's values from
+    // doc_id without decoding anything (the multi-frame twin of q40/q73)
+    "q76_gif_frames" -> """
+      WITH f AS (SELECT doc_id,
+                        CAST(8 + doc_id % 16 AS INTEGER) AS width,
+                        CAST(8 + doc_id % 12 AS INTEGER) AS height,
+                        2 + doc_id % 4 AS nf
+                 FROM documents),
+      fr AS (SELECT doc_id, CAST(k AS INTEGER) AS frame, width, height,
+                    (doc_id + 17*k) % 256 AS r,
+                    (doc_id*7 + 29*k) % 256 AS g,
+                    (doc_id*13 + 31*k) % 256 AS b
+             FROM f, unnest(range(0, nf)) AS t(k))
+      SELECT doc_id, frame, width, height,
+             CAST(width*height*r AS BIGINT) AS sum_r,
+             CAST(width*height*g AS BIGINT) AS sum_g,
+             CAST(width*height*b AS BIGINT) AS sum_b
+      FROM fr ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""",
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

@@ -10,17 +10,18 @@ import org.apache.spark.sql.functions._
   * by a batch-oriented per-partition kernel — the Scala analogue of a
   * vectorized Python `mapInPandas` decode stage.
   *
-  * Image decode ([[decodeImages]], javax.imageio: PNG/BMP/GIF/JPEG) and
-  * audio decode ([[decodeAudio]], javax.sound.sampled: WAV/PCM) are REAL
-  * — both parse the container with the JDK codec and read every
-  * pixel/sample back, hash-gated against arithmetic oracles (q40/q73).
-  * Only formats with no JVM codec in this environment stay stubbed
-  * (webp, compressed audio, video): [[decodeStub]] derives deterministic
-  * fake metadata from the raw bytes, and everything around it — the
-  * binary column schema, the `Dataset` encoder boundary,
-  * partition-preserving execution, the typed output schema — is the real
-  * production shape: swap `fakeDecode` for a JNI/codec call and nothing
-  * else changes.
+  * Image decode ([[decodeImages]], javax.imageio: PNG/BMP/GIF/JPEG),
+  * audio decode ([[decodeAudio]], javax.sound.sampled: WAV/PCM) and
+  * multi-frame decode ([[decodeFrames]], javax.imageio GIF sequences —
+  * the video-keyframe kernel shape) are REAL — each parses the container
+  * with the JDK codec and reads every pixel/sample back, hash-gated
+  * against arithmetic oracles (q40/q73/q76). Only formats with no JVM
+  * codec in this environment stay stubbed (webp, compressed audio, true
+  * video codecs): [[decodeStub]] derives deterministic fake metadata from
+  * the raw bytes, and everything around it — the binary column schema,
+  * the `Dataset` encoder boundary, partition-preserving execution, the
+  * typed output schema — is the real production shape: swap `fakeDecode`
+  * for a JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -265,6 +266,127 @@ object Multimodal {
             fmt.getSampleSizeInBits, n, sum, mn, mx)
         } finally ais.close()
       })
+  }
+
+  // ---------------------------------------------------------------------
+  // Real multi-frame path — javax.imageio's GIF codec reads and writes
+  // image SEQUENCES, which gives a real, hash-gateable analogue of video
+  // keyframe extraction (per-frame decode of a multi-frame container)
+  // with zero new dependencies. True video codecs (h264/vp9) have no JVM
+  // implementation here and stay stubbed ([[frameSample]]).
+  // ---------------------------------------------------------------------
+
+  /** One decoded frame of a multi-frame container: frame index + the same
+    * exact per-channel pixel sums as [[ImageMeta]]. */
+  final case class FrameMeta(
+      doc_id: Long,
+      frame: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** The deterministic animated-GIF synthesis contract (shared by the
+    * Scala generator and the q76 SQL oracle, which re-derives every value
+    * arithmetically from `doc_id`):
+    *  - width 8+id%16, height 8+id%12, frames nf = 2+id%4;
+    *  - frame k is a SOLID color ((id+17k)%256, (7id+29k)%256,
+    *    (13id+31k)%256) — sum_c = w·h·c exactly, because each frame is
+    *    written with a 2-entry palette both of whose entries ARE the
+    *    frame color (GIF is palette-based; letting the writer quantize an
+    *    RGB image would break the lossless contract, as in q40's GIF
+    *    case). Requires non-negative ids. */
+  private[graft] def synthGifBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"gif synthesis requires non-negative ids, got $id")
+    val w = (8 + id % 16).toInt
+    val h = (8 + id % 12).toInt
+    val nf = (2 + id % 4).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < nf) {
+        val r = ((id + 17L * k) % 256).toInt
+        val g = ((id * 7 + 29L * k) % 256).toInt
+        val b = ((id * 13 + 31L * k) % 256).toInt
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, r.toByte), Array(g.toByte, g.toByte), Array(b.toByte, b.toByte))
+        // raster defaults to all-zero indices → every pixel is palette
+        // entry 0 = the frame color; no pixel loop needed
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** One real animated-GIF payload per input row: (`idCol`, blob) — the
+    * multi-frame twin of [[synthImages]]. */
+  def synthGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthGifBytes(id))))
+      .toDF(idCol, "blob")
+  }
+
+  /** REAL multi-frame decode (the video-keyframe kernel shape): container
+    * sniffing via the registered ImageIO readers, frame count from
+    * `getNumImages(true)` (a full stream scan, not trusted metadata),
+    * then an independent `read(k)` + exact channel sums per frame. One
+    * output row per (doc, frame); corrupt payloads THROW (pinned in
+    * MultimodalSpec) rather than returning partial rows. */
+  def decodeFrames(df: DataFrame, idCol: String, blobCol: String): Dataset[FrameMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"doc $id: no ImageIO reader for payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            // strict Vector: every frame is decoded BEFORE the reader is
+            // disposed (a lazy view would read from a closed stream)
+            (0 until nf).map { k =>
+              val img = reader.read(k)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              FrameMeta(id, k, w, h, sr, sg, sb)
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
   }
 
   /** Frame-sample analogue: slice `n` evenly spaced fixed-size windows out

@@ -86,6 +86,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real multi-frame codec roundtrip: synth GIF decodes frame-by-frame to the contract") {
+    val ids = Seq(0L, 1L, 3L, 9L, 255L, 1000L)
+    val got = Multimodal.decodeFrames(
+        Multimodal.synthGifs(ids.toDF("doc_id"), "doc_id"), "doc_id", "blob")
+      .collect().map(m => (m.doc_id, m.frame) -> m).toMap
+    for (id <- ids) {
+      val (w, h, nf) = ((8 + id % 16).toInt, (8 + id % 12).toInt, (2 + id % 4).toInt)
+      // exactly nf frames, indexed 0..nf-1 — a dropped or phantom frame fails
+      assert((0 until nf).forall(k => got.contains((id, k))), s"doc $id missing frames")
+      assert(!got.contains((id, nf)), s"doc $id produced a phantom frame $nf")
+      for (k <- 0 until nf) {
+        val m = got((id, k))
+        assert(m.width == w && m.height == h, s"doc $id frame $k dims")
+        // solid frame color k, recomputed independently from the contract
+        assert(m.sum_r == w.toLong * h * ((id + 17L * k) % 256), s"doc $id frame $k sum_r")
+        assert(m.sum_g == w.toLong * h * ((id * 7 + 29L * k) % 256), s"doc $id frame $k sum_g")
+        assert(m.sum_b == w.toLong * h * ((id * 13 + 31L * k) % 256), s"doc $id frame $k sum_b")
+      }
+    }
+    // a corrupt payload fails loudly, not silently
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFrames(bad, "doc_id", "blob").collect()
+    }
+  }
+
   test("media lake: format-partitioned layout, pruned reads, intact blobs") {
     val dir = java.nio.file.Files.createTempDirectory("medialake").toString
     Multimodal.writeMediaLake(docs, "doc_id", "blob", dir)
