@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
-import graft.operators.Canvas
+import graft.operators.{Canvas, Raster}
 
 /** Round-2 coverage queries: operators from SURVEY §2 (and the north-star
   * surface) that round 1 implemented or declared but did not hash-gate
@@ -140,6 +140,18 @@ object CoverageQueries {
         Rounding.portable(var_samp(col("l_extendedprice")), 0).as("vr")))
       .transform(sortedSmall(_, col("xb"), col("yb")))
 
+  /** q77: dynspread ([[Raster.spread]] — datashader `tf.dynspread` [U] as
+    * a fixed-radius square-kernel convolution): each raster cell's count
+    * is summed into its 8-neighborhood, clamped to the canvas. The
+    * convolution runs over the RASTER (≤ canvas-size rows), never the
+    * data — the only data-sized stage is the q06-style binning
+    * aggregate that feeds it. */
+  def q77(t: Tables): DataFrame =
+    Raster.spread(
+        canvas32.points(t.lineitem, col("l_quantity"), col("l_extendedprice")),
+        width = 32, height = 32, radius = 1)
+      .transform(sortedSmall(_, col("xb"), col("yb")))
+
   /** q51: bivariate statistics + conditional aggregation — correlation,
     * sample covariance, regression slope (the "how does y scale with x"
     * companion to the raster's visual answer) and a FILTER-style
@@ -234,6 +246,7 @@ object CoverageQueries {
     "q53_window_nav"       -> q53 _,
     "q54_date_arith"       -> q54 _,
     "q55_array_hof"        -> q55 _,
+    "q77_dynspread"        -> q77 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -316,6 +329,22 @@ object CoverageQueries {
              round(stddev_samp(l_extendedprice), 4) AS sd,
              round(var_samp(l_extendedprice), 0) AS vr
       FROM lineitem GROUP BY xb, yb ORDER BY xb, yb""",
+
+    // q77: the q06-style 32x32 count raster, then the radius-1 square
+    // convolution as a raster x offsets cross join (9 rows each), clamped
+    // to the canvas — identical semantics to Raster.spread
+    "q77_dynspread" -> """
+      WITH r AS (
+        SELECT least(31, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*32) AS INT))) AS xb,
+               least(31, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32) AS INT))) AS yb,
+               count(*) AS c
+        FROM lineitem GROUP BY xb, yb),
+      o AS (SELECT CAST(a.dx AS INT) AS dx, CAST(b.dy AS INT) AS dy
+            FROM unnest(range(-1, 2)) AS a(dx), unnest(range(-1, 2)) AS b(dy)),
+      s AS (SELECT r.xb + o.dx AS xb, r.yb + o.dy AS yb, r.c FROM r, o)
+      SELECT xb, yb, CAST(sum(c) AS BIGINT) AS c FROM s
+      WHERE xb >= 0 AND xb < 32 AND yb >= 0 AND yb < 32
+      GROUP BY xb, yb ORDER BY xb NULLS FIRST, yb NULLS FIRST""",
 
     "q51_bivariate_stats" -> """
       SELECT l_returnflag,
