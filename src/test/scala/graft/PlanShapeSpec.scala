@@ -61,6 +61,19 @@ class PlanShapeSpec extends SparkSpec {
       s"signature derivation must not shuffle or aggregate:\n$p")
   }
 
+  test("incremental dedup: corpus-side band derivation is map-only above the signature table") {
+    // the 100 TB property q75 depends on: reading the persisted corpus
+    // signature table into band keys must be a pure projection
+    // (generate+project), never a shuffle or an aggregate — the first
+    // Exchange a corpus row meets is the band join itself
+    val corpusSigs = graft.operators.Dedup.minHashSignaturesNative(
+      sf0001.documents, col("doc_id"), col("text"))
+    val bands = graft.operators.Dedup.lshBands(corpusSigs, numHashes = 8, bands = 2)
+    val p = plan(bands)
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"band derivation must not shuffle or aggregate:\n$p")
+  }
+
   test("q66: bigram counting partially aggregates below its exchange") {
     val p = q("q66_bigrams")
     val exchangeIdx = p.indexOf("Exchange")
