@@ -138,6 +138,44 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("da"), col("db")))
   }
 
+  /** q78: token-budget MIXTURE sampling
+    * ([[graft.operators.Sampling.tokenBudgetSample]]) — rebalance the
+    * corpus language mixture to per-mille targets (en 400 / de 200 /
+    * fr 200 / es 150 / zh 50) under a 6000-token budget. The per-language
+    * keep rates are derived from the data (token totals), quantized with
+    * integer-only arithmetic so the oracle reproduces every kept row
+    * exactly; output = what a mixture audit reads, docs + tokens kept per
+    * language. */
+  def q78(t: Tables): DataFrame = {
+    val tok = size(split(col("text"), " ")).cast("long")
+    Sampling.tokenBudgetSample(
+        t.documents, col("doc_id"), col("lang"), tok,
+        Map("en" -> 400, "de" -> 200, "fr" -> 200, "es" -> 150, "zh" -> 50),
+        budgetTokens = 6000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(tok).cast("long").as("tok"))
+      .transform(sortedSmall(_, col("lang")))
+  }
+
+  /** q79: intra-document repetition score — the Gopher-style quality
+    * filter (Rae et al., "Scaling Language Models", §A1.1: fraction of
+    * duplicated n-grams within a document): rep = 1 − distinct/total
+    * bigrams. Expression-only over the native `word_ngrams` (no shuffle,
+    * no explode — `array_distinct` does the dedup in-row); returns the
+    * docs with ANY repetition, the set a quality pipeline thresholds. */
+  def q79(t: Tables): DataFrame = {
+    val grams = TextOps.shinglesNative(TextOps.tokens(col("text")), 2)
+    t.documents
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .filter(col("n_grams") > 0L && col("n_distinct") < col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        Rounding.portable(
+          lit(1.0) - col("n_distinct") / col("n_grams"), 6).as("rep_ratio"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
   def q58(t: Tables): DataFrame =
@@ -385,6 +423,8 @@ object PipelineQueries {
     "q74_decontaminate"  -> q74 _,
     "q75_incremental_dedup" -> q75 _,
     "q76_gif_frames"     -> q76 _,
+    "q78_mixture_sample" -> q78 _,
+    "q79_repetition"     -> q79 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -513,6 +553,36 @@ object PipelineQueries {
              CAST(width*height*g AS BIGINT) AS sum_g,
              CAST(width*height*b AS BIGINT) AS sum_b
       FROM fr ORDER BY doc_id NULLS FIRST, frame NULLS FIRST""",
+
+    // q78: integer-exact cutoff reproduction — the keep decision is
+    // md5-bucket(doc_id) < least(65536, w*B*65536 // (1000*tot)), all
+    // integer arithmetic, so the oracle keeps EXACTLY the same rows
+    "q78_mixture_sample" -> """
+      WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok FROM documents),
+      tot AS (SELECT lang, sum(tok) AS tot FROM d GROUP BY lang),
+      w AS (SELECT * FROM (VALUES ('en', 400), ('de', 200), ('fr', 200),
+                                  ('es', 150), ('zh', 50)) AS t(lang, w)),
+      cuts AS (SELECT tot.lang,
+                      least(65536, (w.w::HUGEINT * 6000 * 65536) // (1000 * tot.tot)) AS cut
+               FROM tot JOIN w ON tot.lang = w.lang WHERE tot.tot > 0),
+      k AS (SELECT d.lang, d.tok FROM d JOIN cuts ON d.lang = cuts.lang
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) < cut)
+      SELECT lang, count(*) AS n, CAST(sum(tok) AS BIGINT) AS tok
+      FROM k GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // q79: bigrams WITH duplicates (i = 1..len-1), count vs count
+    // distinct per doc — the in-row array_distinct stated relationally
+    "q79_repetition" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      g AS (SELECT doc_id, concat(s[i], ' ', s[i+1]) AS w
+            FROM doc, unnest(range(1, greatest(len(s), 1))) AS t(i)),
+      a AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT w) AS n_distinct
+            FROM g GROUP BY doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 6) AS rep_ratio
+      FROM a WHERE n_grams > 0 AND n_distinct < n_grams
+      ORDER BY doc_id NULLS FIRST""",
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,

@@ -74,7 +74,22 @@ object Soak {
             graft.operators.Dedup.simHash64Native(
               t.documents, org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text"), 3),
-            maxDist = 3, bits = 64))))
+            maxDist = 3, bits = 64)),
+        // incremental-vs-full a/b (the daily-ingest claim behind q75):
+        // 1/50th of the corpus arrives as the new batch; incremental
+        // band-joins it against the PRE-WRITTEN corpus signature table
+        // (written once below, outside the timed reps, like production),
+        // full recomputes minHashNearDups over the whole corpus
+        "dedup_incr_batch" -> ((t: Tables) => {
+          val batch = t.documents.filter(col("doc_id") % 50 === 0)
+          val (pairs, _) = graft.operators.Dedup.incrementalNearDups(
+            batch, col("doc_id"), col("text"),
+            t.spark.read.parquet(s"$out/corpus_sigs.parquet"))
+          pairs
+        }),
+        "dedup_full_recompute" -> ((t: Tables) =>
+          graft.operators.Dedup.minHashNearDups(
+            t.documents, col("doc_id"), col("text")))))
     def selected[A](qs: Seq[(String, A)]) =
       qs.filter { case (n, _) => nameFilter.forall(n.contains) }
     val tableQs = selected(tableQsAll)
@@ -122,6 +137,12 @@ object Soak {
     }
 
     val t = if (tableQs.nonEmpty) Tables(spark, out) else null
+    // the corpus signature table the incremental a/b reads: written once,
+    // outside the timed reps — in production this is yesterday's output
+    if (tableQs.exists(_._1 == "dedup_incr_batch"))
+      graft.operators.Dedup.minHashSignaturesNative(
+          t.documents.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/corpus_sigs.parquet")
     val qs = tableQs ++ selected(skewQs) ++ selected(ccQs)
     // dfcap recall gate, asserted ONCE here OUTSIDE the timed reps: a
     // count+require inside the timed lambda double-materializes the pair

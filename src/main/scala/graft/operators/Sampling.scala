@@ -54,4 +54,47 @@ object Sampling {
     }
     df.filter(hashBucket(key) < cut)
   }
+
+  /** MIXTURE sampling to a token budget — the corpus-composition step of
+    * a training run: given target mixture weights per stratum (domain,
+    * language, source) and a total token budget, keep a deterministic
+    * sample of each stratum sized so it contributes ≈ weight × budget
+    * tokens. Unlike [[stratifiedHashSample]] the per-stratum rate is not
+    * given, it is DERIVED FROM THE DATA: rate_s = min(1, weight_s ×
+    * budget / stratumTokens_s), so the same call rebalances any corpus
+    * toward the target mixture (an over-represented stratum is sampled
+    * down, an under-represented one is kept whole — it cannot be
+    * upsampled past 1.0).
+    *
+    * Determinism and oracle-portability: the cutoff is quantized to
+    * 1/65536 with PURE INTEGER arithmetic — `weightPerMille × budget ×
+    * 65536 DIV (1000 × total)` at decimal(38,0), never a double — so an
+    * engine-vs-oracle one-ULP difference cannot flip a row near the
+    * cutoff boundary, at any corpus size.
+    *
+    * Shuffle shape: one tiny aggregate (|strata| rows) for the totals,
+    * broadcast back as the cutoff table; the kept-row decision is then a
+    * per-row hash predicate, exactly like the other samplers. Strata
+    * without a weight are dropped. */
+  def tokenBudgetSample(
+      df: DataFrame, key: Column, stratum: Column, tokenCount: Column,
+      weightsPerMille: Map[String, Int], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    weightsPerMille.foreach { case (s, w) =>
+      require(w >= 0 && w <= 1000, s"weight for '$s' must be in [0,1000] per-mille, got $w") }
+    val w = weightsPerMille.foldLeft(lit(null).cast("long")) { case (acc, (s, v)) =>
+      when(col("__stratum") === lit(s), lit(v.toLong)).otherwise(acc)
+    }
+    val cuts = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(tokenCount).as("__tot"))
+      .select(col("__stratum"), w.as("__w"), col("__tot"))
+      .filter(col("__w").isNotNull && col("__tot") > 0L)
+      .select(col("__stratum"),
+        least(lit(65536L), expr(
+          s"CAST(__w AS DECIMAL(38,0)) * $budgetTokens * 65536 DIV " +
+          "(1000 * CAST(__tot AS DECIMAL(38,0)))")).as("__cut"))
+    df.join(broadcast(cuts), stratum === col("__stratum"))
+      .filter(hashBucket(key) < col("__cut"))
+      .drop("__stratum", "__cut")
+  }
 }

@@ -62,4 +62,38 @@ class SamplingSpec extends SparkSpec {
       sf0001.lineitem, col("l_orderkey"), 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"hash sampling must be shuffle-free:\n$plan")
   }
+
+  test("token-budget mixture sample derives rates from the data and hits the targets") {
+    val tok = size(split(col("text"), " ")).cast("long")
+    val docs = sf0001.documents
+    val weights = Map("en" -> 500, "de" -> 500) // other langs dropped
+    val budget = 2000L
+    val got = Sampling.tokenBudgetSample(
+        docs, col("doc_id"), col("lang"), tok, weights, budget)
+      .groupBy("lang").agg(sum(tok).as("t")).as[(String, Long)].collect().toMap
+    assert(got.keySet.subsetOf(Set("en", "de")), s"unlisted langs must be dropped: $got")
+    val totals = docs.groupBy("lang").agg(sum(tok).as("t"))
+      .as[(String, Long)].collect().toMap
+    for ((lang, t) <- got) {
+      val target = math.min(totals(lang).toDouble, 0.5 * budget)
+      // hash sampling is binomial around the rate — allow a wide band,
+      // the EXACT row set is what q78's oracle hash pins
+      assert(t > 0.3 * target && t < 2.0 * target,
+        s"$lang sampled $t tokens vs target $target")
+    }
+    // a stratum smaller than its share is kept whole (rate clamps at 1)
+    val whole = Sampling.tokenBudgetSample(
+        docs, col("doc_id"), col("lang"), tok, Map("zh" -> 1000), budgetTokens = 100000000L)
+      .count()
+    assert(whole == docs.filter(col("lang") === "zh").count(),
+      "rate must clamp at 1.0 — no upsampling past the full stratum")
+    // determinism: same rows on a different physical layout
+    val a = Sampling.tokenBudgetSample(
+      docs, col("doc_id"), col("lang"), tok, weights, budget)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetSample(
+      docs.repartition(13, col("source")), col("doc_id"), col("lang"), tok, weights, budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "mixture sampling must not depend on partitioning")
+  }
 }
