@@ -47,6 +47,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // scheduler mode for the concurrent pass, env-overridable for a/b
+      // runs (serial timings are one job at a time and unaffected)
+      .config("spark.scheduler.mode", sys.env.getOrElse("SPARK_GRAFT_SCHED", "FIFO"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -79,6 +79,21 @@ object ExtensionQueries {
       .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
   }
 
+  /** q80: multi-probe IVF top-k ([[Similarity.ivfTopKProbed]]) — q35's
+    * setup with each query probing its 2 nearest centroid buckets, the
+    * standard IVF recall lever (a neighbor just across the Voronoi
+    * boundary is found in the 2nd bucket at 2× scan cost, not N× brute
+    * force). */
+  def q80(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = e.filter(col("vec_id") < 8)
+    val assign = Similarity.ivfAssign(e, centroids)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfTopKProbed(e, assign, centroids, queries, k = 3, nprobe = 2)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
+  }
+
   /** q36: heuristic stopword language-ID confusion matrix. */
   def q36(t: Tables): DataFrame = {
     val tok = t.documents.select(col("doc_id"), col("lang"),
@@ -206,6 +221,7 @@ object ExtensionQueries {
     "q38_token_stats"        -> q38 _,
     "q39_fingerprint"        -> q39 _,
     "q40_multimodal_decode"  -> q40 _,
+    "q80_ann_ivf_multiprobe" -> q80 _,
   )
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
@@ -317,6 +333,26 @@ object ExtensionQueries {
         SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.e) AS sim,
           row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.e) DESC NULLS LAST, e.vec_id NULLS FIRST) AS rn
         FROM q JOIN assign a ON a.cid = q.qc AND a.vec_id <> q.qid JOIN e ON e.vec_id = a.vec_id) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q80: q35's chain with the query side probing its 2 nearest
+    // centroid buckets instead of only its own
+    "q80_ann_ivf_multiprobe" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c) t WHERE rn = 1),
+      q0 AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105),
+      probes AS (SELECT qid, qe, cid AS qc FROM (
+          SELECT q0.qid, q0.qe, c.cid,
+            row_number() OVER (PARTITION BY q0.qid ORDER BY list_cosine_similarity(q0.qe, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS pn
+          FROM q0, c) t WHERE pn <= 2)
+      SELECT qid, vec_id, round(sim, 6) AS sim FROM (
+        SELECT p.qid, e.vec_id, list_cosine_similarity(p.qe, e.e) AS sim,
+          row_number() OVER (PARTITION BY p.qid ORDER BY list_cosine_similarity(p.qe, e.e) DESC NULLS LAST, e.vec_id NULLS FIRST) AS rn
+        FROM probes p JOIN assign a ON a.cid = p.qc AND a.vec_id <> p.qid JOIN e ON e.vec_id = a.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     "q36_text_langid" -> """

@@ -105,6 +105,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** MULTI-PROBE IVF top-k — the standard recall lever of inverted-file
+    * ANN: instead of scanning only the query's own bucket ([[ivfTopK]]),
+    * each query probes its `nprobe` nearest centroids' buckets. A true
+    * neighbor that fell just across a Voronoi boundary (the dominant IVF
+    * recall failure) is found in the 2nd/3rd-nearest bucket at `nprobe`×
+    * the scan cost — still corpus/k per probe, nowhere near brute force.
+    *
+    * Anchors (pinned in SimilaritySpec): `nprobe = 1` ≡ [[ivfTopK]] when
+    * the query assignment came from the same centroids (same ranking,
+    * same tie-break), and `nprobe = #centroids` ≡ brute-force top-k
+    * (probing every bucket IS the full scan) — so recall is monotone in
+    * `nprobe` with both endpoints exact.
+    *
+    * Shuffle shape: centroid ranking is a broadcast of the k-row centroid
+    * set; the probe table (queries × nprobe) broadcasts into the bucket
+    * equi-join exactly like [[ivfTopK]]'s query side. Each corpus vector
+    * lives in exactly ONE bucket, so no (qid, vec_id) pair can repeat —
+    * no distinct needed. */
+  def ivfTopKProbed(
+      vectors: DataFrame, assign: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val c = centroids.select(col("vec_id").as("qc"), col("e").as("ce"))
+    val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("qc"))
+    val probes = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(c))
+      .select(col("qid"), col("qe"), col("qc"),
+        GraftFunctions.cosineSimilarity(col("qe"), col("ce")).as("csim"))
+      .withColumn("pn", row_number().over(wp))
+      .filter(col("pn") <= nprobe)
+      .select("qid", "qe", "qc")
+    val bucket = assign.select(col("vec_id"), col("cid").as("qc"))
+      .join(vectors, "vec_id")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes).join(bucket, "qc")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate cosine near-dup pairs via signed-random-projection LSH —
     * the corpus-scale candidate generator for q34's exact all-pairs form
     * (which is inherently O(N²): a broadcast NLJ evaluating every pair).

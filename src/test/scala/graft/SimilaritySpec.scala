@@ -116,6 +116,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((10L, 0L), (10L, 11L)))
   }
 
+  test("multi-probe IVF: nprobe=1 equals single-bucket, nprobe=#centroids equals brute force") {
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assign = Similarity.ivfAssign(vecs, centroids)
+    val queries = vecs.filter(col("vec_id") === 10L)
+
+    // nprobe=1 ≡ ivfTopK (query assignment came from the same centroids)
+    val p1 = Similarity.ivfTopKProbed(vecs, assign, centroids, queries, k = 5, nprobe = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.ivfTopK(vecs, assign, queries, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(p1 == single, s"nprobe=1 must match the single-bucket form: $p1 vs $single")
+
+    // nprobe=2 finds the cross-boundary neighbors nprobe=1 misses:
+    // bucket 0 = {0, 10, 11}; the other cluster only appears at nprobe=2
+    val p2 = Similarity.ivfTopKProbed(vecs, assign, centroids, queries, k = 5, nprobe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(p1.subsetOf(p2) && p2.size > p1.size,
+      s"recall must grow with nprobe: $p1 vs $p2")
+
+    // nprobe = #centroids ≡ brute-force top-k over the whole corpus
+    val full = Similarity.ivfTopKProbed(vecs, assign, centroids, queries, k = 3, nprobe = 2)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val brute = {
+      val q = Seq(0.9, 0.1)
+      def cos(a: Seq[Double]) = {
+        val dot = a.zip(q).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      }
+      vecs.as[(Long, Seq[Double])].collect().filter(_._1 != 10L)
+        .map { case (id, e) => (id, cos(e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (10L, id, i + 1) }.toSet
+    }
+    assert(full == brute, s"probing every bucket must equal brute force: $full vs $brute")
+  }
+
   test("cosine LSH: exact precision, high recall on embedding near-dups, deterministic") {
     // SRP-LSH targets NEAR-DUPLICATE embeddings (cosine >= ~0.9) — the
     // dedup regime, where a handful of sign bits separates dup from
