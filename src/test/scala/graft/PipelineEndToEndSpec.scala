@@ -65,4 +65,54 @@ class PipelineEndToEndSpec extends SparkSpec {
       s"lang filter must prune partitions:\n$scan")
     assert(pruned.count() == perLang.getOrElse("en", 0L))
   }
+
+  test("day 2: incremental batch → dedup vs corpus signatures → decontaminate → append") {
+    // day 1 leaves behind the corpus and its signature table (the
+    // convention incrementalNearDups is built around); day 2 processes a
+    // NEW batch without ever re-reading the corpus text
+    val docs = sf0001.documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.minHashSignaturesNative(corpus, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/sigs")
+
+    // 1. dedup the batch against the persisted signature table
+    val (pairs, updated) = Dedup.incrementalNearDups(
+      batch, col("doc_id"), col("text"), spark.read.parquet(s"$tmp/sigs"))
+    // drop policy: any batch doc in a >= 0.9 pair goes (vs a corpus match
+    // the corpus copy wins; an intra-batch twin pair conservatively drops
+    // both — keep-one via dropNearDups is the batch-mode alternative)
+    val dupIds = pairs.filter(col("est") >= 0.9)
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .join(batch.select("doc_id"), "doc_id")
+      .distinct()
+    val survivors = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    pairs.unpersist()
+
+    // 2. decontaminate the survivors against the benchmark suite
+    // (doc_id % 7 == 0 plays the eval set, as in q74), normalized so a
+    // re-punctuated answer cannot slip through
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+    val contaminated = Dedup.crossContamination(
+      survivors, evalDocs, col("doc_id"), col("text"), n = 8, normalize = true)
+    val admitted = survivors.join(
+      contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // invariants a daily ingest relies on
+    assert(batch.count() > 0 && admitted.count() <= batch.count())
+    // no admitted doc near-dups the corpus at the drop threshold: re-running
+    // the incremental detector over the admitted set finds nothing >= 0.9
+    val (recheck, _) = Dedup.incrementalNearDups(
+      admitted, col("doc_id"), col("text"), spark.read.parquet(s"$tmp/sigs"))
+    val residual = recheck.filter(col("est") >= 0.9).count()
+    recheck.unpersist()
+    assert(residual == 0, s"admitted batch must be dup-free vs the corpus, found $residual")
+    // no admitted doc shares a normalized 8-gram with the eval suite
+    assert(Dedup.crossContamination(
+        admitted, evalDocs, col("doc_id"), col("text"), n = 8, normalize = true)
+      .count() == 0, "admitted batch must be decontaminated")
+    // the signature table moves forward: updated = old ∪ batch signatures
+    assert(updated.count() ==
+      spark.read.parquet(s"$tmp/sigs").count() + batch.count())
+  }
 }
