@@ -80,6 +80,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__minhash_key"))
       .drop("__minhash_key")
 
+  /** Streaming DECONTAMINATION guard — q74's semantics at ingest time:
+    * admit only the incoming documents that share NO token `n`-gram with
+    * a static eval suite (the benchmark answers a training corpus must
+    * not absorb). The eval side is batch and tiny — its distinct shingle
+    * set broadcasts; the stream side derives its shingle array IN-ROW
+    * with the native `word_ngrams` (no explode, no aggregation, no
+    * state), so the whole guard is a stateless stream-static join any
+    * trigger mode supports.
+    *
+    * Join shape: Structured Streaming supports stream-static LEFT OUTER
+    * but not LEFT ANTI, so the anti-join is stated as outer + `w IS
+    * NULL`: a clean document matches no eval shingle and survives as
+    * exactly its one null-extended row; a contaminated document's rows
+    * all carry a matched shingle and are filtered. The predicate is
+    * `array_contains` per (doc, eval-shingle) under a broadcast
+    * nested-loop join — linear in the stream, |eval shingles| work per
+    * document, the same "tiny eval side" economics as the batch
+    * operator. Documents too short to shingle have an empty array,
+    * match nothing, and pass (matching batch, where they cannot join).
+    *
+    * Batch parity (StreamOpsSpec): admitted stream docs = docs minus
+    * [[graft.operators.Dedup.crossContamination]]'s flag set at the same
+    * (n, normalize). */
+  def decontaminationGuard(
+      docs: DataFrame, text: Column,
+      evalDocs: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 8, normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) graft.functions.TextOps.normalizeText(text) else text
+    val et = if (normalize) graft.functions.TextOps.normalizeText(evalText) else evalText
+    val evalShingles = broadcast(
+      graft.operators.Dedup.shingleSet(evalDocs, evalId, et, n)
+        .select(col("w")).distinct())
+    docs
+      .withColumn("__shingles",
+        graft.functions.TextOps.shinglesNative(graft.functions.TextOps.tokens(t), n))
+      .join(evalShingles, array_contains(col("__shingles"), col("w")), "left_outer")
+      .filter(col("w").isNull)
+      .drop("w", "__shingles")
+  }
+
   /** Stream-stream interval join (Q23's shape as two live streams): equi
     * key + event-time range conjunct. Both sides carry watermarks and the
     * join condition bounds `rightTs` to a window after `leftTs`, which is

@@ -111,6 +111,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept.size == 5, s"kept=$kept")
   }
 
+  test("decontaminationGuard admits exactly the batch-clean docs (stream-static parity)") {
+    val docsDir = Files.createTempDirectory("docs-decon-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema(Tables.schemas("documents")).parquet(docsDir.toString)
+    // the q74 setup: doc_id % 7 == 0 plays the eval suite; the stream
+    // carries the train side
+    val evalDocs = sf0001.documents.filter(col("doc_id") % 7 === 0)
+    val trainStream = docsStream.filter(col("doc_id") % 7 =!= 0)
+    val admitted = StreamOps.decontaminationGuard(
+      trainStream, col("text"), evalDocs, col("doc_id"), col("text"), n = 5)
+    assert(admitted.isStreaming, "the guard must stay a streaming frame")
+    val q = admitted.writeStream.format("memory").queryName("so_decon")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_decon").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val train = sf0001.documents.filter(col("doc_id") % 7 =!= 0)
+    val flagged = graft.operators.Dedup.crossContamination(
+        train, evalDocs, col("doc_id"), col("text"), n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = train.select("doc_id").collect().map(_.getLong(0)).toSet -- flagged
+    assert(flagged.nonEmpty, "fixture must contain contamination for the test to bite")
+    assert(got == want, s"stream-admitted set must equal batch-clean set " +
+      s"(missing=${want -- got}, extra=${got -- want})")
+  }
+
   test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
     // the Spark-first payoff: Sampling/Cleaning are plain Column
     // predicates, so the SAME operator code drives batch and readStream —
