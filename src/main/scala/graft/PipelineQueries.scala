@@ -104,6 +104,20 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id"), col("frame")))
   }
 
+  /** q81: COMPRESSED-audio decode
+    * ([[graft.operators.Multimodal.decodeUlawAudio]]) — real G.711 µ-law
+    * payloads synthesized per document, DECOMPRESSED through the JDK's
+    * audio format-conversion chain, exact 16-bit sample stats. The oracle
+    * re-derives the µ-law expansion arithmetically (closed-form
+    * sign/exponent/mantissa) — a decoder mis-expanding any single code
+    * byte hash-mismatches. */
+  def q81(t: Tables): DataFrame = {
+    val blobs = graft.operators.Multimodal.synthUlawAudio(
+      t.documents.select(col("doc_id")), "doc_id")
+    graft.operators.Multimodal.decodeUlawAudio(blobs, "doc_id", "blob").toDF()
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q74: train/eval decontamination ([[Dedup.crossContamination]]) —
     * docs with doc_id % 7 == 0 play the benchmark suite; every other
     * document sharing a 5-token shingle with any of them is flagged with
@@ -425,6 +439,7 @@ object PipelineQueries {
     "q76_gif_frames"     -> q76 _,
     "q78_mixture_sample" -> q78 _,
     "q79_repetition"     -> q79 _,
+    "q81_ulaw_decode"    -> q81 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -494,6 +509,31 @@ object PipelineQueries {
              CAST(min(v) AS INTEGER) AS min_s,
              CAST(max(v) AS INTEGER) AS max_s
       FROM s GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+
+    // q81: the DECODE is real (javax.sound µ-law → PCM conversion); the
+    // oracle expands the synthesized code bytes with the closed-form
+    // G.711 formula (u = 255-b; mag = ((u%16)*8+132) << ((u//16)%8), -132;
+    // negated when u >= 128) — verified equal to the JDK decoder on all
+    // 256 code points in MultimodalSpec
+    "q81_ulaw_decode" -> """
+      WITH n AS (SELECT doc_id, 80 + doc_id % 320 AS ns FROM documents),
+      b AS (SELECT doc_id, (doc_id*37 + i*11) % 256 AS code
+            FROM n, unnest(range(0, ns)) AS t(i)),
+      v AS (SELECT doc_id,
+              CASE WHEN (255 - code) >= 128
+                   THEN -(((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8)) - 132)
+                   ELSE ((((255 - code) % 16) * 8 + 132) << (((255 - code) // 16) % 8)) - 132
+              END AS v
+            FROM b)
+      SELECT doc_id,
+             CAST(1 AS INTEGER) AS channels,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(8 AS INTEGER) AS bits,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(v) AS BIGINT) AS sum_s,
+             CAST(min(v) AS INTEGER) AS min_s,
+             CAST(max(v) AS INTEGER) AS max_s
+      FROM v GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
 
     "q74_decontaminate" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),

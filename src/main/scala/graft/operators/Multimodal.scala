@@ -268,6 +268,87 @@ object Multimodal {
       })
   }
 
+  /** The deterministic COMPRESSED-audio synthesis contract (shared with
+    * the q81 SQL oracle): G.711 µ-law mono at 8000 Hz — a real companding
+    * codec the JDK ships a decoder for — with n = 80 + id%320 code bytes,
+    * byte i = (id·37 + i·11) mod 256. The oracle re-derives the decoded
+    * 16-bit samples arithmetically because µ-law expansion is closed-form
+    * (sign/exponent/mantissa: u = 255−b; mag = ((u%16)·8+132)·2^((u/16)%8)
+    * − 132; negative when u ≥ 128) — verified equal to the JDK decoder on
+    * all 256 code points (MultimodalSpec). Requires non-negative ids. */
+  private[graft] def synthUlawBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"audio synthesis requires non-negative ids, got $id")
+    val n = (80 + id % 320).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(7).putShort(1) // WAVE format 7 = µ-law, mono
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.put(((id * 37 + i.toLong * 11) % 256).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** One real µ-law WAV payload per input row — the compressed-audio twin
+    * of [[synthAudio]]. */
+  def synthUlawAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthUlawBytes(id))))
+      .toDF(idCol, "blob")
+  }
+
+  /** REAL compressed-audio decode: the container is parsed by
+    * `javax.sound.sampled`, the µ-law payload is DECOMPRESSED through the
+    * JDK's format-conversion chain (`AudioSystem.getAudioInputStream
+    * (targetFormat, source)` — the same API a production transcoder
+    * uses), and every expanded 16-bit sample is read back for exact
+    * integer statistics. Header facts (channels, rate, the source's
+    * 8-bit code width) come from the codec, not trusted metadata;
+    * non-µ-law or corrupt payloads THROW (pinned in MultimodalSpec). */
+  def decodeUlawAudio(df: DataFrame, idCol: String, blobCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW,
+            s"doc $id: expected ULAW, got ${f.getEncoding}")
+          require(f.getSampleSizeInBits == 8, s"doc $id: expected 8-bit µ-law codes")
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          try {
+            val data = pcm.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(data)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var (n, sum) = (0L, 0L)
+            var (mn, mx) = (Int.MaxValue, Int.MinValue)
+            while (bb.remaining() >= 2) {
+              val s = bb.getShort.toInt
+              n += 1; sum += s
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+            }
+            AudioMeta(id, f.getChannels, f.getSampleRate.toInt,
+              f.getSampleSizeInBits, n, sum, mn, mx)
+          } finally pcm.close()
+        } finally src.close()
+      })
+  }
+
   // ---------------------------------------------------------------------
   // Real multi-frame path — javax.imageio's GIF codec reads and writes
   // image SEQUENCES, which gives a real, hash-gateable analogue of video

@@ -112,6 +112,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real compressed-audio codec: µ-law decode equals the closed-form G.711 expansion") {
+    // the formula the q81 oracle states, verified against the REAL JDK
+    // decoder on every one of the 256 µ-law code points
+    def ulaw2linear(b: Int): Int = {
+      val u = ~b & 0xff
+      val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+      if ((u & 0x80) != 0) -mag else mag
+    }
+    val ids = Seq(0L, 1L, 7L, 255L, 319L, 1000L)
+    val got = Multimodal.decodeUlawAudio(
+        Multimodal.synthUlawAudio(ids.toDF("doc_id"), "doc_id"), "doc_id", "blob")
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val m = got(id)
+      // header facts from the real parser: 8-bit µ-law mono at 8 kHz
+      assert(m.channels == 1 && m.sample_rate == 8000 && m.bits == 8)
+      val n = (80 + id % 320).toInt
+      val samples = (0 until n).map(i => ulaw2linear(((id * 37 + i.toLong * 11) % 256).toInt))
+      assert(m.n_samples == n)
+      assert(m.sum_s == samples.map(_.toLong).sum, s"doc $id decoded sum")
+      assert(m.min_s == samples.min && m.max_s == samples.max)
+    }
+    // exhaustive: one payload carrying every µ-law code point 0..255,
+    // so the JDK-decoder-equals-formula claim holds for the WHOLE table,
+    // not just the codes the synthesized docs happen to emit
+    val raw = (0 until 256).map(_.toByte).toArray
+    val wav = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 256).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 256)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(7).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8).put("data".getBytes("US-ASCII")).putInt(256)
+      bb.put(raw); bb.array()
+    }
+    val full = Multimodal.decodeUlawAudio(
+      Seq((42L, wav)).toDF("doc_id", "blob"), "doc_id", "blob").collect().head
+    val table = (0 until 256).map(ulaw2linear)
+    assert(full.n_samples == 256 && full.sum_s == table.map(_.toLong).sum &&
+      full.min_s == table.min && full.max_s == table.max,
+      "JDK µ-law decoder must equal the G.711 formula over all 256 codes")
+    // a corrupt payload fails loudly; a PCM (non-µ-law) payload is refused
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeUlawAudio(
+        Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob"), "doc_id", "blob").collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeUlawAudio(
+        Multimodal.synthAudio(Seq(1L).toDF("doc_id"), "doc_id"), "doc_id", "blob").collect()
+    }
+  }
+
   test("media lake: format-partitioned layout, pruned reads, intact blobs") {
     val dir = java.nio.file.Files.createTempDirectory("medialake").toString
     Multimodal.writeMediaLake(docs, "doc_id", "blob", dir)
