@@ -74,6 +74,14 @@ class PlanShapeSpec extends SparkSpec {
       s"band derivation must not shuffle or aggregate:\n$p")
   }
 
+  test("q78: the derived cutoff table broadcasts back into the sample predicate") {
+    // the mixture sampler's scale property: the |strata|-row cutoff table
+    // must reach the corpus side as a broadcast, never a shuffled join
+    val p = q("q78_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"cutoff join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+  }
+
   test("q66: bigram counting partially aggregates below its exchange") {
     val p = q("q66_bigrams")
     val exchangeIdx = p.indexOf("Exchange")
