@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Rounding, TextOps}
-import graft.operators.{Cleaning, Dedup, Sampling, TimeSeries}
+import graft.operators.{Cleaning, Dedup, Sampling, TextAnalysis, TimeSeries}
 
 /** Round-3 queries: the training-data-pipeline operations a 100 TB corpus
   * build needs beyond pairwise dedup — deterministic (stratified) hash
@@ -204,6 +204,28 @@ object PipelineQueries {
         trainDocs, evalDocs, col("doc_id"), col("text"), n = 5, normalize = true)
       .transform(sortedSmall(_, col("doc_id")))
   }
+
+  /** q83: sliding-window document chunking
+    * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
+    * advancing by 40 (10-token overlap), the LLM context-window prep
+    * step. The md5 fingerprint of every re-joined window is in the hash
+    * gate, so chunk boundaries, ordering, and the short final chunk are
+    * all pinned. */
+  def q83(t: Tables): DataFrame =
+    TextAnalysis.chunkTokens(
+        t.documents, col("doc_id"), col("text"), chunkSize = 50, stride = 40)
+      .transform(sortedSmall(_, col("doc_id"), col("chunk_id")))
+
+  /** q84: greedy sequence packing
+    * ([[graft.operators.TextAnalysis.packSequences]]) — documents laid
+    * end to end per source shard in doc_id order, assigned to the
+    * 512-token training sequence where their first token lands; output
+    * is the per-sequence fill audit. */
+  def q84(t: Tables): DataFrame =
+    TextAnalysis.packSequences(
+        t.documents, col("source"), col("doc_id"),
+        size(split(col("text"), " ")), seqLen = 512L)
+      .transform(sortedSmall(_, col("shard"), col("seq_id")))
 
   /** q58: unpivot (wide → long; the inverse of q47's pivot) over a
     * grouped wide frame — Spark's native `unpivot` (UNPIVOT/MELT). */
@@ -456,6 +478,8 @@ object PipelineQueries {
     "q79_repetition"     -> q79 _,
     "q81_ulaw_decode"    -> q81 _,
     "q82_decontaminate_norm" -> q82 _,
+    "q83_chunking"       -> q83 _,
+    "q84_packing"        -> q84 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -561,6 +585,31 @@ object PipelineQueries {
       SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
       FROM tr JOIN ev USING (w)
       GROUP BY tr.doc_id ORDER BY tr.doc_id NULLS FIRST""",
+
+    // q83: DuckDB list slice s[a:b] is 1-based inclusive ≡ Spark
+    // slice(arr, a, len); the negative-numerator kmax divergence (DuckDB
+    // // floors, Spark DIV truncates) is clamped away by greatest(0, ·)
+    "q83_chunking" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      n AS (SELECT doc_id, s, len(s) AS n FROM doc),
+      k AS (SELECT doc_id, s, greatest(0, (n - 50 + 39) // 40) AS kmax FROM n),
+      c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, s[i*40+1 : i*40+50] AS chunk
+            FROM k, unnest(range(0, kmax + 1)) AS t(i))
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""",
+
+    // q84: exclusive prefix sum per source shard in doc_id order; a doc
+    // joins the sequence where its first token lands
+    "q84_packing" -> """
+      WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+      o AS (SELECT source, tok,
+              sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
+            FROM d)
+      SELECT source AS shard, off // 512 AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM o GROUP BY shard, seq_id ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
 
     // q82: q74 with both sides normalized before shingling — DuckDB's
     // regexp_replace needs the 'g' flag to match Spark's replace-all

@@ -50,4 +50,60 @@ object TextAnalysis {
     tf.join(df, "w")
       .withColumn("tfidf", col("tf") * log(lit(numDocs.toDouble) / col("df")))
   }
+
+  /** Sliding-window document CHUNKING — the context-window preparation
+    * step of an LLM training pipeline: split each document's token
+    * sequence into `chunkSize`-token windows advancing by `stride`
+    * (overlap = chunkSize − stride), the standard recipe for long-doc
+    * training data. One row per (doc, chunk): chunk index, its token
+    * count (the final chunk may be short — never padded here) and the
+    * md5 of the re-joined window (a content fingerprint downstream dedup
+    * can key on).
+    *
+    * Chunk count is closed-form, `1 + max(0, ceil((n − chunkSize) /
+    * stride))`, computed with integer arithmetic so the row set is
+    * engine-exact; the expansion is a `sequence` + `posexplode`-style
+    * generate over in-row `slice` — per-row work, no shuffle, no UDF. */
+  def chunkTokens(
+      docs: DataFrame, id: Column, text: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride ($stride) <= chunkSize ($chunkSize)")
+    val toks = graft.functions.TextOps.tokens(text)
+    docs
+      .select(id.as("doc_id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L), expr(s"(__n - $chunkSize + $stride - 1) DIV $stride")))))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        md5(array_join(col("__c"), " ")).as("chunk_md5"))
+  }
+
+  /** Greedy SEQUENCE PACKING — the concat-then-split packing an LLM data
+    * loader applies to fill fixed-length training sequences: documents
+    * are laid end to end in `orderCol` order within each `shard`
+    * partition, and a document belongs to the sequence where its FIRST
+    * token lands (`seq_id = floor(startOffset / seqLen)`). Returns one
+    * row per (shard, seq_id) with the doc count and token sum — the
+    * fill-ratio audit a packing job reports. Per-shard windows keep the
+    * running sum distributed (pack per domain/file shard, exactly like a
+    * production loader); a global pack is a single-partition sort by
+    * construction and should stay off the 100 TB path. */
+  def packSequences(
+      docs: DataFrame, shard: Column, orderCol: Column, tokenCount: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__shard").orderBy("__ord")
+    docs
+      .select(shard.as("__shard"), orderCol.as("__ord"), tokenCount.cast("long").as("__tok"))
+      .withColumn("__off", sum(col("__tok")).over(w) - col("__tok"))
+      .withColumn("seq_id", expr(s"__off DIV $seqLen"))
+      .groupBy(col("__shard").as("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+  }
 }
