@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Edge-case pins for the chunking/packing operators (q83/q84 hash-gate
+  * the fixture corpus; these pin the fenceposts the fixture may not hit). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks(text: String, chunkSize: Int, stride: Int): Seq[(Long, Long)] =
+    TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunkSize, stride)
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().toSeq.sorted
+
+  test("chunkTokens fenceposts: short doc, exact fit, one-over, no-overlap stride") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // shorter than one chunk → exactly one (short) chunk
+    assert(chunks(words(3), 5, 4) == Seq((0L, 3L)))
+    // exactly one chunk
+    assert(chunks(words(5), 5, 4) == Seq((0L, 5L)))
+    // one token over → a second chunk carrying the overlap + the tail
+    assert(chunks(words(6), 5, 4) == Seq((0L, 5L), (1L, 2L)))
+    // stride == chunkSize → disjoint chunks, remainder in the last
+    assert(chunks(words(12), 5, 5) == Seq((0L, 5L), (1L, 5L), (2L, 2L)))
+    // every token appears in at least one chunk: window starts cover 1..n
+    val n = 23
+    val got = chunks(words(n), 5, 4)
+    val covered = got.map { case (k, len) => (k * 4 + 1, k * 4 + len) }
+    assert(covered.head._1 == 1 && covered.last._2 == n &&
+      covered.sliding(2).forall { case Seq((_, e), (s, _)) => s <= e + 1; case _ => true },
+      s"chunks must tile the token sequence: $covered")
+  }
+
+  test("chunkTokens overlap carries the same tokens (fingerprints of overlap agree)") {
+    // chunk k ends with the 1-token overlap that chunk k+1 starts with
+    // (chunkSize 5, stride 4): verify via the md5 of a hand-built window
+    val text = (1 to 9).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), col("doc_id"), col("text"), 5, 4)
+      .select("chunk_id", "chunk_md5").as[(Long, String)].collect().toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(0L) == md5hex("t1 t2 t3 t4 t5"))
+    assert(got(1L) == md5hex("t5 t6 t7 t8 t9"))
+  }
+
+  test("packSequences: boundary docs, token conservation, per-shard independence") {
+    // shard A: 300 + 212 fill sequence 0 exactly; the next doc STARTS at
+    // offset 512 → sequence 1. shard B packs independently from offset 0.
+    val docs = Seq(
+      ("A", 1L, 300L), ("A", 2L, 212L), ("A", 3L, 100L),
+      ("B", 10L, 600L), ("B", 11L, 50L)
+    ).toDF("src", "doc_id", "tok")
+    val got = TextAnalysis.packSequences(
+        docs, col("src"), col("doc_id"), col("tok"), seqLen = 512L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 0L, 2L, 512L),   // docs 1+2 fill seq 0 exactly
+      ("A", 1L, 1L, 100L),   // doc 3 starts at offset 512 → seq 1
+      ("B", 0L, 1L, 600L),   // doc 10 starts at 0 (oversized doc spans, but
+                             // belongs to the seq of its first token)
+      ("B", 1L, 1L, 50L)     // doc 11 starts at offset 600 → seq 1
+    ), s"got $got")
+    // conservation: every input token lands in exactly one sequence row
+    assert(got.toSeq.map(_._4).sum == Seq(300L, 212L, 100L, 600L, 50L).sum)
+  }
+}
