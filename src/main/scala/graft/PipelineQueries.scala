@@ -205,6 +205,32 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q85: dedup-cluster COHESION audit — the QA step after cluster
+    * resolution: per cluster, the member count plus the count / min /
+    * mean of the estimated Jaccard over its internal pair evidence. A
+    * low min_est flags a cluster glued together by LSH false positives
+    * (near-dup similarity is not transitive — a chain of 0.5-pairs can
+    * merge documents that share almost nothing), which is what a corpus
+    * build reviews before applying keep-one. Composition: q31's pair
+    * table → q57's components → one join + one aggregate. */
+  def q85(t: Tables): DataFrame = {
+    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
+    Dedup.withPairs(pairs) { p =>
+      val comp = Dedup.connectedComponents(p) // (id, rep)
+      val sizes = comp.groupBy("rep").agg(count(lit(1)).as("n_members"))
+      p.join(comp.select(col("id").as("da"), col("rep")), "da")
+        .groupBy("rep")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          Rounding.portable(min("est"), 6).as("min_est"),
+          Rounding.portable(avg("est"), 6).as("avg_est"))
+        .join(sizes, "rep")
+        .select(col("rep"), col("n_members"), col("n_pairs"),
+          col("min_est"), col("avg_est"))
+        .transform(sortedSmall(_, col("rep")))
+    }
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -480,6 +506,7 @@ object PipelineQueries {
     "q82_decontaminate_norm" -> q82 _,
     "q83_chunking"       -> q83 _,
     "q84_packing"        -> q84 _,
+    "q85_cluster_audit"  -> q85 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -585,6 +612,44 @@ object PipelineQueries {
       SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
       FROM tr JOIN ev USING (w)
       GROUP BY tr.doc_id ORDER BY tr.doc_id NULLS FIRST""",
+
+    // q85: q31's pair chain + q57's recursive-CTE components, joined —
+    // per-cluster cohesion stats over the internal pair evidence
+    "q85_cluster_audit" -> """
+      WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db),
+      pairs AS (SELECT da, db, est FROM est WHERE est >= 0.5),
+      edges AS (SELECT da AS src, db AS dst FROM pairs
+                UNION SELECT db, da FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+      sizes AS (SELECT rep, count(*) AS n_members FROM comp GROUP BY rep),
+      pc AS (SELECT comp.rep, p.est FROM pairs p JOIN comp ON comp.id = p.da)
+      SELECT s.rep, CAST(s.n_members AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(min(pc.est), 6) AS min_est, round(avg(pc.est), 6) AS avg_est
+      FROM pc JOIN sizes s ON s.rep = pc.rep
+      GROUP BY s.rep, s.n_members ORDER BY s.rep NULLS FIRST""",
 
     // q83: DuckDB list slice s[a:b] is 1-based inclusive ≡ Spark
     // slice(arr, a, len); the negative-numerator kmax divergence (DuckDB
