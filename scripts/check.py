@@ -61,6 +61,17 @@ def main():
             print(f"FAIL {name}: spark output missing: {e}"); n_bad += 1; continue
         he, re_, ce = canon(exp)
         hg, rg, cg = canon(got)
+        # cross-check graft.Verify's JVM-side canon dump (canon.md5):
+        # a disagreement means the JVM and Python canonical protocols
+        # drifted (or the parquet changed between write and read) —
+        # exactly the class of bug behind an undiagnosable driver
+        # hash-fail, so surface it loudly even when the oracle passes.
+        md5path = f"{out}/{name}/canon.md5"
+        if os.path.exists(md5path):
+            jvm = open(md5path).read().strip()
+            if jvm != hg:
+                print(f"WARN {name}: JVM canon.md5 {jvm} != python canon {hg}"
+                      f" — diff {out}/{name}/canon.txt against the parquet")
         if ce != cg:
             print(f"FAIL {name}: schema {cg} != oracle {ce}"); n_bad += 1
         elif re_ != rg:

@@ -4,6 +4,69 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Driver-mismatch diagnostics: next to each query's parquet, write
+    * `canon.txt` — the result under the DRIVER's canonical protocol
+    * (columns sorted by name, each value via the §5.3 rules, rows sorted
+    * tuple-wise) one row per line — and `canon.md5` over the joined body.
+    * A future driver hash-fail that doesn't reproduce locally (round 7's
+    * q84) then becomes a one-line diff between two artifacts instead of
+    * an unexplained red flag. Reads BACK the written parquet so the dump
+    * reflects exactly the bytes the driver will hash, not the in-memory
+    * plan. Caps at 200k rows (verify runs at sf0.01; every gated result
+    * is orders of magnitude smaller).
+    *
+    * Value formatting mirrors the driver's pandas-side canon, which
+    * differs from [[Canon.value]] in two ways pinned here: timestamps
+    * always carry a 6-digit fraction (`%f`), and dates surface as
+    * midnight timestamps (pandas reads parquet DATE as datetime64).
+    */
+  private def canonDump(spark: SparkSession, dir: String): Unit = {
+    val df = spark.read.parquet(dir)
+    if (df.count() > 200000L) return
+    val cols = df.columns.sorted
+    val sel = df.select(cols.head, cols.tail: _*)
+    val raw = sel.collect()
+    import org.apache.spark.sql.types._
+    val types = sel.schema.fields.map(_.dataType)
+    // pandas' parquet read is lossy in two ways the mirror must copy:
+    // a NULL in a float column becomes NaN ("nan"), and an integer
+    // column CONTAINING a null is promoted wholesale to float64 (every
+    // value then prints through %.6g, nulls as "nan").
+    val intPromoted = types.indices.map { i =>
+      types(i) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          raw.exists(_.isNullAt(i))
+        case _ => false
+      }
+    }
+    def cv(i: Int, v: Any): String = v match {
+      case null => types(i) match {
+        case DoubleType | FloatType => "nan"
+        case _ if intPromoted(i) => "nan"
+        case _ => "NULL"
+      }
+      case d: java.lang.Double => Canon.g6(d)
+      case f: java.lang.Float => Canon.g6(f.toDouble)
+      case n: java.lang.Number if intPromoted(i) => Canon.g6(n.doubleValue)
+      case t: java.sql.Timestamp =>
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case d: java.sql.Date => s"$d 00:00:00.000000"
+      case b: java.lang.Boolean => if (b) "True" else "False"
+      case other => String.valueOf(other)
+    }
+    import scala.math.Ordering.Implicits._
+    val rows = raw
+      .map(r => (0 until r.length).map(i => cv(i, r.get(i))))
+      .sorted(implicitly[Ordering[Seq[String]]])
+    val body = rows.map(_.mkString("|")).mkString("\n")
+    Files.writeString(Paths.get(s"$dir/canon.txt"), body + "\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Files.writeString(Paths.get(s"$dir/canon.md5"), md5 + "\n")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,9 +86,11 @@ object Verify {
       val target = new org.apache.hadoop.fs.Path(s"$outDir/$name")
       val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(target)) fs.delete(target, true)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        canonDump(spark, s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -97,8 +97,15 @@ object TextAnalysis {
       docs: DataFrame, shard: Column, orderCol: Column, tokenCount: Column,
       seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    // Frame pinned to ROWS explicitly: the default frame for a window
+    // with ORDER BY is RANGE ... CURRENT ROW, which hands every row tied
+    // on __ord the whole peer group's sum — the oracle (and the "doc
+    // belongs where its FIRST token lands" contract) requires the
+    // per-row running sum regardless of order-key ties.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__shard").orderBy("__ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     docs
       .select(shard.as("__shard"), orderCol.as("__ord"), tokenCount.cast("long").as("__tok"))
       .withColumn("__off", sum(col("__tok")).over(w) - col("__tok"))

@@ -22,6 +22,25 @@ class CrossEngineRobustnessSpec extends SparkSpec {
     assert(naive == 1L, "documents the divergence the struct form fixes")
   }
 
+  test("packSequences running sum is ROWS, not RANGE, under tied order keys") {
+    // Four docs tied on the order key, equal token counts — the one tie
+    // shape whose ROWS result is permutation-invariant, so it is exactly
+    // expressible as an assertion. ROWS (the oracle's spelling): offsets
+    // 0,200,400,600 → three docs in seq 0, one in seq 1. The default
+    // RANGE frame hands every tied row the whole peer group's sum (off =
+    // 800−200 = 600 for all four) → all four docs land in seq 1. Round
+    // 7's q84 driver hash-fail made this implicit-frame hazard concrete;
+    // the frame is now pinned in TextAnalysis.packSequences.
+    val docs = Seq(
+      ("A", 1L, 200L), ("A", 1L, 200L), ("A", 1L, 200L), ("A", 1L, 200L)
+    ).toDF("src", "ord", "tok")
+    val got = graft.operators.TextAnalysis.packSequences(
+        docs, col("src"), col("ord"), col("tok"), seqLen = 512L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("A", 0L, 3L, 600L), ("A", 1L, 1L, 200L)),
+      s"RANGE frame would collapse everything into seq 1; got $got")
+  }
+
   test("per-key JSON coercion survives a non-integer value under another key") {
     val df = Seq(
       """{"k": 7, "j": "not-an-int"}""",
