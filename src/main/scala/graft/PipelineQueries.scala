@@ -231,6 +231,22 @@ object PipelineQueries {
     }
   }
 
+  /** q86: EXACT-SUBSTRING decontamination
+    * ([[Dedup.exactSubstringRuns]]) — the same train/eval split as q74
+    * (doc_id % 7 == 0 plays the benchmark suite), but reporting each
+    * maximal verbatim shared span of ≥ 8 tokens as one (doc_id, eval_id,
+    * pos_train, pos_eval, run_len) row instead of a collision count:
+    * the Lee et al. exact-substring recipe. The hash gate pins run
+    * boundaries, positions, AND maximality (a split run would change
+    * both row count and run_len). */
+  def q86(t: Tables): DataFrame = {
+    val evalDocs = t.documents.filter(col("doc_id") % 7 === 0)
+    val trainDocs = t.documents.filter(col("doc_id") % 7 =!= 0)
+    Dedup.exactSubstringRuns(trainDocs, evalDocs, col("doc_id"), col("text"), minRun = 8)
+      .transform(sortedSmall(_, col("doc_id"), col("eval_id"),
+        col("pos_train"), col("pos_eval")))
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -507,6 +523,7 @@ object PipelineQueries {
     "q83_chunking"       -> q83 _,
     "q84_packing"        -> q84 _,
     "q85_cluster_audit"  -> q85 _,
+    "q86_exact_substring" -> q86 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -675,6 +692,24 @@ object PipelineQueries {
       SELECT source AS shard, off // 512 AS seq_id,
              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM o GROUP BY shard, seq_id ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
+
+    // q86: positional 8-shingles joined train×eval, runs collapsed along
+    // each match diagonal with the pos − row_number() island key; an
+    // island of c matches covers c + 7 tokens
+    "q86_exact_substring" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               concat(s[i],' ',s[i+1],' ',s[i+2],' ',s[i+3],' ',s[i+4],' ',s[i+5],' ',s[i+6],' ',s[i+7]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 6, 1))) AS t(i)),
+      ev AS (SELECT doc_id AS eval_id, pos AS pe, w FROM sh WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, pos AS pt, w FROM sh WHERE doc_id % 7 <> 0),
+      m AS (SELECT tr.doc_id, ev.eval_id, pt, pe, pt - pe AS diag FROM tr JOIN ev USING (w)),
+      i AS (SELECT *, pt - row_number() OVER (PARTITION BY doc_id, eval_id, diag ORDER BY pt) AS island FROM m)
+      SELECT doc_id, eval_id, min(pt) AS pos_train, min(pe) AS pos_eval,
+             CAST(max(pt) - min(pt) + 8 AS BIGINT) AS run_len
+      FROM i GROUP BY doc_id, eval_id, diag, island
+      ORDER BY doc_id NULLS FIRST, eval_id NULLS FIRST,
+               pos_train NULLS FIRST, pos_eval NULLS FIRST""",
 
     // q82: q74 with both sides normalized before shingling — DuckDB's
     // regexp_replace needs the 'g' flag to match Spark's replace-all

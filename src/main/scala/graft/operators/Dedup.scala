@@ -747,6 +747,53 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** EXACT-SUBSTRING decontamination — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better") exact-substring method
+    * next to [[crossContamination]]'s n-gram collision COUNTS: report
+    * each maximal run of ≥ `minRun` consecutive shared tokens between a
+    * train and an eval document as one row (doc_id, eval_id, pos_train,
+    * pos_eval, run_len), 1-based token positions. A 50-token verbatim
+    * benchmark quote surfaces as ONE run_len=50 row here, where the
+    * n-gram counter reports it only as 43 8-gram hits.
+    *
+    * Method: positional `minRun`-shingles on both sides (a run of
+    * exactly minRun−1 tokens yields NO shingle match — the fencepost the
+    * spec pins), one equi-join on the shingle, then gaps-and-islands
+    * run-collapse along each match diagonal: within (doc_id, eval_id,
+    * diag = pos_train − pos_eval) consecutive positions collapse via the
+    * `pos − row_number()` island key, and an island of c matches covers
+    * c + minRun − 1 tokens. `pos_train` is unique within a diagonal by
+    * construction (one shingle per position), so the window order is
+    * tie-free.
+    *
+    * Shuffle shape: both sides are map-only posexplodes; the eval side
+    * is benchmark-sized so AQE broadcasts the join, leaving the 100 TB
+    * train side shuffle-free until the match table — which holds only
+    * colliding positions, orders of magnitude smaller than the corpus.
+    * The window and the island groupBy cluster on the same leading keys,
+    * so they share one exchange. */
+  def exactSubstringRuns(
+      train: DataFrame, eval: DataFrame, id: Column, text: Column,
+      minRun: Int = 8): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    def posShingles(df: DataFrame, idAs: String, posAs: String) =
+      df.select(id.as(idAs), TextOps.tokens(text).as("__s"))
+        .select(col(idAs),
+          posexplode(TextOps.shinglesNative(col("__s"), minRun)).as(Seq(posAs, "w")))
+        .withColumn(posAs, (col(posAs) + 1).cast("long")) // 1-based, oracle-typed
+    val tr = posShingles(train, "doc_id", "pt")
+    val ev = posShingles(eval, "eval_id", "pe")
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "eval_id", "diag").orderBy("pt")
+    tr.join(ev, "w")
+      .withColumn("diag", col("pt") - col("pe"))
+      .withColumn("island", col("pt") - row_number().over(wI))
+      .groupBy(col("doc_id"), col("eval_id"), col("diag"), col("island"))
+      .agg(min("pt").as("pos_train"), min("pe").as("pos_eval"),
+        (max("pt") - min("pt") + minRun).as("run_len"))
+      .select("doc_id", "eval_id", "pos_train", "pos_eval", "run_len")
+  }
+
   /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`
     * into components and anti-join every non-representative member out of
     * `docs`. This is the call a corpus build actually makes; q57 exposes

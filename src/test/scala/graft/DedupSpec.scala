@@ -329,6 +329,40 @@ class DedupSpec extends SparkSpec {
       trainDocs, evalDocs.filter(lit(false)), col("doc_id"), col("text"), 5).count() == 0)
   }
 
+  test("exactSubstringRuns: k-token run included, k-1 excluded, runs maximal") {
+    // eval doc tokens: e1..e4 A B C D e5 X Y Z (a 4-token run ABCD and a
+    // 3-token run XYZ appear verbatim in train docs below)
+    val evalDocs = Seq(
+      (100L, "e1 e2 e3 e4 A B C D e5 X Y Z")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      // exactly k=4 shared tokens (A B C D) — must be reported, run_len 4
+      (1L, "t1 t2 A B C D t3 t4 t5 t6"),
+      // exactly k-1=3 shared tokens (X Y Z) — below threshold, absent
+      (2L, "t1 t2 X Y Z t3 t4 t5 t6 t7"),
+      // a 6-token run (e3 e4 A B C D): ONE maximal row, not 4+4 splits
+      (3L, "t1 e3 e4 A B C D t2 t3 t4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringRuns(
+        trainDocs, evalDocs, col("doc_id"), col("text"), minRun = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, 3L, 5L, 4L),  // A@train pos 3 matches A@eval pos 5, 4 tokens
+      (3L, 100L, 2L, 3L, 6L)   // e3@train pos 2 matches e3@eval pos 3, 6 tokens
+    ), s"got $got")
+  }
+
+  test("exactSubstringRuns reports each diagonal's run separately on repeated spans") {
+    // the eval span A B C D E appears TWICE in the train doc — two
+    // distinct maximal runs on different diagonals, two rows
+    val evalDocs = Seq((100L, "A B C D E")).toDF("doc_id", "text")
+    val trainDocs = Seq((1L, "A B C D E t1 t2 A B C D E")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringRuns(
+        trainDocs, evalDocs, col("doc_id"), col("text"), minRun = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 1L, 1L, 5L), (1L, 100L, 8L, 1L, 5L)), s"got $got")
+  }
+
   test("crossContamination normalize=true catches a re-punctuated benchmark answer") {
     val evalDocs = Seq(
       (100L, "the capital of france is paris and always was")
