@@ -247,6 +247,27 @@ object PipelineQueries {
         col("pos_train"), col("pos_eval")))
   }
 
+  /** q87: EXACT-dup incremental guard ([[Dedup.exactDupsAgainstCorpus]])
+    * — the re-crawl scenario: the day's batch is the novel docs
+    * (doc_id % 5 == 0) PLUS a slice of the existing corpus re-ingested
+    * under new ids (doc_id % 11 == 0, shifted by 100000 — a page crawled
+    * twice). The bloom prefilter + exact confirm join must flag exactly
+    * the re-ingested copies; the bloom's bits are not oracle-portable,
+    * but the CONFIRMED output is deterministic (false positives die in
+    * the confirm join, false negatives cannot exist), so the gate pins
+    * the end-to-end result. */
+  def q87(t: Tables): DataFrame = {
+    val corpus = t.documents.filter(col("doc_id") % 5 =!= 0)
+    val corpusHashes = corpus.select(col("doc_id"), md5(col("text")).as("md5"))
+    val batch = t.documents.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.exactDupsAgainstCorpus(corpusHashes, batch, col("doc_id"), col("text"),
+        expectedItems = 1000000L)
+      .transform(sortedSmall(_, col("doc_id"), col("corpus_id")))
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -524,6 +545,7 @@ object PipelineQueries {
     "q84_packing"        -> q84 _,
     "q85_cluster_audit"  -> q85 _,
     "q86_exact_substring" -> q86 _,
+    "q87_exact_dup_guard" -> q87 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -710,6 +732,18 @@ object PipelineQueries {
       FROM i GROUP BY doc_id, eval_id, diag, island
       ORDER BY doc_id NULLS FIRST, eval_id NULLS FIRST,
                pos_train NULLS FIRST, pos_eval NULLS FIRST""",
+
+    // q87: the bloom bits aren't oracle-portable; the confirmed output is
+    // a plain md5-equality join (bloom false positives die in the confirm
+    // join, false negatives cannot exist)
+    "q87_exact_dup_guard" -> """
+      WITH c AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+      b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 100000, md5(text) FROM documents
+            WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0)
+      SELECT b.doc_id, c.doc_id AS corpus_id FROM b JOIN c USING (h)
+      ORDER BY b.doc_id NULLS FIRST, corpus_id NULLS FIRST""",
 
     // q82: q74 with both sides normalized before shingling — DuckDB's
     // regexp_replace needs the 'g' flag to match Spark's replace-all

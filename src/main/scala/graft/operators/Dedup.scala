@@ -747,6 +747,54 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** EXACT-dup incremental guard — the everyday cheap operation next to
+    * [[incrementalNearDups]]'s near-dup machinery: "which new-batch docs
+    * are verbatim copies of something already in the corpus, without
+    * re-shuffling the corpus". Two passes:
+    *
+    *  1. one distributed aggregate over the persisted corpus hash table
+    *     builds a bloom filter of `xxhash64(md5)` values (Spark's own
+    *     `BloomFilterAggregate`, registered via
+    *     [[graft.plans.GraftFunctions]]); only the fixed-size bit array
+    *     (`numBits/8` bytes — sized by the caller's fpp budget, NOT by
+    *     data volume) reaches the driver;
+    *  2. the batch scan probes it as a foldable literal through the
+    *     codegen'd `bloom_might_contain`, and only the surviving
+    *     candidates — true dups plus the fpp sliver — enter the exact
+    *     confirm join against the corpus hashes.
+    *
+    * The bloom can only produce false POSITIVES, never negatives, so the
+    * confirmed output equals the plain join's (pinned in DedupSpec) while
+    * the daily batch never shuffles: candidates are typically few enough
+    * that AQE broadcasts them into the corpus-side join. Default sizing
+    * is ~10 bits/item (~1% fpp); `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/maxNumBits` bound what one aggregate may build — past
+    * those, partition the corpus and OR the blooms, or fall back to the
+    * plain shuffled join.
+    *
+    * Returns confirmed (doc_id, corpus_id) pairs, one per copy held by
+    * the corpus. `corpusHashes` is (doc_id, md5) — the same persisted
+    * side-table discipline as [[incrementalNearDups]]'s signatures. */
+  def exactDupsAgainstCorpus(
+      corpusHashes: DataFrame, batch: DataFrame, id: Column, text: Column,
+      expectedItems: Long, numBits: Long = 0L): DataFrame = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    val bits = if (numBits > 0L) numBits else math.max(64L, expectedItems * 10L)
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val bloomRow = corpusHashes
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col("md5")), lit(expectedItems), lit(bits)).as("bf"))
+      .head()
+    val bh = batch.select(id.as("doc_id"), md5(text).as("md5"))
+    // empty corpus → null bloom → nothing can be a dup
+    val cand =
+      if (bloomRow.isNullAt(0)) bh.filter(lit(false))
+      else bh.filter(call_function("bloom_might_contain",
+        lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("md5"))))
+    cand.join(corpusHashes.select(col("doc_id").as("corpus_id"), col("md5")), "md5")
+      .select(col("doc_id"), col("corpus_id"))
+  }
+
   /** EXACT-SUBSTRING decontamination — the Lee et al. ("Deduplicating
     * Training Data Makes Language Models Better") exact-substring method
     * next to [[crossContamination]]'s n-gram collision COUNTS: report

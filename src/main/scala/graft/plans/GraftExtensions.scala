@@ -85,6 +85,31 @@ object GraftFunctions {
           s"simhash64(tokens, shingleN) takes 2 arguments, got ${exprs.length}")
         TextHashExpressions.SimHash64(exprs.head,
           literalInt(exprs(1), "simhash64", "shingleN"))
+      }),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // internal runtime-filter injection but does NOT register them in the
+    // public FunctionRegistry; surfacing them here gives the exact-dup
+    // incremental guard (Dedup.exactDupsAgainstCorpus) a codegen'd,
+    // sketch-library-backed bloom path with no new code.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"bloom_filter_agg(xxhash64Value, estimatedItems, numBits) takes 3 arguments, got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"bloom_might_contain(bloomBinary, xxhash64Value) takes 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
       }))
 
   /** Idempotent programmatic registration into the session's function

@@ -363,6 +363,45 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 1L, 1L, 5L), (1L, 100L, 8L, 1L, 5L)), s"got $got")
   }
 
+  test("exactDupsAgainstCorpus confirms exactly the plain join's pairs (no false negatives)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val corpusHashes = corpus.select(col("doc_id"), md5(col("text")).as("md5"))
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),   // copy of 1
+      (11L, "epsilon zeta eta theta"),   // copy of 2
+      (12L, "totally novel content here"),
+      (13L, "alpha beta gamma DELTA")    // near miss, not exact
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDupsAgainstCorpus(
+        corpusHashes, batch, col("doc_id"), col("text"), expectedItems = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 2L)), s"got $got")
+    // the bloom can only ADD candidates: even a pathologically tiny
+    // filter (64 bits for 3 items — false positives all but certain)
+    // yields the identical confirmed output
+    val tiny = Dedup.exactDupsAgainstCorpus(
+        corpusHashes, batch, col("doc_id"), col("text"),
+        expectedItems = 1L, numBits = 64L)
+      .as[(Long, Long)].collect().toSet
+    assert(tiny == got, s"confirm join must erase bloom false positives: $tiny")
+    // empty corpus flags nothing
+    assert(Dedup.exactDupsAgainstCorpus(
+      corpusHashes.filter(lit(false)), batch, col("doc_id"), col("text"),
+      expectedItems = 100L).count() == 0L)
+    // a corpus holding the same text twice yields one row per copy
+    val dupCorpus = corpusHashes.unionByName(
+      Seq((4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("md5")))
+    val multi = Dedup.exactDupsAgainstCorpus(
+        dupCorpus, batch, col("doc_id"), col("text"), expectedItems = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(multi == Set((10L, 1L), (10L, 4L), (11L, 2L)), s"got $multi")
+  }
+
   test("crossContamination normalize=true catches a re-punctuated benchmark answer") {
     val evalDocs = Seq(
       (100L, "the capital of france is paris and always was")
