@@ -164,9 +164,12 @@ object Dedup {
     *    estimates; pinned in DedupSpec). Persisted + materialized like
     *    the batch operators — `.unpersist()` when done.
     *  - `updatedSignatures` — corpus signatures ∪ the new batch's, the
-    *    input for tomorrow's call. Lazy: writing it to the signature
-    *    table is one map-only append of the new rows (the plan reuses the
-    *    corpus table as-is).
+    *    input for tomorrow's call, one row per id: a batch id already in
+    *    the corpus (a re-crawled page) REPLACES its old signature — new
+    *    signature wins, for both the returned table and the pair
+    *    estimates. Lazy: writing it to the signature table is one
+    *    map-only append of the new rows plus the broadcast anti-join
+    *    (a no-op when id sets are disjoint, the common case).
     *
     * Shuffle shape at 100 TB: the corpus side is ONE map-only pass over
     * the signature table (band keys derived in the projection — no
@@ -186,8 +189,17 @@ object Dedup {
     // sides, the returned union); persist for the pair materialization
     val newSigs = minHashSignaturesNative(newBatch, id, text, shingleN, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // RE-INGEST resolution: a batch id already present in the corpus
+    // table (a re-crawled page) supersedes its old signature — otherwise
+    // the union below would carry two rows per id, fanning every
+    // candidate involving that id into conflicting-est duplicates and
+    // corrupting tomorrow's signature table. The anti-join is broadcast
+    // (batch ids are the tiny side), map-only over the corpus, and a
+    // no-op when id sets are disjoint (the common case).
+    val liveCorpusSigs = corpusSignatures
+      .join(newSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val newBands = lshBands(newSigs, numHashes, bands)
-    val corpusBands = lshBands(corpusSignatures, numHashes, bands)
+    val corpusBands = lshBands(liveCorpusSigs, numHashes, bands)
     // new × corpus: da/db ordered least/greatest to keep minHashNearDups'
     // (da < db) convention; `=!=` guards a re-ingested doc id matching
     // its own corpus signature
@@ -196,10 +208,11 @@ object Dedup {
         col("bi") === col("bj") && col("bk") === col("bl") && col("dn") =!= col("dc"))
       .select(least(col("dn"), col("dc")).as("da"), greatest(col("dn"), col("dc")).as("db"))
       .distinct()
-    // new × new: the intra-batch pairs (corpus and batch ids are disjoint
-    // sets, so the two candidate tables cannot overlap)
+    // new × new: the intra-batch pairs (corpus ids surviving the re-ingest
+    // resolution and batch ids are disjoint, so the candidate tables
+    // cannot overlap)
     val cand = nc.union(candidatePairs(newBands))
-    val allSigs = corpusSignatures.unionByName(newSigs)
+    val allSigs = liveCorpusSigs.unionByName(newSigs)
     val sa = allSigs.select(col("doc_id").as("da"), col("sig").as("sa"))
     val sb = allSigs.select(col("doc_id").as("db"), col("sig").as("sb"))
     val pairs = cand.join(sa, "da").join(sb, "db")

@@ -75,7 +75,11 @@ object Sampling {
     * Shuffle shape: one tiny aggregate (|strata| rows) for the totals,
     * broadcast back as the cutoff table; the kept-row decision is then a
     * per-row hash predicate, exactly like the other samplers. Strata
-    * without a weight are dropped. */
+    * without a weight are dropped — including the NULL stratum, which
+    * groups under the sentinel `"__null__"` (mirroring [[hashBucket]]'s
+    * deliberate null-key handling): give `"__null__"` a weight to keep
+    * an unlabeled slice (e.g. unidentified-language docs), omit it to
+    * drop that slice explicitly rather than silently. */
   def tokenBudgetSample(
       df: DataFrame, key: Column, stratum: Column, tokenCount: Column,
       weightsPerMille: Map[String, Int], budgetTokens: Long): DataFrame = {
@@ -85,7 +89,10 @@ object Sampling {
     val w = weightsPerMille.foldLeft(lit(null).cast("long")) { case (acc, (s, v)) =>
       when(col("__stratum") === lit(s), lit(v.toLong)).otherwise(acc)
     }
-    val cuts = df.groupBy(stratum.as("__stratum"))
+    // NULL strata coalesce to a sentinel so they are weight-addressable;
+    // a raw equi-join on a NULL key would drop unlabeled rows silently
+    val st = coalesce(stratum.cast("string"), lit("__null__"))
+    val cuts = df.groupBy(st.as("__stratum"))
       .agg(sum(tokenCount).as("__tot"))
       .select(col("__stratum"), w.as("__w"), col("__tot"))
       .filter(col("__w").isNotNull && col("__tot") > 0L)
@@ -93,7 +100,7 @@ object Sampling {
         least(lit(65536L), expr(
           s"CAST(__w AS DECIMAL(38,0)) * $budgetTokens * 65536 DIV " +
           "(1000 * CAST(__tot AS DECIMAL(38,0)))")).as("__cut"))
-    df.join(broadcast(cuts), stratum === col("__stratum"))
+    df.join(broadcast(cuts), st === col("__stratum"))
       .filter(hashBucket(key) < col("__cut"))
       .drop("__stratum", "__cut")
   }

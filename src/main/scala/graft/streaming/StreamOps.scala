@@ -109,15 +109,20 @@ object StreamOps {
       n: Int = 8, normalize: Boolean = false): DataFrame = {
     val t = if (normalize) graft.functions.TextOps.normalizeText(text) else text
     val et = if (normalize) graft.functions.TextOps.normalizeText(evalText) else evalText
+    // collision-proof internal names (the `__minhash_key` convention): a
+    // stream already carrying a column named `w` or `__shingles` would
+    // otherwise hit an ambiguous-reference AnalysisException — or worse,
+    // the final drop would silently remove the user's column.
     val evalShingles = broadcast(
       graft.operators.Dedup.shingleSet(evalDocs, evalId, et, n)
-        .select(col("w")).distinct())
+        .select(col("w").as("__decontam_w")).distinct())
     docs
-      .withColumn("__shingles",
+      .withColumn("__decontam_shingles",
         graft.functions.TextOps.shinglesNative(graft.functions.TextOps.tokens(t), n))
-      .join(evalShingles, array_contains(col("__shingles"), col("w")), "left_outer")
-      .filter(col("w").isNull)
-      .drop("w", "__shingles")
+      .join(evalShingles,
+        array_contains(col("__decontam_shingles"), col("__decontam_w")), "left_outer")
+      .filter(col("__decontam_w").isNull)
+      .drop("__decontam_w", "__decontam_shingles")
   }
 
   /** Stream-stream interval join (Q23's shape as two live streams): equi

@@ -57,6 +57,36 @@ class DedupSpec extends SparkSpec {
     incPairs.unpersist()
   }
 
+  test("incremental near-dups: a re-ingested id resolves to its NEW signature") {
+    // doc 3 is re-crawled: same id arrives in the batch with doc 1's text
+    // (old corpus text was the one-token-changed near-dup). The new
+    // signature must win — one signature row for id 3 in the updated
+    // table, and the (1,3) estimate must be the NEW text's 1.0, not the
+    // old 0.x, and not a conflicting-est duplicate pair.
+    val corpus0 = corpus.filter(col("doc_id") <= 3L)
+    val corpusSigs = Dedup.minHashSignaturesNative(
+      corpus0, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val (pairs, updatedSigs) = Dedup.incrementalNearDups(
+      batch, col("doc_id"), col("text"), corpusSigs)
+    val got = pairs.as[(Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length,
+      s"re-ingest must not fan candidate pairs into duplicates: ${got.toSeq}")
+    val est13 = got.collect { case (1L, 3L, e) => e }
+    assert(est13.toSeq == Seq(1.0),
+      s"estimate must use the re-ingested signature (exact copy of doc 1): ${got.toSeq}")
+    // updated table: one row per id, id 3 carrying the batch signature
+    val sigRows = updatedSigs.as[(Long, Seq[String])].collect()
+    assert(sigRows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L), s"${sigRows.toSeq}")
+    val want3 = Dedup.minHashSignaturesNative(
+      batch, col("doc_id"), col("text"), shingleN = 3, numHashes = 8)
+      .as[(Long, Seq[String])].head()._2
+    assert(sigRows.toMap.apply(3L) == want3, "id 3 must carry the NEW signature")
+    pairs.unpersist()
+  }
+
   test("incremental near-dups: an intra-batch duplicate pair is found (new x new path)") {
     // both twins arrive in the SAME batch — nothing in the corpus matches
     val corpus0 = corpus.filter(col("doc_id") === 4L)

@@ -96,4 +96,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(a == b, "mixture sampling must not depend on partitioning")
   }
+
+  test("token-budget sample: NULL strata are weight-addressable via the __null__ sentinel") {
+    import spark.implicits._
+    val tok = col("tok")
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 100L),
+      (3L, null, 100L), (4L, null, 100L)  // the unlabeled-language slice
+    ).toDF("doc_id", "lang", "tok")
+    // without a "__null__" weight the unlabeled slice is dropped — but
+    // DELIBERATELY (documented), not by a join quirk
+    val dropped = Sampling.tokenBudgetSample(
+      docs, col("doc_id"), col("lang"), tok, Map("en" -> 1000), budgetTokens = 100000L)
+    assert(dropped.filter(col("lang").isNull).count() == 0L)
+    assert(dropped.filter(col("lang") === "en").count() == 2L)
+    // with one, the whole slice is kept (rate clamps at 1)
+    val kept = Sampling.tokenBudgetSample(
+      docs, col("doc_id"), col("lang"), tok,
+      Map("en" -> 500, "__null__" -> 500), budgetTokens = 100000L)
+    assert(kept.filter(col("lang").isNull).count() == 2L,
+      "a weighted __null__ stratum must keep the unlabeled slice")
+  }
 }

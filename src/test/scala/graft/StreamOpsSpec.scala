@@ -139,6 +139,25 @@ class StreamOpsSpec extends SparkSpec {
       s"(missing=${want -- got}, extra=${got -- want})")
   }
 
+  test("decontaminationGuard survives input columns named w / __shingles") {
+    import spark.implicits._
+    // batch-mode regression: before the collision-proof internal names,
+    // a stream already carrying `w` hit an ambiguous-reference error and
+    // the guard's cleanup dropped the user's column
+    val docs = Seq(
+      (1L, "the capital of france is paris indeed it is", "keepme", "alsokeep"),
+      (2L, "entirely unrelated words describing other things here now", "w2", "s2")
+    ).toDF("doc_id", "text", "w", "__shingles")
+    val evalDocs = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val got = StreamOps.decontaminationGuard(
+      docs, col("text"), evalDocs, col("doc_id"), col("text"), n = 5)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "w", "__shingles"),
+      s"user columns must survive: ${got.columns.toSeq}")
+    val rows = got.select("doc_id", "w", "__shingles")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((2L, "w2", "s2")), s"got $rows")
+  }
+
   test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
     // the Spark-first payoff: Sampling/Cleaning are plain Column
     // predicates, so the SAME operator code drives batch and readStream —
