@@ -98,17 +98,37 @@ object Bench {
     pool.shutdown()
 
     extNames.foreach(runOne)                     // extensions: warm + time
-    // best-of-2 cold passes (clearCache before each so a query never reads
-    // a prior pass's persisted dedup results): a single timed pass is too
-    // exposed to this sandbox's background-load spikes (observed 10x
-    // outliers on the heaviest query)
-    val ext = extNames.map { n =>
+    // q57/q72/q85 consume ONE shared suite-level input — the memoized
+    // MinHash pair table (Tables.documentNearDupPairs). Timing each of
+    // them cold would triple-count the shared build, so the build is
+    // timed ONCE as its own `shared_pair_table` entry and the three
+    // consumers are timed against the warm memo — exactly the cost
+    // profile of a real suite session. Everything else keeps the
+    // best-of-2 cold-pass methodology (clearCache before each rep so a
+    // query never reads a prior pass's persisted dedup results; a single
+    // timed pass is too exposed to this sandbox's background-load spikes
+    // — observed 10x outliers on the heaviest query).
+    val memoConsumers =
+      Set("q57_dedup_clusters", "q72_dedup_clusters_stars", "q85_cluster_audit")
+    val extCold = extNames.filterNot(memoConsumers).map { n =>
       val reps = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         runOne(n)
       }
       n -> reps.min
     }
+    spark.sharedState.cacheManager.clearCache()
+    Tables.clearPairCache()
+    val tShared = {
+      val t0 = System.nanoTime()
+      Tables(spark, sfDir).documentNearDupPairs // persists + materializes
+      (System.nanoTime() - t0) / 1e9
+    }
+    val extWarmMemo = extNames.filter(memoConsumers).map { n =>
+      n -> (1 to 2).map(_ => runOne(n)).min
+    }
+    val ext = (extCold ++ extWarmMemo ++
+      Seq("shared_pair_table" -> tShared)).sortBy(_._1)
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,16 +43,17 @@ object PipelineQueries {
     * the step that makes pairwise near-dup output actionable: keep `rep`,
     * drop the other members. */
   def q57(t: Tables): DataFrame = {
-    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
-    Dedup.withPairs(pairs) { p =>
-      Dedup.connectedComponents(p)
-        .groupBy("rep")
-        .agg(
-          count(lit(1)).as("n"),
-          array_join(transform(array_sort(collect_list(col("id"))),
-            _.cast("string")), ",").as("members"))
-        .transform(sortedSmall(_, col("rep")))
-    }
+    // shared memoized pair table (Tables.documentNearDupPairs) — q57/q72/
+    // q85 consume the identical pair set; no withPairs here, the cache
+    // owns the persist handle
+    val p = t.documentNearDupPairs
+    Dedup.connectedComponents(p)
+      .groupBy("rep")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .transform(sortedSmall(_, col("rep")))
   }
 
   /** q72: q57's cluster resolution re-run through the large-star/
@@ -62,16 +63,14 @@ object PipelineQueries {
     * clusters; an independent check the in-tree equivalence spec can't
     * provide. */
   def q72(t: Tables): DataFrame = {
-    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
-    Dedup.withPairs(pairs) { p =>
-      Dedup.connectedComponentsStars(p)
-        .groupBy("rep")
-        .agg(
-          count(lit(1)).as("n"),
-          array_join(transform(array_sort(collect_list(col("id"))),
-            _.cast("string")), ",").as("members"))
-        .transform(sortedSmall(_, col("rep")))
-    }
+    val p = t.documentNearDupPairs // shared memo — see q57
+    Dedup.connectedComponentsStars(p)
+      .groupBy("rep")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          _.cast("string")), ",").as("members"))
+      .transform(sortedSmall(_, col("rep")))
   }
 
   /** q73: multimodal AUDIO pipeline with a real codec — the q40 pattern
@@ -214,21 +213,19 @@ object PipelineQueries {
     * build reviews before applying keep-one. Composition: q31's pair
     * table → q57's components → one join + one aggregate. */
   def q85(t: Tables): DataFrame = {
-    val pairs = Dedup.minHashNearDups(t.documents, col("doc_id"), col("text"))
-    Dedup.withPairs(pairs) { p =>
-      val comp = Dedup.connectedComponents(p) // (id, rep)
-      val sizes = comp.groupBy("rep").agg(count(lit(1)).as("n_members"))
-      p.join(comp.select(col("id").as("da"), col("rep")), "da")
-        .groupBy("rep")
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          Rounding.portable(min("est"), 6).as("min_est"),
-          Rounding.portable(avg("est"), 6).as("avg_est"))
-        .join(sizes, "rep")
-        .select(col("rep"), col("n_members"), col("n_pairs"),
-          col("min_est"), col("avg_est"))
-        .transform(sortedSmall(_, col("rep")))
-    }
+    val p = t.documentNearDupPairs // shared memo — see q57
+    val comp = Dedup.connectedComponents(p) // (id, rep)
+    val sizes = comp.groupBy("rep").agg(count(lit(1)).as("n_members"))
+    p.join(comp.select(col("id").as("da"), col("rep")), "da")
+      .groupBy("rep")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        Rounding.portable(min("est"), 6).as("min_est"),
+        Rounding.portable(avg("est"), 6).as("avg_est"))
+      .join(sizes, "rep")
+      .select(col("rep"), col("n_members"), col("n_pairs"),
+        col("min_est"), col("avg_est"))
+      .transform(sortedSmall(_, col("rep")))
   }
 
   /** q86: EXACT-SUBSTRING decontamination

@@ -46,9 +46,39 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load("events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
+
+  /** The MinHash+LSH near-dup pair table over `documents` at the default
+    * parameters, memoized per (session, dir): q57, q72 and q85 all
+    * consume the IDENTICAL pair set, so a suite session computes the
+    * signature+band pipeline once instead of three times (the round-7
+    * plan audit measured ~2 s of pure recompute at sf0.1). The result is
+    * already persisted+materialized by `minHashNearDups`; the cache owns
+    * that handle — consumers must NOT run it through `withPairs` (the
+    * unpersist would silently de-cache it for the next query). Bounded:
+    * one small-by-LSH-design pair table per scale dir. Long-lived
+    * sessions that are done with dedup call [[Tables.clearPairCache]].
+    *
+    * Resilient to `catalog.clearCache()` (Bench's cold-timing sweeps):
+    * a handle whose persist was cleared externally is discarded and the
+    * table recomputed+re-persisted, so consumers can never silently run
+    * against an unpersisted multi-consumer plan. */
+  def documentNearDupPairs: DataFrame =
+    Tables.pairCache.compute((spark, dir), (_, existing) =>
+      if (existing != null &&
+          existing.storageLevel != org.apache.spark.storage.StorageLevel.NONE) existing
+      else graft.operators.Dedup.minHashNearDups(documents, col("doc_id"), col("text")))
 }
 
 object Tables {
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Release every cached pair table (see [[Tables.documentNearDupPairs]]). */
+  def clearPairCache(): Unit = {
+    pairCache.values.forEach(df => { df.unpersist(blocking = false); () })
+    pairCache.clear()
+  }
+
   /** Pinned physical schemas, verbatim from FIXTURES.md. `events.ts` is
     * LongType because it is read under `nanosAsLong` (see [[Tables.events]]). */
   val schemas: Map[String, StructType] = Map(
