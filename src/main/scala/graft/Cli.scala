@@ -24,7 +24,7 @@ import graft.operators.ShadePlot.PlotSpec
   */
 object Cli {
 
-  final case class Args(opts: Map[String, String]) {
+  final case class Args(opts: Map[String, String], plots: Seq[String] = Nil) {
     def get(k: String): Option[String] = opts.get(k)
     def req(k: String): String = opts.getOrElse(k,
       throw new IllegalArgumentException(s"missing required option --$k"))
@@ -37,15 +37,18 @@ object Cli {
     "dir", "table", "x", "y", "where", "width", "height",
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
-    "conj", "noconj", "noflags", "sample", "sample-key")
+    "conj", "noconj", "noflags", "sample", "sample-key", "plot")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
-    * default would silently produce the wrong plot. */
+    * default would silently produce the wrong plot. `--plot` may repeat
+    * (one value per plot of a batch — see [[runBatch]]); every other
+    * repeated option keeps its last value. */
   def parse(argv: Seq[String]): Args = {
     val alias = Map("-x" -> "--x", "-y" -> "--y")
     val flags = Set("--noconj", "--conj", "--noflags")
     val m = scala.collection.mutable.Map[String, String]()
+    val plots = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < argv.length) {
       val key = alias.getOrElse(argv(i), argv(i))
@@ -55,22 +58,40 @@ object Cli {
       if (flags.contains(key)) { m(key.drop(2)) = "true"; i += 1 }
       else {
         require(i + 1 < argv.length, s"option $key needs a value")
-        m(key.drop(2)) = argv(i + 1); i += 2
+        if (key == "--plot") plots += argv(i + 1) else m(key.drop(2)) = argv(i + 1)
+        i += 2
       }
     }
-    Args(m.toMap)
+    Args(m.toMap, plots.toSeq)
   }
 
-  private def reduction(a: Args): Seq[Column] =
-    (a.get("ared"), a.get("aaxis")) match {
-      case (None, _) => Nil
-      case (Some(r), ax) =>
-        val v = expr(ax.getOrElse(
-          throw new IllegalArgumentException("--ared needs --aaxis")))
-        // first/last are ORDER-based reductions; defaulting the order to
-        // the value itself would silently turn them into min/max
-        def ord = expr(a.get("order").getOrElse(throw new IllegalArgumentException(
-          s"--ared $r needs --order <expr> (the axis that defines first/last, e.g. a timestamp)")))
+  /** One `--plot` value: `;`-separated `key:value` entries (value may
+    * contain further `:`), e.g.
+    * `x:l_quantity;y:l_extendedprice;ared:mean;aaxis:l_tax;out:/tmp/r1`.
+    * Keys are the per-plot subset of the global options; anything absent
+    * falls back to the global `--…` value. */
+  private[graft] def parsePlotOpts(s: String): Map[String, String] = {
+    val perPlot = Set("x", "y", "width", "height", "xmin", "xmax", "ymin",
+      "ymax", "aaxis", "ared", "order", "colour-by", "norm", "cmap",
+      "conj", "out", "png")
+    s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf(':')
+      require(i > 0, s"bad --plot entry '$kv' (want key:value)")
+      val k = kv.take(i).trim
+      require(perPlot.contains(k),
+        s"unknown --plot key '$k' (known: ${perPlot.toSeq.sorted.mkString(", ")})")
+      k -> kv.drop(i + 1).trim
+    }.toMap
+  }
+
+  /** `--ared` reduction over by-name axis/order columns (shared by the
+    * single-plot and batch paths; `v`/`ord` are only forced when the
+    * reduction actually needs them, preserving the "--ared needs --aaxis"
+    * / "--ared first needs --order" error contracts at both call sites). */
+  private def reductionOf(red: Option[String], v: => Column, ord: => Column): Seq[Column] =
+    red match {
+      case None => Nil
+      case Some(r) =>
         Seq(r match {
           case "count" => count(v).as("ared")
           case "sum"   => sum(v).as("ared")
@@ -84,23 +105,145 @@ object Cli {
         })
     }
 
-  /** Testable entry: returns the number of raster cells written. */
-  def run(argv: Seq[String], spark: SparkSession): Long = {
-    val a = parse(argv)
-    val t = Engine.open(spark, a.req("dir"))
+  private def reduction(a: Args): Seq[Column] =
+    reductionOf(a.get("ared"),
+      expr(a.get("aaxis").getOrElse(
+        throw new IllegalArgumentException("--ared needs --aaxis"))),
+      // first/last are ORDER-based reductions; defaulting the order to
+      // the value itself would silently turn them into min/max
+      expr(a.get("order").getOrElse(throw new IllegalArgumentException(
+        s"--ared ${a.get("ared").get} needs --order <expr> (the axis that defines first/last, e.g. a timestamp)"))))
+
+  /** The shared source frame: table → `--where` filter → `--sample`. */
+  private def sourceFrame(a: Args, spark: SparkSession) = {
+    Engine.open(spark, a.req("dir"))
     val table = spark.table(a.req("table"))
     val filtered = a.get("where").fold(table)(w => table.filter(expr(w)))
-    // --sample: deterministic md5-bucket row subset (plot a reproducible
-    // fraction of an arbitrarily large table; same rows on every run and
-    // any partitioning — unlike TABLESAMPLE). The key must be a stable
-    // row expression; rows sharing a key travel together.
-    val df = (a.get("sample"), a.get("sample-key")) match {
+    (a.get("sample"), a.get("sample-key")) match {
       case (Some(f), Some(k)) =>
         graft.operators.Sampling.hashSample(filtered, expr(k), f.toDouble)
       case (Some(_), None) => throw new IllegalArgumentException(
         "--sample needs --sample-key <expr> (a stable row key, e.g. the row id)")
       case _ => filtered
     }
+  }
+
+  /** The analysis half of a `--plot` batch, separated from the writes so
+    * its plan shape is testable: returns the shared persisted projection
+    * plus, per plot, (plot opts, raster frame, spec). The projection
+    * holds every DISTINCT axis/colour/flag/order expression across the
+    * batch computed ONCE (the reference's axis dedup: `shadems` derives
+    * each unique axis a single time however many plots reuse it [U,
+    * SURVEY §3 EP1 step 3]), so the whole batch costs one table scan —
+    * every raster reads the cached projection, whose width is the pruned
+    * axis set, not the table. Caller owns `projection.unpersist()`. */
+  private[graft] def batchFrames(a: Args, spark: SparkSession)
+      : (org.apache.spark.sql.DataFrame, Seq[(Map[String, String], org.apache.spark.sql.DataFrame, PlotSpec)]) = {
+    val df = sourceFrame(a, spark)
+    val specs = a.plots.map(parsePlotOpts)
+    def opt(p: Map[String, String], k: String): Option[String] = p.get(k).orElse(a.get(k))
+    def preq(p: Map[String, String], k: String): String = opt(p, k).getOrElse(
+      throw new IllegalArgumentException(s"--plot needs '$k:' (or a global --$k default)"))
+    // axis dedup: one projected column per distinct expression string
+    val flagStr = a.get("flag-col").filterNot(_ => a.flag("noflags"))
+    val axisStrs = (specs.flatMap(p =>
+      Seq(Some(preq(p, "x")), Some(preq(p, "y")),
+        opt(p, "aaxis"), opt(p, "order"), opt(p, "colour-by")).flatten) ++ flagStr).distinct
+    val axName = axisStrs.zipWithIndex.map { case (e, i) => e -> s"__ax$i" }.toMap
+    def axCol(e: String): Column = col(axName(e))
+    val projection = df.select(axisStrs.map(e => expr(e).as(axName(e))): _*).persist()
+    // range autocompute for every plot missing a bound, in ONE aggregate
+    // (the single-plot path's Canvas.auto, batched across axes)
+    val needAuto = specs.flatMap { p =>
+      if (Seq("xmin", "xmax", "ymin", "ymax").exists(k => opt(p, k).isEmpty))
+        Seq(preq(p, "x"), preq(p, "y"))
+      else Nil
+    }.distinct
+    val ranges: Map[String, (Double, Double)] =
+      if (needAuto.isEmpty) Map.empty
+      else {
+        val aggs = needAuto.flatMap(e => Seq(
+          min(axCol(e).cast("double")), max(axCol(e).cast("double"))))
+        val r = projection.agg(aggs.head, aggs.tail: _*).head()
+        needAuto.zipWithIndex.map { case (e, i) =>
+          require(!r.isNullAt(2 * i),
+            s"range autocompute: no data in selection for axis '$e'")
+          e -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    // Canvas.auto's top-edge widening, replicated for the batched scan
+    def widen(lo: Double, hi: Double) = {
+      val eps = math.max(math.ulp(hi), (hi - lo) * 1e-9)
+      (lo, hi + eps)
+    }
+    val plotFrames = specs.map { p =>
+      def dbl(k: String): Option[Double] = opt(p, k).map(_.toDouble)
+      val (xa, ya) = (preq(p, "x"), preq(p, "y"))
+      def side(given: Option[Double], axis: String, lo: Boolean): Double =
+        given.getOrElse {
+          val (l, h) = widen(ranges(axis)._1, ranges(axis)._2)
+          if (lo) l else h
+        }
+      val canvas = Canvas(
+        opt(p, "width").map(_.toInt).getOrElse(256),
+        opt(p, "height").map(_.toInt).getOrElse(256),
+        (side(dbl("xmin"), xa, lo = true), side(dbl("xmax"), xa, lo = false)),
+        (side(dbl("ymin"), ya, lo = true), side(dbl("ymax"), ya, lo = false)))
+      val spec = PlotSpec(
+        x = axCol(xa), y = axCol(ya), canvas = canvas,
+        reduction = reductionOf(opt(p, "ared"),
+          axCol(opt(p, "aaxis").getOrElse(
+            throw new IllegalArgumentException("ared: needs aaxis:"))),
+          axCol(opt(p, "order").getOrElse(throw new IllegalArgumentException(
+            "ared:first/last needs order: (the axis that defines first/last)")))),
+        colourBy = opt(p, "colour-by").map(axCol),
+        flagMask = flagStr.map(axCol),
+        conjugate = opt(p, "conj").exists(_.toBoolean) || a.flag("conj"),
+        norm = opt(p, "norm").getOrElse("eq_hist"))
+      (p, ShadePlot.raster(projection, spec), spec)
+    }
+    (projection, plotFrames)
+  }
+
+  /** Multi-plot batch (`--plot` given at least once): the reference's
+    * main loop renders MANY plots per MS read; this is that shape — one
+    * shared scan + persisted axis-dedup'd projection feeding every
+    * plot's raster, instead of one scan per `shadems` invocation.
+    * Returns total raster cells across plots. */
+  private def runBatch(a: Args, spark: SparkSession): Long = {
+    require(a.get("iter").isEmpty, "--iter is not supported with --plot batches")
+    val (projection, plotFrames) = batchFrames(a, spark)
+    try {
+      plotFrames.zipWithIndex.map { case ((p, raster, spec), i) =>
+        val shaded =
+          if (spec.colourBy.isEmpty) ShadePlot.shade(raster, spec) else raster
+        p.get("out").foreach(dir =>
+          shaded.coalesce(1).write.mode("overwrite").parquet(dir))
+        p.get("png").foreach { png =>
+          if (spec.colourBy.isEmpty)
+            ShadePlot.writePng(shaded, spec, png,
+              p.getOrElse("cmap", a.get("cmap").getOrElse("fire")))
+          else ShadePlot.writePngCategorical(raster, spec, png)
+        }
+        val cells = shaded.count()
+        println(s"[cli] plot $i: $cells raster cells" +
+          p.get("png").map(f => s"; png: $f").getOrElse("") +
+          p.get("out").map(d => s"; raster: $d").getOrElse(""))
+        cells
+      }.sum
+    } finally { projection.unpersist(blocking = false); () }
+  }
+
+  /** Testable entry: returns the number of raster cells written. */
+  def run(argv: Seq[String], spark: SparkSession): Long = {
+    val a = parse(argv)
+    if (a.plots.nonEmpty) return runBatch(a, spark)
+    // --sample (inside sourceFrame): deterministic md5-bucket row subset
+    // (plot a reproducible fraction of an arbitrarily large table; same
+    // rows on every run and any partitioning — unlike TABLESAMPLE). The
+    // key must be a stable row expression; rows sharing a key travel
+    // together.
+    val df = sourceFrame(a, spark)
     val x = expr(a.req("x"))
     val y = expr(a.req("y"))
     val w = a.int("width", 256)

@@ -141,4 +141,62 @@ class CliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sample-key"))
   }
+
+  test("--plot batch: two plots share one scan and write both outputs") {
+    val (out1, out2) = (tmp("b1"), tmp("b2"))
+    // end to end: two different plots (one reuses the global y, its own
+    // ared; one its own axes + cmap-less png) from ONE invocation
+    val png2 = tmp("b2.png")
+    val cells = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-y", "l_extendedprice", "--width", "32", "--height", "32",
+      "--plot", s"x:l_quantity;ared:mean;aaxis:l_tax;out:$out1",
+      "--plot", s"x:l_discount;y:l_quantity;out:$out2;png:$png2"), spark)
+    assert(cells > 0)
+    val r1 = spark.read.parquet(out1)
+    assert(r1.columns.toSeq == Seq("xb", "yb", "c", "ared", "shade"))
+    assert(r1.count() > 0 && spark.read.parquet(out2).count() > 0)
+    assert(new java.io.File(png2).length() > 0)
+
+    // plan-shape gate: every plot raster reads the SAME cached axis
+    // projection (single table scan for the whole batch); no raster's
+    // executed plan touches the file source directly
+    val a = Cli.parse(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "--width", "32", "--height", "32",
+      "--plot", "x:l_quantity;y:l_extendedprice",
+      "--plot", "x:l_discount;y:l_quantity"))
+    val (projection, frames) = Cli.batchFrames(a, spark)
+    try {
+      assert(frames.size == 2)
+      val caches = frames.map { case (_, raster, _) =>
+        val rels = raster.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r.cacheBuilder
+        }
+        assert(rels.size == 1, "each raster must read exactly one cached projection")
+        val scans = raster.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+        assert(scans.isEmpty, "no raster may scan the file source directly")
+        rels.head
+      }
+      assert(caches.distinct.size == 1,
+        "both rasters must share ONE cache entry (one scan per batch)")
+      // axis dedup: l_quantity appears in both plots but is projected once
+      assert(projection.columns.length == 3,
+        s"3 distinct axes across the two plots: ${projection.columns.toSeq}")
+    } finally { projection.unpersist(blocking = false); () }
+  }
+
+  test("--plot batch rejects unknown keys and composes global defaults") {
+    val e = intercept[IllegalArgumentException] {
+      Cli.parsePlotOpts("x:a;bogus:1")
+    }
+    assert(e.getMessage.contains("unknown --plot key"))
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.run(Seq("--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--plot", "y:l_quantity"), spark) // no x anywhere
+    }
+    assert(e2.getMessage.contains("--plot needs 'x:'"))
+  }
 }
