@@ -164,6 +164,62 @@ object Soak {
       }
       println(f"[soak] x$mult $n ${times.min}%.2f s")
     }
+    if (nameFilter.contains("incr_days")) incrDays(spark, days = mult, out)
     spark.stop()
+  }
+
+  /** GROWING-corpus soak for [[graft.operators.Dedup.incrementalNearDups]]
+    * — the measured curve behind the "corpus side is map-only" claim:
+    * day d ingests a constant-size batch against a corpus that has
+    * absorbed every previous day, with the signature table read from
+    * DISK each morning and the day's new signatures APPENDED back (the
+    * production cycle — the corpus text is never re-read, the signature
+    * table is never rewritten). Per-day wall should grow like one
+    * map-only scan of the signature table, nothing steeper.
+    *
+    * Batch content is day-salted synthetic text (every token carries the
+    * day, so novel docs collide with nothing across days) plus a
+    * constant planted-twin slice: the first `twinN` docs of day d copy
+    * day d−1's NON-twin docs verbatim, so every day yields EXACTLY
+    * `twinN` est=1.0 pairs (asserted) — output volume stays flat and
+    * the trend isolates corpus growth, not pair growth.
+    *
+    * Usage: sbt "runMain graft.Soak 30 incr_days" (first arg = days). */
+  private def incrDays(spark: SparkSession, days: Int, out: String): Unit = {
+    import graft.operators.Dedup
+    val batchN = 20000L
+    val twinN = 1000L
+    val sigDir = s"$out/incr_days_sigs.parquet"
+    // modulus must dwarf batchN: a modulus near the batch size aliases
+    // id and id+modulus into accidental exact twins (every token equal)
+    def text(d: Int, id: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 40).map(k =>
+        concat(lit(s"d${d}w${k}u"), pmod(id * 31 + lit(k * 7), lit(1000003)))): _*)
+    def batch(d: Int): DataFrame = spark.range(batchN).select(
+      (lit(d.toLong * 10000000L) + col("id")).as("doc_id"),
+      when(col("id") < twinN && lit(d > 0), text(d - 1, col("id") + twinN))
+        .otherwise(text(d, col("id"))).as("text"))
+    // day 0 seeds the corpus (untimed, like the pre-existing table)
+    Dedup.minHashSignaturesNative(batch(0), col("doc_id"), col("text"))
+      .write.mode(SaveMode.Overwrite).parquet(sigDir)
+    println("[soak] incr_days: day, corpus_sigs, pairs, wall_s")
+    (1 to days).foreach { d =>
+      spark.sharedState.cacheManager.clearCache()
+      val b = batch(d)
+      val t0 = System.nanoTime()
+      val corpusSigs = spark.read.parquet(sigDir)
+      val (pairs, _) = Dedup.incrementalNearDups(
+        b, col("doc_id"), col("text"), corpusSigs)
+      val nPairs = pairs.count()
+      // production's append: ONLY the day's new signatures hit the table
+      Dedup.minHashSignaturesNative(b, col("doc_id"), col("text"))
+        .write.mode(SaveMode.Append).parquet(sigDir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist(blocking = false)
+      val corpusRows = d.toLong * batchN // before today's append
+      require(nPairs == twinN,
+        s"day $d: expected exactly $twinN planted twin pairs, got $nPairs")
+      println(f"[soak] incr_days $d%2d $corpusRows%9d $nPairs%6d $wall%.2f")
+    }
   }
 }
