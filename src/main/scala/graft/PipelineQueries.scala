@@ -265,6 +265,15 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id"), col("corpus_id")))
   }
 
+  /** q88: EXACT-SUBSTRING self dedup ([[Dedup.exactSubstringSelfRuns]])
+    * — q86's method turned on the whole corpus: every maximal verbatim
+    * run of ≥ 8 shared tokens between two distinct documents, da < db.
+    * This is the Lee et al. DEDUP operation proper (q86's train/eval
+    * split is its decontamination special case). */
+  def q88(t: Tables): DataFrame =
+    Dedup.exactSubstringSelfRuns(t.documents, col("doc_id"), col("text"), minRun = 8)
+      .transform(sortedSmall(_, col("da"), col("db"), col("pos_a"), col("pos_b")))
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -543,6 +552,7 @@ object PipelineQueries {
     "q85_cluster_audit"  -> q85 _,
     "q86_exact_substring" -> q86 _,
     "q87_exact_dup_guard" -> q87 _,
+    "q88_exact_substring_self" -> q88 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -741,6 +751,22 @@ object PipelineQueries {
             WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0)
       SELECT b.doc_id, c.doc_id AS corpus_id FROM b JOIN c USING (h)
       ORDER BY b.doc_id NULLS FIRST, corpus_id NULLS FIRST""",
+
+    // q88: q86's positional-shingle run collapse as a self-join, da < db
+    "q88_exact_substring_self" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               concat(s[i],' ',s[i+1],' ',s[i+2],' ',s[i+3],' ',s[i+4],' ',s[i+5],' ',s[i+6],' ',s[i+7]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 6, 1))) AS t(i)),
+      m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+                   a.pos - b.pos AS diag
+            FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id),
+      i AS (SELECT *, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island FROM m)
+      SELECT da, db, min(pa) AS pos_a, min(pb) AS pos_b,
+             CAST(max(pa) - min(pa) + 8 AS BIGINT) AS run_len
+      FROM i GROUP BY da, db, diag, island
+      ORDER BY da NULLS FIRST, db NULLS FIRST,
+               pos_a NULLS FIRST, pos_b NULLS FIRST""",
 
     // q82: q74 with both sides normalized before shingling — DuckDB's
     // regexp_replace needs the 'g' flag to match Spark's replace-all

@@ -833,26 +833,81 @@ object Dedup {
     * colliding positions, orders of magnitude smaller than the corpus.
     * The window and the island groupBy cluster on the same leading keys,
     * so they share one exchange. */
+  /** Positional `n`-shingles, (idAs, posAs, w) with 1-based long
+    * positions — the shared front end of the exact-substring operators. */
+  private def positionalShingles(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      idAs: String, posAs: String): DataFrame =
+    df.select(id.as(idAs), TextOps.tokens(text).as("__s"))
+      .select(col(idAs),
+        posexplode(TextOps.shinglesNative(col("__s"), n)).as(Seq(posAs, "w")))
+      .withColumn(posAs, (col(posAs) + 1).cast("long")) // 1-based, oracle-typed
+
+  /** Collapse positional shingle matches into maximal runs: within each
+    * (left id, right id, diagonal) group, consecutive left positions form
+    * an island of c matches covering c + minRun − 1 tokens. */
+  private def collapseRuns(
+      matches: DataFrame, leftId: String, rightId: String,
+      leftPos: String, rightPos: String, minRun: Int,
+      outCols: (String, String)): DataFrame = {
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(leftId, rightId, "diag").orderBy(leftPos)
+    matches
+      .withColumn("diag", col(leftPos) - col(rightPos))
+      .withColumn("island", col(leftPos) - row_number().over(wI))
+      .groupBy(col(leftId), col(rightId), col("diag"), col("island"))
+      .agg(min(leftPos).as(outCols._1), min(rightPos).as(outCols._2),
+        (max(leftPos) - min(leftPos) + minRun).as("run_len"))
+      .select(col(leftId), col(rightId), col(outCols._1), col(outCols._2), col("run_len"))
+  }
+
   def exactSubstringRuns(
       train: DataFrame, eval: DataFrame, id: Column, text: Column,
       minRun: Int = 8): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    def posShingles(df: DataFrame, idAs: String, posAs: String) =
-      df.select(id.as(idAs), TextOps.tokens(text).as("__s"))
-        .select(col(idAs),
-          posexplode(TextOps.shinglesNative(col("__s"), minRun)).as(Seq(posAs, "w")))
-        .withColumn(posAs, (col(posAs) + 1).cast("long")) // 1-based, oracle-typed
-    val tr = posShingles(train, "doc_id", "pt")
-    val ev = posShingles(eval, "eval_id", "pe")
-    val wI = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id", "eval_id", "diag").orderBy("pt")
-    tr.join(ev, "w")
-      .withColumn("diag", col("pt") - col("pe"))
-      .withColumn("island", col("pt") - row_number().over(wI))
-      .groupBy(col("doc_id"), col("eval_id"), col("diag"), col("island"))
-      .agg(min("pt").as("pos_train"), min("pe").as("pos_eval"),
-        (max("pt") - min("pt") + minRun).as("run_len"))
-      .select("doc_id", "eval_id", "pos_train", "pos_eval", "run_len")
+    val tr = positionalShingles(train, id, text, minRun, "doc_id", "pt")
+    val ev = positionalShingles(eval, id, text, minRun, "eval_id", "pe")
+    collapseRuns(tr.join(ev, "w"), "doc_id", "eval_id", "pt", "pe", minRun,
+      ("pos_train", "pos_eval"))
+  }
+
+  /** EXACT-SUBSTRING self dedup — [[exactSubstringRuns]] turned on the
+    * corpus itself, which is the actual Lee et al. DEDUP operation (their
+    * decontamination is the train/eval special case): every maximal
+    * verbatim run of ≥ `minRun` shared tokens between two DISTINCT
+    * documents, `(da < db, pos_a, pos_b, run_len)`. The `da < db`
+    * orientation halves the match table and excludes both self-pairs and
+    * within-document repeats (a doc quoting itself is repetition — q79's
+    * job — not duplication).
+    *
+    * Shuffle shape: the positional shingle table self-joins on the
+    * shingle string — one shuffle of the (id, pos, shingle) table, with
+    * only COLLIDING positions surviving into the run-collapse (which
+    * clusters on the same leading keys as the join output's groupBy; one
+    * more exchange). On a Zipfian corpus, boilerplate shingles make this
+    * join quadratic per hot shingle — `dfCap` drops shingles present in
+    * more than `cap` distinct documents before the join (the q33/q74
+    * stop-shingle escape hatch; a shingle in 10k docs is boilerplate, not
+    * plagiarism evidence). */
+  def exactSubstringSelfRuns(
+      docs: DataFrame, id: Column, text: Column,
+      minRun: Int = 8, dfCap: Option[Long] = None): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    dfCap.foreach(c => require(c >= 2, s"dfCap must be >= 2, got $c"))
+    val sh = positionalShingles(docs, id, text, minRun, "doc_id", "pos")
+    val kept = dfCap match {
+      case Some(cap) =>
+        val hot = sh.groupBy("w")
+          .agg(countDistinct(col("doc_id")).as("__df"))
+          .filter(col("__df") > cap).select("w")
+        sh.join(hot, Seq("w"), "left_anti")
+      case None => sh
+    }
+    val a = kept.select(col("doc_id").as("da"), col("pos").as("pa"), col("w"))
+    val b = kept.select(col("doc_id").as("db"), col("pos").as("pb"), col("w"))
+    collapseRuns(
+      a.join(b, "w").filter(col("da") < col("db")),
+      "da", "db", "pa", "pb", minRun, ("pos_a", "pos_b"))
   }
 
   /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`

@@ -393,6 +393,44 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 1L, 1L, 5L), (1L, 100L, 8L, 1L, 5L)), s"got $got")
   }
 
+  test("exactSubstringSelfRuns: pairwise runs oriented da<db; within-doc repeats excluded") {
+    val docs = Seq(
+      (1L, "A B C D t1 t2 A B C D"),     // repeats its own span — NOT a dup
+      (2L, "u1 u2 A B C D u3 u4 u5 u6"), // shares A B C D with doc 1 (twice)
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8")    // shares nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSelfRuns(
+        docs, col("doc_id"), col("text"), minRun = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 1 holds the span at positions 1 AND 7 → two diagonals vs doc 2;
+    // no (1,1) or (2,2) rows despite doc 1's internal repeat
+    assert(got == Set((1L, 2L, 1L, 3L, 4L), (1L, 2L, 7L, 3L, 4L)), s"got $got")
+  }
+
+  test("exactSubstringSelfRuns dfCap drops boilerplate shingles before the self-join") {
+    // the 4-token license header opens EVERY doc (df = 4); the real
+    // 4-token dup lives in docs 1 and 2 only (df = 2)
+    val docs = Seq(
+      (1L, "shared license header line X B C D t1"),
+      (2L, "shared license header line X B C D t2"),
+      (3L, "shared license header line o1 o2 o3 o4 o5"),
+      (4L, "shared license header line p1 p2 p3 p4 p5")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.exactSubstringSelfRuns(
+        docs, col("doc_id"), col("text"), minRun = 4, dfCap = Some(3L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // the header (in >3 docs) is gone; the true dup span "X B C D" stays.
+    // Run boundaries shift because the capped variant sees fewer matches —
+    // the contract is the REPORTED PAIR SET, like q33's capped sibling.
+    assert(capped.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $capped")
+    val uncapped = Dedup.exactSubstringSelfRuns(
+        docs, col("doc_id"), col("text"), minRun = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(uncapped.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)),
+      s"uncapped must flag every header pair: ${uncapped.toSeq}")
+  }
+
   test("exactDupsAgainstCorpus confirms exactly the plain join's pairs (no false negatives)") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
