@@ -45,6 +45,23 @@ object StreamOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-side EXACT-dup guard against a STATIC corpus hash table —
+    * the streaming sibling of
+    * [[graft.operators.Dedup.exactDupsAgainstCorpus]]: admit only stream
+    * documents whose `md5(text)` is absent from the corpus. A
+    * stream-static LEFT ANTI join, which Structured Streaming runs
+    * stateless (no watermark needed — the static side is not late); the
+    * static table is re-read per micro-batch, so a corpus hash table
+    * that yesterday's batch job appended to is picked up WITHOUT
+    * restarting the query — exactly the daily-ingest handoff the batch
+    * guard's `updatedSignatures` convention feeds. Collision-proof
+    * internal name, same as [[decontaminationGuard]]. */
+  def exactDupGuard(
+      docs: DataFrame, text: Column, corpusHashes: DataFrame): DataFrame =
+    docs.join(
+      corpusHashes.select(col("md5").as("__exactdup_md5")).distinct(),
+      md5(text) === col("__exactdup_md5"), "left_anti")
+
   /** Streaming NEAR-dup suppression, state bounded by the watermark: the
     * MinHash signature ([[graft.operators.Dedup.minHashSignaturesNative]])
     * is a pure map stage — no shuffle, no aggregation — so it composes

@@ -82,6 +82,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
   }
 
+  test("q86: eval shingles broadcast; window and island groupBy share one exchange") {
+    // the exact-substring scale contract: the (100 TB) train side meets
+    // ONE hash exchange — the window sort — and the island aggregate
+    // reuses that clustering (its keys extend the window's partition
+    // keys); the benchmark-sized eval side broadcasts into the shingle
+    // join. The only other exchange is the final 1-partition output sort.
+    val p = q("q86_exact_substring")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window + island aggregate must share one hash exchange:\n$p")
+  }
+
   test("q66: bigram counting partially aggregates below its exchange") {
     val p = q("q66_bigrams")
     val exchangeIdx = p.indexOf("Exchange")

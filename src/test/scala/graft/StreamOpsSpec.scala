@@ -158,6 +158,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((2L, "w2", "s2")), s"got $rows")
   }
 
+  test("exactDupGuard admits exactly the corpus-absent docs (stream-static anti join)") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("docs-exactdup-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema(Tables.schemas("documents")).parquet(docsDir.toString)
+    // the q87 setup: docs with doc_id % 5 != 0 are the corpus; the stream
+    // replays the WHOLE table, so corpus members must be suppressed and
+    // the % 5 == 0 novel docs admitted
+    val corpusHashes = sf0001.documents.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("md5"))
+    val admitted = StreamOps.exactDupGuard(docsStream, col("text"), corpusHashes)
+    assert(admitted.isStreaming, "the guard must stay a streaming frame")
+    val q = admitted.writeStream.format("memory").queryName("so_exactdup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_exactdup").select("doc_id")
+      .as[Long].collect().toSet
+    val want = sf0001.documents.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"admitted set must be the novel docs " +
+      s"(missing=${want -- got}, extra=${got -- want})")
+  }
+
   test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
     // the Spark-first payoff: Sampling/Cleaning are plain Column
     // predicates, so the SAME operator code drives batch and readStream —
