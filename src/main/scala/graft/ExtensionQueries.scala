@@ -94,6 +94,26 @@ object ExtensionQueries {
       .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
   }
 
+  /** q89: PRODUCT-QUANTIZATION ANN ([[Similarity.pqCodebook]]/`pqEncode`/
+    * `pqReconstruct`/`pqTopKAdc`) — the memory-side ANN sibling of
+    * q35/q80's IVF: dim 64 split into m=4 subspaces, each vector encoded
+    * as 4 codes into a 16-entry sub-codebook (init-only, first 16
+    * vectors — q35's deterministic-centroid discipline), queries ranked
+    * by asymmetric distance against the reconstructions. The hash gate
+    * pins encoding argmins, reconstruction assembly order, AND the ADC
+    * ranking with its tie-breaks. */
+  def q89(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cb = Similarity.pqCodebook(e, m = 4, ksub = 16, dim = 64)
+    val codes = Similarity.pqEncode(e, cb, m = 4, dim = 64)
+    val recon = Similarity.pqReconstruct(codes, cb)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.pqTopKAdc(recon, queries, k = 3)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q36: heuristic stopword language-ID confusion matrix. */
   def q36(t: Tables): DataFrame = {
     val tok = t.documents.select(col("doc_id"), col("lang"),
@@ -222,6 +242,7 @@ object ExtensionQueries {
     "q39_fingerprint"        -> q39 _,
     "q40_multimodal_decode"  -> q40 _,
     "q80_ann_ivf_multiprobe" -> q80 _,
+    "q89_ann_pq"             -> q89 _,
   )
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
@@ -353,6 +374,32 @@ object ExtensionQueries {
         SELECT p.qid, e.vec_id, list_cosine_similarity(p.qe, e.e) AS sim,
           row_number() OVER (PARTITION BY p.qid ORDER BY list_cosine_similarity(p.qe, e.e) DESC NULLS LAST, e.vec_id NULLS FIRST) AS rn
         FROM probes p JOIN assign a ON a.cid = p.qc AND a.vec_id <> p.qid JOIN e ON e.vec_id = a.vec_id) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q89: PQ — init-only sub-codebooks (first 16 vectors), argmin
+    // encode per subspace, reconstruction = ordered concat of chosen
+    // entries, ADC = L2 query vs reconstruction (list_distance matches
+    // the native l2_distance bit-for-bit: same sequential accumulation)
+    "q89_ann_pq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cb AS (SELECT j, vec_id AS code, e[(j-1)*16+1 : j*16] AS sub
+             FROM e, unnest(range(1, 5)) AS t(j) WHERE vec_id < 16),
+      sl AS (SELECT vec_id, j, e[(j-1)*16+1 : j*16] AS vsub
+             FROM e, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1),
+      recon AS (SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.j)) AS re
+                FROM codes c JOIN cb ON cb.j = c.j AND cb.code = c.code
+                GROUP BY c.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT q.qid, r.vec_id, list_distance(q.qe, r.re) AS adist,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
+        FROM q JOIN recon r ON r.vec_id <> q.qid) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     "q36_text_langid" -> """

@@ -318,4 +318,80 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("pa").as("sid"), col("pb").as("nn"), col("d"))
   }
+
+  // ── Product quantization (IVF's memory-side sibling) ──────────────────
+
+  /** PQ sub-codebooks: split the `dim`-dimensional space into `m`
+    * contiguous subspaces of `dim/m` dims; subspace `j`'s codebook is the
+    * j-th slice of the first `ksub` vectors by id — the same
+    * deterministic init-only discipline as q35's IVF centroids (the
+    * iterative trainer is [[trainCentroids]]'s job; PQ composes with it
+    * by training per-subspace, but the GATED contract fixes the codebook
+    * so encode/ADC semantics are oracle-exact). Returns (j, code, sub). */
+  def pqCodebook(vectors: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    vectors.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("code"), col("e"),
+        explode(sequence(lit(1), lit(m))).as("j"))
+      .select(col("j"), col("code"),
+        slice(col("e"), (col("j") - 1) * sub + 1, lit(sub)).as("sub"))
+  }
+
+  /** PQ encoding: each vector's subspace slice maps to its nearest
+    * sub-codebook entry by L2 (native [[graft.plans.L2Distance]];
+    * deterministic tie-break on code). The codebook is m×ksub rows —
+    * broadcast — so encoding is a map-side pass over the corpus: the
+    * 100 TB shape is "scan once, write m small codes per vector", an
+    * (m·log2 ksub)-bit representation replacing dim×4 bytes (64× smaller
+    * at dim=64, m=4, ksub=16). Returns long-form (vec_id, j, code). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val sub = dim / m
+    val sliced = vectors
+      .select(col("vec_id"), col("e"), explode(sequence(lit(1), lit(m))).as("j"))
+      .select(col("vec_id"), col("j"),
+        slice(col("e"), (col("j") - 1) * sub + 1, lit(sub)).as("vsub"))
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("d"), col("code"))
+    sliced.join(broadcast(codebook), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        GraftFunctions.l2Distance(col("vsub"), col("sub")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "j", "code")
+  }
+
+  /** Reconstruct each coded vector as the concatenation of its chosen
+    * sub-codebook entries: (vec_id, re). The join side is the broadcast
+    * codebook; per-vector assembly sorts the m sub-arrays by subspace
+    * index inside the row (array_sort on (j, sub) structs — collect_list
+    * order is not deterministic, the sort is what pins it). */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.join(broadcast(codebook), Seq("j", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("sub")))),
+        s => s.getField("sub"))).as("re"))
+
+  /** PQ top-k via asymmetric distance (ADC): the UNCOMPRESSED query is
+    * ranked against every RECONSTRUCTED corpus vector — sqrt-exact L2
+    * against the quantized approximation, ascending, ties on vec_id,
+    * self excluded. At corpus scale ADC runs over codes (m table lookups
+    * per candidate, the codebook-distance tables computed once per
+    * query); composing with [[ivfAssign]] restricts candidates to the
+    * query's bucket first (IVF-PQ, the standard billion-scale layout).
+    * The reconstruction form here is value-identical to the
+    * lookup-table form — Σ_j d²(q_j, cb[code_j]) — and is what the
+    * DuckDB oracle can state. Returns (qid, vec_id, adist, rn ≤ k). */
+  def pqTopKAdc(
+      recon: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(recon.sparkSession)
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    q.join(recon, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.l2Distance(col("qe"), col("re")).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

@@ -86,6 +86,13 @@ object GraftFunctions {
         TextHashExpressions.SimHash64(exprs.head,
           literalInt(exprs(1), "simhash64", "shingleN"))
       }),
+    (FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"l2_distance requires exactly 2 arguments, got ${exprs.length}")
+        L2Distance(exprs.head, exprs(1))
+      }),
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
     // internal runtime-filter injection but does NOT register them in the
     // public FunctionRegistry; surfacing them here gives the exact-dup
@@ -126,6 +133,8 @@ object GraftFunctions {
   /** Column-API surface for the native expressions (requires registration). */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+  def l2Distance(a: Column, b: Column): Column =
+    call_function("l2_distance", a, b)
   def minHashSignature(tokens: Column, shingleN: Int, numHashes: Int): Column =
     call_function("minhash_signature", tokens,
       org.apache.spark.sql.functions.lit(shingleN),

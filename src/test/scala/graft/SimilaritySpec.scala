@@ -152,6 +152,45 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute, s"probing every bucket must equal brute force: $full vs $brute")
   }
 
+  test("PQ: m=1 with a full codebook reconstructs exactly, so ADC equals brute-force L2") {
+    // every vector is its own nearest codebook entry (distance 0) → the
+    // reconstruction IS the vector → asymmetric distance degenerates to
+    // exact L2 — the same exactness-anchor discipline as multi-probe's
+    // nprobe=#centroids ≡ brute force
+    val n = 6
+    val cb = Similarity.pqCodebook(vecs, m = 1, ksub = 100, dim = 2)
+    val codes = Similarity.pqEncode(vecs, cb, m = 1, dim = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(codes.forall { case (vid, j, code) => j == 1 && code == vid },
+      s"full codebook must encode every vector as itself: ${codes.toSeq}")
+    val recon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 1, dim = 2), cb)
+    val re = recon.as[(Long, Seq[Double])].collect().toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    assert(re == orig, "reconstruction must be exact with a full codebook")
+    val adc = Similarity.pqTopKAdc(recon, vecs, k = n - 1)
+      .select("qid", "vec_id", "adist").as[(Long, Long, Double)].collect()
+    for ((qid, vid, d) <- adc) {
+      val exact = math.sqrt(orig(qid).zip(orig(vid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(d == exact, s"ADC($qid,$vid)=$d must equal exact L2 $exact")
+    }
+  }
+
+  test("PQ: quantized ranking preserves the coarse cluster structure") {
+    // 2 subspaces of 1 dim, codebook from the two axis centroids: every
+    // cluster-0 member quantizes to (1,0), every cluster-1 member to
+    // (0,1) — a query from cluster 0 must rank cluster-0 members (adist
+    // sqrt(0.02)-ish) strictly above cluster-1 members (adist ~sqrt 2)
+    val cb = Similarity.pqCodebook(vecs, m = 2, ksub = 2, dim = 2)
+    val recon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 2, dim = 2), cb)
+    val top = Similarity.pqTopKAdc(recon, vecs.filter(col("vec_id") === 10L), k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.subsetOf(Set(0L, 11L)),
+      s"nearest quantized neighbors of 10 must stay in its cluster: $top")
+  }
+
   test("cosine LSH: exact precision, high recall on embedding near-dups, deterministic") {
     // SRP-LSH targets NEAR-DUPLICATE embeddings (cosine >= ~0.9) — the
     // dedup regime, where a handful of sign bits separates dup from
