@@ -114,6 +114,25 @@ object ExtensionQueries {
         Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
   }
 
+  /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
+    * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
+    * query probes its 2 nearest buckets and ranks members by asymmetric
+    * distance against their reconstructions. The corpus side of the
+    * search is codes-only — the layout where original vectors are read
+    * once (at encode) and never again. */
+  def q90(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = e.filter(col("vec_id") < 8)
+    val assign = Similarity.ivfAssign(e, centroids)
+    val cb = Similarity.pqCodebook(e, m = 4, ksub = 16, dim = 64)
+    val recon = Similarity.pqReconstruct(Similarity.pqEncode(e, cb, m = 4, dim = 64), cb)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfPqTopK(assign, recon, centroids, queries, k = 3, nprobe = 2)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q36: heuristic stopword language-ID confusion matrix. */
   def q36(t: Tables): DataFrame = {
     val tok = t.documents.select(col("doc_id"), col("lang"),
@@ -243,6 +262,7 @@ object ExtensionQueries {
     "q40_multimodal_decode"  -> q40 _,
     "q80_ann_ivf_multiprobe" -> q80 _,
     "q89_ann_pq"             -> q89 _,
+    "q90_ann_ivf_pq"         -> q90 _,
   )
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
@@ -400,6 +420,40 @@ object ExtensionQueries {
           row_number() OVER (PARTITION BY q.qid
             ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
         FROM q JOIN recon r ON r.vec_id <> q.qid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q90: q80's probe CTE composed with q89's recon CTE — bucket-
+    // restricted ADC ranking
+    "q90_ann_ivf_pq" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c) t WHERE rn = 1),
+      cb AS (SELECT j, vec_id AS code, e[(j-1)*16+1 : j*16] AS sub
+             FROM e, unnest(range(1, 5)) AS t(j) WHERE vec_id < 16),
+      sl AS (SELECT vec_id, j, e[(j-1)*16+1 : j*16] AS vsub
+             FROM e, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1),
+      recon AS (SELECT c2.vec_id, flatten(list(cb.sub ORDER BY c2.j)) AS re
+                FROM codes c2 JOIN cb ON cb.j = c2.j AND cb.code = c2.code
+                GROUP BY c2.vec_id),
+      q0 AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105),
+      probes AS (SELECT qid, qe, cid AS qc FROM (
+          SELECT q0.qid, q0.qe, c.cid,
+            row_number() OVER (PARTITION BY q0.qid ORDER BY list_cosine_similarity(q0.qe, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS pn
+          FROM q0, c) t WHERE pn <= 2)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT p.qid, r.vec_id, list_distance(p.qe, r.re) AS adist,
+          row_number() OVER (PARTITION BY p.qid
+            ORDER BY list_distance(p.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
+        FROM probes p JOIN assign a ON a.cid = p.qc AND a.vec_id <> p.qid
+        JOIN recon r ON r.vec_id = a.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     "q36_text_langid" -> """

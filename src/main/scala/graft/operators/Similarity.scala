@@ -373,6 +373,40 @@ object Similarity {
         array_sort(collect_list(struct(col("j"), col("sub")))),
         s => s.getField("sub"))).as("re"))
 
+  /** IVF-PQ: the billion-scale ANN layout — [[ivfTopKProbed]]'s bucket
+    * restriction composed with [[pqTopKAdc]]'s compressed ranking. Each
+    * query probes its `nprobe` nearest centroid buckets (cosine, like
+    * IVF), then ranks ONLY that bucket's members by asymmetric L2
+    * against their PQ reconstructions. At scale the corpus exists purely
+    * as (cid, codes) — centroids and codebook broadcast, the original
+    * vectors are read once at encode time and never again; per-query
+    * work is |bucket|·m lookups instead of N·dim multiplies. Returns
+    * (qid, vec_id, adist, rn ≤ k). */
+  def ivfPqTopK(
+      assign: DataFrame, recon: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    GraftFunctions.ensureRegistered(recon.sparkSession)
+    val c = centroids.select(col("vec_id").as("qc"), col("e").as("ce"))
+    val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("qc"))
+    val probes = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(c))
+      .select(col("qid"), col("qe"), col("qc"),
+        GraftFunctions.cosineSimilarity(col("qe"), col("ce")).as("csim"))
+      .withColumn("pn", row_number().over(wp))
+      .filter(col("pn") <= nprobe)
+      .select("qid", "qe", "qc")
+    val bucket = assign.select(col("vec_id"), col("cid").as("qc"))
+      .join(recon, "vec_id")
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    broadcast(probes).join(bucket, "qc")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.l2Distance(col("qe"), col("re")).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** PQ top-k via asymmetric distance (ADC): the UNCOMPRESSED query is
     * ranked against every RECONSTRUCTED corpus vector — sqrt-exact L2
     * against the quantized approximation, ascending, ties on vec_id,

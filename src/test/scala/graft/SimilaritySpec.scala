@@ -191,6 +191,31 @@ class SimilaritySpec extends SparkSpec {
       s"nearest quantized neighbors of 10 must stay in its cluster: $top")
   }
 
+  test("IVF-PQ: nprobe=#centroids with a full codebook equals brute-force L2 top-k") {
+    // both approximations turned off at their exact endpoints: every
+    // bucket probed AND exact reconstruction → ivfPqTopK must reproduce
+    // the exact L2 ranking (the composed exactness anchor)
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assign = Similarity.ivfAssign(vecs, centroids)
+    val cb = Similarity.pqCodebook(vecs, m = 1, ksub = 100, dim = 2)
+    val recon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 1, dim = 2), cb)
+    val got = Similarity.ivfPqTopK(assign, recon, centroids, vecs, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    for ((qid, ranked) <- got) {
+      val exact = orig.keys.filter(_ != qid).toSeq.sortBy { v =>
+        (math.sqrt(orig(qid).zip(orig(v)).map { case (a, b) => (a - b) * (a - b) }.sum), v)
+      }
+      assert(ranked == exact, s"q$qid: got $ranked want $exact")
+    }
+    // nprobe=1 restricts to the query's own bucket (strictly fewer rows)
+    val own = Similarity.ivfPqTopK(assign, recon, centroids, vecs, k = 5, nprobe = 1)
+    assert(own.count() < Similarity.ivfPqTopK(
+      assign, recon, centroids, vecs, k = 5, nprobe = 2).count())
+  }
+
   test("cosine LSH: exact precision, high recall on embedding near-dups, deterministic") {
     // SRP-LSH targets NEAR-DUPLICATE embeddings (cosine >= ~0.9) — the
     // dedup regime, where a handful of sign bits separates dup from
