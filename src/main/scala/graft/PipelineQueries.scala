@@ -274,6 +274,25 @@ object PipelineQueries {
     Dedup.exactSubstringSelfRuns(t.documents, col("doc_id"), col("text"), minRun = 8)
       .transform(sortedSmall(_, col("da"), col("db"), col("pos_a"), col("pos_b")))
 
+  /** q91: domain-authority PAGERANK ([[graft.operators.Graph
+    * .weightedPageRank]]) — the crawl-curation centrality signal: a
+    * deterministic synthetic domain link graph over the corpus (each doc
+    * links its `site{doc_id%7}` domain to `site{doc_id%5}`, multi-edges
+    * folded into weights, self-loops dropped), ranked by 3 damped
+    * iterations. The hash gate pins transition normalization, the
+    * dangling/teleport semantics (in-degree-0 domains sit at exactly
+    * (1−d)/n) and the fixed-iteration arithmetic. */
+  def q91(t: Tables): DataFrame = {
+    val links = t.documents.select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string")).as("src"),
+        concat(lit("site"), (col("doc_id") % 5).cast("string")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.Graph.weightedPageRank(links, iters = 3, damping = 0.85)
+      .select(col("node").as("domain"), Rounding.portable(col("rank"), 6).as("rank"))
+      .transform(sortedSmall(_, col("domain")))
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -553,6 +572,7 @@ object PipelineQueries {
     "q86_exact_substring" -> q86 _,
     "q87_exact_dup_guard" -> q87 _,
     "q88_exact_substring_self" -> q88 _,
+    "q91_domain_pagerank" -> q91 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -751,6 +771,34 @@ object PipelineQueries {
             WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0)
       SELECT b.doc_id, c.doc_id AS corpus_id FROM b JOIN c USING (h)
       ORDER BY b.doc_id NULLS FIRST, corpus_id NULLS FIRST""",
+
+    // q91: 3 unrolled damped-PageRank iterations as chained CTEs; the
+    // teleport literal (1-0.85) casts to the same double both sides
+    "q91_domain_pagerank" -> """
+      WITH ed AS (SELECT concat('site', CAST(doc_id % 7 AS VARCHAR)) AS src,
+                         concat('site', CAST(doc_id % 5 AS VARCHAR)) AS dst
+                  FROM documents),
+      e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM ed WHERE src <> dst GROUP BY src, dst),
+      outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+      p AS (SELECT e.src, e.dst, e.w / outw.ow AS p FROM e JOIN outw USING (src)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+      c1 AS (SELECT p.dst AS node, sum(p.p * r0.rank) AS inflow
+             FROM p JOIN r0 ON r0.node = p.src GROUP BY p.dst),
+      r1 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c1.inflow, 0) AS rank
+             FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+      c2 AS (SELECT p.dst AS node, sum(p.p * r1.rank) AS inflow
+             FROM p JOIN r1 ON r1.node = p.src GROUP BY p.dst),
+      r2 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c2.inflow, 0) AS rank
+             FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+      c3 AS (SELECT p.dst AS node, sum(p.p * r2.rank) AS inflow
+             FROM p JOIN r2 ON r2.node = p.src GROUP BY p.dst),
+      r3 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c3.inflow, 0) AS rank
+             FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+      SELECT node AS domain, round(rank, 6) AS rank FROM r3
+      ORDER BY domain NULLS FIRST""",
 
     // q88: q86's positional-shingle run collapse as a self-join, da < db
     "q88_exact_substring_self" -> """

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality for corpus curation (north-star extension):
+  * crawl-frontier prioritization weights pages by link-graph authority —
+  * the Common Crawl pipelines publish exactly this family of per-domain
+  * centrality signal alongside the crawl, and a training-data build uses
+  * it to weight or gate sources. Sibling of [[Dedup.connectedComponents]]
+  * (the other iterative graph operator in the library).
+  */
+object Graph {
+
+  /** Weighted damped PageRank over an edge list (src, dst, w), fixed
+    * iteration count: r₀ = 1/n, then
+    * `r(v) ← (1−d)/n + d · Σ_{u→v} r(u) · w(u,v)/outw(u)`.
+    *
+    * Semantics notes, pinned for the oracle: multi-edges fold into edge
+    * weights (the caller aggregates); nodes with no out-edges leak their
+    * damped mass (the simplified formulation — no dangling
+    * redistribution), and every node receives the teleport share, so
+    * in-degree-0 nodes sit at exactly `(1−d)/n`.
+    *
+    * Shape: the transition table `p = w/outw` and the node set are
+    * computed once and persisted (they feed every iteration); each
+    * iteration is one equi-join rank×transition + one aggregate on the
+    * destination — the standard distributed PageRank step, O(iters)
+    * shuffles total. `n` is a driver scalar (one count of the node set —
+    * bounded by design, like the CC convergence checks). Iteration count
+    * is FIXED, not convergence-driven, so the result is oracle-exact;
+    * long chains at production scale should checkpoint every ~10 rounds
+    * exactly like [[Dedup.connectedComponents]] does per round. Returns
+    * (node, rank). */
+  def weightedPageRank(
+      edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val p = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "weightedPageRank: empty graph")
+    var r = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = p.join(r, p("src") === r("node"))
+        .select(col("dst").as("node"), (col("p") * col("rank")).as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      r = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    // force before releasing the cached inputs the lineage references
+    val out = r.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    p.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+}

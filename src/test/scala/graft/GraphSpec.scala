@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weightedPageRank: uniform cycle stays uniform and conserves rank mass") {
+    // A→B→C→A: no dangling nodes, symmetric — every iteration must keep
+    // the exact uniform fixpoint 1/3 (also pins that transition
+    // probabilities normalize to 1 per source)
+    val cycle = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(cycle, iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r.size == 3 && r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), s"$r")
+    r // fixpoint exactly, mass conserved
+  }
+
+  test("weightedPageRank: in-degree-0 node sits at the teleport share; weights split inflow") {
+    // A links B twice and C once (weights 2, 1); nobody links A.
+    // n=3: rank(A) = 0.15/3 = 0.05 after any number of iterations;
+    // after one iteration rank(B) = 0.05 + 0.85·(2/3)·(1/3),
+    // rank(C) = 0.05 + 0.85·(1/3)·(1/3).
+    val edges = Seq(("A", "B", 2L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val r1 = Graph.weightedPageRank(edges, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r1("A") - 0.05) < 1e-12, s"$r1")
+    assert(math.abs(r1("B") - (0.05 + 0.85 * (2.0 / 3) / 3)) < 1e-12, s"$r1")
+    assert(math.abs(r1("C") - (0.05 + 0.85 * (1.0 / 3) / 3)) < 1e-12, s"$r1")
+    // B and C are dangling: their mass leaks (the documented simplified
+    // formulation), so total rank strictly decreases below 1
+    assert(r1.values.sum < 1.0)
+    // iters = 0 returns the uniform initialization
+    val r0 = Graph.weightedPageRank(edges, iters = 0)
+      .as[(String, Double)].collect().toMap
+    assert(r0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), s"$r0")
+  }
+}
