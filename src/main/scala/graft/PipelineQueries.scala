@@ -293,6 +293,23 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("domain")))
   }
 
+  /** q92: Z-ORDER clustering key ([[graft.operators.Layout.zValue2]]) —
+    * the multi-dimensional layout key (Delta/Iceberg `ZORDER BY`): 8-bit
+    * bins of quantity × price interleaved into one Morton key, gated on
+    * a deterministic row sample so every bit position's arithmetic is
+    * hash-pinned across engines (a misplace of one bit changes z). Both
+    * sides bin via floor (DuckDB's CAST(double AS BIGINT) ROUNDS — the
+    * §5.4 hazard). */
+  def q92(t: Tables): DataFrame = {
+    val xb = floor(col("l_quantity")).cast("long")
+    val yb = least(lit(255L), floor(col("l_extendedprice") / 500.0).cast("long"))
+    t.lineitem
+      .filter(col("l_orderkey") % 503 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        graft.operators.Layout.zValue2(xb, yb, 8).as("z"))
+      .transform(sortedSmall(_, col("l_orderkey"), col("l_linenumber")))
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -573,6 +590,7 @@ object PipelineQueries {
     "q87_exact_dup_guard" -> q87 _,
     "q88_exact_substring_self" -> q88 _,
     "q91_domain_pagerank" -> q91 _,
+    "q92_zorder_key" -> q92 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -771,6 +789,17 @@ object PipelineQueries {
             WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0)
       SELECT b.doc_id, c.doc_id AS corpus_id FROM b JOIN c USING (h)
       ORDER BY b.doc_id NULLS FIRST, corpus_id NULLS FIRST""",
+
+    // q92: Morton interleave as pure bit arithmetic (disjoint bit
+    // positions, so + == |); binning floors on both sides
+    "q92_zorder_key" -> """
+      WITH s AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(floor(l_quantity) AS BIGINT) AS xb,
+          least(255, CAST(floor(l_extendedprice / 500.0) AS BIGINT)) AS yb
+        FROM lineitem WHERE l_orderkey % 503 = 0)
+      SELECT l_orderkey, l_linenumber,
+        ((((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1)) + ((((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3)) + ((((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5)) + ((((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7)) + ((((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9)) + ((((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11)) + ((((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13)) + ((((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15)) AS z
+      FROM s ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
 
     // q91: 3 unrolled damped-PageRank iterations as chained CTEs; the
     // teleport literal (1-0.85) casts to the same double both sides

@@ -41,6 +41,37 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Z-ORDER (Morton) clustering key: interleave the low `bits` bits of
+    * two non-negative integer columns — bit i of `x` lands at position
+    * 2i, bit i of `y` at 2i+1. Rows sorted by this key cluster
+    * multi-dimensionally: a range predicate on EITHER dimension maps to
+    * a bounded set of z-ranges, so parquet row-group min/max stats prune
+    * scans for both `WHERE x BETWEEN …` and `WHERE y BETWEEN …` from one
+    * physical order — the Delta/Iceberg `ZORDER BY` layout, where a
+    * linear sort only ever serves its leading column. Pure integer
+    * column arithmetic (shifts/masks — codegen'd, oracle-portable);
+    * callers bin continuous axes first (e.g. [[Raster]] bins).
+    * Inputs must fit in `bits` bits — values ≥ 2^bits would alias
+    * (silently interleaving garbage), so the caller's binning contract
+    * matters; `bits ≤ 31` keeps the result in a positive long. */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Repartition-by-range + in-partition sort on the z-key: the write
+    * shape that makes [[zValue2]] effective — each output file covers a
+    * compact z-range, i.e. a rectangle-ish region of (x, y) space, so
+    * file/row-group stats prune on both dimensions. */
+  def zOrdered(df: DataFrame, x: Column, y: Column, bits: Int, partitions: Int): DataFrame =
+    df.withColumn("__z", zValue2(x, y, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+
   /** Skew-resistant equi-join: the probe side's rows are spread across
     * `saltBuckets` sub-keys (deterministically, by row hash), the build
     * side is replicated across all of them. Result is identical to

@@ -33,4 +33,36 @@ class LayoutSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("zValue2 reproduces the Morton curve exactly on a 4x4 grid") {
+    // the canonical Z traversal: x bits at even positions, y at odd
+    val want = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (0, 1) -> 2L, (1, 1) -> 3L,
+      (2, 0) -> 4L, (3, 0) -> 5L, (2, 1) -> 6L, (3, 1) -> 7L,
+      (0, 2) -> 8L, (1, 2) -> 9L, (0, 3) -> 10L, (1, 3) -> 11L,
+      (2, 2) -> 12L, (3, 2) -> 13L, (2, 3) -> 14L, (3, 3) -> 15L)
+    val grid = want.keys.toSeq.map { case (x, y) => (x, y) }.toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        Layout.zValue2(col("x"), col("y"), bits = 2).as("z"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    assert(got == want, s"got $got")
+  }
+
+  test("zOrdered partitions cover disjoint ascending z-ranges (stats-prunable files)") {
+    val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    val z = Layout.zOrdered(pts, col("x"), col("y"), bits = 5, partitions = 8)
+    val ranges = z
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"), col("__z"))
+      .groupBy("p").agg(min("__z").as("lo"), max("__z").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    // each output partition owns one compact z interval, strictly after
+    // the previous partition's — exactly what lets per-file min/max
+    // stats prune range predicates on either source dimension
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case _ => ()
+    }
+  }
 }
