@@ -310,6 +310,19 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("l_orderkey"), col("l_linenumber")))
   }
 
+  /** q93: deterministic TRAIN/VAL/TEST split
+    * ([[Sampling.hashSplit]]) — 80/10/10 over the corpus by doc_id
+    * md5-bucket ranges; the gate pins the per-split doc and token
+    * totals, i.e. the exact membership (a single doc switching splits
+    * changes both aggregates). */
+  def q93(t: Tables): DataFrame =
+    Sampling.hashSplit(t.documents, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .transform(sortedSmall(_, col("split")))
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -591,6 +604,7 @@ object PipelineQueries {
     "q88_exact_substring_self" -> q88 _,
     "q91_domain_pagerank" -> q91 _,
     "q92_zorder_key" -> q92 _,
+    "q93_train_val_test" -> q93 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -789,6 +803,19 @@ object PipelineQueries {
             WHERE doc_id % 5 <> 0 AND doc_id % 11 = 0)
       SELECT b.doc_id, c.doc_id AS corpus_id FROM b JOIN c USING (h)
       ORDER BY b.doc_id NULLS FIRST, corpus_id NULLS FIRST""",
+
+    // q93: cumulative md5-bucket cuts — round(0.8*65536)=52429,
+    // round(0.9*65536)=58982; membership pinned via per-split aggregates
+    "q93_train_val_test" -> """
+      WITH k AS (SELECT doc_id, text,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS b
+        FROM documents),
+      s AS (SELECT CASE WHEN b < 52429 THEN 'train' WHEN b < 58982 THEN 'val'
+                        ELSE 'test' END AS split,
+                   len(string_split(text, ' ')) AS tok FROM k)
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split ORDER BY split NULLS FIRST""",
 
     // q92: Morton interleave as pure bit arithmetic (disjoint bit
     // positions, so + == |); binning floors on both sides

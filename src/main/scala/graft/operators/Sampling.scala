@@ -43,6 +43,32 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.filter(hashBucket(key) < lit(cutoff(fraction)))
 
+  /** Deterministic TRAIN/VAL/TEST split — the assignment every ML
+    * pipeline makes before anything else, done the only way that
+    * survives re-runs, engine changes and repartitioning: contiguous
+    * [[hashBucket]] ranges. Split i owns buckets `[cum_{i-1}, cum_i)`
+    * where the cumulative cut is rounded to 1/65536 (cumulative THEN
+    * rounded, so per-split rounding cannot drift the total); fractions
+    * must sum to 1, so the last cut is exactly 65536 and every row gets
+    * a label. A pure labeling projection — no shuffle, no sampling
+    * nondeterminism, and a doc's split never changes as the corpus
+    * grows (the property `df.randomSplit` does NOT have). Order of
+    * `splits` is part of the contract (it defines the ranges). */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    splits.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"split '$n' fraction $f out of (0,1]") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => cutoff(math.min(1.0, c))) // cumulative, then round; clamp fp drift
+    val b = hashBucket(key)
+    val label = splits.zip(cums).reverse.foldLeft(lit(splits.last._1)) {
+      case (rest, ((name, _), cum)) => when(b < cum, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified variant: per-stratum fractions (strata not listed are
     * dropped). One predicate, no shuffle — the per-stratum cutoff is a
     * CASE over the stratum column. */

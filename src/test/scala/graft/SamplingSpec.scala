@@ -117,4 +117,28 @@ class SamplingSpec extends SparkSpec {
     assert(kept.filter(col("lang").isNull).count() == 2L,
       "a weighted __null__ stratum must keep the unlabeled slice")
   }
+
+  test("hashSplit: total partition, stable membership under growth, fractions near target") {
+    val docs = sf0001.documents
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.hashSplit(docs, col("doc_id"), splits)
+    val n = docs.count()
+    // every row gets exactly one label; fractions land near target
+    val byS = labeled.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.values.sum == n, s"$byS must partition all $n docs")
+    assert(byS("train") > 0.7 * n && byS("train") < 0.9 * n, s"$byS")
+    // THE property randomSplit lacks: a doc's split never changes as the
+    // corpus grows — the half-corpus assignment agrees with the full one
+    val half = Sampling.hashSplit(
+      docs.filter(col("doc_id") % 2 === 0), col("doc_id"), splits)
+    val full = labeled.select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.select("doc_id", "split").as[(Long, String)].collect().foreach {
+      case (id, s) => assert(full(id) == s, s"doc $id moved split: $s vs ${full(id)}")
+    }
+    // fractions must sum to 1
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
 }
