@@ -323,6 +323,19 @@ object PipelineQueries {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .transform(sortedSmall(_, col("split")))
 
+  /** q94: PMI collocation extraction
+    * ([[graft.operators.TextAnalysis.pmiCollocations]]) — top-20 adjacent
+    * token pairs by pointwise mutual information (min pair count 5),
+    * ordered on the ROUNDED score so the cross-engine ordering at the
+    * limit boundary cannot hinge on a last-ulp difference. */
+  def q94(t: Tables): DataFrame =
+    TextAnalysis.pmiCollocations(t.documents, col("text"), minCount = 5L)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        Rounding.portable(col("pmi"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+      .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -605,6 +618,7 @@ object PipelineQueries {
     "q91_domain_pagerank" -> q91 _,
     "q92_zorder_key" -> q92 _,
     "q93_train_val_test" -> q93 _,
+    "q94_pmi_collocations" -> q94 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -816,6 +830,27 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q94: PMI — arithmetic association mirrors the Spark expression
+    // exactly (a*nu*nu / (nb*c1*c2), left-assoc) so ln() sees the same
+    // double; ordering on the rounded score (q42's ln+round precedent)
+    "q94_pmi_collocations" -> """
+      WITH doc AS (SELECT string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT unnest(s) AS w FROM doc),
+      uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+      nuq AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+      bg AS (SELECT s[i] AS w1, s[i+1] AS w2
+             FROM doc, unnest(range(1, greatest(len(s), 1))) AS t(i)),
+      pair AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+      nbq AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nb FROM pair),
+      scored AS (
+        SELECT p.w1, p.w2, p.n_ab,
+               round(ln(p.n_ab * (SELECT nu FROM nuq) * (SELECT nu FROM nuq)
+                 / ((SELECT nb FROM nbq) * u1.cw * u2.cw)), 6) AS pmi
+        FROM pair p JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w
+        WHERE p.n_ab >= 5)
+      SELECT w1, w2, n_ab, pmi FROM scored
+      ORDER BY pmi DESC NULLS LAST, w1 NULLS FIRST, w2 NULLS FIRST LIMIT 20""",
 
     // q92: Morton interleave as pure bit arithmetic (disjoint bit
     // positions, so + == |); binning floors on both sides

@@ -113,4 +113,39 @@ object TextAnalysis {
       .groupBy(col("__shard").as("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
   }
+
+  /** PMI collocation extraction — the classic phrase-mining statistic:
+    * for each adjacent token pair, `pmi = ln(P(ab) / (P(a)·P(b)))` with
+    * `P(ab) = n_ab / N_bigrams` and `P(a) = c_a / N_tokens`. High-PMI
+    * pairs co-occur far more than their unigram frequencies predict —
+    * the signal behind tokenizer-vocabulary merges and phrase detection.
+    *
+    * Shape at scale: one explode+groupBy each for unigrams and bigrams
+    * (map-side partial aggregation; shuffle volume = vocabulary, not
+    * corpus), `minCount` prunes the long tail BEFORE the joins, and the
+    * unigram table broadcasts — vocabulary grows sublinearly in corpus
+    * size (Heaps' law), so it stays a dimension even when the corpus is
+    * 100 TB. The two totals ride in as broadcast 1-row cross joins, never
+    * through the driver. Arithmetic is association-mirrored with the
+    * DuckDB oracle (`a·nu·nu / (nb·c1·c2)`, left-assoc) so the doubles
+    * agree bitwise. Returns (w1, w2, n_ab, pmi) unrounded. */
+  def pmiCollocations(docs: DataFrame, text: Column, minCount: Long): DataFrame = {
+    import graft.functions.TextOps
+    val toks = docs.select(explode(TextOps.tokens(text)).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val nu = uni.agg(sum("cw").cast("double").as("nu"))
+    val pair = docs
+      .select(explode(TextOps.shinglesNative(TextOps.tokens(text), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val nb = pair.agg(sum("n_ab").cast("double").as("nb"))
+    pair.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi",
+        log(col("n_ab") * col("nu") * col("nu") / (col("nb") * col("c1") * col("c2"))))
+      .select("w1", "w2", "n_ab", "pmi")
+  }
 }

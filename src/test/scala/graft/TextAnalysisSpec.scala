@@ -68,4 +68,25 @@ class TextAnalysisSpec extends SparkSpec {
     // conservation: every input token lands in exactly one sequence row
     assert(got.toSeq.map(_._4).sum == Seq(300L, 212L, 100L, 600L, 50L).sum)
   }
+
+  test("pmiCollocations: association ranks above chance at equal marginals; minCount prunes") {
+    // 5 docs "a a b" + 5 docs "a b b": ca = cb = 15 (equal marginals),
+    // nu = 30, nb = 20; pairs (a,b):10, (a,a):5, (b,b):5. The preferred
+    // ordering (a,b) scores ln 2; the same-word pairs score exactly 0 —
+    // PMI separates association from frequency.
+    val docs = (1 to 10).map(i => (i.toLong, if (i <= 5) "a a b" else "a b b"))
+      .toDF("doc_id", "text")
+    def run(minCount: Long) =
+      TextAnalysis.pmiCollocations(docs, col("text"), minCount)
+        .select("w1", "w2", "n_ab", "pmi")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = run(1L)
+    assert(got.keySet == Set("a" -> "b", "a" -> "a", "b" -> "b"), s"got $got")
+    assert(got("a" -> "b")._1 == 10L)
+    assert(math.abs(got("a" -> "b")._2 - math.log(2.0)) < 1e-12, s"got $got")
+    assert(math.abs(got("a" -> "a")._2) < 1e-12 && math.abs(got("b" -> "b")._2) < 1e-12)
+    // minCount prunes the 5-count pairs before the joins
+    assert(run(6L).keySet == Set("a" -> "b"))
+  }
 }
