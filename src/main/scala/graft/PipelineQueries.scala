@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Rounding, TextOps}
-import graft.operators.{Cleaning, Dedup, Sampling, TextAnalysis, TimeSeries}
+import graft.operators.{Cleaning, Dedup, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Round-3 queries: the training-data-pipeline operations a 100 TB corpus
   * build needs beyond pairwise dedup — deterministic (stratified) hash
@@ -336,6 +336,22 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q95: embedding cluster-quality audit
+    * ([[graft.operators.Similarity.clusterAudit]]) — q35's init-only
+    * centroid discipline (vec_id < 8), per-cluster cohesion/separation
+    * and the Davies-Bouldin-style ratio. */
+  def q95(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    Similarity.clusterAudit(e, e.filter(col("vec_id") < 8))
+      .select(col("cid"), col("n"),
+        Rounding.portable(col("mean_d"), 6).as("mean_d"),
+        col("nn_cid"),
+        Rounding.portable(col("nn_d"), 6).as("nn_d"),
+        Rounding.portable(col("db_ratio"), 6).as("db_ratio"))
+      .transform(sortedSmall(_, col("cid")))
+  }
+
   /** q83: sliding-window document chunking
     * ([[graft.operators.TextAnalysis.chunkTokens]]) — 50-token windows
     * advancing by 40 (10-token overlap), the LLM context-window prep
@@ -619,6 +635,7 @@ object PipelineQueries {
     "q92_zorder_key" -> q92 _,
     "q93_train_val_test" -> q93 _,
     "q94_pmi_collocations" -> q94 _,
+    "q95_cluster_quality" -> q95 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -830,6 +847,27 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q95: q35's centroid/assignment chain, then per-cluster mean L2 to
+    // own centroid + nearest-other-centroid distance; db_ratio divides
+    // the UNROUNDED mean (both engines round only at the output)
+    "q95_cluster_quality" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c) t WHERE rn = 1),
+      intra AS (SELECT a.cid, count(*) AS n, avg(list_distance(e.e, c.ce)) AS mean_d
+                FROM e JOIN assign a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cid
+                GROUP BY a.cid),
+      nn AS (SELECT cid, nn_cid, d AS nn_d FROM (
+          SELECT c1.cid, c2.cid AS nn_cid, list_distance(c1.ce, c2.ce) AS d,
+            row_number() OVER (PARTITION BY c1.cid ORDER BY list_distance(c1.ce, c2.ce) NULLS LAST, c2.cid NULLS FIRST) AS rn
+          FROM c c1 JOIN c c2 ON c1.cid <> c2.cid) t WHERE rn = 1)
+      SELECT i.cid, i.n, round(i.mean_d, 6) AS mean_d, nn.nn_cid,
+             round(nn.nn_d, 6) AS nn_d, round(i.mean_d / nn.nn_d, 6) AS db_ratio
+      FROM intra i JOIN nn USING (cid) ORDER BY cid NULLS FIRST""",
 
     // q94: PMI — arithmetic association mirrors the Spark expression
     // exactly (a*nu*nu / (nb*c1*c2), left-assoc) so ln() sees the same

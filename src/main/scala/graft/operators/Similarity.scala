@@ -428,4 +428,37 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** Embedding cluster-quality audit — the ANN-side sibling of the q85
+    * dedup-cluster audit and the standard k-means diagnostics table. Per
+    * non-empty cluster (a centroid no vector chose has no row): member
+    * count, mean member→centroid L2 (cohesion), the nearest OTHER
+    * centroid with its distance (separation), and the Davies-Bouldin-
+    * style `mean_d / nn_d` ratio — a cluster whose internal spread
+    * approaches its isolation distance is a merge/re-train candidate.
+    * Assignment is [[ivfAssign]]'s broadcast pass; the audit itself is
+    * ONE k-group aggregate over the corpus, and the separation table is
+    * k×k rows of broadcast arithmetic — nothing corpus-sized shuffles
+    * more than once. Returns (cid, n, mean_d, nn_cid, nn_d, db_ratio)
+    * unrounded. */
+  def clusterAudit(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val cents = centroids.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val intra = vectors.join(ivfAssign(vectors, centroids), "vec_id")
+      .join(broadcast(cents), "cid")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        avg(GraftFunctions.l2Distance(col("e"), col("ce"))).as("mean_d"))
+    val wnn = Window.partitionBy("cid").orderBy(col("d"), col("nn_cid"))
+    val nn = cents
+      .join(broadcast(cents.select(col("cid").as("nn_cid"), col("ce").as("ce2"))),
+        col("cid") =!= col("nn_cid"))
+      .select(col("cid"), col("nn_cid"),
+        GraftFunctions.l2Distance(col("ce"), col("ce2")).as("d"))
+      .withColumn("rn", row_number().over(wnn))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("nn_cid"), col("d").as("nn_d"))
+    intra.join(broadcast(nn), "cid")
+      .withColumn("db_ratio", col("mean_d") / col("nn_d"))
+  }
 }

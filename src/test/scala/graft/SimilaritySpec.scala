@@ -271,4 +271,33 @@ class SimilaritySpec extends SparkSpec {
       assert(native == hof, s"vector $id band keys diverged")
     }
   }
+
+  test("clusterAudit: tight separated clusters score db_ratio < 1; empty centroid absent") {
+    // two tight clusters on orthogonal axes + one centroid nothing picks
+    // (cosine assignment: members sit on c0/c1's axes, never c2's)
+    val vecs = Seq(
+      (0L, Seq(10.0, 0.0, 0.0)), (1L, Seq(0.0, 10.0, 0.0)), (2L, Seq(0.0, 0.0, -10.0)),
+      (10L, Seq(9.0, 1.0, 0.0)), (11L, Seq(11.0, -1.0, 0.0)),
+      (20L, Seq(1.0, 9.0, 0.0)), (21L, Seq(-1.0, 11.0, 0.0))
+    ).toDF("vec_id", "e")
+    val audit = Similarity.clusterAudit(vecs, vecs.filter(col("vec_id") < 3))
+      .select("cid", "n", "mean_d", "nn_cid", "nn_d", "db_ratio")
+      .as[(Long, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // centroid 2 attracts no vector (its own row included — it IS a vector
+    // here, and it assigns to itself), so clusters 0/1/2 all appear; check
+    // the two real clusters' shape
+    assert(audit(0L)._2 == 3L && audit(1L)._2 == 3L, s"got $audit")
+    // members are sqrt(2) from their centroid on average (plus the
+    // centroid itself at 0): mean_d = 2*sqrt(2)/3
+    assert(math.abs(audit(0L)._3 - 2.0 * math.sqrt(2.0) / 3.0) < 1e-9)
+    // separation: |c0-c1| = sqrt(200) ~ 14.1 >> cohesion -> ratio < 1
+    assert(audit(0L)._4 == 1L && math.abs(audit(0L)._5 - math.sqrt(200.0)) < 1e-9)
+    assert(audit(0L)._6 < 1.0 && audit(1L)._6 < 1.0)
+    // drop centroid 2's own vector: its cluster empties and the row vanishes
+    val noC2 = Similarity.clusterAudit(
+        vecs.filter(col("vec_id") =!= 2L), vecs.filter(col("vec_id") < 3))
+      .select("cid").as[Long].collect().toSet
+    assert(noC2 == Set(0L, 1L), s"empty cluster must have no row, got $noC2")
+  }
 }
