@@ -336,6 +336,22 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q96: graded contamination fraction
+    * ([[graft.operators.Dedup.contaminationFraction]]) — q74's eval
+    * split (doc_id % 7) but scoring EVERY train doc with its fraction of
+    * eval-shared 5-shingles, clean docs included at 0.0; restricted to
+    * doc_id % 10 == 1 to keep the gated output small while still
+    * covering contaminated and clean rows. */
+  def q96(t: Tables): DataFrame =
+    Dedup.contaminationFraction(
+        t.documents.filter(col("doc_id") % 7 =!= 0),
+        t.documents.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("text"), n = 5)
+      .filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        Rounding.portable(col("frac"), 6).as("frac"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   /** q95: embedding cluster-quality audit
     * ([[graft.operators.Similarity.clusterAudit]]) — q35's init-only
     * centroid discipline (vec_id < 8), per-cluster cohesion/separation
@@ -636,6 +652,7 @@ object PipelineQueries {
     "q93_train_val_test" -> q93 _,
     "q94_pmi_collocations" -> q94 _,
     "q95_cluster_quality" -> q95 _,
+    "q96_contamination_frac" -> q96 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -847,6 +864,24 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q96: q74's shingle split with a LEFT join so clean docs keep a
+    // 0-hit row; frac divides the two bigints (DuckDB / is float division,
+    // mirroring Spark's double division)
+    "q96_contamination_frac" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               concat(s[i], ' ', s[i+1], ' ', s[i+2], ' ', s[i+3], ' ', s[i+4]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 3, 1))) AS t(i)),
+      ev AS (SELECT DISTINCT w FROM sh WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, w FROM sh WHERE doc_id % 7 <> 0),
+      agg AS (SELECT tr.doc_id, count(*) AS n_shingles, count(ev.w) AS n_shared
+              FROM tr LEFT JOIN ev ON tr.w = ev.w
+              GROUP BY tr.doc_id)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             CAST(n_shared AS BIGINT) AS n_shared,
+             round(n_shared / n_shingles, 6) AS frac
+      FROM agg WHERE doc_id % 10 = 1 ORDER BY doc_id NULLS FIRST""",
 
     // q95: q35's centroid/assignment chain, then per-cluster mean L2 to
     // own centroid + nearest-other-centroid distance; db_ratio divides

@@ -760,6 +760,31 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** GRADED contamination score — [[crossContamination]] reports which
+    * docs overlap the eval suite and by how many shingles; this reports
+    * every doc's contaminated FRACTION `n_shared / n_shingles`, the form
+    * soft-filtering pipelines threshold on ("drop above 20% overlap,
+    * audit 5–20%") rather than the binary flag. One LEFT join against the
+    * distinct-collapsed eval shingles (clean docs keep a 0.0 row — the
+    * whole point of the graded form) and one doc-keyed aggregate; the
+    * train side is scanned once and the eval side stays a dimension, so
+    * the shape is q74's. Docs with fewer than `n` tokens have no
+    * shingles and hence no row (fraction of an empty set is undefined —
+    * callers wanting them use a left join from the corpus). */
+  def contaminationFraction(
+      train: DataFrame, eval: DataFrame, id: Column, text: Column,
+      n: Int = 8, normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) TextOps.normalizeText(text) else text
+    val trainShingles = shingleSet(train, id, t, n)
+    val evalShingles = shingleSet(eval, id, t, n)
+      .select("w").distinct().withColumn("__hit", lit(1L))
+    trainShingles.join(evalShingles, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("frac", col("n_shared") / col("n_shingles"))
+  }
+
   /** EXACT-dup incremental guard — the everyday cheap operation next to
     * [[incrementalNearDups]]'s near-dup machinery: "which new-batch docs
     * are verbatim copies of something already in the corpus, without

@@ -591,4 +591,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(exact(1L) != exact(5L), "md5(text) must NOT collapse the permutation")
   }
+
+  test("contaminationFraction: agrees with crossContamination on hits, keeps clean docs at 0") {
+    // eval doc shares its middle trigram with train doc 1 only
+    val train = Seq(
+      (1L, "a b c d e"),   // 3 trigrams, one shared ("b c d")
+      (2L, "x y z w v"),   // clean
+      (3L, "a b")          // < n tokens: no shingles, no row
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "q b c d r")).toDF("doc_id", "text")
+    val got = Dedup.contaminationFraction(train, eval, col("doc_id"), col("text"), n = 3)
+      .select("doc_id", "n_shingles", "n_shared", "frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L), s"got ${got.keySet}")
+    assert(got(1L) == ((1L, 3L, 1L, 1.0 / 3.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 3L, 0L, 0.0)), s"clean doc must score 0.0, got ${got(2L)}")
+    // n_shared column agrees with crossContamination's count wherever it flags
+    val binary = Dedup.crossContamination(train, eval, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(binary == Map(1L -> 1L))
+    binary.foreach { case (id, ns) => assert(got(id)._3 == ns) }
+  }
 }
