@@ -336,6 +336,23 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q97: quantile quality gate ([[graft.operators.Cleaning.quantileGate]])
+    * — keep the top quartile of documents by type-token ratio over
+    * normalized tokens. Output restricted to doc_id % 10 == 3 to keep
+    * the gate small; membership is the hashed contract. */
+  def q97(t: Tables): DataFrame = {
+    val scored = t.documents
+      .withColumn("toks",
+        filter(split(TextOps.normalizeText(col("text")), " "), x => x =!= ""))
+      .filter(size(col("toks")) > 0)
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))) / size(col("toks")).cast("double"))
+    Cleaning.quantileGate(scored, col("ttr"), 0.75)
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("source"), Rounding.portable(col("ttr"), 6).as("ttr"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q96: graded contamination fraction
     * ([[graft.operators.Dedup.contaminationFraction]]) — q74's eval
     * split (doc_id % 7) but scoring EVERY train doc with its fraction of
@@ -653,6 +670,7 @@ object PipelineQueries {
     "q94_pmi_collocations" -> q94 _,
     "q95_cluster_quality" -> q95 _,
     "q96_contamination_frac" -> q96 _,
+    "q97_quantile_gate" -> q97 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -864,6 +882,23 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q97: ttr over the q82 normalization; threshold = quantile_cont
+    // (same lower+(upper-lower)*frac interpolation as Spark's percentile,
+    // frac exact in binary for q=0.75) compared against the raw score
+    "q97_quantile_gate" -> """
+      WITH scored AS (
+        SELECT doc_id, source,
+          len(list_distinct(s)) / CAST(len(s) AS DOUBLE) AS ttr
+        FROM (SELECT doc_id, source,
+            list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS s
+          FROM documents)
+        WHERE len(s) > 0),
+      thr AS (SELECT quantile_cont(ttr, 0.75) AS t FROM scored)
+      SELECT doc_id, source, round(ttr, 6) AS ttr FROM scored
+      WHERE ttr >= (SELECT t FROM thr) AND doc_id % 10 = 3
+      ORDER BY doc_id NULLS FIRST""",
 
     // q96: q74's shingle split with a LEFT join so clean docs keep a
     // 0-hit row; frac divides the two bigints (DuckDB / is float division,

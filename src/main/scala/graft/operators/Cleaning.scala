@@ -45,6 +45,28 @@ object Cleaning {
   def rejected(df: DataFrame, text: Column, t: Thresholds = Thresholds()): DataFrame =
     withQuality(df, text, t).filter(!col("keep")).drop("toks", "keep")
 
+  /** QUANTILE quality gate — keep rows whose `score` is at or above the
+    * corpus q-quantile, the relative form of [[clean]]'s absolute
+    * thresholds ("keep the top quartile" survives distribution drift
+    * between crawls; a fixed cutoff does not). The threshold is ONE
+    * 1-row exact-percentile aggregate broadcast back into the filter —
+    * no global sort, no driver round-trip; rows shuffle zero times. At
+    * 100 TB the exact percentile's value-buffering state is the same
+    * story as q45: swap in `percentile_approx`, whose sketch partials
+    * merge associatively (the membership then being approximate is
+    * usually the point at that scale). Cross-engine note: Spark's
+    * `percentile` and DuckDB's `quantile_cont` both interpolate as
+    * `lower + (upper − lower) · frac` with `frac` exact in binary for
+    * quarter/half quantiles, so the kept SET is engine-stable — data
+    * values sit only at the interpolation endpoints, never strictly
+    * inside the bracket. NaN/NULL scores are the caller's job to filter
+    * first (they would poison the percentile buffer). */
+  def quantileGate(df: DataFrame, score: Column, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    val thr = df.select(score.as("__s")).agg(expr(s"percentile(__s, ${q}D)").as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(score >= col("__thr")).drop("__thr")
+  }
+
   /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the
     * boilerplate-removal step for HTML-scraped corpora. Codegen'd string
     * built-ins only; the tag pattern is RE2-safe (no backtracking

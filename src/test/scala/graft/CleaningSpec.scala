@@ -51,4 +51,23 @@ class CleaningSpec extends SparkSpec {
     val kept = Cleaning.clean(sf0001.documents, col("text")).count()
     assert(kept > total * 0.9, s"expected >90% of synthetic docs to pass, got $kept/$total")
   }
+
+  test("quantileGate keeps exactly the at-or-above-quantile rows, ties included") {
+    // scores 1..8: p75 over n=8 is 6.25 (interpolated) -> keep {7, 8};
+    // with a tie AT an exact-order-stat quantile the tied rows all stay
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val kept = Cleaning.quantileGate(df, col("s"), 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(7L, 8L), s"got $kept")
+    // n=5 scores (1,2,3,3,9): p50 = 3 exactly -> both 3s kept
+    val tied = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 3.0), (5L, 9.0))
+      .toDF("id", "s")
+    val keptTied = Cleaning.quantileGate(tied, col("s"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(keptTied == Set(3L, 4L, 5L), s"ties at the threshold must stay: $keptTied")
+    // schema passes through unchanged (no working column leaks)
+    assert(Cleaning.quantileGate(df, col("s"), 0.75).columns.toSeq == Seq("id", "s"))
+    val e = intercept[IllegalArgumentException](Cleaning.quantileGate(df, col("s"), 1.0))
+    assert(e.getMessage.contains("quantile"))
+  }
 }
