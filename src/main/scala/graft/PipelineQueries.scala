@@ -336,6 +336,17 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q98: unigram surprisal scoring
+    * ([[graft.operators.TextAnalysis.unigramSurprisal]]) — per-doc mean
+    * negative log unigram probability under the corpus's own
+    * distribution; doc_id % 10 == 7 restricts the gated output. */
+  def q98(t: Tables): DataFrame =
+    TextAnalysis.unigramSurprisal(t.documents, col("doc_id"), col("text"))
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("n_tok"),
+        Rounding.portable(col("surprisal"), 6).as("surprisal"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   /** q97: quantile quality gate ([[graft.operators.Cleaning.quantileGate]])
     * — keep the top quartile of documents by type-token ratio over
     * normalized tokens. Output restricted to doc_id % 10 == 3 to keep
@@ -671,6 +682,7 @@ object PipelineQueries {
     "q95_cluster_quality" -> q95 _,
     "q96_contamination_frac" -> q96 _,
     "q97_quantile_gate" -> q97 _,
+    "q98_unigram_surprisal" -> q98 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -882,6 +894,19 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q98: the corpus IS the LM — every token is in-vocabulary, no
+    // smoothing; -ln applied per token BEFORE the doc mean in both engines
+    "q98_unigram_surprisal" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT doc_id, unnest(s) AS w FROM doc),
+      cnt AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+      nq AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM cnt),
+      sc AS (SELECT t.doc_id, count(*) AS n_tok,
+               avg(-ln(c.cw / (SELECT n FROM nq))) AS surprisal
+             FROM tok t JOIN cnt c ON t.w = c.w GROUP BY t.doc_id)
+      SELECT doc_id, n_tok, round(surprisal, 6) AS surprisal FROM sc
+      WHERE doc_id % 10 = 7 ORDER BY doc_id NULLS FIRST""",
 
     // q97: ttr over the q82 normalization; threshold = quantile_cont
     // (same lower+(upper-lower)*frac interpolation as Spark's percentile,

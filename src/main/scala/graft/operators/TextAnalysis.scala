@@ -114,6 +114,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
   }
 
+  /** Unigram surprisal scoring — each document's mean negative log
+    * probability of its tokens under the corpus's own unigram
+    * distribution, `-(1/|d|) Σ ln(c(w)/N)`: the cheapest member of the
+    * LM-perplexity family of quality/importance filters (low = stuffed
+    * with corpus-typical tokens, high = rare-token-heavy — gibberish,
+    * another language, or genuinely novel text; pipelines threshold both
+    * tails). Every token exists in the vocabulary by construction (the
+    * counts come from the same corpus), so no smoothing term is needed.
+    *
+    * Shape at scale: one vocabulary aggregate (shuffle = vocab, not
+    * corpus), the total as a 1-row broadcast cross join, one broadcast
+    * probability join back onto the token stream (Heaps' law again), one
+    * doc-keyed aggregate. Returns (doc_id, n_tok, surprisal) unrounded. */
+  def unigramSurprisal(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.functions.TextOps
+    val tok = docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = cnt.agg(sum("cw").cast("double").as("n"))
+    tok.join(broadcast(cnt), "w").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        avg(-log(col("cw") / col("n"))).as("surprisal"))
+  }
+
   /** PMI collocation extraction — the classic phrase-mining statistic:
     * for each adjacent token pair, `pmi = ln(P(ab) / (P(a)·P(b)))` with
     * `P(ab) = n_ab / N_bigrams` and `P(a) = c_a / N_tokens`. High-PMI

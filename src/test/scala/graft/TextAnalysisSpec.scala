@@ -89,4 +89,19 @@ class TextAnalysisSpec extends SparkSpec {
     // minCount prunes the 5-count pairs before the joins
     assert(run(6L).keySet == Set("a" -> "b"))
   }
+
+  test("unigramSurprisal: closed-form scores; rare-token doc scores higher") {
+    // corpus: a×3, b×2 -> N=5; no smoothing needed (corpus is the LM)
+    val docs = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_tok", "surprisal")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pa = 3.0 / 5.0
+    val pb = 2.0 / 5.0
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - -(3 * math.log(pa) + math.log(pb)) / 4.0) < 1e-12)
+    assert(math.abs(got(2L)._2 - -math.log(pb)) < 1e-12)
+    // the doc made of the rarer token is more surprising
+    assert(got(2L)._2 > got(1L)._2)
+  }
 }
