@@ -336,6 +336,24 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q99: HITS hubs & authorities ([[graft.operators.Graph.hits]]) —
+    * q91's synthetic domain link graph scored by 2 L1-normalized HITS
+    * iterations; the hash gate pins both directions' mutual
+    * reinforcement and the zero rows for in-degree-0 / out-degree-0
+    * domains. */
+  def q99(t: Tables): DataFrame = {
+    val links = t.documents.select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string")).as("src"),
+        concat(lit("site"), (col("doc_id") % 5).cast("string")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.Graph.hits(links, iters = 2)
+      .select(col("node").as("domain"),
+        Rounding.portable(col("hub"), 6).as("hub"),
+        Rounding.portable(col("auth"), 6).as("auth"))
+      .transform(sortedSmall(_, col("domain")))
+  }
+
   /** q98: unigram surprisal scoring
     * ([[graft.operators.TextAnalysis.unigramSurprisal]]) — per-doc mean
     * negative log unigram probability under the corpus's own
@@ -683,6 +701,7 @@ object PipelineQueries {
     "q96_contamination_frac" -> q96 _,
     "q97_quantile_gate" -> q97 _,
     "q98_unigram_surprisal" -> q98 _,
+    "q99_hits" -> q99 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -894,6 +913,42 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q99: q91's edge CTE, two unrolled HITS iterations — each step is
+    // raw sum → L1 normalize → left join back onto the node set with a
+    // 0 for the unreachable side (mirrors the Spark coalesce)
+    "q99_hits" -> """
+      WITH ed AS (SELECT concat('site', CAST(doc_id % 7 AS VARCHAR)) AS src,
+                         concat('site', CAST(doc_id % 5 AS VARCHAR)) AS dst
+                  FROM documents),
+      e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+            FROM ed WHERE src <> dst GROUP BY src, dst),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      h0 AS (SELECT node, 1.0 / nn.n AS hub FROM nodes, nn),
+      a1r AS (SELECT e.dst AS node, sum(e.w * h0.hub) AS raw
+              FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+      a1 AS (SELECT nodes.node,
+               coalesce(a1r.raw / (SELECT sum(raw) FROM a1r), 0) AS auth
+             FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node),
+      h1r AS (SELECT e.src AS node, sum(e.w * a1.auth) AS raw
+              FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+      h1 AS (SELECT nodes.node,
+               coalesce(h1r.raw / (SELECT sum(raw) FROM h1r), 0) AS hub
+             FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node),
+      a2r AS (SELECT e.dst AS node, sum(e.w * h1.hub) AS raw
+              FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+      a2 AS (SELECT nodes.node,
+               coalesce(a2r.raw / (SELECT sum(raw) FROM a2r), 0) AS auth
+             FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node),
+      h2r AS (SELECT e.src AS node, sum(e.w * a2.auth) AS raw
+              FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+      h2 AS (SELECT nodes.node,
+               coalesce(h2r.raw / (SELECT sum(raw) FROM h2r), 0) AS hub
+             FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node)
+      SELECT h2.node AS domain, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+      FROM h2 JOIN a2 ON a2.node = h2.node
+      ORDER BY domain NULLS FIRST""",
 
     // q98: the corpus IS the LM — every token is in-vocabulary, no
     // smoothing; -ln applied per token BEFORE the doc mean in both engines

@@ -64,4 +64,56 @@ object Graph {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Weighted HITS (hubs & authorities), the query-dependent complement
+    * of [[weightedPageRank]]: a good HUB points at good authorities, a
+    * good AUTHORITY is pointed at by good hubs. Fixed iterations of the
+    * L1-normalized power step, h₀ = 1/n:
+    * `a(v) ← Σ_{u→v} w·h(u), a ← a/Σa; h(u) ← Σ_{u→v} w·a(v), h ← h/Σh`.
+    * L1 (sum) normalization rather than Kleinberg's L2 keeps every
+    * intermediate a plain sum-and-divide (no sqrt), which is what makes
+    * the fixed-iteration result oracle-exact; the induced RANKING is
+    * identical (normalization is a positive scalar either way).
+    *
+    * Shape: the edge list and node set persist once; each iteration is
+    * two join+aggregate passes (one per direction) plus two 1-row
+    * normalization aggregates that ride back in as broadcast cross
+    * joins — O(iters) shuffles, nothing corpus-sized through the driver.
+    * Nodes with no in-edges hold authority exactly 0 (likewise hubs for
+    * no out-edges) — pinned by the left-join+coalesce. Returns
+    * (node, hub, auth). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    var h = nodes.select(col("node"), lit(1.0 / n).as("hub"))
+    var a = nodes.select(col("node"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .select(col("dst").as("node"), (col("w") * col("hub")).as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val anorm = araw.crossJoin(broadcast(araw.agg(sum("raw").as("s"))))
+        .select(col("node"), (col("raw") / col("s")).as("auth"))
+      a = nodes.join(anorm, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"))
+      val hraw = e.join(a, e("dst") === a("node"))
+        .select(col("src").as("node"), (col("w") * col("auth")).as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val hnorm = hraw.crossJoin(broadcast(hraw.agg(sum("raw").as("s"))))
+        .select(col("node"), (col("raw") / col("s")).as("hub"))
+      h = nodes.join(hnorm, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"))
+    }
+    val out = h.join(a, "node").select(col("node"), col("hub"), col("auth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
 }

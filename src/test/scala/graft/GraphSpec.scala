@@ -38,4 +38,28 @@ class GraphSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(r0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), s"$r0")
   }
+
+  test("hits: star graph concentrates authority in the center, hubs in the leaves") {
+    // three leaves all point at one center
+    val edges = Seq(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.hits(edges, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // authority: all of it at the center, exactly (L1 norm = 1)
+    assert(math.abs(got("c")._2 - 1.0) < 1e-12, s"$got")
+    assert(Seq("l1", "l2", "l3").forall(l => got(l)._2 == 0.0))
+    // hubs: the three leaves split hub mass evenly; the center (no
+    // out-edges) holds exactly 0
+    assert(got("c")._1 == 0.0)
+    assert(Seq("l1", "l2", "l3").forall(l => math.abs(got(l)._1 - 1.0 / 3) < 1e-12))
+    // both scores stay L1-normalized after every iteration
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // weights matter: doubling one leaf's edge weight shifts hub mass to it
+    val weighted = Seq(("l1", "c", 2L), ("l2", "c", 1L)).toDF("src", "dst", "w")
+    val wg = Graph.hits(weighted, iters = 2)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(wg("l1") > wg("l2"), s"$wg")
+  }
 }
