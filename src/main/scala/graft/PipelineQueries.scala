@@ -336,6 +336,35 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q100: corpus mixture report — the "data card" every training run
+    * starts from: per (source, predicted language) doc and token counts,
+    * each cell's share of the corpus token budget, and the cumulative
+    * share in descending-weight order ("the top N slices cover X%").
+    * One token pass (q36's langid aggregation with the token count
+    * riding along), one report-sized groupBy, the total as a 1-row
+    * broadcast, and the cumulative sum as an explicit-ROWS window over
+    * the REPORT rows (sources × languages — bounded, so the single
+    * partition is fine at any corpus scale). */
+  def q100(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("doc_id"), col("source"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val scoreAggs = TextAnalysis.langScores(col("w"))
+      .map { case (lang, c) => c.as(s"s_$lang") }
+    val perDoc = tok.groupBy("doc_id", "source")
+      .agg(scoreAggs.head, (scoreAggs.tail :+ count(lit(1)).as("n_tok")): _*)
+      .select(col("source"), TextAnalysis.predictLang().as("pred"), col("n_tok"))
+    val grp = perDoc.groupBy("source", "pred")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
+    val tot = grp.agg(sum("tokens").cast("double").as("tot"))
+    val w = Window.orderBy(col("tokens").desc, col("source"), col("pred"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.crossJoin(broadcast(tot))
+      .select(col("source"), col("pred"), col("docs"), col("tokens"),
+        Rounding.portable(col("tokens") / col("tot"), 6).as("share"),
+        Rounding.portable(sum(col("tokens")).over(w) / col("tot"), 6).as("cum_share"))
+      .transform(sortedSmall(_, col("tokens").desc, col("source"), col("pred")))
+  }
+
   /** q99: HITS hubs & authorities ([[graft.operators.Graph.hits]]) —
     * q91's synthetic domain link graph scored by 2 L1-normalized HITS
     * iterations; the hash gate pins both directions' mutual
@@ -702,6 +731,7 @@ object PipelineQueries {
     "q97_quantile_gate" -> q97 _,
     "q98_unigram_surprisal" -> q98 _,
     "q99_hits" -> q99 _,
+    "q100_mixture_report" -> q100 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -913,6 +943,35 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q100: q36's langid CASE chain + token counts; shares divide exact
+    // BIGINT sums by the double total, the cumulative window spells ROWS
+    "q100_mixture_report" -> """
+      WITH tok AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      sc AS (SELECT doc_id, source, count(*) AS n_tok,
+          sum(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to', 'is') THEN 1 ELSE 0 END) AS s_en,
+          sum(CASE WHEN w IN ('der', 'die', 'das', 'und', 'ist', 'nicht') THEN 1 ELSE 0 END) AS s_de,
+          sum(CASE WHEN w IN ('el', 'la', 'de', 'los', 'y', 'es') THEN 1 ELSE 0 END) AS s_es,
+          sum(CASE WHEN w IN ('le', 'les', 'et', 'des', 'un', 'est') THEN 1 ELSE 0 END) AS s_fr
+        FROM tok GROUP BY doc_id, source),
+      pred AS (SELECT source, n_tok,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'unknown' END AS pred
+        FROM sc),
+      grp AS (SELECT source, pred, count(*) AS docs,
+                CAST(sum(n_tok) AS BIGINT) AS tokens
+              FROM pred GROUP BY source, pred),
+      tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tot FROM grp)
+      SELECT source, pred, docs, tokens,
+        round(tokens / (SELECT tot FROM tot), 6) AS share,
+        round(sum(tokens) OVER (ORDER BY tokens DESC NULLS LAST, source NULLS FIRST, pred NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / (SELECT tot FROM tot), 6) AS cum_share
+      FROM grp
+      ORDER BY tokens DESC NULLS LAST, source NULLS FIRST, pred NULLS FIRST""",
 
     // q99: q91's edge CTE, two unrolled HITS iterations — each step is
     // raw sum → L1 normalize → left join back onto the node set with a
