@@ -336,6 +336,18 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q101: distribution drift between corpus halves
+    * ([[graft.operators.TextAnalysis.jsDivergence]]) — Jensen-Shannon
+    * divergence between the even- and odd-doc_id slices' unigram
+    * distributions (the between-crawls drift check). */
+  def q101(t: Tables): DataFrame =
+    TextAnalysis.jsDivergence(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        col("text"))
+      .select(col("n_a"), col("n_b"), col("vocab"),
+        Rounding.portable(col("js"), 6).as("js"))
+
   /** q100: corpus mixture report — the "data card" every training run
     * starts from: per (source, predicted language) doc and token counts,
     * each cell's share of the corpus token budget, and the cumulative
@@ -732,6 +744,7 @@ object PipelineQueries {
     "q98_unigram_surprisal" -> q98 _,
     "q99_hits" -> q99 _,
     "q100_mixture_report" -> q100 _,
+    "q101_js_drift" -> q101 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -943,6 +956,29 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q101: JS needs no smoothing — the mixture covers the union
+    // support, and each side's zero terms are an explicit CASE 0 (never
+    // 0*ln(0)); term arithmetic mirrors the Spark expression shape
+    "q101_js_drift" -> """
+      WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 2 = 0),
+      tb AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 1),
+      ca AS (SELECT w, count(*) AS ca FROM ta GROUP BY w),
+      cb AS (SELECT w, count(*) AS cb FROM tb GROUP BY w),
+      j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+            FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+      tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb FROM j),
+      term AS (SELECT ca / (SELECT na FROM tot) AS p,
+                      cb / (SELECT nb FROM tot) AS q FROM j),
+      t2 AS (SELECT p, q, (p + q) / 2 AS m FROM term)
+      SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+             CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS vocab,
+             round(sum((CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END) * 0.5
+                     + (CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END) * 0.5), 6) AS js
+      FROM t2""",
 
     // q100: q36's langid CASE chain + token counts; shares divide exact
     // BIGINT sums by the double total, the cumulative window spells ROWS

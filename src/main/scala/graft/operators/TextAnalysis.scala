@@ -138,6 +138,40 @@ object TextAnalysis {
         avg(-log(col("cw") / col("n"))).as("surprisal"))
   }
 
+  /** Jensen-Shannon divergence between two corpus slices' unigram
+    * distributions — the drift detector a pipeline runs between crawls
+    * ("did this month's data shift?") and between a source and the
+    * blend it feeds. JS rather than KL because it needs NO smoothing
+    * hyperparameter: the mixture `m = (p+q)/2` covers the union
+    * support, and a side's zero-probability terms contribute exactly 0
+    * (`lim p→0 of p·ln(p/m) = 0`, made explicit with a CASE so SQL
+    * never evaluates `0·ln 0`). Symmetric, bounded [0, ln 2].
+    *
+    * Shape: one vocabulary aggregate per slice, a full-outer join on
+    * the union vocab (vocab-sized shuffle, Heaps' law), totals as a
+    * 1-row broadcast cross join, one scalar aggregate out. Returns one
+    * row (n_a, n_b, vocab, js) with js unrounded. */
+  def jsDivergence(a: DataFrame, b: DataFrame, text: Column): DataFrame = {
+    import graft.functions.TextOps
+    def cnt(df: DataFrame, as: String) =
+      df.select(explode(TextOps.tokens(text)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(as))
+    val joined = cnt(a, "ca").join(cnt(b, "cb"), Seq("w"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = joined.agg(sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca") / col("na")).as("p"), (col("cb") / col("nb")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("t",
+        when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(lit(0.0)) * 0.5 +
+        when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(lit(0.0)) * 0.5)
+      .agg(first(col("na")).cast("long").as("n_a"),
+        first(col("nb")).cast("long").as("n_b"),
+        count(lit(1)).as("vocab"), sum(col("t")).as("js"))
+  }
+
   /** PMI collocation extraction — the classic phrase-mining statistic:
     * for each adjacent token pair, `pmi = ln(P(ab) / (P(a)·P(b)))` with
     * `P(ab) = n_ab / N_bigrams` and `P(a) = c_a / N_tokens`. High-PMI

@@ -104,4 +104,25 @@ class TextAnalysisSpec extends SparkSpec {
     // the doc made of the rarer token is more surprising
     assert(got(2L)._2 > got(1L)._2)
   }
+
+  test("jsDivergence: 0 for identical slices, ln 2 for disjoint, symmetric between") {
+    def df(texts: String*) = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def js(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.jsDivergence(a, b, col("text"))
+        .select("n_a", "n_b", "vocab", "js")
+        .as[(Long, Long, Long, Double)].head()
+    // identical distributions -> exactly 0
+    val same = js(df("a b a"), df("b a a"))
+    assert(same == ((3L, 3L, 2L, 0.0)), s"got $same")
+    // disjoint supports -> the JS maximum ln 2
+    val disjoint = js(df("a a"), df("b c"))
+    assert(disjoint._3 == 3L)
+    assert(math.abs(disjoint._4 - math.log(2.0)) < 1e-12, s"got $disjoint")
+    // strictly between for partial overlap, and symmetric
+    val ab = js(df("a a a b"), df("a b b b"))
+    val ba = js(df("a b b b"), df("a a a b"))
+    assert(ab._4 > 0.0 && ab._4 < math.log(2.0))
+    assert(math.abs(ab._4 - ba._4) < 1e-12, s"$ab vs $ba")
+  }
 }
