@@ -336,6 +336,27 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q102: cross-source duplication matrix — near-dup ATTRIBUTION: fold
+    * the corpus near-dup pairs ([[Tables.documentNearDupPairs]], the
+    * q57/q72/q85 shared memo) onto each side's `source` and count per
+    * unordered source pair — "which sources copy from which" is the
+    * report that turns a pair list into a source-level dedup policy
+    * (drop the mirror, keep the origin). Two broadcast dimension joins
+    * + one report-sized aggregate on top of the already-persisted pair
+    * table. */
+  def q102(t: Tables): DataFrame = {
+    val p = t.documentNearDupPairs
+    val src = t.documents.select(col("doc_id"), col("source"))
+    p.join(broadcast(src.select(col("doc_id").as("da"), col("source").as("sa"))), "da")
+      .join(broadcast(src.select(col("doc_id").as("db"), col("source").as("sb"))), "db")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("est"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        Rounding.portable(avg("est"), 6).as("avg_est"))
+      .transform(sortedSmall(_, col("src_a"), col("src_b")))
+  }
+
   /** q101: distribution drift between corpus halves
     * ([[graft.operators.TextAnalysis.jsDivergence]]) — Jensen-Shannon
     * divergence between the even- and odd-doc_id slices' unigram
@@ -745,6 +766,7 @@ object PipelineQueries {
     "q99_hits" -> q99 _,
     "q100_mixture_report" -> q100 _,
     "q101_js_drift" -> q101 _,
+    "q102_source_dup_matrix" -> q102 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -956,6 +978,39 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q102: q31's pair chain folded onto each side's source dimension,
+    // unordered pair via least/greatest; avg over the RAW est
+    "q102_source_dup_matrix" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db),
+      pairs AS (SELECT da, db, est FROM est WHERE est >= 0.5),
+      lab AS (SELECT least(sa.source, sb.source) AS src_a,
+                     greatest(sa.source, sb.source) AS src_b, p.est
+              FROM pairs p
+              JOIN documents sa ON sa.doc_id = p.da
+              JOIN documents sb ON sb.doc_id = p.db)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(avg(est), 6) AS avg_est
+      FROM lab GROUP BY src_a, src_b
+      ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""",
 
     // q101: JS needs no smoothing — the mixture covers the union
     // support, and each side's zero terms are an explicit CASE 0 (never
