@@ -336,6 +336,51 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q104: embedding hygiene audit — the sanity report an ANN build
+    * runs before trusting a vendor's vectors: corpus size, number of
+    * DISTINCT dimensionalities (anything but 1 is a broken batch),
+    * min/max/mean L2 norm (0 = dead vector, wild spread = unnormalized
+    * mix) and the zero-vector count. Norms via the native `l2_distance`
+    * against a zero vector — the same sequential accumulation DuckDB's
+    * `list_distance` does, so the doubles agree bitwise (q89's
+    * precedent). One map pass + one 1-row aggregate. */
+  def q104(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    e.select(size(col("e")).as("dim"),
+        graft.plans.GraftFunctions.l2Distance(col("e"),
+          array_repeat(lit(0.0), size(col("e")))).as("norm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims"),
+        Rounding.portable(min("norm"), 6).as("min_norm"),
+        Rounding.portable(max("norm"), 6).as("max_norm"),
+        Rounding.portable(avg("norm"), 6).as("avg_norm"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  /** q103: n-gram novelty saturation curve — treat doc_id % 10 as ten
+    * ingest "days" and ask how many DISTINCT trigrams each day
+    * contributes for the first time (plus how often those trigrams
+    * recur corpus-wide). The flattening of `cum_new` is the standard
+    * "is more crawl still buying diversity?" signal a corpus build
+    * watches before paying for the next batch. Shape: one shingle
+    * aggregate keyed on the n-gram (min first-day + total occurrences
+    * in the same pass), one 10-row re-aggregate, cumulative over the
+    * bounded day axis with an explicit ROWS frame. */
+  def q103(t: Tables): DataFrame = {
+    val w = Window.orderBy(col("first_slice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select((col("doc_id") % 10).as("slice"),
+        explode(TextOps.shinglesNative(TextOps.tokens(col("text")), 3)).as("w"))
+      .groupBy("w")
+      .agg(min("slice").as("first_slice"), count(lit(1)).as("occ"))
+      .groupBy("first_slice")
+      .agg(count(lit(1)).as("new_ngrams"), sum("occ").as("occurrences"))
+      .withColumn("cum_new", sum(col("new_ngrams")).over(w))
+      .transform(sortedSmall(_, col("first_slice")))
+  }
+
   /** q102: cross-source duplication matrix — near-dup ATTRIBUTION: fold
     * the corpus near-dup pairs ([[Tables.documentNearDupPairs]], the
     * q57/q72/q85 shared memo) onto each side's `source` and count per
@@ -767,6 +812,8 @@ object PipelineQueries {
     "q100_mixture_report" -> q100 _,
     "q101_js_drift" -> q101 _,
     "q102_source_dup_matrix" -> q102 _,
+    "q103_novelty_curve" -> q103 _,
+    "q104_embedding_audit" -> q104 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -978,6 +1025,38 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q104: norm = list_distance against a same-length zero vector
+    // (bitwise the l2_distance expression's accumulation, q89 precedent)
+    "q104_embedding_audit" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id, len(e) AS dim,
+              list_distance(e, list_transform(e, x -> CAST(0 AS DOUBLE))) AS norm
+            FROM e)
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+             round(min(norm), 6) AS min_norm,
+             round(max(norm), 6) AS max_norm,
+             round(avg(norm), 6) AS avg_norm,
+             CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM n""",
+
+    // q103: min-first-day + total occurrences in one n-gram aggregate,
+    // then a 10-row day re-aggregate; NON-distinct shingles (q66's
+    // construction) — occurrence counts are the point here
+    "q103_novelty_curve" -> """
+      WITH doc AS (SELECT doc_id % 10 AS slice, string_split(lower(text), ' ') AS s
+                   FROM documents),
+      sh AS (SELECT slice, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      g AS (SELECT w, min(slice) AS first_slice, count(*) AS occ FROM sh GROUP BY w),
+      d AS (SELECT first_slice, CAST(count(*) AS BIGINT) AS new_ngrams,
+              CAST(sum(occ) AS BIGINT) AS occurrences
+            FROM g GROUP BY first_slice)
+      SELECT first_slice, new_ngrams, occurrences,
+        CAST(sum(new_ngrams) OVER (ORDER BY first_slice NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new
+      FROM d ORDER BY first_slice NULLS FIRST""",
 
     // q102: q31's pair chain folded onto each side's source dimension,
     // unordered pair via least/greatest; avg over the RAW est
