@@ -101,4 +101,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       s"a partial HashAggregate must sit below the exchange (map-side combine):\n$p")
   }
+
+  test("q97: the percentile threshold broadcasts into the filter (no row shuffle, no sort)") {
+    // the quantile gate's scale contract: corpus rows are NEVER shuffled
+    // or globally sorted — the only way the 1-row threshold meets them
+    // is a broadcast nested-loop cross join
+    val p = q("q97_quantile_gate")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"threshold must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join expected:\n$p")
+    // the final presentation sort is the single allowed exchange of rows
+    assert("Exchange (range|hash)partitioning".r.findAllIn(p).size <= 1,
+      s"corpus rows must not shuffle on the way to the gate:\n$p")
+  }
+
+  test("q94: unigram sides broadcast; totals arrive as 1-row broadcast cross joins") {
+    val p = q("q94_pmi_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"both unigram joins must broadcast:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2,
+      s"both totals must ride in as broadcast cross joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
+  }
 }
