@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Rounding, TextOps}
-import graft.operators.{Cleaning, Dedup, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Cleaning, Dedup, Layout, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Round-3 queries: the training-data-pipeline operations a 100 TB corpus
   * build needs beyond pairwise dedup — deterministic (stratified) hash
@@ -335,6 +335,17 @@ object PipelineQueries {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
+
+  /** q105: deterministic seeded shuffle
+    * ([[graft.operators.Layout.seededShuffle]]) — the reproducible
+    * epoch-order primitive: 8 shards under seed "epoch0", gated on each
+    * shard's first 3 positions (any row changing shard, order or seed
+    * sensitivity changes the output). */
+  def q105(t: Tables): DataFrame =
+    Layout.seededShuffle(t.documents, col("doc_id"), "epoch0", nShards = 8)
+      .filter(col("pos") <= 3)
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .transform(sortedSmall(_, col("shard"), col("pos")))
 
   /** q104: embedding hygiene audit — the sanity report an ANN build
     * runs before trusting a vendor's vectors: corpus size, number of
@@ -814,6 +825,7 @@ object PipelineQueries {
     "q102_source_dup_matrix" -> q102 _,
     "q103_novelty_curve" -> q103 _,
     "q104_embedding_audit" -> q104 _,
+    "q105_seeded_shuffle" -> q105 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1025,6 +1037,18 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q105: shard = top-16-bits of md5(seed|key) mod 8 (non-negative, so
+    // % ≡ pmod); position ranks the full digest with a key tie-break
+    "q105_seeded_shuffle" -> """
+      WITH h AS (SELECT doc_id,
+          md5(concat('epoch0', '|', CAST(doc_id AS VARCHAR))) AS h FROM documents),
+      s AS (SELECT doc_id, h,
+              CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) % 8 AS shard FROM h),
+      p AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard
+              ORDER BY h NULLS FIRST, doc_id NULLS FIRST) AS pos FROM s)
+      SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM p WHERE pos <= 3
+      ORDER BY shard NULLS FIRST, pos NULLS FIRST""",
 
     // q104: norm = list_distance against a same-length zero vector
     // (bitwise the l2_distance expression's accumulation, q89 precedent)

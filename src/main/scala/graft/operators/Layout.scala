@@ -76,6 +76,29 @@ object Layout {
     * `saltBuckets` sub-keys (deterministically, by row hash), the build
     * side is replicated across all of them. Result is identical to
     * `left.join(right, keys)` for any inner equi-join. */
+  /** Deterministic SEEDED shuffle — the reproducible-training-order
+    * primitive: assign every row a shard and a position within it from
+    * nothing but `(seed, key)`, so the epoch order is identical across
+    * re-runs, engines and partitionings, and changing the seed gives an
+    * independent permutation (the `orderBy(rand())` it replaces is
+    * none of those). Sort key = md5(seed|key); shard = its top 16 bits
+    * mod `nShards`; position = rank of the full digest within the
+    * shard (key tie-break covers the theoretical digest collision).
+    * One window shuffle on the shard key — at write time this is the
+    * same exchange the sharded output needs anyway. Appends (shard,
+    * pos). */
+  def seededShuffle(df: DataFrame, key: Column, seed: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = md5(concat(lit(seed), lit("|"), key.cast("string")))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], saltBuckets: Int): DataFrame = {

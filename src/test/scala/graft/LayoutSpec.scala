@@ -65,4 +65,27 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("seededShuffle: total, contiguous positions, partitioning-independent, seed-sensitive") {
+    val docs = sf0001.documents.select("doc_id")
+    val n = docs.count()
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      graft.operators.Layout.seededShuffle(df, col("doc_id"), seed, nShards = 4)
+        .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val a = run(docs, "epoch0")
+    // every row appears exactly once; per-shard positions are 1..size
+    assert(a.length == n)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    // identical assignment regardless of input partitioning
+    val b = run(docs.repartition(13), "epoch0")
+    assert(a.map(r => r._1 -> ((r._2, r._3))).toMap ==
+      b.map(r => r._1 -> ((r._2, r._3))).toMap)
+    // a different seed is a different permutation (not a shifted copy)
+    val c = run(docs, "epoch1")
+    val aM = a.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(c.exists(r => aM(r._1) != ((r._2, r._3))), "seed must change the order")
+  }
 }
