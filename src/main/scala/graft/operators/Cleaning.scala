@@ -63,8 +63,13 @@ object Cleaning {
     * first (they would poison the percentile buffer). */
   def quantileGate(df: DataFrame, score: Column, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
-    val thr = df.select(score.as("__s")).agg(expr(s"percentile(__s, ${q}D)").as("__thr"))
-    df.crossJoin(broadcast(thr)).filter(score >= col("__thr")).drop("__thr")
+    // collision-proof internal names (the round-7 '__decontam_*' rule):
+    // a user column literally named "__thr" must survive the gate intact
+    val thr = df.select(score.as("__quantile_gate_s"))
+      .agg(expr(s"percentile(__quantile_gate_s, ${q}D)").as("__quantile_gate_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(score >= col("__quantile_gate_thr"))
+      .drop("__quantile_gate_thr")
   }
 
   /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the

@@ -91,12 +91,15 @@ object Layout {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val h = md5(concat(lit(seed), lit("|"), key.cast("string")))
     val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    // collision-proof internal name: a user column named "__h" must pass
+    // through untouched ("shard"/"pos" are the declared outputs and DO
+    // replace columns of those names)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("__h"), key)
-    df.withColumn("__h", h)
+      .partitionBy("shard").orderBy(col("__seeded_shuffle_h"), key)
+    df.withColumn("__seeded_shuffle_h", h)
       .withColumn("shard", shard)
       .withColumn("pos", row_number().over(w).cast("long"))
-      .drop("__h")
+      .drop("__seeded_shuffle_h")
   }
 
   def saltedJoin(
