@@ -206,4 +206,26 @@ class StreamOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want && got.nonEmpty, "stream and batch select identical rows")
   }
+
+  test("hashSplit labels a stream identically to batch (pure projection)") {
+    // the train/val/test assignment is a labeling projection, so the
+    // arriving stream gets the SAME split a batch backfill would — the
+    // property that lets an online ingest and an offline rebuild agree
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("docs-split-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = graft.operators.Sampling.hashSplit(
+      spark.readStream.schema(Tables.schemas("documents")).parquet(docsDir.toString),
+      col("doc_id"), splits)
+    assert(labeled.isStreaming)
+    val q = labeled.select("doc_id", "split").writeStream.format("memory")
+      .queryName("split_s").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("split_s").as[(Long, String)].collect().toMap
+    val want = graft.operators.Sampling.hashSplit(sf0001.documents, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got == want && got.nonEmpty, "stream and batch must assign identical splits")
+  }
 }
