@@ -336,6 +336,21 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q106: keep-one dedup, end to end
+    * ([[graft.operators.Dedup.dropNearDups]]) — the policy a corpus
+    * build actually applies: resolve the shared near-dup pair table
+    * into clusters, anti-join every non-representative out, and census
+    * the SURVIVING corpus per source (docs + tokens — one doc kept or
+    * dropped differently changes both aggregates, so the hash pins the
+    * exact survivor membership). Promotes the spec-only keep-one
+    * operator to oracle-gated. */
+  def q106(t: Tables): DataFrame =
+    Dedup.dropNearDups(t.documents, col("doc_id"), t.documentNearDupPairs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .transform(sortedSmall(_, col("source")))
+
   /** q105: deterministic seeded shuffle
     * ([[graft.operators.Layout.seededShuffle]]) — the reproducible
     * epoch-order primitive: 8 shards under seed "epoch0", gated on each
@@ -826,6 +841,7 @@ object PipelineQueries {
     "q103_novelty_curve" -> q103 _,
     "q104_embedding_audit" -> q104 _,
     "q105_seeded_shuffle" -> q105 _,
+    "q106_keep_one_census" -> q106 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1037,6 +1053,42 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q106: q57's recursive reachability gives components; losers (id <>
+    // min-reachable rep) anti-join out of documents; survivor census
+    "q106_keep_one_census" -> """
+      WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db),
+      edges AS (SELECT da AS src, db AS dst FROM est WHERE est >= 0.5
+                UNION SELECT db, da FROM est WHERE est >= 0.5),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+      losers AS (SELECT id FROM comp WHERE id <> rep),
+      kept AS (SELECT * FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM losers))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source ORDER BY source NULLS FIRST""",
 
     // q105: shard = top-16-bits of md5(seed|key) mod 8 (non-negative, so
     // % ≡ pmod); position ranks the full digest with a key tie-break
