@@ -336,6 +336,18 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q107: containment near-dup ([[graft.operators.Dedup.ngramContainment]])
+    * — subset-duplication detection at max-directional containment
+    * ≥ 0.8 over 3-shingles; reports both directions so the gate pins
+    * the asymmetry (which side is the contained one). */
+  def q107(t: Tables): DataFrame =
+    Dedup.ngramContainment(
+        Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3), 0.8)
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        Rounding.portable(col("cab"), 6).as("cab"),
+        Rounding.portable(col("cba"), 6).as("cba"))
+      .transform(sortedSmall(_, col("da"), col("db")))
+
   /** q106: keep-one dedup, end to end
     * ([[graft.operators.Dedup.dropNearDups]]) — the policy a corpus
     * build actually applies: resolve the shared near-dup pair table
@@ -842,6 +854,7 @@ object PipelineQueries {
     "q104_embedding_audit" -> q104 _,
     "q105_seeded_shuffle" -> q105 _,
     "q106_keep_one_census" -> q106 _,
+    "q107_containment" -> q107 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1053,6 +1066,23 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q107: q33's inverted-index chain with the asymmetric containment
+    // formula; filter on max(cab, cba) against the RAW ratios
+    "q107_containment" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT da, db, CAST(i AS BIGINT) AS i,
+             CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+             round(i * 1.0 / sa.n, 6) AS cab,
+             round(i * 1.0 / sb.n, 6) AS cba
+      FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= 0.8
+      ORDER BY da NULLS FIRST, db NULLS FIRST""",
 
     // q106: q57's recursive reachability gives components; losers (id <>
     // min-reachable rep) anti-join out of documents; survivor census

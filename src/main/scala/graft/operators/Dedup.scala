@@ -359,6 +359,37 @@ object Dedup {
     materialized(pairs, shingles)
   }
 
+  /** CONTAINMENT near-dup — Broder's second resemblance measure,
+    * `C(A→B) = |A∩B| / |A|`: the asymmetric companion [[ngramJaccard]]
+    * structurally cannot catch. A 50-shingle document quoted whole
+    * inside a 1000-shingle digest has containment 1.0 from the short
+    * side but Jaccard ≈ 0.05 — subset duplication (quote pages, digest
+    * articles, doc-in-doc concatenations) is invisible to the symmetric
+    * measure at any usable threshold. Emits each candidate pair with
+    * BOTH directions, filtered on `max(cab, cba) ≥ threshold`; the
+    * caller reads which side is the contained one from which direction
+    * is high. Same inverted-index join + doc-keyed size joins as
+    * [[ngramJaccard]] (one persisted shingle scan, every stage keyed —
+    * the df-capped candidate guard composes the same way if needed).
+    * Returns (da, db, i, na, nb, cab, cba) with da < db, unrounded. */
+  def ngramContainment(shinglesIn: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    val shingles = shinglesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("doc_id").as("da"), col("w"))
+    val b = shingles.select(col("doc_id").as("db"), col("w").as("wb"))
+    val inter = a.join(b, col("w") === col("wb") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        (col("i") * lit(1.0) / col("na")).as("cab"),
+        (col("i") * lit(1.0) / col("nb")).as("cba"))
+      .filter(greatest(col("cab"), col("cba")) >= threshold)
+    materialized(pairs, shingles)
+  }
+
   /** [[ngramJaccard]] with a document-frequency cap on the inverted index
     * (the standard stop-shingle guard; Bayardo et al. §5 "Scaling Up All
     * Pairs Similarity Search" use the same high-frequency-last ordering

@@ -592,6 +592,25 @@ class DedupSpec extends SparkSpec {
     assert(exact(1L) != exact(5L), "md5(text) must NOT collapse the permutation")
   }
 
+  test("ngramContainment catches a subset-dup that Jaccard misses at any usable threshold") {
+    // doc 2 = doc 1's first 6 tokens verbatim inside a much longer doc:
+    // containment from the short side is 1.0, Jaccard stays tiny
+    val long = ((1 to 40).map(i => s"x$i") ++ Seq("a", "b", "c", "d", "e", "f")).mkString(" ")
+    val corpus = Seq((1L, long), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3)
+    val got = Dedup.ngramContainment(sh, 0.9)
+      .select("da", "db", "cab", "cba").as[(Long, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (da, db, cab, cba) = got.head
+    assert((da, db) == ((1L, 2L)))
+    // 4 trigrams of doc 2, all inside doc 1's 44 -> cba = 1.0, cab = 4/44
+    assert(cba == 1.0 && math.abs(cab - 4.0 / 44.0) < 1e-12, s"got $got")
+    // the symmetric measure scores the same pair ~0.09 — invisible at 0.5
+    val jacc = Dedup.ngramJaccard(sh, 0.5)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(jacc.isEmpty, "Jaccard must NOT flag the subset-dup")
+  }
+
   test("contaminationFraction: agrees with crossContamination on hits, keeps clean docs at 0") {
     // eval doc shares its middle trigram with train doc 1 only
     val train = Seq(
