@@ -336,6 +336,18 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q108: winnowing fingerprints
+    * ([[graft.operators.Dedup.winnowFingerprints]]) — the MOSS sketch
+    * (k=3 shingles, w=4 windows), gated per doc (doc_id % 20 == 1) on
+    * fingerprint count and the set's lexicographic endpoints (a single
+    * reselected minimum changes the row). */
+  def q108(t: Tables): DataFrame =
+    Dedup.winnowFingerprints(t.documents, col("doc_id"), col("text"), k = 3, w = 4)
+      .filter(col("doc_id") % 20 === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   /** q107: containment near-dup ([[graft.operators.Dedup.ngramContainment]])
     * — subset-duplication detection at max-directional containment
     * ≥ 0.8 over 3-shingles; reports both directions so the gate pins
@@ -855,6 +867,7 @@ object PipelineQueries {
     "q105_seeded_shuffle" -> q105 _,
     "q106_keep_one_census" -> q106 _,
     "q107_containment" -> q107 _,
+    "q108_winnowing" -> q108 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1066,6 +1079,23 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q108: positional trigram hashes, ROWS 3-PRECEDING window minimum,
+    // complete windows only (pos >= 4, 1-based both engines), distinct
+    "q108_winnowing" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      ps AS (SELECT doc_id, i AS pos,
+               md5(concat(s[i], ' ', s[i+1], ' ', s[i+2])) AS h
+             FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sel AS (SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+              FROM ps),
+      f AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= 4)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+             min(fp) AS min_fp, max(fp) AS max_fp
+      FROM f WHERE doc_id % 20 = 1
+      GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
 
     // q107: q33's inverted-index chain with the asymmetric containment
     // formula; filter on max(cab, cba) against the RAW ratios

@@ -966,6 +966,33 @@ object Dedup {
       "da", "db", "pa", "pb", minRun, ("pos_a", "pos_b"))
   }
 
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS sketch): hash every positional k-shingle, slide a w-hash
+    * window over each document, select every window's MINIMUM, keep the
+    * distinct selected hashes. The detection guarantee the other
+    * sketches lack: any shared token run of length ≥ k + w − 1 plants
+    * at least one IDENTICAL fingerprint in both documents, at ~2/(w+1)
+    * sketch density — position-robust (an insertion shifts positions;
+    * local minima re-select), sitting between MinHash (whole-document
+    * set overlap only) and the exact-substring join (full positional
+    * index). One map pass + one per-doc window + distinct; joining
+    * fingerprints IS the candidate detector, at sketch size rather than
+    * shingle size. Windows are complete-only (`pos ≥ w`), matching the
+    * published construction. Returns (doc_id, fp) distinct. */
+  def winnowFingerprints(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val ps = positionalShingles(docs, id, text, k, "doc_id", "pos")
+      .withColumn("h", md5(col("w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    ps.withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") >= w)
+      .select("doc_id", "fp").distinct()
+  }
+
   /** The keep-one-per-cluster dedup policy, end to end: resolve `pairs`
     * into components and anti-join every non-representative member out of
     * `docs`. This is the call a corpus build actually makes; q57 exposes

@@ -592,6 +592,29 @@ class DedupSpec extends SparkSpec {
     assert(exact(1L) != exact(5L), "md5(text) must NOT collapse the permutation")
   }
 
+  test("winnowFingerprints: detection guarantee and sketch density") {
+    // k=3, w=4: any shared run of >= k+w-1 = 6 tokens must plant at
+    // least one identical fingerprint in both docs
+    val shared = "p q r s t u" // 6 shared tokens
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6 b7 b8 b9")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(corpus, col("doc_id"), col("text"), k = 3, w = 4)
+    val byDoc = fp.as[(Long, String)].collect().groupBy(_._1)
+      .map { case (d, rows) => d -> rows.map(_._2).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "a >= k+w-1 shared run must collide in the sketch")
+    // density: the sketch is strictly smaller than the full shingle set
+    val nShingles = Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3)
+      .filter(col("doc_id") === 1L).count()
+    assert(byDoc(1L).size < nShingles,
+      s"sketch (${byDoc(1L).size}) must be smaller than the shingle set ($nShingles)")
+    // determinism: same input, same sketch
+    val again = Dedup.winnowFingerprints(corpus, col("doc_id"), col("text"), k = 3, w = 4)
+      .as[(Long, String)].collect().toSet
+    assert(again == fp.as[(Long, String)].collect().toSet)
+  }
+
   test("ngramContainment catches a subset-dup that Jaccard misses at any usable threshold") {
     // doc 2 = doc 1's first 6 tokens verbatim inside a much longer doc:
     // containment from the short side is 1.0, Jaccard stays tiny
