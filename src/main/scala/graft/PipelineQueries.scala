@@ -336,6 +336,19 @@ object PipelineQueries {
       .limit(20)
       .transform(sortedSmall(_, col("pmi").desc, col("w1"), col("w2")))
 
+  /** q109: quality-aware keep-one
+    * ([[graft.operators.Dedup.keepBestNearDups]]) — q106's census under
+    * the keep-LONGEST policy (quality = n_chars): per source, the docs
+    * and tokens surviving when each near-dup cluster keeps its longest
+    * member instead of its min-id one. */
+  def q109(t: Tables): DataFrame =
+    Dedup.keepBestNearDups(t.documents, col("doc_id"), col("n_chars"),
+        t.documentNearDupPairs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .transform(sortedSmall(_, col("source")))
+
   /** q108: winnowing fingerprints
     * ([[graft.operators.Dedup.winnowFingerprints]]) — the MOSS sketch
     * (k=3 shingles, w=4 windows), gated per doc (doc_id % 20 == 1) on
@@ -868,6 +881,7 @@ object PipelineQueries {
     "q106_keep_one_census" -> q106 _,
     "q107_containment" -> q107 _,
     "q108_winnowing" -> q108 _,
+    "q109_keep_best" -> q109 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1079,6 +1093,47 @@ object PipelineQueries {
       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM s GROUP BY split ORDER BY split NULLS FIRST""",
+
+    // q109: q106's component CTE; losers = everyone below rank 1 under
+    // (n_chars DESC, id) within their cluster
+    "q109_keep_best" -> """
+      WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      sig AS (SELECT doc_id,
+          min(md5(concat('0|', w))) AS h0, min(md5(concat('1|', w))) AS h1,
+          min(md5(concat('2|', w))) AS h2, min(md5(concat('3|', w))) AS h3,
+          min(md5(concat('4|', w))) AS h4, min(md5(concat('5|', w))) AS h5,
+          min(md5(concat('6|', w))) AS h6, min(md5(concat('7|', w))) AS h7
+        FROM tok GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS bi, md5(concat(h0, h1, h2, h3)) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS bi, md5(concat(h4, h5, h6, h7)) AS bk FROM sig),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM band a JOIN band b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      est AS (SELECT da, db,
+          ((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT +
+           (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0 AS est
+        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db),
+      edges AS (SELECT da AS src, db AS dst FROM est WHERE est >= 0.5
+                UNION SELECT db, da FROM est WHERE est >= 0.5),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+      comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+      members AS (SELECT c.id, c.rep, d.n_chars FROM comp c
+                  JOIN documents d ON d.doc_id = c.id),
+      losers AS (SELECT id FROM (
+          SELECT id, row_number() OVER (PARTITION BY rep
+            ORDER BY n_chars DESC NULLS LAST, id NULLS FIRST) AS rn
+          FROM members) t WHERE rn <> 1),
+      kept AS (SELECT * FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM losers))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source ORDER BY source NULLS FIRST""",
 
     // q108: positional trigram hashes, ROWS 3-PRECEDING window minimum,
     // complete windows only (pos >= 4, 1-based both engines), distinct

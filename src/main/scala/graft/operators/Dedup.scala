@@ -1005,4 +1005,26 @@ object Dedup {
       .select(col("id").as("__dropId"))
     docs.join(losers, id === col("__dropId"), "left_anti")
   }
+
+  /** Keep-BEST dedup policy — [[dropNearDups]] keeps each cluster's
+    * min-id member (arbitrary but cheap); a production corpus build
+    * keeps the highest-QUALITY copy: the longest crawl of a mirrored
+    * page, the highest-scoring paraphrase twin. Resolve components,
+    * rank each cluster's members by `(quality DESC, id)` (the id
+    * tie-break keeps the choice total), anti-join everyone below rank 1
+    * out of `docs`. The ranking runs over the CLUSTER-MEMBER table (LSH
+    * pair-sized, not corpus-sized); untouched docs never shuffle —
+    * same anti-join shape as [[dropNearDups]]. */
+  def keepBestNearDups(
+      docs: DataFrame, id: Column, quality: Column, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val members = docs.select(id.as("__kb_id"), quality.as("__kb_q"))
+      .join(comp, col("__kb_id") === col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy(col("__kb_q").desc_nulls_last, col("__kb_id"))
+    val losers = members.withColumn("__kb_rn", row_number().over(w))
+      .filter(col("__kb_rn") =!= 1)
+      .select(col("__kb_id").as("__dropId"))
+    docs.join(losers, id === col("__dropId"), "left_anti")
+  }
 }

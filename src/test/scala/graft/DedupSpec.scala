@@ -592,6 +592,23 @@ class DedupSpec extends SparkSpec {
     assert(exact(1L) != exact(5L), "md5(text) must NOT collapse the permutation")
   }
 
+  test("keepBestNearDups keeps the highest-quality member; constant quality degrades to keep-min-id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 99L), (3L, "a", 50L), // one cluster, best = 2
+      (9L, "z", 7L)                                    // untouched
+    ).toDF("doc_id", "grp", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val kept = Dedup.keepBestNearDups(docs, col("doc_id"), col("q"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L), s"must keep the q=99 member + untouched docs, got $kept")
+    // constant quality -> the id tie-break reproduces dropNearDups exactly
+    val tied = Dedup.keepBestNearDups(docs, col("doc_id"), lit(1), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val minId = Dedup.dropNearDups(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tied == minId && minId == Set(1L, 9L), s"$tied vs $minId")
+  }
+
   test("winnowFingerprints: detection guarantee and sketch density") {
     // k=3, w=4: any shared run of >= k+w-1 = 6 tokens must plant at
     // least one identical fingerprint in both docs
