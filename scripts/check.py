@@ -3,11 +3,36 @@
 run graft.Verify first (writes <out>/<name>/ parquet + oracle_sql.json),
 then this script runs each oracle SQL in DuckDB over the same sf dir and
 compares canonically (SURVEY.md §5.3: sort cols by name, sort rows,
-%.6g floats, -0.0 -> 0.0, ISO-us timestamps, NULL)."""
-import duckdb, sys, os, json, glob, hashlib, math, datetime
+%.6g floats, -0.0 -> 0.0, ISO-us timestamps, NULL).
+
+Driver-fidelity rules (round 8 post-mortem — the official gate went
+0/109 on a divergence THIS script used to mask):
+ - Spark output is read with pandas.read_parquet(<query dir>), the exact
+   call the driver makes (pyarrow.dataset under the hood). No *.parquet
+   globbing: a stray non-parquet, non-underscore file in the directory
+   must fail HERE the same way it fails on the driver.
+ - The JVM-side canon sidecar name is parsed out of Verify.scala itself
+   (the `val CanonMd5 = "..."` contract line), so a rename on either
+   side is a loud failure, never a silently skipped cross-check.
+ - A canon-hash mismatch or a MISSING sidecar counts toward n_bad.
+"""
+import duckdb, sys, os, re, json, glob, hashlib, math, datetime
+import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+def sidecar_names():
+    """The Verify.scala <-> check.py contract: grep the constants."""
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+        "src/main/scala/graft/Verify.scala")).read()
+    names = dict(re.findall(r'val\s+(CanonTxt|CanonMd5)\s*=\s*"([^"]+)"', src))
+    assert set(names) == {"CanonTxt", "CanonMd5"}, \
+        f"Verify.scala sidecar contract lines not found: {names}"
+    for n in names.values():
+        assert n.startswith(("_", ".")), \
+            f"sidecar {n!r} not _-prefixed: pyarrow.dataset would fail on it"
+    return names["CanonTxt"], names["CanonMd5"]
 
 def canon_val(v):
     # NaN must canonicalize as "nan" (matching Canon.g6), NOT "NULL":
@@ -34,44 +59,53 @@ def canon(df):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    canon_txt, canon_md5 = sidecar_names()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_ok = n_bad = 0
+    def read_spark(d):
+        # EXACTLY what the driver does: pandas -> pyarrow.dataset over the
+        # whole directory. Any file pyarrow can't treat as parquet fails.
+        return pd.read_parquet(d)
     # oracle-less queries (e.g. multimodal stub): rows-only check
     for d in sorted(glob.glob(f"{out}/q*")):
         name = os.path.basename(d)
         if name in oracle: continue
         try:
-            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            n = len(read_spark(d))
             if n > 0: print(f"ok   {name} ({n} rows, rows-only)"); n_ok += 1
             else: print(f"FAIL {name}: 0 rows"); n_bad += 1
         except Exception as e:
-            print(f"FAIL {name}: {str(e)[:100]}"); n_bad += 1
+            print(f"FAIL {name}: {str(e)[:200]}"); n_bad += 1
     for name in sorted(oracle):
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+            got = read_spark(f"{out}/{name}")
         except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}"); n_bad += 1; continue
+            print(f"FAIL {name}: spark output unreadable (driver-style read): "
+                  f"{str(e)[:200]}"); n_bad += 1; continue
         he, re_, ce = canon(exp)
         hg, rg, cg = canon(got)
-        # cross-check graft.Verify's JVM-side canon dump (canon.md5):
-        # a disagreement means the JVM and Python canonical protocols
-        # drifted (or the parquet changed between write and read) —
-        # exactly the class of bug behind an undiagnosable driver
-        # hash-fail, so surface it loudly even when the oracle passes.
-        md5path = f"{out}/{name}/canon.md5"
-        if os.path.exists(md5path):
-            jvm = open(md5path).read().strip()
-            if jvm != hg:
-                print(f"WARN {name}: JVM canon.md5 {jvm} != python canon {hg}"
-                      f" — diff {out}/{name}/canon.txt against the parquet")
+        # cross-check graft.Verify's JVM-side canon dump: a disagreement
+        # means the JVM and Python canonical protocols drifted (or the
+        # parquet changed between write and read) — exactly the class of
+        # bug behind an undiagnosable driver hash-fail. Both a mismatch
+        # AND a missing sidecar are gate failures (a rename that
+        # desynchronizes the contract must not become a silent no-op).
+        md5path = f"{out}/{name}/{canon_md5}"
+        if not os.path.exists(md5path):
+            print(f"FAIL {name}: JVM canon sidecar missing ({md5path})")
+            n_bad += 1; continue
+        jvm = open(md5path).read().strip()
+        if jvm != hg:
+            print(f"FAIL {name}: JVM canon md5 {jvm} != python canon {hg}"
+                  f" — diff {out}/{name}/{canon_txt} against the parquet")
+            n_bad += 1; continue
         if ce != cg:
             print(f"FAIL {name}: schema {cg} != oracle {ce}"); n_bad += 1
         elif re_ != rg:

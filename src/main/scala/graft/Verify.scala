@@ -5,10 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
+  /** Sidecar basenames — the contract with scripts/check.py (which greps
+    * these literals out of this file so a rename can never desynchronize
+    * the two sides silently). MUST stay `_`-prefixed: the driver reads
+    * each query directory with `pyarrow.dataset.dataset(dir)`, whose
+    * default `ignore_prefixes=['.','_']` skips `_SUCCESS`-style names but
+    * chokes on any other non-parquet file (round 8's 0/109: bare
+    * `canon.txt`/`canon.md5` failed every query with ArrowInvalid). */
+  val CanonTxt  = "_canon.txt"
+  val CanonMd5  = "_canon.md5"
+
   /** Driver-mismatch diagnostics: next to each query's parquet, write
-    * `canon.txt` — the result under the DRIVER's canonical protocol
+    * [[CanonTxt]] — the result under the DRIVER's canonical protocol
     * (columns sorted by name, each value via the §5.3 rules, rows sorted
-    * tuple-wise) one row per line — and `canon.md5` over the joined body.
+    * tuple-wise) one row per line — and [[CanonMd5]] over the joined body.
     * A future driver hash-fail that doesn't reproduce locally (round 7's
     * q84) then becomes a one-line diff between two artifacts instead of
     * an unexplained red flag. Reads BACK the written parquet so the dump
@@ -21,7 +31,7 @@ object Verify {
     * always carry a 6-digit fraction (`%f`), and dates surface as
     * midnight timestamps (pandas reads parquet DATE as datetime64).
     */
-  private def canonDump(spark: SparkSession, dir: String): Unit = {
+  private[graft] def canonDump(spark: SparkSession, dir: String): Unit = {
     val df = spark.read.parquet(dir)
     if (df.count() > 200000L) return
     val cols = df.columns.sorted
@@ -61,10 +71,10 @@ object Verify {
       .map(r => (0 until r.length).map(i => cv(i, r.get(i))))
       .sorted(implicitly[Ordering[Seq[String]]])
     val body = rows.map(_.mkString("|")).mkString("\n")
-    Files.writeString(Paths.get(s"$dir/canon.txt"), body + "\n")
+    Files.writeString(Paths.get(s"$dir/$CanonTxt"), body + "\n")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    Files.writeString(Paths.get(s"$dir/canon.md5"), md5 + "\n")
+    Files.writeString(Paths.get(s"$dir/$CanonMd5"), md5 + "\n")
   }
 
   def main(args: Array[String]): Unit = {
