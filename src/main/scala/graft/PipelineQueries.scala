@@ -43,11 +43,10 @@ object PipelineQueries {
     * the step that makes pairwise near-dup output actionable: keep `rep`,
     * drop the other members. */
   def q57(t: Tables): DataFrame = {
-    // shared memoized pair table (Tables.documentNearDupPairs) — q57/q72/
-    // q85 consume the identical pair set; no withPairs here, the cache
-    // owns the persist handle
-    val p = t.documentNearDupPairs
-    Dedup.connectedComponents(p)
+    // shared memoized COMPONENT table (Tables.documentNearDupComponents)
+    // — q57/q85/q106/q109 consume the identical clustering, so the suite
+    // runs the iterative CC once; the cache owns the persist handle
+    t.documentNearDupComponents
       .groupBy("rep")
       .agg(
         count(lit(1)).as("n"),
@@ -213,8 +212,8 @@ object PipelineQueries {
     * build reviews before applying keep-one. Composition: q31's pair
     * table → q57's components → one join + one aggregate. */
   def q85(t: Tables): DataFrame = {
-    val p = t.documentNearDupPairs // shared memo — see q57
-    val comp = Dedup.connectedComponents(p) // (id, rep)
+    val p = t.documentNearDupPairs // shared pair memo
+    val comp = t.documentNearDupComponents // (id, rep) — shared CC memo, see q57
     val sizes = comp.groupBy("rep").agg(count(lit(1)).as("n_members"))
     p.join(comp.select(col("id").as("da"), col("rep")), "da")
       .groupBy("rep")
@@ -342,8 +341,8 @@ object PipelineQueries {
     * and tokens surviving when each near-dup cluster keeps its longest
     * member instead of its min-id one. */
   def q109(t: Tables): DataFrame =
-    Dedup.keepBestNearDups(t.documents, col("doc_id"), col("n_chars"),
-        t.documentNearDupPairs)
+    Dedup.keepBestNearDupsByComponents(t.documents, col("doc_id"), col("n_chars"),
+        t.documentNearDupComponents)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
@@ -382,7 +381,8 @@ object PipelineQueries {
     * exact survivor membership). Promotes the spec-only keep-one
     * operator to oracle-gated. */
   def q106(t: Tables): DataFrame =
-    Dedup.dropNearDups(t.documents, col("doc_id"), t.documentNearDupPairs)
+    Dedup.dropNearDupsByComponents(t.documents, col("doc_id"),
+        t.documentNearDupComponents)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))

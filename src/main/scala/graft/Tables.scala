@@ -63,17 +63,60 @@ final case class Tables(spark: SparkSession, dir: String) {
     * table recomputed+re-persisted, so consumers can never silently run
     * against an unpersisted multi-consumer plan. */
   def documentNearDupPairs: DataFrame =
-    Tables.pairCache.compute((spark, dir), (_, existing) =>
-      if (existing != null &&
-          existing.storageLevel != org.apache.spark.storage.StorageLevel.NONE) existing
-      else graft.operators.Dedup.minHashNearDups(documents, col("doc_id"), col("text")))
+    Tables.memo(spark, dir, "pairs") { () =>
+      graft.operators.Dedup.minHashNearDups(documents, col("doc_id"), col("text"))
+    }
+
+  /** The RESOLVED component table `(id, rep)` over
+    * [[documentNearDupPairs]], memoized with the same (session, dir)
+    * keying and storage-level resilience: q57, q85, q106 and q109 all
+    * consume the identical clustering, so a suite session runs the
+    * iterative connectedComponents ONCE instead of four times (the
+    * round-8 bench measured ~4.5 s of pure CC recompute at sf0.1).
+    * `connectedComponents` materializes its result through per-round
+    * `localCheckpoint`s, but that storage is invisible to
+    * `DataFrame.storageLevel` (cacheManager-based), so the memo persists
+    * an explicit handle on top and counts it (eager) — the resilience
+    * check then works exactly as for the pair table. q72 deliberately
+    * stays OFF this memo: its point is re-resolving the same pair table
+    * through the independent large-star/small-star algorithm. */
+  def documentNearDupComponents: DataFrame =
+    Tables.memo(spark, dir, "components") { () =>
+      val comp = graft.operators.Dedup.connectedComponents(documentNearDupPairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      comp.count() // materialize: every consumer must hit warm storage
+      comp
+    }
 }
 
 object Tables {
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  /** Release every cached pair table (see [[Tables.documentNearDupPairs]]). */
+  /** Shared (session, dir, kind)-keyed memo for suite-level derived
+    * tables. Resilient to `catalog.clearCache()` (a handle whose persist
+    * was cleared externally is discarded and rebuilt), and self-evicting:
+    * entries belonging to a STOPPED SparkSession are purged on every
+    * call, so a long-lived JVM that churns sessions (test suites) cannot
+    * leak stopped sessions' DataFrames through this map. */
+  private def memo(spark: SparkSession, dir: String, kind: String)(
+      build: () => DataFrame): DataFrame = pairCache.synchronized {
+    // NOT ConcurrentHashMap.compute: the components build re-enters this
+    // memo for its pair-table input, and compute() is non-reentrant
+    // (recursive-update). A monitor is reentrant, and still gives the
+    // build-once-per-key guarantee across threads.
+    pairCache.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) { pairCache.remove(k); () }
+    }
+    val key = (spark, dir, kind)
+    val existing = pairCache.get(key)
+    if (existing != null &&
+        existing.storageLevel != org.apache.spark.storage.StorageLevel.NONE) existing
+    else { val built = build(); pairCache.put(key, built); built }
+  }
+
+  /** Release every cached derived table (see
+    * [[Tables.documentNearDupPairs]] / [[Tables.documentNearDupComponents]]). */
   def clearPairCache(): Unit = {
     pairCache.values.forEach(df => { df.unpersist(blocking = false); () })
     pairCache.clear()

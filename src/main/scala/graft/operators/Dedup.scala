@@ -999,8 +999,16 @@ object Dedup {
     * the intermediate cluster table for auditing. The surviving set is
     * pair-free by construction (re-running the pair detector on it finds
     * nothing — asserted in PipelineEndToEndSpec). */
-  def dropNearDups(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def dropNearDups(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame =
+    dropNearDupsByComponents(docs, id, connectedComponents(pairs))
+
+  /** [[dropNearDups]] against an ALREADY-RESOLVED component table
+    * `(id, rep)` — the entry point for suites that share one CC run
+    * across several policies ([[graft.Tables.documentNearDupComponents]]):
+    * resolving components is the iterative, expensive step; the policy
+    * itself is one filter + one anti-join. */
+  def dropNearDupsByComponents(docs: DataFrame, id: Column, comp: DataFrame): DataFrame = {
+    val losers = comp
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("__dropId"))
     docs.join(losers, id === col("__dropId"), "left_anti")
@@ -1016,8 +1024,13 @@ object Dedup {
     * pair-sized, not corpus-sized); untouched docs never shuffle —
     * same anti-join shape as [[dropNearDups]]. */
   def keepBestNearDups(
-      docs: DataFrame, id: Column, quality: Column, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+      docs: DataFrame, id: Column, quality: Column, pairs: DataFrame): DataFrame =
+    keepBestNearDupsByComponents(docs, id, quality, connectedComponents(pairs))
+
+  /** [[keepBestNearDups]] against a pre-resolved component table —
+    * see [[dropNearDupsByComponents]] for why the split exists. */
+  def keepBestNearDupsByComponents(
+      docs: DataFrame, id: Column, quality: Column, comp: DataFrame): DataFrame = {
     val members = docs.select(id.as("__kb_id"), quality.as("__kb_q"))
       .join(comp, col("__kb_id") === col("id"))
     val w = org.apache.spark.sql.expressions.Window
