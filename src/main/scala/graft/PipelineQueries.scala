@@ -348,6 +348,61 @@ object PipelineQueries {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .transform(sortedSmall(_, col("source")))
 
+  /** q111: day-over-day novelty from MERGEABLE sketches
+    * ([[graft.operators.ApproxOps.kmvSketch]]) — q103's saturation
+    * question answered the way an incremental 100 TB ingest must: each
+    * "day" (doc_id % 10) builds a bottom-64 KMV sketch of its trigrams
+    * ONCE; the cumulative view then merges k-row SKETCHES, never
+    * re-aggregating raw days. The bottom-k-of-union = union-of-bottom-k
+    * semilattice identity makes the merged sketch — and therefore the
+    * estimate — bit-reproducible by the oracle from raw data, so the gate
+    * pins mergeability itself, alongside the exact cumulative count for
+    * the accuracy story. */
+  def q111(t: Tables): DataFrame = {
+    val k = 64
+    val sh = t.documents.select((col("doc_id") % 10).as("slice"),
+      explode(TextOps.shinglesNative(TextOps.tokens(col("text")), 3)).as("w"))
+    val sk = graft.operators.ApproxOps.kmvSketch(sh, col("slice"), col("w"), k)
+    val days = sk.select(col("grp").as("day")).distinct()
+    // cumulative merge over the bounded day axis: remap each day-d sketch
+    // row to every day >= d (a ≤10-row broadcast), bottom-k per day
+    val merged = graft.operators.ApproxOps.kmvMerge(
+      sk.join(broadcast(days), sk("grp") <= col("day"))
+        .select(col("day").as("grp"), col("h")), k)
+    val agg = merged.groupBy("grp")
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("hmax"))
+      .withColumnRenamed("grp", "day")
+    val ex = sh.select(col("slice"), md5(col("w")).as("h")).distinct()
+      .groupBy("h").agg(min("slice").as("first_slice"))
+      .join(broadcast(days), col("first_slice") <= col("day"))
+      .groupBy("day").agg(count(lit(1)).as("exact_cum"))
+    agg.join(ex, "day")
+      .select(col("day"), col("n_sketch"),
+        when(col("n_sketch") === k, col("hmax")).otherwise(lit("")).as("kth_hash"),
+        Rounding.portable(
+          graft.operators.ApproxOps.kmvEstimate(col("n_sketch"), col("hmax"), k),
+          6).as("est_cum"),
+        col("exact_cum"))
+      .transform(sortedSmall(_, col("day")))
+  }
+
+  /** q110: exact-substring REMOVAL ([[Dedup.removeSubstringRuns]]) — the
+    * ACT step completing q86's report, the same way q106 completes q57:
+    * the Lee et al. pipeline cuts each flagged ≥ 8-token verbatim span
+    * out of the training copy. Same train/eval split as q86; one row per
+    * affected train doc with its original token count, tokens removed
+    * (overlaps unioned) and the surviving text re-joined. The hash pins
+    * exact cut boundaries — an off-by-one at either end of any span
+    * changes `text_clean`. */
+  def q110(t: Tables): DataFrame = {
+    val evalDocs = t.documents.filter(col("doc_id") % 7 === 0)
+    val trainDocs = t.documents.filter(col("doc_id") % 7 =!= 0)
+    val runs = Dedup.exactSubstringRuns(
+      trainDocs, evalDocs, col("doc_id"), col("text"), minRun = 8)
+    Dedup.removeSubstringRuns(trainDocs, col("doc_id"), col("text"), runs)
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q108: winnowing fingerprints
     * ([[graft.operators.Dedup.winnowFingerprints]]) — the MOSS sketch
     * (k=3 shingles, w=4 windows), gated per doc (doc_id % 20 == 1) on
@@ -882,6 +937,8 @@ object PipelineQueries {
     "q107_containment" -> q107 _,
     "q108_winnowing" -> q108 _,
     "q109_keep_best" -> q109 _,
+    "q110_substring_removal" -> q110 _,
+    "q111_sketch_novelty" -> q111 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1054,6 +1111,63 @@ object PipelineQueries {
     // q86: positional 8-shingles joined train×eval, runs collapsed along
     // each match diagonal with the pos − row_number() island key; an
     // island of c matches covers c + 7 tokens
+    // q111: bottom-64 KMV per day, cumulative merge as bottom-64 over the
+    // unioned per-day distinct hash sets (the semilattice identity the
+    // Spark side exploits to merge sketches instead of raw data — if
+    // Spark's merged sketch diverged from raw-data bottom-k, the hash
+    // would catch it). Estimate arithmetic mirrored operation-for-
+    // operation: (k-1) / (first-8-hex-digits / 2^32), IEEE-exact.
+    "q111_sketch_novelty" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      tok AS (SELECT doc_id % 10 AS slice, concat(s[i],' ',s[i+1],' ',s[i+2]) AS w
+              FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      d AS (SELECT DISTINCT slice, md5(w) AS h FROM tok),
+      days AS (SELECT DISTINCT slice AS day FROM d),
+      merged AS (SELECT DISTINCT day, h FROM d JOIN days ON d.slice <= days.day),
+      rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM merged),
+      agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hmax
+              FROM rk WHERE rn <= 64 GROUP BY day),
+      ex AS (SELECT day, CAST(count(*) AS BIGINT) AS exact_cum
+             FROM (SELECT h, min(slice) AS first_slice FROM d GROUP BY h) f
+             JOIN days ON f.first_slice <= days.day GROUP BY day)
+      SELECT a.day, a.n_sketch,
+             CASE WHEN a.n_sketch = 64 THEN a.hmax ELSE '' END AS kth_hash,
+             round(CASE WHEN a.n_sketch < 64 THEN CAST(a.n_sketch AS DOUBLE)
+                   ELSE 63.0 / (CAST(concat('0x', substr(a.hmax, 1, 8)) AS BIGINT) / 4294967296.0)
+                   END, 6) AS est_cum,
+             e.exact_cum
+      FROM agg a JOIN ex e USING (day)
+      ORDER BY day NULLS FIRST""",
+
+    // q110: q86's run detection verbatim, then spans → covered positions
+    // → anti-marked token re-join; string_agg(... ORDER BY pos) mirrors
+    // Spark's array_sort(collect_list(struct(pos, tok))) re-assembly.
+    // Sums cast to BIGINT (DuckDB sums integers to HUGEINT, which pandas
+    // would surface as float64); empty survivors coalesce to '' to match
+    // Spark's array_join on an empty array.
+    "q110_substring_removal" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               concat(s[i],' ',s[i+1],' ',s[i+2],' ',s[i+3],' ',s[i+4],' ',s[i+5],' ',s[i+6],' ',s[i+7]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 6, 1))) AS t(i)),
+      ev AS (SELECT doc_id AS eval_id, pos AS pe, w FROM sh WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, pos AS pt, w FROM sh WHERE doc_id % 7 <> 0),
+      m AS (SELECT tr.doc_id, ev.eval_id, pt, pe, pt - pe AS diag FROM tr JOIN ev USING (w)),
+      i AS (SELECT *, pt - row_number() OVER (PARTITION BY doc_id, eval_id, diag ORDER BY pt) AS island FROM m),
+      runs AS (SELECT doc_id, min(pt) AS pos_train, max(pt) - min(pt) + 8 AS run_len
+               FROM i GROUP BY doc_id, eval_id, diag, island),
+      cov AS (SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+              FROM runs, unnest(range(pos_train, pos_train + run_len)) AS t(p)),
+      toks AS (SELECT d.doc_id, CAST(i AS BIGINT) AS pos, s[i] AS tok, len(s) AS n_tokens
+               FROM doc d, unnest(range(1, len(s) + 1)) AS t(i)
+               WHERE d.doc_id IN (SELECT doc_id FROM cov))
+      SELECT t.doc_id, CAST(max(t.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '') AS text_clean
+      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id NULLS FIRST""",
+
     "q86_exact_substring" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,

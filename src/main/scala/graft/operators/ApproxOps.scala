@@ -32,6 +32,57 @@ object ApproxOps {
       accuracy: Int = 10000): Column =
     percentile_approx(c, array(lit(pLo), lit(pHi)), lit(accuracy))
 
+  /** K-MINIMUM-VALUES (bottom-k) mergeable distinct sketch — the
+    * DETERMINISTIC sibling of [[approxDistinct]]'s HLL for the
+    * incremental-ingest story: per group, keep the `k` smallest md5
+    * hashes of the distinct items. Unlike HLL registers, the sketch is a
+    * plain (grp, h) table — persistable as parquet between ingest days —
+    * and merging is closed-form: the bottom-k of a UNION of bottom-k
+    * sketches equals the bottom-k of the union of the raw sets
+    * (min-k is a semilattice), so day-over-day novelty needs only
+    * yesterday's k-row sketch, never a re-aggregation of the corpus. The
+    * same identity makes the sketch ORACLE-EXACT: any engine computing
+    * bottom-k md5 from raw data reproduces it bitwise (md5 hex is
+    * fixed-width lowercase, so string order is numeric order). Estimate
+    * error is the textbook ~1/sqrt(k−2) relative.
+    *
+    * Shuffle shape: `distinct` on (grp, hash) is the only corpus-sized
+    * exchange (map-side partial combine applies); the row_number window
+    * then runs on the already-hash-partitioned groups — at 100 TB the
+    * sketch table is k rows per group, and merges touch sketches only. */
+  def kmvSketch(items: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2, got $k")
+    kmvRerank(items.select(group.as("grp"), md5(item).as("h")), k)
+  }
+
+  /** Merge KMV sketch rows (grp, h) — e.g. after remapping `grp` to a
+    * coarser key or unioning several days' sketches — by re-taking the
+    * bottom-k per group. Input rows need not be distinct. */
+  def kmvMerge(sketchRows: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2, got $k")
+    kmvRerank(sketchRows.select(col("grp"), col("h")), k)
+  }
+
+  private def kmvRerank(rows: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("h")
+    rows.distinct()
+      .withColumn("__kmv_rn", row_number().over(w))
+      .filter(col("__kmv_rn") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Distinct-count estimate from a bottom-k sketch's aggregates: with a
+    * full sketch the k-th smallest hash (= `max(h)` over the k rows) maps
+    * to the unit interval via its first 8 hex digits and the estimator is
+    * the classic (k−1)/u; a sketch still holding fewer than k hashes IS
+    * the exact distinct set, so the estimate is exact. Both branches are
+    * plain IEEE double arithmetic any engine reproduces bitwise. */
+  def kmvEstimate(nSketch: Column, kthHash: Column, k: Int): Column =
+    when(nSketch < k, nSketch.cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (conv(substring(kthHash, 1, 8), 16, 10).cast("long") / lit(4294967296.0)))
+
   /** Approximate eq_hist: shade = interpolated rank of a cell's count among
     * `breaks` quantile breakpoints of the count distribution, computed from
     * a sketch rather than a global cume_dist sort. For canvas-sized rasters

@@ -966,6 +966,53 @@ object Dedup {
       "da", "db", "pa", "pb", minRun, ("pos_a", "pos_b"))
   }
 
+  /** EXACT-SUBSTRING REMOVAL — the ACT half of [[exactSubstringRuns]]'s
+    * report: the Lee et al. pipeline cuts each flagged verbatim span out
+    * of the TRAINING copy (the eval/benchmark text is immutable), leaving
+    * the rest of the document intact. Give it the run table the report
+    * step produced — `(doc_id, pos_train, run_len)` in 1-based token
+    * positions, extra columns ignored — and it returns one row per
+    * AFFECTED document: `(doc_id, n_tokens, n_removed, text_clean)` where
+    * `text_clean` re-joins the surviving tokens with single spaces (the
+    * same whitespace normalization [[graft.functions.TextOps.tokens]]
+    * applies on the way in). Overlapping spans from different eval
+    * documents are unioned, not double-counted; a fully-covered document
+    * stays in the output with `text_clean = ""` (dropping it entirely is
+    * the caller's policy call, not this operator's).
+    *
+    * Shuffle shape: spans explode only the RUN table (collision-sized,
+    * orders of magnitude below the corpus); a semi join on the affected
+    * ids keeps the corpus scan for the untouched 99.9% of a 100 TB corpus
+    * completely free of tokenization — only affected documents posexplode.
+    * The left join marking covered positions and the order-restoring
+    * `array_sort(collect_list(struct(pos, tok)))` re-assembly both key on
+    * doc_id, so they share one exchange. */
+  def removeSubstringRuns(
+      train: DataFrame, id: Column, text: Column, runs: DataFrame): DataFrame = {
+    val spans = runs
+      .select(col("doc_id").as("__rs_id"),
+        explode(sequence(col("pos_train"),
+          col("pos_train") + col("run_len") - 1)).as("__rs_pos"))
+      .distinct()
+      .withColumn("__rs_cov", lit(1))
+    val affected = spans.select("__rs_id").distinct()
+    val toks = train
+      .select(id.as("__rs_id"), TextOps.tokens(text).as("__rs_toks"))
+      .join(affected, Seq("__rs_id"), "left_semi")
+      .select(col("__rs_id"), size(col("__rs_toks")).cast("long").as("__rs_n"),
+        posexplode(col("__rs_toks")).as(Seq("__rs_i", "__rs_tok")))
+      .withColumn("__rs_pos", (col("__rs_i") + 1).cast("long"))
+    toks.join(spans, Seq("__rs_id", "__rs_pos"), "left")
+      .groupBy(col("__rs_id").as("doc_id"))
+      .agg(
+        max(col("__rs_n")).as("n_tokens"),
+        sum(when(col("__rs_cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rs_cov").isNull,
+            struct(col("__rs_pos"), col("__rs_tok"))))),
+          _.getField("__rs_tok")), " ").as("text_clean"))
+  }
+
   /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
     * the MOSS sketch): hash every positional k-shingle, slide a w-hash
     * window over each document, select every window's MINIMUM, keep the

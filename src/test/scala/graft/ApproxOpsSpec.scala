@@ -23,6 +23,49 @@ class ApproxOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ApproxOps.approxDistinct(sf0001.lineitem, 0.02))
   }
 
+  test("kmvSketch: under-full sketch is the exact distinct set; estimate is exact") {
+    val items = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("g", "w")
+    val sk = ApproxOps.kmvSketch(items, col("g"), col("w"), k = 64)
+    val perGroup = sk.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perGroup == Map("a" -> 2L, "b" -> 1L), s"got $perGroup")
+    val est = sk.groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("h").as("hmax"))
+      .select(col("grp"), ApproxOps.kmvEstimate(col("n"), col("hmax"), 64).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(est == Map("a" -> 2.0, "b" -> 1.0), s"got $est")
+    intercept[IllegalArgumentException](
+      ApproxOps.kmvSketch(items, col("g"), col("w"), k = 1))
+  }
+
+  test("kmvMerge: bottom-k of unioned sketches == sketch of unioned raw data") {
+    val day1 = (0 until 300).map(i => ("d", s"w$i")).toDF("g", "w")
+    val day2 = (200 until 500).map(i => ("d", s"w$i")).toDF("g", "w")
+    val k = 32
+    val merged = ApproxOps.kmvMerge(
+      ApproxOps.kmvSketch(day1, col("g"), col("w"), k)
+        .union(ApproxOps.kmvSketch(day2, col("g"), col("w"), k)), k)
+    val direct = ApproxOps.kmvSketch(
+      day1.union(day2), col("g"), col("w"), k)
+    assert(merged.as[(String, String)].collect().toSet ==
+      direct.as[(String, String)].collect().toSet,
+      "merge must equal the sketch of the union (semilattice identity)")
+  }
+
+  test("kmvEstimate on a full sketch lands within the ~1/sqrt(k-2) error band") {
+    val n = 2000
+    val k = 64
+    val items = (0 until n).map(i => ("g", s"item_$i")).toDF("g", "w")
+    val sk = ApproxOps.kmvSketch(items, col("g"), col("w"), k)
+    val est = sk.groupBy("grp")
+      .agg(count(lit(1)).as("ns"), max("h").as("hmax"))
+      .select(ApproxOps.kmvEstimate(col("ns"), col("hmax"), k))
+      .as[Double].head()
+    // 3-sigma of the textbook relative error 1/sqrt(k-2) ~ 0.127 → 38%;
+    // deterministic given md5, so this can never flake
+    assert(math.abs(est - n) / n < 0.38, s"estimate $est vs exact $n")
+  }
+
   test("Canvas.auto handles integer axes, empty selections, and huge-magnitude values") {
     // long/int axes: min/max preserve input type; auto must cast
     val c = Canvas.auto(sf0001.lineitem, col("l_suppkey"), col("l_linenumber"), 8, 8)

@@ -393,6 +393,38 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 1L, 1L, 5L), (1L, 100L, 8L, 1L, 5L)), s"got $got")
   }
 
+  test("removeSubstringRuns: cuts flagged spans, unions overlaps, keeps fully-covered docs") {
+    val train = Seq(
+      (1L, "t1 A B C D t2"),              // one 4-token run at pos 2
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"),    // two OVERLAPPING runs: 2..5 and 4..7
+      (3L, "v1 v2 v3"),                   // fully covered
+      (4L, "w1 w2 w3 w4")                 // no runs — must be ABSENT from output
+    ).toDF("doc_id", "text")
+    val runs = Seq(
+      (1L, 2L, 4L), (2L, 2L, 4L), (2L, 4L, 4L), (3L, 1L, 3L)
+    ).toDF("doc_id", "pos_train", "run_len")
+    val got = Dedup.removeSubstringRuns(train, col("doc_id"), col("text"), runs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 6L, 4L, "t1 t2"),
+      (2L, 8L, 6L, "u1 u8"),   // union of 2..5 and 4..7 = 2..7, not 8 removed
+      (3L, 3L, 3L, "")         // fully covered stays, empty survivor text
+    ), s"got $got")
+  }
+
+  test("removeSubstringRuns composes with exactSubstringRuns end-to-end") {
+    val evalDocs = Seq((100L, "A B C D E")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 A B C D E x2"),
+      (2L, "y1 y2 y3 y4 y5")
+    ).toDF("doc_id", "text")
+    val runs = Dedup.exactSubstringRuns(
+      train, evalDocs, col("doc_id"), col("text"), minRun = 5)
+    val got = Dedup.removeSubstringRuns(train, col("doc_id"), col("text"), runs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 7L, 5L, "x1 x2")), s"got $got")
+  }
+
   test("exactSubstringSelfRuns: pairwise runs oriented da<db; within-doc repeats excluded") {
     val docs = Seq(
       (1L, "A B C D t1 t2 A B C D"),     // repeats its own span — NOT a dup
