@@ -386,6 +386,28 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("day")))
   }
 
+  /** q112: real-subword token accounting ([[TextOps.bpeTokens]]) — the
+    * `ceil(len/4)` heuristic every budget operator runs on, replaced by an
+    * actual WordPiece-style greedy longest-match tokenizer (native
+    * [[graft.plans.BpeTokenize]] expression, fixture merges in
+    * [[graft.plans.BpeVocab]] — the SAME Scala value interpolated into
+    * the oracle's VALUES list, so vocab drift is impossible). Per doc:
+    * whitespace word count, subword piece count, their ratio, and the
+    * full piece sequence — the hash pins every segmentation decision on
+    * every word in the corpus against DuckDB's recursive re-derivation.
+    * One map-side expression; no shuffle beyond the output sort. */
+  def q112(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("__bpe_toks"),
+        TextOps.bpeTokens(col("text")).as("__bpe_p"))
+      .select(col("doc_id"),
+        size(col("__bpe_toks")).cast("long").as("n_words"),
+        size(col("__bpe_p")).cast("long").as("n_pieces"),
+        Rounding.portable(size(col("__bpe_p")).cast("double") /
+          size(col("__bpe_toks")), 6).as("bpe_ratio"),
+        array_join(col("__bpe_p"), " ").as("pieces"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   /** q110: exact-substring REMOVAL ([[Dedup.removeSubstringRuns]]) — the
     * ACT step completing q86's report, the same way q106 completes q57:
     * the Lee et al. pipeline cuts each flagged ≥ 8-token verbatim span
@@ -939,6 +961,7 @@ object PipelineQueries {
     "q109_keep_best" -> q109 _,
     "q110_substring_removal" -> q110 _,
     "q111_sketch_novelty" -> q111 _,
+    "q112_bpe_tokens" -> q112 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1138,6 +1161,45 @@ object PipelineQueries {
              e.exact_cum
       FROM agg a JOIN ex e USING (day)
       ORDER BY day NULLS FIRST""",
+
+    // q112: the vocab relation comes from BpeVocab.sqlValues (single
+    // source of truth with the Spark expression); greedy longest-match is
+    // re-derived per distinct word by the recursive CTE — each step peels
+    // the longest vocab piece prefixing the remainder (unique: equal-
+    // length distinct pieces can't both prefix one string) or one char.
+    // Terminal rows (rem = '') carry the piece count and the piece string;
+    // per-doc reassembly string_aggs in word-position order, skipping
+    // empty words exactly as the Spark side's flat piece array does.
+    "q112_bpe_tokens" -> s"""
+      WITH RECURSIVE
+      vocab(piece) AS ${graft.plans.BpeVocab.sqlValues},
+      doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, s[i] AS w
+               FROM doc, unnest(range(1, len(s) + 1)) AS t(i)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      seg AS (
+        SELECT w, w AS rem, CAST(0 AS BIGINT) AS np, '' AS acc FROM dw
+        UNION ALL
+        SELECT w, substr(rem, length(p) + 1), np + 1,
+               CASE WHEN acc = '' THEN p ELSE acc || ' ' || p END
+        FROM (
+          SELECT s.w, s.rem, s.np, s.acc,
+            coalesce((SELECT v.piece FROM vocab v
+                      WHERE starts_with(s.rem, v.piece)
+                      ORDER BY length(v.piece) DESC LIMIT 1),
+                     substr(s.rem, 1, 1)) AS p
+          FROM seg s WHERE s.rem <> ''
+        )
+      ),
+      wp AS (SELECT w, np, acc FROM seg WHERE rem = '')
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wp.np) AS BIGINT) AS n_pieces,
+             round(sum(wp.np) * 1.0 / count(*), 6) AS bpe_ratio,
+             coalesce(string_agg(CASE WHEN wp.acc <> '' THEN wp.acc END,
+                                 ' ' ORDER BY t.pos), '') AS pieces
+      FROM toks t JOIN wp ON t.w = wp.w
+      GROUP BY t.doc_id
+      ORDER BY doc_id NULLS FIRST""",
 
     // q110: q86's run detection verbatim, then spans → covered positions
     // → anti-marked token re-join; string_agg(... ORDER BY pos) mirrors

@@ -27,6 +27,22 @@ object TextOps {
     filter(toks, t => !array_contains(sw, t))
   }
 
+  /** REAL subword tokenization via the native `bpe_tokenize` expression
+    * ([[graft.plans.BpeTokenize]]): WordPiece-style greedy longest-match
+    * segmentation of every whitespace word against the
+    * [[graft.plans.BpeVocab]] fixture merges, single-char fallback for
+    * unknown prefixes. The accurate sibling of
+    * `TextAnalysis.subwordCount`'s `ceil(len/4)` heuristic for token
+    * budgeting — swap the fixture for a learned vocab and the counts are
+    * production BPE. Returns `array<string>` of pieces in document order. */
+  def bpeTokens(text: Column): Column =
+    graft.plans.GraftFunctions.bpeTokenize(text)
+
+  /** Subword piece count of a document under [[bpeTokens]] — a drop-in
+    * for the chunking/packing/budget operators' heuristic counts. */
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
   /** Token n-gram shingles as an array column (empty when the doc has
     * fewer than `n` tokens). `element_at` is 1-based; the shingle set is
     * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based).

@@ -117,6 +117,13 @@ object GraftFunctions {
           s"bloom_might_contain(bloomBinary, xxhash64Value) takes 2 arguments, got ${exprs.length}")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier("bpe_tokenize"),
+      new ExpressionInfo(classOf[BpeTokenize].getName, "bpe_tokenize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"bpe_tokenize(text) takes 1 argument, got ${exprs.length}")
+        BpeTokenize(exprs.head)
       }))
 
   /** Idempotent programmatic registration into the session's function
@@ -151,4 +158,5 @@ object GraftFunctions {
     call_function("simhash32", tokens, org.apache.spark.sql.functions.lit(shingleN))
   def simHash64(tokens: Column, shingleN: Int): Column =
     call_function("simhash64", tokens, org.apache.spark.sql.functions.lit(shingleN))
+  def bpeTokenize(text: Column): Column = call_function("bpe_tokenize", text)
 }

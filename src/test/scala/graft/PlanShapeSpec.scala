@@ -123,4 +123,18 @@ class PlanShapeSpec extends SparkSpec {
       s"both totals must ride in as broadcast cross joins:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffled join expected:\n$p")
   }
+
+  test("q110: a semi join shields corpus re-tokenization to affected docs only") {
+    val p = q("q110_substring_removal")
+    assert(p.contains("LeftSemi"),
+      s"corpus tokenization must sit behind the affected-id semi join:\n$p")
+  }
+
+  test("q112: native subword tokenization is a map stage + one output exchange") {
+    val p = q("q112_bpe_tokens")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the repartition(1) output exchange expected:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"no aggregate or join in the tokenizer pipeline:\n$p")
+  }
 }
