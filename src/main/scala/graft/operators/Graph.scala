@@ -34,7 +34,8 @@ object Graph {
     * exactly like [[Dedup.connectedComponents]] does per round. Returns
     * (node, rank). */
   def weightedPageRank(
-      edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+      edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
@@ -48,7 +49,7 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "weightedPageRank: empty graph")
     var r = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = p.join(r, p("src") === r("node"))
         .select(col("dst").as("node"), (col("p") * col("rank")).as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
@@ -56,6 +57,12 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      // long chains (iters ≫ the gated 3–4) adopt CC's lineage-truncation
+      // discipline: a LAZY localCheckpoint every N rounds caps plan depth
+      // at N iterations without forcing extra jobs mid-loop. Off by
+      // default — at fixed small iters the untruncated plan is cheaper.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint(eager = false)
     }
     // force before releasing the cached inputs the lineage references
     val out = r.persist(StorageLevel.MEMORY_AND_DISK)
@@ -82,7 +89,7 @@ object Graph {
     * Nodes with no in-edges hold authority exactly 0 (likewise hubs for
     * no out-edges) — pinned by the left-join+coalesce. Returns
     * (node, hub, auth). */
-  def hits(edges: DataFrame, iters: Int): DataFrame = {
+  def hits(edges: DataFrame, iters: Int, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -93,7 +100,7 @@ object Graph {
     require(n > 0, "hits: empty graph")
     var h = nodes.select(col("node"), lit(1.0 / n).as("hub"))
     var a = nodes.select(col("node"), lit(0.0).as("auth"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
         .select(col("dst").as("node"), (col("w") * col("hub")).as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
@@ -108,6 +115,12 @@ object Graph {
         .select(col("node"), (col("raw") / col("s")).as("hub"))
       h = nodes.join(hnorm, Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"))
+      // same opt-in lineage truncation as [[weightedPageRank]]: lazy
+      // localCheckpoint keeps a 50-iteration chain's plan depth bounded
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        a = a.localCheckpoint(eager = false)
+        h = h.localCheckpoint(eager = false)
+      }
     }
     val out = h.join(a, "node").select(col("node"), col("hub"), col("auth"))
       .persist(StorageLevel.MEMORY_AND_DISK)

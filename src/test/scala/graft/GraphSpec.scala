@@ -39,6 +39,24 @@ class GraphSpec extends SparkSpec {
     assert(r0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), s"$r0")
   }
 
+  test("checkpointEvery truncates lineage without changing any value (long chains)") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 3L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    // 6 iterations keeps the UNtruncated comparison plan small enough for
+    // test-suite latency (plan analysis cost grows fast with join depth —
+    // which is exactly why checkpointEvery exists for real long chains)
+    val plainPr = Graph.weightedPageRank(edges, iters = 6)
+      .as[(String, Double)].collect().toMap
+    val ckptPr = Graph.weightedPageRank(edges, iters = 6, checkpointEvery = 2)
+      .as[(String, Double)].collect().toMap
+    assert(plainPr == ckptPr, s"$plainPr vs $ckptPr")
+    val plainH = Graph.hits(edges, iters = 4)
+      .as[(String, Double, Double)].collect().toSet
+    val ckptH = Graph.hits(edges, iters = 4, checkpointEvery = 2)
+      .as[(String, Double, Double)].collect().toSet
+    assert(plainH == ckptH, s"$plainH vs $ckptH")
+  }
+
   test("hits: star graph concentrates authority in the center, hubs in the leaves") {
     // three leaves all point at one center
     val edges = Seq(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L))
