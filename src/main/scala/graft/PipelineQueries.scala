@@ -408,6 +408,23 @@ object PipelineQueries {
         array_join(col("__bpe_p"), " ").as("pieces"))
       .transform(sortedSmall(_, col("doc_id")))
 
+  /** q113: sequence packing budgeted in REAL subword tokens — q84's
+    * fill audit re-expressed over [[TextOps.bpeTokenCount]] instead of
+    * the whitespace word count, completing the heuristic→real-tokenizer
+    * swap q112 proved out. A production loader packs to a model's
+    * context length in the model's OWN tokens; the whitespace count
+    * under-fills every sequence by the per-word piece ratio. Same
+    * per-shard window shape as q84 (one exchange on the shard key); the
+    * piece counting itself is the map-side native expression, so the
+    * swap costs nothing at 100 TB. The oracle re-derives every word's
+    * segmentation recursively (q112's CTE) and re-runs the prefix-sum
+    * assignment on the summed piece counts. */
+  def q113(t: Tables): DataFrame =
+    TextAnalysis.packSequences(
+        t.documents, col("source"), col("doc_id"),
+        TextOps.bpeTokenCount(col("text")), seqLen = 512L)
+      .transform(sortedSmall(_, col("shard"), col("seq_id")))
+
   /** q110: exact-substring REMOVAL ([[Dedup.removeSubstringRuns]]) — the
     * ACT step completing q86's report, the same way q106 completes q57:
     * the Lee et al. pipeline cuts each flagged ≥ 8-token verbatim span
@@ -962,6 +979,7 @@ object PipelineQueries {
     "q110_substring_removal" -> q110 _,
     "q111_sketch_novelty" -> q111 _,
     "q112_bpe_tokens" -> q112 _,
+    "q113_bpe_packing" -> q113 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1200,6 +1218,41 @@ object PipelineQueries {
       FROM toks t JOIN wp ON t.w = wp.w
       GROUP BY t.doc_id
       ORDER BY doc_id NULLS FIRST""",
+
+    // q113: q112's per-word recursive segmentation summed to a per-doc
+    // piece count, then q84's exclusive-prefix-sum packing over those
+    // counts (same ROWS frame, same // 512 sequence assignment)
+    "q113_bpe_packing" -> s"""
+      WITH RECURSIVE
+      vocab(piece) AS ${graft.plans.BpeVocab.sqlValues},
+      doc AS (SELECT doc_id, source, string_split(lower(text), ' ') AS s FROM documents),
+      toks AS (SELECT doc_id, s[i] AS w FROM doc, unnest(range(1, len(s) + 1)) AS t(i)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      seg AS (
+        SELECT w, w AS rem, CAST(0 AS BIGINT) AS np, '' AS acc FROM dw
+        UNION ALL
+        SELECT w, substr(rem, length(p) + 1), np + 1,
+               CASE WHEN acc = '' THEN p ELSE acc || ' ' || p END
+        FROM (
+          SELECT s.w, s.rem, s.np, s.acc,
+            coalesce((SELECT v.piece FROM vocab v
+                      WHERE starts_with(s.rem, v.piece)
+                      ORDER BY length(v.piece) DESC LIMIT 1),
+                     substr(s.rem, 1, 1)) AS p
+          FROM seg s WHERE s.rem <> ''
+        )
+      ),
+      wp AS (SELECT w, np FROM seg WHERE rem = ''),
+      d AS (SELECT t.doc_id, CAST(sum(wp.np) AS BIGINT) AS tok
+            FROM toks t JOIN wp ON t.w = wp.w GROUP BY t.doc_id),
+      o AS (SELECT doc.source, d.tok,
+              sum(d.tok) OVER (PARTITION BY doc.source ORDER BY d.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d.tok AS off
+            FROM d JOIN doc ON d.doc_id = doc.doc_id)
+      SELECT source AS shard, off // 512 AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM o GROUP BY shard, seq_id
+      ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
 
     // q110: q86's run detection verbatim, then spans → covered positions
     // → anti-marked token re-join; string_agg(... ORDER BY pos) mirrors

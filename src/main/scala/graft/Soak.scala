@@ -165,6 +165,7 @@ object Soak {
       println(f"[soak] x$mult $n ${times.min}%.2f s")
     }
     if (nameFilter.contains("incr_days")) incrDays(spark, days = mult, out)
+    if (nameFilter.contains("sketch_days")) sketchDays(spark, days = mult, out)
     spark.stop()
   }
 
@@ -221,5 +222,69 @@ object Soak {
         s"day $d: expected exactly $twinN planted twin pairs, got $nPairs")
       println(f"[soak] incr_days $d%2d $corpusRows%9d $nPairs%6d $wall%.2f")
     }
+  }
+
+  /** DAY-OVER-DAY novelty from persisted mergeable sketches — the soak
+    * curve behind q111's gate: each day builds a bottom-k KMV sketch of
+    * ITS OWN trigrams only (one constant-size batch scan) and appends the
+    * k rows to a sketch table; the cumulative distinct-trigram estimate
+    * is then re-derived every day by merging SKETCH ROWS alone (≤ k·d
+    * rows — never re-aggregating prior days' text). Per-day wall should
+    * stay flat: the raw-data side is one batch, the history side is a
+    * k·d-row bottom-k. Day content mixes day-salted tokens (novel
+    * trigrams) with a day-independent common slice, so the curve
+    * saturates like a real crawl instead of growing linearly.
+    *
+    * Accuracy is pinned ONCE, outside the timed loop: the final
+    * estimate must sit within the k=256 sketch's sampling error of the
+    * exact distinct count over the regenerated corpus (the only full
+    * re-aggregation in the soak — q111 pins bit-level mergeability at
+    * sf0.01; this pins the estimator at ×`days` scale).
+    *
+    * Usage: sbt "runMain graft.Soak 30 sketch_days" (first arg = days). */
+  private def sketchDays(spark: SparkSession, days: Int, out: String): Unit = {
+    import graft.operators.ApproxOps
+    val batchN = 20000L
+    val k = 256
+    val skDir = s"$out/sketch_days_sketches.parquet"
+    def text(d: Int, id: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit(s"d${d}w${j}u"), pmod(id * 31 + lit(j * 7), lit(1000003)))): _*)
+    // day-independent slice: every 4th doc draws from a shared vocabulary
+    def common(id: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 40).map(j =>
+        concat(lit(s"cw${j}u"), pmod(id * 17 + lit(j * 3), lit(997)))): _*)
+    def batch(d: Int): DataFrame = spark.range(batchN).select(
+      (lit(d.toLong * 10000000L) + col("id")).as("doc_id"),
+      when(col("id") % 4 === 0, common(col("id")))
+        .otherwise(text(d, col("id"))).as("text"))
+    def trigrams(df: DataFrame): DataFrame = df.select(
+      explode(graft.functions.TextOps.shinglesNative(
+        graft.functions.TextOps.tokens(col("text")), 3)).as("w"))
+    println("[soak] sketch_days: day, sketch_rows, est_cum, wall_s")
+    var lastEst = 0.0
+    (0 until days).foreach { d =>
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      ApproxOps.kmvSketch(trigrams(batch(d)), lit(d), col("w"), k)
+        .write.mode(if (d == 0) SaveMode.Overwrite else SaveMode.Append)
+        .parquet(skDir)
+      val hist = spark.read.parquet(skDir)
+      val est = ApproxOps.kmvMerge(hist.select(lit(1).as("grp"), col("h")), k)
+        .groupBy("grp").agg(count(lit(1)).as("n"), max("h").as("hmax"))
+        .select(ApproxOps.kmvEstimate(col("n"), col("hmax"), k).as("est"))
+        .collect()(0).getDouble(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      lastEst = est
+      println(f"[soak] sketch_days $d%2d ${(d + 1).toLong * k}%7d $est%12.0f $wall%.2f")
+    }
+    // exact parity, untimed: KMV standard error is ~1/sqrt(k−2) ≈ 6.3%
+    // at k=256; gate at 4 sigma
+    val exact = trigrams((0 until days).map(batch).reduce(_ unionAll _))
+      .distinct().count()
+    val rel = math.abs(lastEst - exact) / exact
+    require(rel < 4.0 / math.sqrt(k - 2.0),
+      f"kmv estimate off: est $lastEst%.0f vs exact $exact (rel $rel%.4f)")
+    println(f"[soak] sketch_days final: est $lastEst%.0f exact $exact rel_err $rel%.4f")
   }
 }
