@@ -425,6 +425,25 @@ object PipelineQueries {
         TextOps.bpeTokenCount(col("text")), seqLen = 512L)
       .transform(sortedSmall(_, col("shard"), col("seq_id")))
 
+  /** q114: temperature-reweighted mixture plan
+    * ([[graft.operators.Sampling.temperatureMixture]]) — the mT5-style
+    * `p^α` source reweighting that DERIVES the target weights q78's
+    * budget sampler consumes: per source, natural token share, α = 0.7
+    * reweighted share, token target under a 1M budget, and the epochs
+    * (upsampling factor) the loader must apply. One |sources|-row
+    * aggregate; normalizations are 1-row broadcast arithmetic. */
+  def q114(t: Tables): DataFrame =
+    graft.operators.Sampling.temperatureMixture(
+        t.documents, col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        alpha = 0.7, budgetTokens = 1000000L)
+      .select(col("stratum"), col("n_tokens"),
+        Rounding.portable(col("p"), 6).as("p"),
+        Rounding.portable(col("w"), 6).as("w"),
+        Rounding.portable(col("target_tokens"), 3).as("target_tokens"),
+        Rounding.portable(col("epochs"), 6).as("epochs"))
+      .transform(sortedSmall(_, col("stratum")))
+
   /** q110: exact-substring REMOVAL ([[Dedup.removeSubstringRuns]]) — the
     * ACT step completing q86's report, the same way q106 completes q57:
     * the Lee et al. pipeline cuts each flagged ≥ 8-token verbatim span
@@ -980,6 +999,7 @@ object PipelineQueries {
     "q111_sketch_novelty" -> q111 _,
     "q112_bpe_tokens" -> q112 _,
     "q113_bpe_packing" -> q113 _,
+    "q114_temperature_mixture" -> q114 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1253,6 +1273,27 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM o GROUP BY shard, seq_id
       ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
+
+    // q114: per-source token totals → natural share p → pow(p, 0.7)
+    // reweighting; arithmetic mirrors Sampling.temperatureMixture's
+    // expression tree term by term (q94's association precedent) so
+    // round(·, 6) sees the same doubles
+    "q114_temperature_mixture" -> """
+      WITH t AS (SELECT coalesce(source, '__null__') AS stratum,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1
+                 HAVING sum(len(string_split(text, ' '))) > 0),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+      p AS (SELECT stratum, n_tokens,
+                   n_tokens / (SELECT total FROM tot) AS p,
+                   power(n_tokens / (SELECT total FROM tot), 0.7) AS pa
+            FROM t),
+      z AS (SELECT sum(pa) AS z FROM p)
+      SELECT stratum, n_tokens, round(p, 6) AS p,
+             round(pa / (SELECT z FROM z), 6) AS w,
+             round(1000000.0 * pa / (SELECT z FROM z), 3) AS target_tokens,
+             round(1000000.0 * pa / (SELECT z FROM z) / n_tokens, 6) AS epochs
+      FROM p ORDER BY stratum NULLS FIRST""",
 
     // q110: q86's run detection verbatim, then spans → covered positions
     // → anti-marked token re-join; string_agg(... ORDER BY pos) mirrors

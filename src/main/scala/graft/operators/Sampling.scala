@@ -106,6 +106,50 @@ object Sampling {
     * deliberate null-key handling): give `"__null__"` a weight to keep
     * an unlabeled slice (e.g. unidentified-language docs), omit it to
     * drop that slice explicitly rather than silently. */
+  /** TEMPERATURE-reweighted mixture plan — derives the per-stratum
+    * target weights [[tokenBudgetSample]] consumes, instead of taking
+    * them as given. The standard multilingual/multi-source recipe
+    * (mT5/XLM-R style): sample strata proportional to `p_s^α` where
+    * `p_s` is the stratum's natural token share and `α ∈ (0, 1]` the
+    * temperature — α = 1 keeps the natural mixture, α → 0 flattens
+    * toward uniform, anything between boosts the tail without drowning
+    * the head. Returns one report row per stratum: natural share `p`,
+    * reweighted share `w = p^α / Σ p^α`, the token target under
+    * `budgetTokens`, and `epochs` = target/available — the upsampling
+    * factor a loader must apply (> 1 means the stratum repeats; the
+    * signal [[tokenBudgetSample]]'s keep-only-downsampling clamps away).
+    *
+    * Shuffle shape at 100 TB: ONE |strata|-row aggregate; every
+    * normalization after it is 1-row-broadcast cross-join arithmetic on
+    * report-sized data (the q94/q98 totals discipline). NULL strata
+    * group under the `"__null__"` sentinel exactly like
+    * [[tokenBudgetSample]]. Cross-engine: shares and `pow` evaluate on
+    * identical doubles in both engines (counts are exact longs; the
+    * division/power expression trees mirror the oracle's), the q94
+    * association-mirroring precedent. */
+  def temperatureMixture(
+      df: DataFrame, stratum: Column, tokenCount: Column,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val st = coalesce(stratum.cast("string"), lit("__null__"))
+    val t = df.groupBy(st.as("stratum"))
+      .agg(sum(tokenCount).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+    val total = t.agg(sum("n_tokens").as("__tm_total"))
+    val pa = t.crossJoin(broadcast(total))
+      .withColumn("p", col("n_tokens") / col("__tm_total"))
+      .withColumn("__tm_pa", pow(col("p"), lit(alpha)))
+    val z = pa.agg(sum("__tm_pa").as("__tm_z"))
+    pa.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_tokens"), col("p"),
+        (col("__tm_pa") / col("__tm_z")).as("w"),
+        (lit(budgetTokens.toDouble) * col("__tm_pa") / col("__tm_z"))
+          .as("target_tokens"),
+        (lit(budgetTokens.toDouble) * col("__tm_pa") / col("__tm_z") /
+          col("n_tokens")).as("epochs"))
+  }
+
   def tokenBudgetSample(
       df: DataFrame, key: Column, stratum: Column, tokenCount: Column,
       weightsPerMille: Map[String, Int], budgetTokens: Long): DataFrame = {

@@ -141,4 +141,36 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sum to 1"))
   }
+
+  test("temperatureMixture: closed-form reweighting, α=1 identity, tail boost") {
+    // 20/80 token split: at α=0.5 the p^α ratio is √0.2 : √0.8 = 1 : 2,
+    // so the reweighted shares are exactly 1/3 and 2/3
+    val docs = Seq(("a", 20L), ("b", 80L), ("zero", 0L))
+      .toDF("src", "n")
+    val half = Sampling.temperatureMixture(
+        docs, col("src"), col("n"), alpha = 0.5, budgetTokens = 100L)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // zero-token stratum contributes nothing and is dropped
+    assert(half.keySet == Set("a", "b"), s"$half")
+    assert(math.abs(half("a")._4 - 1.0 / 3) < 1e-12, s"$half")
+    assert(math.abs(half("b")._4 - 2.0 / 3) < 1e-12, s"$half")
+    // epochs = target/available: the tail must UPSAMPLE (33.3 tokens
+    // wanted from 20 available), the head downsample
+    assert(math.abs(half("a")._6 - (100.0 / 3) / 20) < 1e-12, s"$half")
+    assert(half("b")._6 < 1.0)
+    // α = 1 keeps the natural mixture: w == p for every stratum
+    val nat = Sampling.temperatureMixture(
+        docs, col("src"), col("n"), alpha = 1.0, budgetTokens = 100L)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    nat.foreach(r => assert(r._3 == r._4, s"$r"))
+    // α < 1 always moves the minority share UP, majority DOWN
+    assert(half("a")._4 > half("a")._3 && half("b")._4 < half("b")._3)
+    // NULL strata group under the sentinel, same as tokenBudgetSample
+    val withNull = Seq((Option("a"), 10L), (None, 10L)).toDF("src", "n")
+    val rows = Sampling.temperatureMixture(
+        withNull, col("src"), col("n"), alpha = 0.7, budgetTokens = 10L)
+      .select("stratum").as[String].collect().toSet
+    assert(rows == Set("a", "__null__"), s"$rows")
+  }
 }
