@@ -1165,7 +1165,7 @@ object PipelineQueries {
               sum(tok) OVER (PARTITION BY source ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
             FROM d)
-      SELECT source AS shard, off // 512 AS seq_id,
+      SELECT source AS shard, CAST(off // 512 AS BIGINT) AS seq_id,
              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM o GROUP BY shard, seq_id ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
 
@@ -1269,7 +1269,7 @@ object PipelineQueries {
               sum(d.tok) OVER (PARTITION BY doc.source ORDER BY d.doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d.tok AS off
             FROM d JOIN doc ON d.doc_id = doc.doc_id)
-      SELECT source AS shard, off // 512 AS seq_id,
+      SELECT source AS shard, CAST(off // 512 AS BIGINT) AS seq_id,
              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM o GROUP BY shard, seq_id
       ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",

@@ -106,12 +106,12 @@ object Soak {
     // multiple of 40 so each copy contributes the same share)
     replicate(src.part, "part",
       (d, i) => d.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 1000000L)))
-    // events: replicate the RAW table (ts stays nanos-long) shifting
-    // event_id and user_id — distinct user populations so session/window
-    // key counts scale, not per-key depth
+    // events: replicate the normalized view (ts → µs TimestampType
+    // regardless of the source file's physical layout) shifting event_id
+    // and user_id — distinct user populations so session/window key
+    // counts scale, not per-key depth
     replicate(
-      spark.read.schema(Tables.schemas("events"))
-        .parquet("/root/testdata/sf0.1/events.parquet"),
+      Tables.eventsView(spark, "/root/testdata/sf0.1"),
       "events",
       (d, i) => d
         .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))

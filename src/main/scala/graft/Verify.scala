@@ -88,6 +88,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema-drift guard (see Tables.assertSchemasMatch): LOUD but
+    // non-fatal — queries over undrifted tables still verify; queries
+    // over a drifted one fail with this banner naming the exact column
+    // instead of silently computing garbage (round 9: events.ts
+    // nanos→micros redded 11 rows with zero diagnostics).
+    try Tables.assertSchemasMatch(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] SCHEMA DRIFT — affected results are garbage:\n${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       // delete any previous output FIRST: mode(overwrite) only clears the

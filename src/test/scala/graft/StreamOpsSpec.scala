@@ -17,9 +17,7 @@ class StreamOpsSpec extends SparkSpec {
     dir.toString
   }
 
-  private def eventsStream =
-    spark.readStream.schema(Tables.schemas("events")).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  private def eventsStream = Tables.eventsStream(spark, streamDir)
 
   test("StreamOps.tumbling over a stream equals the direct batch aggregate") {
     val q = StreamOps.tumbling(eventsStream, col("ts"), "1 hour",
@@ -53,8 +51,7 @@ class StreamOpsSpec extends SparkSpec {
       dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val dupStream = spark.readStream.schema(Tables.schemas("events")).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val dupStream = Tables.eventsStream(spark, dir.toString)
     val q = StreamOps.dedupWithinWatermark(dupStream, "ts", "1 hour", Seq("event_id"))
       .groupBy().agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("so_d").outputMode("complete")

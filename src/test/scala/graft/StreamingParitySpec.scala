@@ -21,9 +21,7 @@ class StreamingParitySpec extends SparkSpec {
     dir.toString
   }
 
-  private def eventsStream: DataFrame =
-    spark.readStream.schema(Tables.schemas("events")).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  private def eventsStream: DataFrame = Tables.eventsStream(spark, streamDir)
 
   private def runToCompletion(df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
