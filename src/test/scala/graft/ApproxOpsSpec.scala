@@ -23,6 +23,57 @@ class ApproxOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ApproxOps.approxDistinct(sf0001.lineitem, 0.02))
   }
 
+  test("groupPercentiles: approx default tracks the exact opt-in within the rank-error band") {
+    // the operator API's default (mergeable sketch) vs its exact opt-in
+    // (the q45 gate path) on the same grouping. percentile_approx
+    // guarantees rank error <= n/accuracy; convert to a value band by
+    // bracketing with exact percentiles at p +/- 0.01 (>> 1/10000, so
+    // the assertion is loose enough to never flake yet pins the sketch
+    // to the right quantile neighborhood). Deterministic: both sides are
+    // deterministic aggregates over the same data.
+    val ps = Seq(0.25, 0.5, 0.75)
+    val exact = ApproxOps.groupPercentiles(
+      sf0001.lineitem, Seq("l_returnflag"), col("l_extendedprice"),
+      Seq(0.24, 0.26, 0.49, 0.51, 0.74, 0.76), exact = true)
+    val approx = ApproxOps.groupPercentiles(
+      sf0001.lineitem, Seq("l_returnflag"), col("l_extendedprice"), ps)
+    assert(approx.columns.toSeq == Seq("l_returnflag", "p25", "p50", "p75"))
+    val lo = Map("p25" -> "p24", "p50" -> "p49", "p75" -> "p74")
+    val hi = Map("p25" -> "p26", "p50" -> "p51", "p75" -> "p76")
+    val ex = exact.collect().map(r => r.getString(0) -> r).toMap
+    approx.collect().foreach { r =>
+      val e = ex(r.getString(0))
+      Seq("p25", "p50", "p75").foreach { c =>
+        val v = r.getAs[Double](c)
+        val (l, h) = (e.getAs[Double](lo(c)), e.getAs[Double](hi(c)))
+        assert(v >= l && v <= h,
+          s"${r.getString(0)}.$c: sketch $v outside exact band [$l, $h]")
+      }
+    }
+    // ungrouped (global) percentiles work too
+    val g = ApproxOps.groupPercentiles(
+      sf0001.lineitem, Nil, col("l_extendedprice"), Seq(0.5))
+    assert(g.columns.toSeq == Seq("p50") && g.count() == 1)
+    intercept[IllegalArgumentException](
+      ApproxOps.groupPercentiles(sf0001.lineitem, Nil, col("l_tax"), Nil))
+  }
+
+  test("q14's HLL drop-in: approxDistinct reproduces the exact three-way distinct shape") {
+    // The documented contract cost (BASELINE.md q14): the exact
+    // three-distinct form is permanently >2x the single-pass DuckDB
+    // baseline under the local job floor; THIS is the drop-in the
+    // operator library ships for when the contract relaxes — one
+    // aggregate pass, no distinct shuffle, partials merge as sketches.
+    val approx = ApproxOps.approxDistinct(sf0001.lineitem, 0.02,
+      "ds" -> col("l_suppkey"), "dp" -> col("l_partkey"),
+      "dpair" -> struct(col("l_suppkey"), col("l_partkey")))
+    val exact = Queries.q14(sf0001).as[(Long, Long, Long)].head()
+    val a = approx.as[(Long, Long, Long)].head()
+    assert(math.abs(a._1 - exact._1).toDouble / exact._1 < 0.1, s"ds $a vs $exact")
+    assert(math.abs(a._2 - exact._2).toDouble / exact._2 < 0.1, s"dp $a vs $exact")
+    assert(math.abs(a._3 - exact._3).toDouble / exact._3 < 0.1, s"dpair $a vs $exact")
+  }
+
   test("kmvSketch: under-full sketch is the exact distinct set; estimate is exact") {
     val items = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
       .toDF("g", "w")
