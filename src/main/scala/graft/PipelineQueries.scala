@@ -432,6 +432,47 @@ object PipelineQueries {
     * reweighted share, token target under a 1M budget, and the epochs
     * (upsampling factor) the loader must apply. One |sources|-row
     * aggregate; normalizations are 1-row broadcast arithmetic. */
+  /** q115: Gopher-style quality gate ([[graft.operators.Cleaning
+    * .gopherRules]]) — the published heuristic battery (word-count and
+    * mean-word-length bounds, minimum stopword hits, top-2-gram
+    * character-fraction ceiling) per doc, with the doc_id % 10 == 4
+    * slice gated. Thresholds chosen so every rule family has both
+    * outcomes on the fixture (stop_hits and top2_frac each fail ~25%). */
+  def q115(t: Tables): DataFrame =
+    graft.operators.Cleaning.gopherRules(t.documents, col("doc_id"), col("text"))
+      .filter(col("id") % 10 === 4)
+      .select(col("id").as("doc_id"), col("n_words"),
+        Rounding.portable(col("mean_word_len"), 6).as("mean_word_len"),
+        col("stop_hits"),
+        Rounding.portable(col("top2_frac"), 6).as("top2_frac"),
+        col("keep"))
+      .transform(sortedSmall(_, col("doc_id")))
+
+  /** q116: DSIR importance weights ([[graft.operators.TextAnalysis
+    * .dsirWeights]]) — hashed-unigram log-likelihood ratios against the
+    * `lang = 'en'` slice as the target domain; doc_id % 10 == 5 gated.
+    * The hash gate pins the bucket hash, both smoothed distributions
+    * and the per-doc sum. */
+  def q116(t: Tables): DataFrame =
+    TextAnalysis.dsirWeights(t.documents, col("doc_id"), col("text"),
+        isTarget = col("lang") === "en")
+      .filter(col("id") % 10 === 5)
+      .select(col("id").as("doc_id"), col("n_tok"),
+        Rounding.portable(col("weight"), 6).as("weight"))
+      .transform(sortedSmall(_, col("doc_id")))
+
+  /** q117: bigram-LM cross-entropy filter scores
+    * ([[graft.operators.TextAnalysis.bigramCrossEntropy]]) — add-one
+    * bigram model trained on the `lang = 'en'` slice scoring every doc
+    * (the CCNet perplexity-filter shape); doc_id % 10 == 6 gated. */
+  def q117(t: Tables): DataFrame =
+    TextAnalysis.bigramCrossEntropy(t.documents, col("doc_id"), col("text"),
+        isTarget = col("lang") === "en")
+      .filter(col("id") % 10 === 6)
+      .select(col("id").as("doc_id"), col("n_bigrams"),
+        Rounding.portable(col("ce"), 6).as("ce"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1000,6 +1041,9 @@ object PipelineQueries {
     "q112_bpe_tokens" -> q112 _,
     "q113_bpe_packing" -> q113 _,
     "q114_temperature_mixture" -> q114 _,
+    "q115_gopher_gate"   -> q115 _,
+    "q116_dsir_weights"  -> q116 _,
+    "q117_bigram_lm_ce"  -> q117 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1273,6 +1317,77 @@ object PipelineQueries {
              CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
       FROM o GROUP BY shard, seq_id
       ORDER BY shard NULLS FIRST, seq_id NULLS FIRST""",
+
+    // q115: Gopher rules — mean word len via in-list length sum; top
+    // 2-gram by (count DESC, gram) row_number (deterministic argmax both
+    // engines); keep = the conjunction over UNROUNDED metrics (integer/
+    // integer double divisions are IEEE-identical cross-engine)
+    "q115_gopher_gate" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS s,
+                        length(text) AS nch FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(s) AS BIGINT) AS n_words,
+              list_aggregate(list_transform(s, w -> length(w)), 'sum')
+                / CAST(len(s) AS DOUBLE) AS mwl,
+              CAST(len(list_filter(s,
+                w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS stop_hits
+            FROM d),
+      g AS (SELECT doc_id, nch, concat(s[i], ' ', s[i+1]) AS gram
+            FROM d, unnest(range(1, greatest(len(s), 1))) AS t(i)),
+      gc AS (SELECT doc_id, nch, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      rk AS (SELECT doc_id, nch, gram, c, row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM gc),
+      top AS (SELECT doc_id,
+                c * length(gram) / CAST(nch AS DOUBLE) AS t2 FROM rk WHERE rn = 1)
+      SELECT m.doc_id, m.n_words, round(m.mwl, 6) AS mean_word_len, m.stop_hits,
+             round(coalesce(top.t2, 0), 6) AS top2_frac,
+             (m.n_words BETWEEN 15 AND 10000 AND m.mwl BETWEEN 2 AND 10
+              AND m.stop_hits >= 2 AND coalesce(top.t2, 0) <= 0.08) AS keep
+      FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+      WHERE m.doc_id % 10 = 4 ORDER BY m.doc_id NULLS FIRST""",
+
+    // q116: DSIR — bucket = q105's md5 top-16-bits idiom mod 64; Laplace
+    // (c+1)/(tot+64) both sides, per-token ln-ratio summed per doc.
+    // BIGINT/BIGINT division is double in both engines; ln = natural log.
+    "q116_dsir_weights" -> """
+      WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+                          unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      tb AS (SELECT doc_id, tgt,
+               CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % 64 AS b FROM tok),
+      c AS (SELECT b,
+              CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM tb GROUP BY b),
+      t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                   CAST(sum(cr) AS BIGINT) AS tr FROM c),
+      r AS (SELECT b, ln((ct + 1) / (tt + 64)) - ln((cr + 1) / (tr + 64)) AS lr
+            FROM c, t),
+      sc AS (SELECT tb.doc_id, count(*) AS n_tok, sum(r.lr) AS w
+             FROM tb JOIN r ON tb.b = r.b GROUP BY tb.doc_id)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, round(w, 6) AS weight
+      FROM sc WHERE doc_id % 10 = 5 ORDER BY doc_id NULLS FIRST""",
+
+    // q117: add-one bigram LM on the lang='en' slice (c2/c1 from the
+    // SAME bigram stream, V = distinct target unigrams); every doc
+    // scored by avg(-ln p) — q98's association order per term
+    "q117_bigram_lm_ce" -> """
+      WITH d AS (SELECT doc_id, lang = 'en' AS tgt,
+                        string_split(lower(text), ' ') AS s FROM documents),
+      g AS (SELECT doc_id, tgt, s[i] AS w1, concat(s[i], ' ', s[i+1]) AS gram
+            FROM d, unnest(range(1, greatest(len(s), 1))) AS t(i)),
+      c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g WHERE tgt GROUP BY gram),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM g WHERE tgt GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+            FROM (SELECT unnest(s) AS w FROM d WHERE tgt)),
+      sc AS (SELECT g.doc_id, count(*) AS n_bigrams,
+               avg(-ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v))) AS ce
+             FROM g
+             LEFT JOIN c2 ON g.gram = c2.gram
+             LEFT JOIN c1 ON g.w1 = c1.w1
+             CROSS JOIN v
+             GROUP BY g.doc_id)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(ce, 6) AS ce
+      FROM sc WHERE doc_id % 10 = 6 ORDER BY doc_id NULLS FIRST""",
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

@@ -72,6 +72,53 @@ object Cleaning {
       .drop("__quantile_gate_thr")
   }
 
+  /** Gopher-style quality rules (the published heuristic battery of Rae
+    * et al. 2021 §A1.1, restated over whitespace tokens): word-count
+    * bounds, mean-word-length bounds, a minimum stopword-hit count (pure
+    * symbol/code pages have none) and a ceiling on the fraction of
+    * characters covered by the single most frequent 2-gram (boilerplate
+    * and degenerate repetition concentrate mass there — the complement
+    * of [[graft.operators.TextAnalysis]] q79's DISTINCT-ratio view).
+    *
+    * Returns per-doc `(id columns…, n_words, mean_word_len, stop_hits,
+    * top2_frac, keep)`. Shuffle shape at 100 TB: one explode+count on
+    * (doc, gram) with map-side combine, a per-doc window for the argmax
+    * gram (deterministic tie-break: highest count, then lexicographic
+    * gram), and one per-doc join — everything keyed by doc, no global
+    * exchange. The rule thresholds are data-set parameters, not
+    * constants of nature. */
+  def gopherRules(df: DataFrame, id: Column, text: Column,
+      stops: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
+      minWords: Int = 15, maxWords: Int = 10000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, maxTop2Frac: Double = 0.08): DataFrame = {
+    val toks = TextOps.tokens(text)
+    val base = df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"))
+    val metrics = base.select(
+      col("id"), col("__gq_nch"),
+      size(col("__gq_s")).cast("long").as("n_words"),
+      (aggregate(col("__gq_s"), lit(0), (acc, w) => acc + length(w))
+        / size(col("__gq_s")).cast("double")).as("mean_word_len"),
+      size(filter(col("__gq_s"), w => w.isInCollection(stops))).cast("long").as("stop_hits"))
+    val grams = base.select(col("id"), col("__gq_nch"),
+      explode(TextOps.shinglesNative(col("__gq_s"), 2)).as("gram"))
+    val counts = grams.groupBy("id", "__gq_nch", "gram").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c").desc, col("gram"))
+    val top = counts.withColumn("__gq_rn", row_number().over(w))
+      .filter(col("__gq_rn") === 1)
+      .select(col("id"),
+        (col("c") * length(col("gram")) / col("__gq_nch").cast("double")).as("top2_frac"))
+    metrics.join(top, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("stop_hits") >= minStopHits &&
+        col("top2_frac") <= maxTop2Frac)
+  }
+
   /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the
     * boilerplate-removal step for HTML-scraped corpora. Codegen'd string
     * built-ins only; the tag pattern is RE2-safe (no backtracking

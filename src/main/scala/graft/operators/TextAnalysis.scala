@@ -206,4 +206,81 @@ object TextAnalysis {
         log(col("n_ab") * col("nu") * col("nu") / (col("nb") * col("c1") * col("c2"))))
       .select("w1", "w2", "n_ab", "pmi")
   }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023 — the published hashed-n-gram recipe): bucket every
+    * token by a stable hash (md5 top-16-bits mod `buckets`, the
+    * [[Layout.seededShuffle]] idiom — engine-portable), fit two
+    * Laplace-smoothed bucket distributions (target vs raw), and score
+    * each doc by its summed per-token log-likelihood ratio
+    * `Σ ln(p_target(b)/p_raw(b))` — high weight = "looks like the
+    * target domain", the resampling key for domain-matched pretraining
+    * mixes. `isTarget` marks the target-domain rows of `docs` itself
+    * (in production, a curated corpus unioned in).
+    *
+    * Shuffle shape at 100 TB: one explode+count on the bucket key
+    * (map-side combined, ≤`buckets` rows out), the ratio table rides
+    * back as a broadcast, and the per-doc sum shuffles on doc id —
+    * nothing wider than the corpus token stream, no all-pairs anywhere.
+    * Returns (id, n_tok, weight). */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import graft.functions.TextOps
+    val tok = docs.select(id.as("id"), isTarget.as("__dsir_tgt"),
+        explode(TextOps.tokens(text)).as("w"))
+      .withColumn("__dsir_b",
+        pmod(conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val counts = tok.groupBy("__dsir_b").agg(
+      sum(when(col("__dsir_tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__dsir_tgt"), 1L).otherwise(0L)).as("cr"))
+    val tots = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val ratio = counts.crossJoin(broadcast(tots))
+      .select(col("__dsir_b"),
+        (log((col("ct") + lit(1)) / (col("tt") + lit(buckets))) -
+         log((col("cr") + lit(1)) / (col("tr") + lit(buckets)))).as("__dsir_lr"))
+    tok.join(broadcast(ratio), Seq("__dsir_b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("__dsir_lr").as("weight"))
+  }
+
+  /** Bigram-LM cross-entropy scoring (the CCNet/KenLM perplexity-filter
+    * shape, restated as an add-one-smoothed bigram model trained on the
+    * target-domain slice): every doc is scored by the mean negative log
+    * probability of its bigrams under
+    * `p(w2|w1) = (c2(w1 w2)+1) / (c1(w1)+V)` with counts from the
+    * target rows and V = the target's distinct-unigram vocabulary.
+    * Low cross-entropy = fluent under the target LM — the standard
+    * quality key for crawl filtering. Sibling of [[unigramSurprisal]]
+    * (self-corpus, no smoothing, unigram).
+    *
+    * Shuffle shape: bigram and prefix count tables are vocab-sized
+    * aggregates; scoring is two equi-joins on those tables (broadcast
+    * when the vocab fits, shuffle-hash when it doesn't) plus V as a
+    * 1-row broadcast; the per-doc mean shuffles on doc id. Returns
+    * (id, n_bigrams, ce). */
+  def bigramCrossEntropy(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column): DataFrame = {
+    import graft.functions.TextOps
+    val grams = docs.select(id.as("id"), isTarget.as("__blm_tgt"),
+        TextOps.tokens(text).as("__blm_s"))
+      .select(col("id"), col("__blm_tgt"), col("__blm_s"),
+        explode(TextOps.shinglesNative(col("__blm_s"), 2)).as("gram"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val train = grams.filter(col("__blm_tgt"))
+    val c2 = train.groupBy("gram").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.filter(isTarget)
+      .select(explode(TextOps.tokens(text)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    grams
+      .join(c2, Seq("gram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((coalesce(col("c2"), lit(0L)) + lit(1)) /
+                 (coalesce(col("c1"), lit(0L)) + col("v")))).as("ce"))
+  }
 }

@@ -70,4 +70,40 @@ class CleaningSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Cleaning.quantileGate(df, col("s"), 1.0))
     assert(e.getMessage.contains("quantile"))
   }
+
+  test("gopherRules: each rule gates independently; metrics are closed-form") {
+    val docs = Seq(
+      // 1: healthy — 16 words, stopwords present, varied bigrams
+      (1L, "the quick brown fox jumps over a lazy dog while the cat walks to town today"),
+      // 2: too short (< 15 words)
+      (2L, "the a short doc of to in here"),
+      // 3: no stopwords
+      (3L, "quick brown fox jumps runs walks sits stands eats drinks sleeps wakes looks turns moves"),
+      // 4: degenerate repetition -> top-2-gram fraction blows the ceiling
+      (4L, "spam ham spam ham spam ham spam ham spam ham spam ham spam ham the a")
+    ).toDF("id", "text")
+    val out = Cleaning.gopherRules(docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_words") == 8L)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Long]("stop_hits") == 0L)
+    assert(!out(4L).getAs[Boolean]("keep"))
+    // doc 4 closed-form: "spam ham" occurs 7x, "ham spam" 6x -> top gram
+    // (count desc, lex asc tie-break) = "spam ham", 7 * len("spam ham")
+    // chars over the doc's char count
+    val text4 = "spam ham spam ham spam ham spam ham spam ham spam ham spam ham the a"
+    val t4 = out(4L).getAs[Double]("top2_frac")
+    assert(math.abs(t4 - 7.0 * 8 / text4.length) < 1e-12, s"got $t4")
+    // doc 1 mean word length: 62 alpha chars over 16 words
+    val docText = "the quick brown fox jumps over a lazy dog while the cat walks to town today"
+    val words = docText.split(" ")
+    val want = words.map(_.length).sum.toDouble / words.length
+    assert(math.abs(out(1L).getAs[Double]("mean_word_len") - want) < 1e-12)
+  }
+
+  test("gopherRules: single-word doc has top2_frac 0 and fails the word floor") {
+    val one = Seq((9L, "word")).toDF("id", "text")
+    val r = Cleaning.gopherRules(one, col("id"), col("text")).collect()(0)
+    assert(r.getAs[Double]("top2_frac") == 0.0 && !r.getAs[Boolean]("keep"))
+  }
 }

@@ -125,4 +125,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab._4 > 0.0 && ab._4 < math.log(2.0))
     assert(math.abs(ab._4 - ba._4) < 1e-12, s"$ab vs $ba")
   }
+
+  test("dsirWeights: target-like docs score above raw-like docs; smoothing keeps finite") {
+    // target domain speaks {alpha beta gamma}, raw speaks {delta epsilon zeta}
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha beta alpha gamma beta alpha", true),
+      (3L, "delta epsilon zeta delta epsilon zeta delta epsilon", false),
+      (4L, "epsilon zeta delta zeta delta epsilon zeta delta", false),
+      // score targets: one doc per dialect, NOT in either training slice
+      (10L, "alpha beta gamma beta alpha gamma", false),
+      (11L, "delta epsilon zeta epsilon delta zeta", false)
+    ).toDF("id", "text", "tgt")
+    // exclude the score targets from BOTH distributions via a 3-way flag:
+    // here simply mark them raw; their own 6 tokens barely move the raw
+    // distribution, the ordering assertion is robust to that
+    val w = TextAnalysis.dsirWeights(docs, col("id"), col("text"), col("tgt"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("weight")).toMap
+    assert(w(10L) > 0, s"target-dialect doc must have positive log-ratio, got ${w(10L)}")
+    assert(w(11L) < 0, s"raw-dialect doc must have negative log-ratio, got ${w(11L)}")
+    assert(w(10L) > w(11L))
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite), s"smoothing must keep weights finite: $w")
+    intercept[IllegalArgumentException](
+      TextAnalysis.dsirWeights(docs, col("id"), col("text"), col("tgt"), buckets = 1))
+  }
+
+  test("bigramCrossEntropy: in-domain text scores lower; unseen bigrams get the smoothed floor") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat ran on the mat", true),
+      (10L, "the cat sat on the mat", false), // verbatim in-domain
+      (11L, "zig zag zog zig zag zog", false) // fully out-of-domain
+    ).toDF("id", "text", "tgt")
+    val out = TextAnalysis.bigramCrossEntropy(docs, col("id"), col("text"), col("tgt"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_bigrams"), r.getAs[Double]("ce")))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(10L)._2 < out(11L)._2,
+      s"in-domain must score lower CE: ${out(10L)._2} vs ${out(11L)._2}")
+    assert(out(10L)._1 == 5L && out(11L)._1 == 5L)
+    // closed form for doc 11: V = 6 distinct target unigrams (the, cat,
+    // sat, ran, on, mat); every bigram unseen (c2 = 0) and every prefix
+    // unseen (c1 = 0) -> p = 1/6 each -> ce = ln 6
+    assert(math.abs(out(11L)._2 - math.log(6)) < 1e-12, s"got ${out(11L)._2}")
+  }
 }
