@@ -263,7 +263,15 @@ object Similarity {
     // (measured 5x slower than brute force at x10 before this hint)
     bounds.join(broadcast(b),
         col("pa") =!= col("pb") && abs(col("la") - col("lb")) <= col("dUp"))
-      .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      // THRESHOLDED levenshtein (per-row bound = dUp): the banded DP costs
+      // O(len·dUp) instead of O(len²) per pair, and -1 ("above the bound")
+      // pairs can never be the NN — dUp is achieved by the adjacent
+      // partner, so any d > dUp is strictly worse than a candidate that
+      // is already in the set. Ties at d == dUp survive (the bound is
+      // inclusive), so (d, pb) tie-breaks are untouched.
+      .select(col("pa"), col("pb"),
+        expr("levenshtein(na, nb, dUp)").cast("long").as("d"))
+      .filter(col("d") >= 0)
       .withColumn("rn", row_number().over(w2))
       .filter(col("rn") === 1)
       .select(col("pa").as("sid"), col("pb").as("nn"), col("d"))
@@ -313,7 +321,10 @@ object Similarity {
     val w2 = Window.partitionBy("pa").orderBy(col("d"), col("pb"))
     probes.join(corpus, Seq("lb"))
       .filter(col("pa") =!= col("pb"))
-      .select(col("pa"), col("pb"), levenshtein(col("na"), col("nb")).cast("long").as("d"))
+      // same thresholded-DP argument as [[stringNearestNeighbor]]
+      .select(col("pa"), col("pb"),
+        expr("levenshtein(na, nb, dUp)").cast("long").as("d"))
+      .filter(col("d") >= 0)
       .withColumn("rn", row_number().over(w2))
       .filter(col("rn") === 1)
       .select(col("pa").as("sid"), col("pb").as("nn"), col("d"))
