@@ -79,6 +79,21 @@ object ExtensionQueries {
       .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
   }
 
+  /** q118: SemDedup ([[Similarity.semDedupDropped]]) — semantic
+    * near-duplicate pruning scoped to q35's 8 deterministic clusters:
+    * within a cluster, a vector is dropped when a cosine-0.4 neighbor
+    * is more diverse (lower centroid similarity, vec_id tie-break).
+    * The hash gate pins the assignment, the pair threshold, the
+    * diversity rule and each dropped vector's neighbor count. */
+  def q118(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = e.filter(col("vec_id") < 8)
+    Similarity.semDedupDropped(e, centroids, tau = 0.4)
+      .select(col("cid"), col("vec_id"),
+        Rounding.portable(col("simc"), 6).as("simc"), col("n_dups"))
+      .transform(sortedSmall(_, col("cid"), col("vec_id")))
+  }
+
   /** q80: multi-probe IVF top-k ([[Similarity.ivfTopKProbed]]) — q35's
     * setup with each query probing its 2 nearest centroid buckets, the
     * standard IVF recall lever (a neighbor just across the Voronoi
@@ -261,6 +276,7 @@ object ExtensionQueries {
     "q39_fingerprint"        -> q39 _,
     "q40_multimodal_decode"  -> q40 _,
     "q80_ann_ivf_multiprobe" -> q80 _,
+    "q118_semdedup" -> q118 _,
     "q89_ann_pq"             -> q89 _,
     "q90_ann_ivf_pq"         -> q90 _,
   )
@@ -375,6 +391,25 @@ object ExtensionQueries {
           row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qe, e.e) DESC NULLS LAST, e.vec_id NULLS FIRST) AS rn
         FROM q JOIN assign a ON a.cid = q.qc AND a.vec_id <> q.qid JOIN e ON e.vec_id = a.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q118: q35's assignment CTE with the centroid similarity kept;
+    // dropped = exists a same-cluster tau-neighbor that is more diverse
+    // (lower simc, vec_id tie-break); n_dups counts those neighbors
+    "q118_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid, simc FROM (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.e, c.ce) AS simc,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c) t WHERE rn = 1),
+      v AS (SELECT a.cid, a.vec_id, a.simc, e.e FROM assign a JOIN e ON e.vec_id = a.vec_id),
+      d AS (SELECT a.cid, a.vec_id, a.simc, count(*) AS n_dups
+            FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+              AND (b.simc < a.simc OR (b.simc = a.simc AND b.vec_id < a.vec_id))
+            GROUP BY a.cid, a.vec_id, a.simc)
+      SELECT cid, vec_id, round(simc, 6) AS simc, CAST(n_dups AS BIGINT) AS n_dups
+      FROM d ORDER BY cid NULLS FIRST, vec_id NULLS FIRST""",
 
     // q80: q35's chain with the query side probing its 2 nearest
     // centroid buckets instead of only its own

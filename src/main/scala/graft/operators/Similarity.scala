@@ -33,6 +33,46 @@ object Similarity {
       .select("vec_id", "cid")
   }
 
+  /** SemDedup (the published embedding-cluster semantic-dedup recipe of
+    * Abbas et al. 2023): prune near-duplicate MEANING, not near-duplicate
+    * bytes — cluster the embedding space, then within each cluster drop
+    * every vector that has a cosine-`tau` neighbor which is MORE diverse
+    * by the paper's criterion (lower similarity to the shared centroid;
+    * vec id breaks exact ties, so the rule is total and deterministic).
+    * Returns the DROPPED rows `(cid, vec_id, simc, n_dups)` — the audit
+    * table; survivors = vectors anti-joined against it.
+    *
+    * Scale shape — the SemDedup design point: pairwise work is
+    * CLUSTER-bounded (choose k so Σ nᵢ² is tractable; the paper runs
+    * 50k clusters over web-scale corpora), expressed as one shuffle
+    * equi-join on the cluster id — never a global all-pairs. Assignment
+    * is [[ivfAssign]]'s broadcast pass; the drop rule is a local
+    * predicate per pair, no iteration, no driver round-trip. */
+  def semDedupDropped(vectors: DataFrame, centroids: DataFrame,
+      tau: Double): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val c = centroids.select(col("vec_id").as("cid"), col("e").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("simc").desc, col("cid"))
+    val assign = vectors.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        GraftFunctions.cosineSimilarity(col("e"), col("ce")).as("simc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "simc")
+    val va = vectors.join(assign, "vec_id")
+    val a = va.select(col("cid"), col("vec_id").as("va"),
+      col("e").as("ea"), col("simc").as("sa"))
+    val b = va.select(col("cid"), col("vec_id").as("vb"),
+      col("e").as("eb"), col("simc").as("sb"))
+    a.join(b, Seq("cid"))
+      .filter(col("va") =!= col("vb"))
+      .filter(GraftFunctions.cosineSimilarity(col("ea"), col("eb")) >= tau)
+      .filter(col("sb") < col("sa") ||
+        (col("sb") === col("sa") && col("vb") < col("va")))
+      .groupBy(col("cid"), col("va").as("vec_id"), col("sa").as("simc"))
+      .agg(count(lit(1)).as("n_dups"))
+  }
+
   /** Deterministic Lloyd's iterations for IVF centroid training: init =
     * the first k vectors by id, cosine assignment, up to `iters` rounds
     * with an ε-convergence stop — when the maximum L2 centroid movement

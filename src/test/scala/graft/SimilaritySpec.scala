@@ -300,4 +300,23 @@ class SimilaritySpec extends SparkSpec {
       .select("cid").as[Long].collect().toSet
     assert(noC2 == Set(0L, 1L), s"empty cluster must have no row, got $noC2")
   }
+
+  test("semDedupDropped: drops the less-diverse member of each in-cluster tau pair") {
+    // centroids: c0 = x-axis, c1 = y-axis. 10 and 11 are a near-identical
+    // pair in cluster 0 (cos > 0.999); 10 sits closer to the centroid, so
+    // the paper's diversity rule drops 10 and keeps 11. Vector 0 is only
+    // cos ~0.9939 to 10 (below tau) and 12 has no tau-neighbor at all.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (10L, Seq(0.9, 0.1)), (11L, Seq(0.89, 0.11)), (12L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "e")
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val dropped = Similarity.semDedupDropped(vecs, centroids, tau = 0.999)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vec_id"), r.getAs[Long]("n_dups")))
+    assert(dropped.toSeq == Seq((0L, 10L, 1L)), s"got ${dropped.toSeq}")
+    // survivors = anti-join: everyone but 10
+    val kept = vecs.join(Similarity.semDedupDropped(vecs, centroids, tau = 0.999),
+      Seq("vec_id"), "left_anti").select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 11L, 12L))
+  }
 }
