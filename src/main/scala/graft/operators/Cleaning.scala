@@ -80,38 +80,43 @@ object Cleaning {
     * and degenerate repetition concentrate mass there — the complement
     * of [[graft.operators.TextAnalysis]] q79's DISTINCT-ratio view).
     *
-    * Returns per-doc `(id columns…, n_words, mean_word_len, stop_hits,
-    * top2_frac, keep)`. Shuffle shape at 100 TB: one explode+count on
-    * (doc, gram) with map-side combine, a per-doc window for the argmax
-    * gram (deterministic tie-break: highest count, then lexicographic
-    * gram), and one per-doc join — everything keyed by doc, no global
-    * exchange. The rule thresholds are data-set parameters, not
-    * constants of nature. */
+    * Returns per-doc `(id, n_words, mean_word_len, stop_hits, top2_frac,
+    * keep)`. Every metric — including the argmax 2-gram — is computed
+    * IN-ROW with array HOFs (the gram count is per-doc state, so there
+    * is nothing to shuffle): the operator is a pure map-only projection.
+    * At 100 TB that means a single scan stage with zero exchanges, and
+    * it composes with Structured Streaming unchanged (stateless). The
+    * argmax tie-break (highest count, then lexicographically smallest
+    * gram) falls out of folding the SORTED gram array: runs arrive in
+    * lexicographic order and only a STRICTLY longer run replaces the
+    * best. The rule thresholds are data-set parameters, not constants
+    * of nature. */
   def gopherRules(df: DataFrame, id: Column, text: Column,
       stops: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
       minWords: Int = 15, maxWords: Int = 10000,
       minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
       minStopHits: Int = 2, maxTop2Frac: Double = 0.08): DataFrame = {
     val toks = TextOps.tokens(text)
-    val base = df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"))
-    val metrics = base.select(
-      col("id"), col("__gq_nch"),
-      size(col("__gq_s")).cast("long").as("n_words"),
-      (aggregate(col("__gq_s"), lit(0), (acc, w) => acc + length(w))
-        / size(col("__gq_s")).cast("double")).as("mean_word_len"),
-      size(filter(col("__gq_s"), w => w.isInCollection(stops))).cast("long").as("stop_hits"))
-    val grams = base.select(col("id"), col("__gq_nch"),
-      explode(TextOps.shinglesNative(col("__gq_s"), 2)).as("gram"))
-    val counts = grams.groupBy("id", "__gq_nch", "gram").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("c").desc, col("gram"))
-    val top = counts.withColumn("__gq_rn", row_number().over(w))
-      .filter(col("__gq_rn") === 1)
-      .select(col("id"),
-        (col("c") * length(col("gram")) / col("__gq_nch").cast("double")).as("top2_frac"))
-    metrics.join(top, Seq("id"), "left")
-      .select(col("id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"))
+    // run-length fold over the sorted gram array: (prev, run, best, bg)
+    val sortedGrams = array_sort(TextOps.shinglesNative(col("__gq_s"), 2))
+    val folded = aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("bg")),
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+          when(run > acc("best"), g).otherwise(acc("bg")).as("bg"))
+      })
+    df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"))
+      .withColumn("__gq_top", folded)
+      .select(
+        col("id"),
+        size(col("__gq_s")).cast("long").as("n_words"),
+        (aggregate(col("__gq_s"), lit(0), (acc, w) => acc + length(w))
+          / size(col("__gq_s")).cast("double")).as("mean_word_len"),
+        size(filter(col("__gq_s"), w => w.isInCollection(stops))).cast("long").as("stop_hits"),
+        (col("__gq_top")("best") * length(col("__gq_top")("bg"))
+          / col("__gq_nch").cast("double")).as("top2_frac"))
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(minMeanLen, maxMeanLen) &&

@@ -225,4 +225,28 @@ class StreamOpsSpec extends SparkSpec {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(got == want && got.nonEmpty, "stream and batch must assign identical splits")
   }
+
+  test("gopherRules is a stateless projection: streams unchanged, parity with batch") {
+    import graft.operators.Cleaning
+    val dir = Files.createTempDirectory("docs-gopher")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream.schema(Tables.schemas("documents"))
+      .parquet(dir.toString)
+    val q = Cleaning.gopherRules(docsStream, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("gopher_s").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("gopher_s").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("stop_hits"), r.getAs[Double]("top2_frac"),
+        r.getAs[Boolean]("keep"))).toMap
+    val batch = Cleaning.gopherRules(sf0001.documents, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("stop_hits"), r.getAs[Double]("top2_frac"),
+        r.getAs[Boolean]("keep"))).toMap
+    assert(streamed.size == batch.size && streamed == batch,
+      "streamed quality gate must equal the batch gate row for row")
+  }
 }
