@@ -65,7 +65,7 @@ object Soak {
     // the skew queries synthesize their corpus inline — when a filter
     // selects only those, the (minutes-long) table replication is skipped
     val tableQsAll = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++
-      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash")
+      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q118_semdedup")
         .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
         // the 64-bit scale variant (not oracle-gated; measured here to back
         // the N²/buckets claim against the 32-bit contract form)
