@@ -218,31 +218,44 @@ object TextAnalysis {
     * mixes. `isTarget` marks the target-domain rows of `docs` itself
     * (in production, a curated corpus unioned in).
     *
-    * Shuffle shape at 100 TB: one explode+count on the bucket key
-    * (map-side combined, ≤`buckets` rows out), the ratio table rides
-    * back as a broadcast, and the per-doc sum shuffles on doc id —
-    * nothing wider than the corpus token stream, no all-pairs anywhere.
+    * Shuffle shape at 100 TB: ONE exchange total — the ≤`buckets`-row
+    * count aggregate (map-side combined). The fitted ratio table folds
+    * into a single map literal (1-row aggregate, broadcast), and each
+    * doc's weight is an IN-ROW fold over its own token array — the
+    * scoring pass is map-only, the corpus never shuffles on doc id.
+    * Buckets no scored token trained on fall back to the smoothed
+    * zero-count ratio, so the fitted model also scores UNSEEN docs.
     * Returns (id, n_tok, weight). */
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
       isTarget: Column, buckets: Int = 64): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     import graft.functions.TextOps
-    val tok = docs.select(id.as("id"), isTarget.as("__dsir_tgt"),
+    def bucketOf(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 4), 16, 10).cast("long"), lit(buckets.toLong))
+    val counts = docs.select(isTarget.as("__dsir_tgt"),
         explode(TextOps.tokens(text)).as("w"))
-      .withColumn("__dsir_b",
-        pmod(conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"),
-          lit(buckets.toLong)))
-    val counts = tok.groupBy("__dsir_b").agg(
-      sum(when(col("__dsir_tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("__dsir_tgt"), 1L).otherwise(0L)).as("cr"))
-    val tots = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val ratio = counts.crossJoin(broadcast(tots))
-      .select(col("__dsir_b"),
-        (log((col("ct") + lit(1)) / (col("tt") + lit(buckets))) -
-         log((col("cr") + lit(1)) / (col("tr") + lit(buckets)))).as("__dsir_lr"))
-    tok.join(broadcast(ratio), Seq("__dsir_b"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tok"), sum("__dsir_lr").as("weight"))
+      .groupBy(bucketOf(col("w")).as("__dsir_b")).agg(
+        sum(when(col("__dsir_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__dsir_tgt"), 1L).otherwise(0L)).as("cr"))
+    def lr(ct: Column, cr: Column, tt: Column, tr: Column): Column =
+      log((ct + lit(1)) / (tt + lit(buckets))) - log((cr + lit(1)) / (tr + lit(buckets)))
+    // one row: the full bucket→ratio map plus the unseen-bucket fallback
+    // (totals ride a single-partition window over the ≤buckets-row table)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val model = counts
+      .withColumn("__dsir_tt", sum("ct").over(all))
+      .withColumn("__dsir_tr", sum("cr").over(all))
+      .agg(
+        map_from_entries(collect_list(struct(col("__dsir_b"),
+          lr(col("ct"), col("cr"), col("__dsir_tt"), col("__dsir_tr"))))).as("__dsir_m"),
+        lr(lit(0L), lit(0L), min("__dsir_tt"), min("__dsir_tr")).as("__dsir_lr0"))
+    docs.select(id.as("id"), TextOps.tokens(text).as("__dsir_s"))
+      .crossJoin(broadcast(model))
+      .select(col("id"),
+        size(col("__dsir_s")).cast("long").as("n_tok"),
+        aggregate(col("__dsir_s"), lit(0.0), (acc, w) =>
+          acc + coalesce(element_at(col("__dsir_m"), bucketOf(w)),
+            col("__dsir_lr0"))).as("weight"))
   }
 
   /** Bigram-LM cross-entropy scoring (the CCNet/KenLM perplexity-filter
