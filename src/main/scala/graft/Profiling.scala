@@ -67,26 +67,54 @@ object Profiling {
   }
 
   /** Run `body` with a metrics listener attached; return (result, profile).
-    * `rows` is whatever count `body` reports of itself. The listener bus
-    * is asynchronous, so after the action the profile waits (bounded) for
-    * every started job to report its end — a timeout degrades the METRICS
-    * (never the result), leaving whatever arrived. */
+    * `rows` is whatever count `body` reports of itself.
+    *
+    * The listener bus is ASYNCHRONOUS and delivers backlogged events to
+    * listeners attached after the event was posted, so naive counters
+    * both leak earlier work into the window and can read zero before the
+    * window's own events arrive. Two defenses: (a) after attaching, wait
+    * for the counters to go QUIET (no event for `settleMs`) and snapshot
+    * a baseline that is subtracted out — pre-window backlog is absorbed
+    * into the baseline instead of the profile; (b) after the action,
+    * wait until every started job reported its end AND the counters have
+    * been stable for `settleMs`. Both waits are deadline-bounded: a
+    * timeout degrades the METRICS (never the result). `peakMem` is a max
+    * (not subtractable) — with the settle wait it is overwhelmingly the
+    * window's own, worst case an overestimate from backlog. */
   def profiled[T](spark: SparkSession, name: String)(body: => (T, Long)): (T, QueryProfile) = {
     val l = new MetricsListener
+    val settleMs = 100L
+    def snapshot(): Seq[Long] = Seq(
+      l.jobsStarted.get.toLong, l.jobsEnded.get.toLong, l.stages.get.toLong,
+      l.tasks.get.toLong, l.inputBytes.get, l.inputRecords.get,
+      l.shuffleRead.get, l.shuffleWrite.get, l.spilled.get,
+      l.cpuNs.get, l.gcMs.get)
+    def awaitQuiet(deadline: Long, alsoJobsClosed: Boolean): Seq[Long] = {
+      var prev = snapshot()
+      var quietSince = System.currentTimeMillis()
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(10)
+        val cur = snapshot()
+        if (cur != prev) { prev = cur; quietSince = System.currentTimeMillis() }
+        else if (System.currentTimeMillis() - quietSince >= settleMs &&
+                 (!alsoJobsClosed || l.jobsEnded.get >= l.jobsStarted.get))
+          return cur
+      }
+      prev
+    }
     spark.sparkContext.addSparkListener(l)
     try {
+      // drain any backlog into the baseline before the window opens
+      val base = awaitQuiet(System.currentTimeMillis() + 2000, alsoJobsClosed = false)
       val t0 = System.nanoTime()
       val (result, rows) = body
       val wall = (System.nanoTime() - t0) / 1e9
-      val deadline = System.currentTimeMillis() + 5000
-      while (l.jobsEnded.get < l.jobsStarted.get && System.currentTimeMillis() < deadline)
-        Thread.sleep(10)
+      val fin = awaitQuiet(System.currentTimeMillis() + 5000, alsoJobsClosed = true)
+      val d = fin.zip(base).map { case (a, b) => a - b }
       (result, QueryProfile(
         name, wall, rows,
-        l.jobsStarted.get, l.stages.get, l.tasks.get,
-        l.inputBytes.get, l.inputRecords.get,
-        l.shuffleRead.get, l.shuffleWrite.get,
-        l.spilled.get, l.cpuNs.get / 1e9, l.gcMs.get / 1e3,
+        d(0).toInt, d(2).toInt, d(3).toInt,
+        d(4), d(5), d(6), d(7), d(8), d(9) / 1e9, d(10) / 1e3,
         l.peakMem.get))
     } finally spark.sparkContext.removeSparkListener(l)
   }
@@ -109,15 +137,15 @@ object Profiling {
 }
 
 /** `runMain graft.Profile <sfDir> <outJson> [query ...]` — profile the
-  * named queries (default: the full declared suite) and persist the
-  * per-query JSON artifact. */
+  * named queries (default: EVERY gated query, extensions included) and
+  * persist the per-query JSON artifact. */
 object Profile {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Profile <sfDir> <outJson> [query ...]")
     val (sfDir, outPath) = (args(0), args(1))
     val names =
       if (args.length > 2) args.drop(2).toSeq
-      else Queries.all.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val unknown = names.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Engine.session(master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

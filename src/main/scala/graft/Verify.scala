@@ -93,8 +93,11 @@ object Verify {
     // over a drifted one fail with this banner naming the exact column
     // instead of silently computing garbage (round 9: events.ts
     // nanos→micros redded 11 rows with zero diagnostics).
+    // NonFatal, not just IllegalStateException: a missing/corrupt FILE
+    // throws AnalysisException from the footer probe itself, and the
+    // guard must never take down the queries over the healthy tables.
     try Tables.assertSchemasMatch(spark, sfDir)
-    catch { case e: IllegalStateException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] SCHEMA DRIFT — affected results are garbage:\n${e.getMessage}")
     }
     new java.io.File(outDir).mkdirs()

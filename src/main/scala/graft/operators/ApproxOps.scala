@@ -62,9 +62,12 @@ object ApproxOps {
     }.drop("_ps")
   }
 
-  /** `0.25` → `p25`, `0.999` → `p99_9` — stable, SQL-safe column names. */
+  /** `0.25` → `p25`, `0.999` → `p99_9` — stable, SQL-safe column names.
+    * Built from the DECIMAL string, not the IEEE product: `0.07 * 100`
+    * is 7.000000000000001 in binary and would name the column
+    * `p7_000000000000001`. */
   private def pName(p: Double): String =
-    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_").replace("-", "m")
 
   /** K-MINIMUM-VALUES (bottom-k) mergeable distinct sketch — the

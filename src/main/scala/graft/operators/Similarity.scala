@@ -59,18 +59,28 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "cid", "simc")
+    // persist the assigned-vector table: BOTH sides of the self-join
+    // read it, and an unpersisted plan would run the centroid-assignment
+    // pass (broadcast cosine join + per-vector window) twice. Same
+    // materialize-then-release discipline as Graph.hits: the dropped set
+    // is pair-pruned tiny, so forcing it here is cheap.
     val va = vectors.join(assign, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = va.select(col("cid"), col("vec_id").as("va"),
       col("e").as("ea"), col("simc").as("sa"))
     val b = va.select(col("cid"), col("vec_id").as("vb"),
       col("e").as("eb"), col("simc").as("sb"))
-    a.join(b, Seq("cid"))
+    val out = a.join(b, Seq("cid"))
       .filter(col("va") =!= col("vb"))
       .filter(GraftFunctions.cosineSimilarity(col("ea"), col("eb")) >= tau)
       .filter(col("sb") < col("sa") ||
         (col("sb") === col("sa") && col("vb") < col("va")))
       .groupBy(col("cid"), col("va").as("vec_id"), col("sa").as("simc"))
       .agg(count(lit(1)).as("n_dups"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    va.unpersist(blocking = false)
+    out
   }
 
   /** Deterministic Lloyd's iterations for IVF centroid training: init =

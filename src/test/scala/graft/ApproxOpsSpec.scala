@@ -54,6 +54,11 @@ class ApproxOpsSpec extends SparkSpec {
     val g = ApproxOps.groupPercentiles(
       sf0001.lineitem, Nil, col("l_extendedprice"), Seq(0.5))
     assert(g.columns.toSeq == Seq("p50") && g.count() == 1)
+    // column names come from the DECIMAL value, not the IEEE product:
+    // 0.07 * 100 is 7.000000000000001 as a double
+    val names = ApproxOps.groupPercentiles(
+      sf0001.lineitem, Nil, col("l_extendedprice"), Seq(0.07, 0.999)).columns.toSeq
+    assert(names == Seq("p7", "p99_9"), s"got $names")
     intercept[IllegalArgumentException](
       ApproxOps.groupPercentiles(sf0001.lineitem, Nil, col("l_tax"), Nil))
   }
