@@ -101,19 +101,22 @@ object Bench {
     extNames.foreach(runOne)                     // extensions: warm + time
     // The dedup-cluster queries consume TWO shared suite-level inputs —
     // the memoized MinHash pair table (Tables.documentNearDupPairs; q72 +
-    // the CC consumers) and the resolved component table on top of it
-    // (Tables.documentNearDupComponents; q57/q85/q106/q109). Timing each
-    // consumer cold would multi-count the shared builds, so each build is
-    // timed ONCE as its own `shared_*` entry and the consumers are timed
-    // against the warm memos — exactly the cost profile of a real suite
-    // session. Everything else keeps the best-of-2 cold-pass methodology
-    // (clearCache before each rep so a query never reads a prior pass's
-    // persisted dedup results; a single timed pass is too exposed to this
-    // sandbox's background-load spikes — observed 10x outliers on the
-    // heaviest query).
+    // q102 + the CC consumers) and the resolved component table on top of
+    // it (Tables.documentNearDupComponents; q57/q85/q102/q106/q109).
+    // Timing each consumer cold would multi-count the shared builds, so
+    // each build is timed ONCE as its own `shared_*` entry — BEFORE any
+    // consumer is timed — and the consumers are timed against the warm
+    // memos — exactly the cost profile of a real suite session. (Round 10
+    // had q102 misclassified as cold: its clearCache reps rebuilt the
+    // whole pair table, reporting 5.89 s for a 0.37 s query.) Everything
+    // else keeps the best-of-2 cold-pass methodology (clearCache before
+    // each rep so a query never reads a prior pass's persisted dedup
+    // results; a single timed pass is too exposed to this sandbox's
+    // background-load spikes — observed 10x outliers on the heaviest
+    // query).
     val memoConsumers = Set(
       "q57_dedup_clusters", "q72_dedup_clusters_stars", "q85_cluster_audit",
-      "q106_keep_one_census", "q109_keep_best")
+      "q102_source_dup_matrix", "q106_keep_one_census", "q109_keep_best")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
       val reps = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()

@@ -473,6 +473,65 @@ object PipelineQueries {
         Rounding.portable(col("ce"), 6).as("ce"))
       .transform(sortedSmall(_, col("doc_id")))
 
+  /** q119: q112's subword accounting re-run against the production-SIZE
+    * synthetic vocabulary ([[graft.plans.BpeVocabLarge]]: ~34k merges,
+    * max piece length 5) through the trie-matched
+    * [[graft.plans.BpeTokenizeVocab]] expression — the scale
+    * demonstration the 60-entry fixture cannot provide: per-position
+    * match cost is bounded by the max piece length, not the vocab size.
+    * The oracle REGENERATES the identical vocab in closed form (letter
+    * cross-join CTEs plus the curated fixture VALUES — no 300 KB
+    * interpolation) and re-derives every word's segmentation with a
+    * bounded substr(5..2) equality-probe ladder, which is exactly the
+    * trie's bounded longest-match restated relationally. Still one
+    * map-side expression; no shuffle beyond the output sort. */
+  def q119(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("__bpe_toks"),
+        TextOps.bpeTokensVocab(col("text"), "synth32k").as("__bpe_p"))
+      .select(col("doc_id"),
+        size(col("__bpe_toks")).cast("long").as("n_words"),
+        size(col("__bpe_p")).cast("long").as("n_pieces"),
+        Rounding.portable(size(col("__bpe_p")).cast("double") /
+          size(col("__bpe_toks")), 6).as("bpe_ratio"),
+        array_join(col("__bpe_p"), " ").as("pieces"))
+      .transform(sortedSmall(_, col("doc_id")))
+
+  /** q120: the COMPLETE Gopher battery ([[Cleaning.gopherRulesFull]]) —
+    * q115's four rules plus duplicate-line / duplicate-paragraph
+    * fractions and the top-3/4-gram coverage ceilings; doc_id % 10 == 8
+    * gated. The fixture corpus is single-line, so the query first gives
+    * it deterministic structure — lines of 2 words, paragraphs of 4
+    * lines — IDENTICALLY derived in the oracle; the 2-word line width is
+    * chosen because it is the widest at which the fixture's 31-word
+    * closed vocabulary produces duplicate lines at all (both outcomes on
+    * the dup-line rule; paragraph duplicates never occur on this
+    * fixture, so that metric is oracle-verified at exactly 0). */
+  def q120(t: Tables): DataFrame = {
+    val words = split(col("text"), " ")
+    val lineArr = transform(
+      sequence(lit(0L), greatest(ceil(size(words) / lit(2.0)) - 1, lit(0L))),
+      i => array_join(slice(words, (i * 2 + 1).cast("int"), lit(2)), " "))
+    val paraArr = transform(
+      sequence(lit(0L), greatest(ceil(size(lineArr) / lit(4.0)) - 1, lit(0L))),
+      j => array_join(slice(lineArr, (j * 4 + 1).cast("int"), lit(4)), "\n"))
+    val structured = t.documents.filter(col("doc_id") % 10 === 8)
+      .select(col("doc_id"), array_join(paraArr, "\n\n").as("text"))
+    Cleaning.gopherRulesFull(structured, col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_words"),
+        Rounding.portable(col("mean_word_len"), 6).as("mean_word_len"),
+        col("stop_hits"),
+        Rounding.portable(col("top2_frac"), 6).as("top2_frac"),
+        Rounding.portable(col("top3_frac"), 6).as("top3_frac"),
+        Rounding.portable(col("top4_frac"), 6).as("top4_frac"),
+        col("n_lines"),
+        Rounding.portable(col("dup_line_frac"), 6).as("dup_line_frac"),
+        col("n_paras"),
+        Rounding.portable(col("dup_para_frac"), 6).as("dup_para_frac"),
+        col("keep"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1044,6 +1103,8 @@ object PipelineQueries {
     "q115_gopher_gate"   -> q115 _,
     "q116_dsir_weights"  -> q116 _,
     "q117_bigram_lm_ce"  -> q117 _,
+    "q119_bpe_vocab32k"  -> q119 _,
+    "q120_gopher_full"   -> q120 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1388,6 +1449,123 @@ object PipelineQueries {
              GROUP BY g.doc_id)
       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, round(ce, 6) AS ce
       FROM sc WHERE doc_id % 10 = 6 ORDER BY doc_id NULLS FIRST""",
+
+    // q119: q112's recursive segmentation against the closed-form
+    // regenerated ~34k vocab (letter cross-joins + curated fixture
+    // VALUES); the greedy longest-match is re-derived with a bounded
+    // substr(5..2) equality-probe ladder — legal because
+    // BpeVocabLarge.MaxPieceLen pins every piece at <= 5 chars (substr
+    // of a shorter remainder returns the remainder, so each probe can
+    // only hit a piece that actually prefixes it)
+    "q119_bpe_vocab32k" -> s"""
+      WITH RECURSIVE
+      fixture(piece) AS ${graft.plans.BpeVocab.sqlValues},
+      letter(s) AS (SELECT chr(97 + CAST(i AS INT)) FROM range(26) t(i)),
+      vowel(s) AS (VALUES ('a'),('e'),('i'),('o'),('u')),
+      cons(s) AS (SELECT s FROM letter WHERE s NOT IN (SELECT s FROM vowel)),
+      vocab(piece) AS (
+        SELECT piece FROM fixture
+        UNION SELECT a.s || b.s FROM letter a, letter b
+        UNION SELECT a.s || b.s || c.s FROM letter a, letter b, letter c
+        UNION SELECT c1.s || v1.s || c2.s || v2.s
+              FROM cons c1, vowel v1, cons c2, vowel v2
+        UNION SELECT v1.s || c1.s || v2.s || c2.s
+              FROM vowel v1, cons c1, vowel v2, cons c2
+              WHERE v1.s IN ('a', 'e')
+      ),
+      doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, s[i] AS w
+               FROM doc, unnest(range(1, len(s) + 1)) AS t(i)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      seg AS (
+        SELECT w, w AS rem, CAST(0 AS BIGINT) AS np, '' AS acc FROM dw
+        UNION ALL
+        SELECT w, substr(rem, length(p) + 1), np + 1,
+               CASE WHEN acc = '' THEN p ELSE acc || ' ' || p END
+        FROM (
+          SELECT s.w, s.rem, s.np, s.acc,
+            coalesce(
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 5)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 4)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 3)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 2)),
+              substr(s.rem, 1, 1)) AS p
+          FROM seg s WHERE s.rem <> ''
+        )
+      ),
+      wp AS (SELECT w, np, acc FROM seg WHERE rem = '')
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wp.np) AS BIGINT) AS n_pieces,
+             round(sum(wp.np) * 1.0 / count(*), 6) AS bpe_ratio,
+             coalesce(string_agg(CASE WHEN wp.acc <> '' THEN wp.acc END,
+                                 ' ' ORDER BY t.pos), '') AS pieces
+      FROM toks t JOIN wp ON t.w = wp.w
+      GROUP BY t.doc_id
+      ORDER BY doc_id NULLS FIRST""",
+
+    // q120: the derived line/paragraph structure (2-word lines, 4-line
+    // paragraphs) is rebuilt verbatim, then each battery metric mirrors
+    // the Spark expression: whitespace-regex tokens with empties
+    // filtered, dup fractions as (n - n_distinct)/n over non-empty
+    // parts, top-n-gram argmax via (count DESC, gram) row_number, keep
+    // over UNROUNDED metrics
+    "q120_gopher_full" -> """
+      WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS s0
+                  FROM documents WHERE doc_id % 10 = 8),
+      ln AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(s0)/2.0) AS INT)),
+               i -> array_to_string(s0[i*2+1:i*2+2], ' ')) AS lines FROM d0),
+      pa AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(lines)/4.0) AS INT)),
+               j -> array_to_string(lines[j*4+1:j*4+4], chr(10))) AS paras FROM ln),
+      t AS (SELECT doc_id, array_to_string(paras, chr(10)||chr(10)) AS text FROM pa),
+      m AS (SELECT doc_id, length(text) AS nch,
+              list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS s,
+              list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+              list_filter(string_split(text, chr(10)||chr(10)), p -> p <> '') AS paras
+            FROM t),
+      base AS (SELECT doc_id, nch,
+              CAST(len(s) AS BIGINT) AS n_words,
+              list_aggregate(list_transform(s, w -> length(w)), 'sum')
+                / CAST(len(s) AS DOUBLE) AS mwl,
+              CAST(len(list_filter(s,
+                w -> w IN ('the','a','and','of','to','in'))) AS BIGINT) AS stop_hits,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              (len(lines) - len(list_distinct(lines)))
+                / CAST(len(lines) AS DOUBLE) AS dlf,
+              CAST(len(paras) AS BIGINT) AS n_paras,
+              (len(paras) - len(list_distinct(paras)))
+                / CAST(len(paras) AS DOUBLE) AS dpf
+            FROM m),
+      g2 AS (SELECT doc_id, nch, array_to_string(s[i:i+1], ' ') AS g
+             FROM m, unnest(range(1, greatest(len(s), 1))) u(i)),
+      c2 AS (SELECT doc_id, nch, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+      r2 AS (SELECT doc_id, c * length(g) / CAST(nch AS DOUBLE) AS f,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2),
+      g3 AS (SELECT doc_id, nch, array_to_string(s[i:i+2], ' ') AS g
+             FROM m, unnest(range(1, greatest(len(s) - 1, 1))) u(i)),
+      c3 AS (SELECT doc_id, nch, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+      r3 AS (SELECT doc_id, c * length(g) / CAST(nch AS DOUBLE) AS f,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c3),
+      g4 AS (SELECT doc_id, nch, array_to_string(s[i:i+3], ' ') AS g
+             FROM m, unnest(range(1, greatest(len(s) - 2, 1))) u(i)),
+      c4 AS (SELECT doc_id, nch, g, count(*) AS c FROM g4 GROUP BY 1, 2, 3),
+      r4 AS (SELECT doc_id, c * length(g) / CAST(nch AS DOUBLE) AS f,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c4)
+      SELECT b.doc_id, b.n_words, round(b.mwl, 6) AS mean_word_len, b.stop_hits,
+             round(coalesce(t2.f, 0), 6) AS top2_frac,
+             round(coalesce(t3.f, 0), 6) AS top3_frac,
+             round(coalesce(t4.f, 0), 6) AS top4_frac,
+             b.n_lines, round(b.dlf, 6) AS dup_line_frac,
+             b.n_paras, round(b.dpf, 6) AS dup_para_frac,
+             (b.n_words BETWEEN 15 AND 10000 AND b.mwl BETWEEN 2 AND 10
+              AND b.stop_hits >= 2
+              AND coalesce(t2.f, 0) <= 0.08 AND coalesce(t3.f, 0) <= 0.10
+              AND coalesce(t4.f, 0) <= 0.15
+              AND b.dlf <= 0.04 AND b.dpf <= 0.5) AS keep
+      FROM base b
+      LEFT JOIN (SELECT doc_id, f FROM r2 WHERE rn = 1) t2 ON b.doc_id = t2.doc_id
+      LEFT JOIN (SELECT doc_id, f FROM r3 WHERE rn = 1) t3 ON b.doc_id = t3.doc_id
+      LEFT JOIN (SELECT doc_id, f FROM r4 WHERE rn = 1) t4 ON b.doc_id = t4.doc_id
+      ORDER BY b.doc_id NULLS FIRST""",
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

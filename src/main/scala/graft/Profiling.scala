@@ -72,7 +72,14 @@ object Profiling {
     * The listener bus is ASYNCHRONOUS and delivers backlogged events to
     * listeners attached after the event was posted, so naive counters
     * both leak earlier work into the window and can read zero before the
-    * window's own events arrive. Two defenses: (a) after attaching, wait
+    * window's own events arrive. Scope caveat: the listener sits on the
+    * SESSION-GLOBAL bus, so jobs other threads of this SparkSession
+    * launch DURING the window (concurrent queries, active streams,
+    * shared-memo builds) are attributed to this profile — the baseline
+    * subtraction absorbs only pre-window backlog, not concurrent work.
+    * Callers must profile on a quiet session (the [[Profile]] driver
+    * runs strictly one query at a time and satisfies this).
+    * Two defenses: (a) after attaching, wait
     * for the counters to go QUIET (no event for `settleMs`) and snapshot
     * a baseline that is subtracted out — pre-window backlog is absorbed
     * into the baseline instead of the profile; (b) after the action,
@@ -150,6 +157,12 @@ object Profile {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Engine.session(master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     spark.sparkContext.setLogLevel("WARN")
+    // a/b switch for the drift gate (scripts/profile_drift.py): profiling
+    // with broadcasts disabled must TRIP the shuffle_read_bytes gate
+    // against a normal-run baseline — proves the gate catches the
+    // lost-broadcast plan regression it exists for
+    if (sys.env.get("SPARK_GRAFT_DISABLE_BROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       names.foreach(n => SparkEntry.queries(n)(spark, sfDir).collect()) // warm
       val profiles = names.map(n => Profiling.profileQuery(spark, n, sfDir))

@@ -166,7 +166,57 @@ object Soak {
     }
     if (nameFilter.contains("incr_days")) incrDays(spark, days = mult, out)
     if (nameFilter.contains("sketch_days")) sketchDays(spark, days = mult, out)
+    if (nameFilter.contains("semdedup_k")) semDedupK(spark, mult)
     spark.stop()
+  }
+
+  /** The Σ nᵢ² evidence behind SemDedup's cluster-bounded claim
+    * ([[graft.operators.Similarity.semDedupDropped]]): on the ×mult
+    * embeddings corpus, sweep the centroid count k and measure the pair
+    * volume (Σ nᵢ² over the cluster sizes, computed UNTIMED) against the
+    * operator wall. The design point says pairwise work is n²/k-shaped:
+    * quadrupling k must cut Σ nᵢ² by roughly 4× and the wall must fall
+    * with it — asserted monotone here, which is exactly the "choose k so
+    * Σ nᵢ² is tractable" lever a 100 TB run turns. Each result is
+    * unpersisted per the operator's caller contract (this loop is the
+    * accumulation scenario the contract exists for).
+    *
+    * Usage: sbt "runMain graft.Soak 30 semdedup_k" */
+  private def semDedupK(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Similarity
+    // self-contained ×mult corpus (same vec_id shift as the table
+    // replication; no parquet round-trip needed for an in-memory sweep)
+    val src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val e = (0 until mult).map(i => src.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        col("embedding").cast("array<double>").as("e")))
+      .reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    println(s"[soak] semdedup_k: $n vectors; k, sum_ni2, max_cluster, dropped, wall_s")
+    val results = Seq(64, 256, 1024).map { k =>
+      val centroids = e.filter(col("vec_id") < k)
+      // pair volume, untimed (the operator recomputes its own assignment)
+      val sizes = Similarity.ivfAssign(e, centroids).groupBy("cid")
+        .agg(count(lit(1)).as("c"))
+      val Array(ni2, maxC) = sizes
+        .agg(sum(col("c") * col("c")), max(col("c"))).head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+      val t0 = System.nanoTime()
+      val dropped = Similarity.semDedupDropped(e, centroids, tau = 0.4)
+      val nDropped = dropped.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      dropped.unpersist(blocking = false) // the documented caller contract
+      println(f"[soak] semdedup_k $k%5d $ni2%12d $maxC%8d $nDropped%8d $wall%.2f")
+      (k, ni2, wall)
+    }
+    results.sliding(2).foreach { case Seq((k1, p1, _), (k2, p2, _)) =>
+      require(p2 < p1,
+        s"sum n_i^2 must fall as k rises: k=$k1 -> $p1, k=$k2 -> $p2")
+    }
+    e.unpersist(blocking = false)
+    ()
   }
 
   /** GROWING-corpus soak for [[graft.operators.Dedup.incrementalNearDups]]

@@ -166,13 +166,27 @@ object Tables {
 
   /** Streaming twin of [[eventsView]]: a file-source stream over a
     * directory of events parquet, ts normalized identically. The probe
-    * runs on the same dir (batch footer read) before the stream starts. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    if (eventsTsIsNanos(spark, dir)) {
+    * runs on the same dir (batch footer read) before the stream starts —
+    * but only when a parquet file already exists there: on a still-empty
+    * stream directory (files arriving after start) batch schema
+    * inference would throw, so the stream falls back to the pinned
+    * micros schema (the current generator layout) WITHOUT memoizing, and
+    * a later call re-probes once files exist. Limitation (of the probe
+    * design, not this fallback): the layout is resolved per directory,
+    * so a dir that mixes nanos- and micros-era files would read the
+    * minority layout wrong — the driver regenerates testdata whole-dir
+    * between rounds, which is exactly the supported shape. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val hasParquet = {
+      val fs = new java.io.File(dir).listFiles()
+      fs != null && fs.exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    if (hasParquet && eventsTsIsNanos(spark, dir)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.readStream.schema(eventsSchemaNanos).parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else spark.readStream.schema(schemas("events")).parquet(dir)
+  }
 
   /** Schema-drift guard: diff every pinned schema against the actual
     * parquet footers under `dir` and fail LOUDLY, naming each divergent

@@ -43,6 +43,15 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("long")
 
+  /** [[bpeTokens]] against a REGISTERED vocabulary id
+    * ([[graft.plans.BpeVocabs]]) — same segmentation contract, trie
+    * matching bounded by the vocab's max piece length, so a
+    * production-size (32k+) vocab costs the same per position as the
+    * 60-entry fixture. Built-ins: `"fixture"`, `"synth32k"`; merges
+    * files register via [[graft.plans.BpeVocabs.registerMerges]]. */
+  def bpeTokensVocab(text: Column, vocabId: String): Column =
+    graft.plans.GraftFunctions.bpeTokenizeVocab(text, vocabId)
+
   /** Token n-gram shingles as an array column (empty when the doc has
     * fewer than `n` tokens). `element_at` is 1-based; the shingle set is
     * identical to the oracle's `s[i] || ' ' || s[i+1] || ...` (1-based).

@@ -97,9 +97,29 @@ object Cleaning {
       minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
       minStopHits: Int = 2, maxTop2Frac: Double = 0.08): DataFrame = {
     val toks = TextOps.tokens(text)
-    // run-length fold over the sorted gram array: (prev, run, best, bg)
-    val sortedGrams = array_sort(TextOps.shinglesNative(col("__gq_s"), 2))
-    val folded = aggregate(sortedGrams,
+    df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"))
+      .select(
+        col("id"),
+        size(col("__gq_s")).cast("long").as("n_words"),
+        (aggregate(col("__gq_s"), lit(0), (acc, w) => acc + length(w))
+          / size(col("__gq_s")).cast("double")).as("mean_word_len"),
+        size(filter(col("__gq_s"), w => w.isInCollection(stops))).cast("long").as("stop_hits"),
+        topGramFrac(col("__gq_s"), 2, col("__gq_nch")).as("top2_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("stop_hits") >= minStopHits &&
+        col("top2_frac") <= maxTop2Frac)
+  }
+
+  /** Fraction of the document's characters covered by its single most
+    * frequent token n-gram: run-length fold over the SORTED gram array
+    * (prev, run, best, bg) — runs arrive in lexicographic order and only
+    * a STRICTLY longer run replaces the best, so the argmax tie-break is
+    * (highest count, then lexicographically smallest gram). Per-doc
+    * state only — pure map-side, nothing to shuffle. */
+  private def topGramFrac(toks: Column, n: Int, nChars: Column): Column = {
+    val folded = aggregate(array_sort(TextOps.shinglesNative(toks, n)),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("bg")),
       (acc, g) => {
         val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
@@ -107,21 +127,71 @@ object Cleaning {
           when(run > acc("best"), run).otherwise(acc("best")).as("best"),
           when(run > acc("best"), g).otherwise(acc("bg")).as("bg"))
       })
-    df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"))
-      .withColumn("__gq_top", folded)
+    folded("best") * length(folded("bg")) / nChars.cast("double")
+  }
+
+  /** Duplicate fraction of an array's non-empty elements: the share of
+    * occurrences beyond each element's first (0 when nothing repeats,
+    * (n − n_distinct) / n otherwise; 0 on an empty array). */
+  private def dupFrac(parts: Column): Column = {
+    val p = filter(parts, x => x =!= "")
+    when(size(p) > 0,
+      (size(p) - size(array_distinct(p))) / size(p).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The COMPLETE Gopher repetition battery (Rae et al. 2021 §A1.1) over
+    * newline-structured text — [[gopherRules]]' four rules plus the four
+    * the published battery adds: duplicate-line and duplicate-paragraph
+    * fractions (lines split on `\n`, paragraphs on blank lines `\n\n`,
+    * empties from the paragraph separators filtered; the fraction counts
+    * occurrences beyond each distinct value's first) and top-3-gram /
+    * top-4-gram character-coverage ceilings (same run-length argmax as
+    * top-2). Tokens split on WHITESPACE runs (`\s+`, empties filtered)
+    * because words here span line breaks — on single-space text this
+    * matches [[gopherRules]]' tokens exactly.
+    *
+    * Shape is unchanged from [[gopherRules]]: every metric — including
+    * the three argmax folds — is per-doc in-row state, so the operator
+    * stays a pure MAP-ONLY projection (single scan stage, zero
+    * exchanges at any scale) and composes with Structured Streaming
+    * statelessly. Thresholds are data-set parameters; Gopher's published
+    * values (0.30 dup-line, 0.20/0.18/0.16 top-2/3/4-gram) target web
+    * crawls — defaults here are tuned so the synthetic fixture exercises
+    * both outcomes where its structure allows. */
+  def gopherRulesFull(df: DataFrame, id: Column, text: Column,
+      stops: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
+      minWords: Int = 15, maxWords: Int = 10000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+      minStopHits: Int = 2, maxTop2Frac: Double = 0.08,
+      maxTop3Frac: Double = 0.10, maxTop4Frac: Double = 0.15,
+      maxDupLineFrac: Double = 0.04, maxDupParaFrac: Double = 0.5): DataFrame = {
+    val toks = filter(split(lower(text), "\\s+"), w => w =!= "")
+    df.select(id.as("id"), length(text).as("__gq_nch"), toks.as("__gq_s"),
+        filter(split(text, "\n"), l => l =!= "").as("__gq_lines"),
+        filter(split(text, "\n\n"), p => p =!= "").as("__gq_paras"))
       .select(
         col("id"),
         size(col("__gq_s")).cast("long").as("n_words"),
         (aggregate(col("__gq_s"), lit(0), (acc, w) => acc + length(w))
           / size(col("__gq_s")).cast("double")).as("mean_word_len"),
         size(filter(col("__gq_s"), w => w.isInCollection(stops))).cast("long").as("stop_hits"),
-        (col("__gq_top")("best") * length(col("__gq_top")("bg"))
-          / col("__gq_nch").cast("double")).as("top2_frac"))
+        topGramFrac(col("__gq_s"), 2, col("__gq_nch")).as("top2_frac"),
+        topGramFrac(col("__gq_s"), 3, col("__gq_nch")).as("top3_frac"),
+        topGramFrac(col("__gq_s"), 4, col("__gq_nch")).as("top4_frac"),
+        size(col("__gq_lines")).cast("long").as("n_lines"),
+        dupFrac(col("__gq_lines")).as("dup_line_frac"),
+        size(col("__gq_paras")).cast("long").as("n_paras"),
+        dupFrac(col("__gq_paras")).as("dup_para_frac"))
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(minMeanLen, maxMeanLen) &&
         col("stop_hits") >= minStopHits &&
-        col("top2_frac") <= maxTop2Frac)
+        col("top2_frac") <= maxTop2Frac &&
+        col("top3_frac") <= maxTop3Frac &&
+        col("top4_frac") <= maxTop4Frac &&
+        col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_para_frac") <= maxDupParaFrac)
   }
 
   /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the

@@ -47,7 +47,16 @@ object Similarity {
     * 50k clusters over web-scale corpora), expressed as one shuffle
     * equi-join on the cluster id — never a global all-pairs. Assignment
     * is [[ivfAssign]]'s broadcast pass; the drop rule is a local
-    * predicate per pair, no iteration, no driver round-trip. */
+    * predicate per pair, no iteration, no driver round-trip.
+    *
+    * Caller contract (the [[Graph.hits]] discipline): the returned
+    * DataFrame is persisted MEMORY_AND_DISK and already materialized
+    * (eager by design — forcing it here is what lets the much larger
+    * assignment table be released before returning); callers that
+    * invoke this repeatedly in one JVM (soak loops, re-runs) must
+    * `unpersist()` the previous result or clear the cache between
+    * calls, or dropped-set blocks accumulate for the session
+    * lifetime. */
   def semDedupDropped(vectors: DataFrame, centroids: DataFrame,
       tau: Double): DataFrame = {
     GraftFunctions.ensureRegistered(vectors.sparkSession)

@@ -124,6 +124,19 @@ object GraftFunctions {
         if (exprs.length != 1) throw new IllegalArgumentException(
           s"bpe_tokenize(text) takes 1 argument, got ${exprs.length}")
         BpeTokenize(exprs.head)
+      }),
+    (FunctionIdentifier("bpe_tokenize_vocab"),
+      new ExpressionInfo(classOf[BpeTokenizeVocab].getName, "bpe_tokenize_vocab"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"bpe_tokenize_vocab(text, vocabId) takes 2 arguments, got ${exprs.length}")
+        val id = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_tokenize_vocab: vocabId must be a string literal, got $other")
+        }
+        BpeTokenizeVocab(exprs.head, id)
       }))
 
   /** Idempotent programmatic registration into the session's function
@@ -159,4 +172,7 @@ object GraftFunctions {
   def simHash64(tokens: Column, shingleN: Int): Column =
     call_function("simhash64", tokens, org.apache.spark.sql.functions.lit(shingleN))
   def bpeTokenize(text: Column): Column = call_function("bpe_tokenize", text)
+  def bpeTokenizeVocab(text: Column, vocabId: String): Column =
+    call_function("bpe_tokenize_vocab", text,
+      org.apache.spark.sql.functions.lit(vocabId))
 }

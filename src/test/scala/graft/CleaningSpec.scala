@@ -106,4 +106,54 @@ class CleaningSpec extends SparkSpec {
     val r = Cleaning.gopherRules(one, col("id"), col("text")).collect()(0)
     assert(r.getAs[Double]("top2_frac") == 0.0 && !r.getAs[Boolean]("keep"))
   }
+
+  test("gopherRulesFull: dup line/paragraph fractions and top-3/4-gram are closed-form") {
+    // lines: [aa bb, aa bb, cc dd, ee ff, gg hh] (the blank paragraph
+    // separator filtered) -> 1 dup occurrence of 5 = 0.2; paragraphs
+    // distinct -> 0. nch = 30 incl newlines.
+    val text1 = "aa bb\naa bb\ncc dd\n\nee ff\ngg hh"
+    // paragraphs: [x y, x y] -> dup_para_frac 0.5
+    val text2 = "x y\n\nx y"
+    val out = Cleaning.gopherRulesFull(
+        Seq((1L, text1), (2L, text2)).toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 10L)
+    assert(r1.getAs[Double]("mean_word_len") == 2.0)
+    assert(r1.getAs[Long]("n_lines") == 5L)
+    assert(math.abs(r1.getAs[Double]("dup_line_frac") - 0.2) < 1e-12)
+    assert(r1.getAs[Long]("n_paras") == 2L)
+    assert(r1.getAs[Double]("dup_para_frac") == 0.0)
+    assert(text1.length == 30)
+    // "aa bb" occurs twice (5 chars); every 3-gram and 4-gram is unique so
+    // the argmax is the lexicographically smallest ("aa bb aa" / "aa bb aa bb")
+    assert(math.abs(r1.getAs[Double]("top2_frac") - 2.0 * 5 / 30) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("top3_frac") - 8.0 / 30) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("top4_frac") - 11.0 / 30) < 1e-12)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_paras") == 2L)
+    assert(math.abs(r2.getAs[Double]("dup_para_frac") - 0.5) < 1e-12)
+    assert(r2.getAs[Long]("n_lines") == 2L &&
+      math.abs(r2.getAs[Double]("dup_line_frac") - 0.5) < 1e-12)
+    // paragraph-duplicated short doc fails (word floor + dup rules)
+    assert(!r2.getAs[Boolean]("keep"))
+  }
+
+  test("gopherRulesFull: newline-free text matches gopherRules on the shared metrics") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while the cat walks to town today"),
+      (4L, "spam ham spam ham spam ham spam ham spam ham spam ham spam ham the a")
+    ).toDF("id", "text")
+    val base = Cleaning.gopherRules(docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val full = Cleaning.gopherRulesFull(docs, col("id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    for (id <- Seq(1L, 4L); c <- Seq("n_words", "mean_word_len", "stop_hits", "top2_frac"))
+      assert(base(id).getAs[Any](c) == full(id).getAs[Any](c), s"$c for $id")
+    // single line, single paragraph, nothing duplicated
+    assert(full(1L).getAs[Long]("n_lines") == 1L &&
+      full(1L).getAs[Double]("dup_line_frac") == 0.0 &&
+      full(1L).getAs[Long]("n_paras") == 1L &&
+      full(1L).getAs[Double]("dup_para_frac") == 0.0)
+  }
 }

@@ -86,4 +86,51 @@ class SchemaDriftSpec extends SparkSpec {
     val mnN = evN.agg(min("ts")).head().getTimestamp(0)
     assert(mnN == mn, s"nanos-path view must equal micros-path view: $mnN vs $mn")
   }
+
+  test("a TRUE TIMESTAMP(NANOS)-annotated file trips the probe and round-trips to µs") {
+    // The raw-int64 test above exercises the nanos READ path; this one
+    // guards the PROBE itself against the layout the rounds-1-8 driver
+    // actually shipped: an int64 column annotated TIMESTAMP(NANOS,
+    // isAdjustedToUTC=false), which Spark cannot write — so the file is
+    // written with parquet-mr directly.
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+
+    val rows = Tables.eventsView(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      .orderBy("event_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts")
+      .named("events")
+    val dir = Files.createTempDirectory("drift-true-nanos").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new HPath(s"$dir/events.parquet"), conf))
+      .withConf(conf).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    rows.foreach { case (id, us) =>
+      writer.write(gf.newGroup().append("event_id", id).append("ts", us * 1000L))
+    }
+    writer.close()
+
+    assert(Tables.eventsTsIsNanos(spark, dir),
+      "an annotated TIMESTAMP(NANOS) column must take the nanos read path")
+    val got = Tables.eventsView(spark, dir)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == rows.toSeq,
+      "nanos-annotated file must round-trip to the identical µs instants")
+  }
 }

@@ -249,4 +249,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed.size == batch.size && streamed == batch,
       "streamed quality gate must equal the batch gate row for row")
   }
+
+  test("gopherRulesFull is stateless too: full-battery stream/batch parity") {
+    import graft.operators.Cleaning
+    val dir = Files.createTempDirectory("docs-gopher-full")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream.schema(Tables.schemas("documents"))
+      .parquet(dir.toString)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("id") -> (r.getAs[Long]("n_words"), r.getAs[Long]("n_lines"),
+        r.getAs[Double]("dup_line_frac"), r.getAs[Double]("dup_para_frac"),
+        r.getAs[Double]("top3_frac"), r.getAs[Double]("top4_frac"),
+        r.getAs[Boolean]("keep"))
+    val q = Cleaning.gopherRulesFull(docsStream, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("gopher_full_s").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("gopher_full_s").collect().map(key).toMap
+    val batch = Cleaning.gopherRulesFull(sf0001.documents, col("doc_id"), col("text"))
+      .collect().map(key).toMap
+    assert(streamed.size == batch.size && streamed == batch,
+      "the full battery must stay a stateless projection")
+  }
+
+  test("eventsStream on a not-yet-populated dir starts on the pinned schema") {
+    // files arriving only after start is the supported streaming shape;
+    // the batch footer probe must not run (and throw) on the empty dir
+    val dir = Files.createTempDirectory("events-empty").toString
+    val s = Tables.eventsStream(spark, dir)
+    assert(s.isStreaming &&
+      s.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val q = s.groupBy().count().writeStream.format("memory")
+      .queryName("ev_late_start").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("ev_late_start").head().getLong(0)
+    val want = Tables.eventsView(spark, "/root/testdata/sf0.001").count()
+    assert(n == want, s"late-arriving file must be read whole: $n vs $want")
+  }
 }
