@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * partitions, default splits) — catches output-grows-with-input and
   * quadratic-blowup problems no fixed-SF benchmark can.
   * Usage: sbt "runMain graft.Soak [multiplier] [nameFilter]"  (default 10;
-  * a filter substring runs only matching queries, skipping table
-  * replication when none of the selected queries reads the tables). */
+  * a filter of comma-separated substrings runs only queries matching any
+  * of them, skipping table replication when none of the selected queries
+  * reads the tables). */
 object Soak {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -90,8 +91,10 @@ object Soak {
         "dedup_full_recompute" -> ((t: Tables) =>
           graft.operators.Dedup.minHashNearDups(
             t.documents, col("doc_id"), col("text")))))
+    val filterTerms = nameFilter.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     def selected[A](qs: Seq[(String, A)]) =
-      qs.filter { case (n, _) => nameFilter.forall(n.contains) }
+      qs.filter { case (n, _) =>
+        filterTerms.isEmpty || filterTerms.exists(n.contains) }
     val tableQs = selected(tableQsAll)
 
     def replicate(df: DataFrame, name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
@@ -164,10 +167,58 @@ object Soak {
       }
       println(f"[soak] x$mult $n ${times.min}%.2f s")
     }
-    if (nameFilter.contains("incr_days")) incrDays(spark, days = mult, out)
-    if (nameFilter.contains("sketch_days")) sketchDays(spark, days = mult, out)
-    if (nameFilter.contains("semdedup_k")) semDedupK(spark, mult)
+    // special modes are named filter terms, composable with query terms
+    if (filterTerms.contains("incr_days")) incrDays(spark, days = mult, out)
+    if (filterTerms.contains("sketch_days")) sketchDays(spark, days = mult, out)
+    if (filterTerms.contains("semdedup_k")) semDedupK(spark, mult)
+    if (filterTerms.contains("gopher_ab")) gopherAb(spark, mult)
     spark.stop()
+  }
+
+  /** Interpreted-HOF vs native `top_run` a/b for the Gopher battery's
+    * argmax gram (the round-10 verdict's watch item): the SAME
+    * top-2/3/4-gram fractions over the ×mult corpus, (a) with the
+    * pre-round-11 `aggregate` fold, (b) with the native expression the
+    * battery now uses. Interleaved best-of-2 each, one session, so the
+    * box's load noise hits both sides alike.
+    *
+    * Usage: sbt "runMain graft.Soak 30 gopher_ab" */
+  private def gopherAb(spark: SparkSession, mult: Int): Unit = {
+    import graft.functions.TextOps
+    val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = (0 until mult).map(i => src.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = docs.count()
+    def hofFold(sortedGrams: org.apache.spark.sql.Column) =
+      aggregate(sortedGrams,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("bg")),
+        (acc, g) => {
+          val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+          struct(g.as("prev"), run.as("run"),
+            when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+            when(run > acc("best"), g).otherwise(acc("bg")).as("bg"))
+        })
+    def frac(folded: org.apache.spark.sql.Column) =
+      folded("best") * length(folded("bg")) / length(col("text")).cast("double")
+    def run(kind: String, top: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double = {
+      val toks = TextOps.tokens(col("text"))
+      val t0 = System.nanoTime()
+      docs.select((2 to 4).map(k =>
+          frac(top(array_sort(TextOps.shinglesNative(toks, k)))).as(s"f$k")): _*)
+        .agg(sum(col("f2") + col("f3") + col("f4"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("warm", graft.plans.GraftFunctions.topRun) // JIT/codegen warm-up
+    val pairs = (1 to 2).map { _ =>
+      (run("hof", hofFold), run("native", graft.plans.GraftFunctions.topRun))
+    }
+    val (hof, native) = (pairs.map(_._1).min, pairs.map(_._2).min)
+    println(f"[soak] gopher_ab x$mult ($n docs): hof_fold $hof%.2f s, " +
+      f"native_top_run $native%.2f s, speedup ${hof / native}%.1fx")
+    docs.unpersist(blocking = false)
+    ()
   }
 
   /** The Σ nᵢ² evidence behind SemDedup's cluster-bounded claim
@@ -175,11 +226,16 @@ object Soak {
     * embeddings corpus, sweep the centroid count k and measure the pair
     * volume (Σ nᵢ² over the cluster sizes, computed UNTIMED) against the
     * operator wall. The design point says pairwise work is n²/k-shaped:
-    * quadrupling k must cut Σ nᵢ² by roughly 4× and the wall must fall
-    * with it — asserted monotone here, which is exactly the "choose k so
-    * Σ nᵢ² is tractable" lever a 100 TB run turns. Each result is
-    * unpersisted per the operator's caller contract (this loop is the
-    * accumulation scenario the contract exists for).
+    * quadrupling k must cut Σ nᵢ² by roughly 4× — asserted monotone
+    * here, which is exactly the "choose k so Σ nᵢ² is tractable" lever a
+    * 100 TB run turns. The WALL is deliberately not asserted monotone:
+    * it follows Σ nᵢ² until the O(n·k) assignment pass (every vector
+    * scored against every centroid) takes over, so the sweep traces the
+    * classic IVF U-curve (×30 measured: k=64 5.6 s, k=256 3.6 s, k=1024
+    * 11.9 s) — production picks k near the trough, k ≈ √(n²/assignment
+    * cost ratio), or replaces exact assignment with an ANN probe. Each
+    * result is unpersisted per the operator's caller contract (this loop
+    * is the accumulation scenario the contract exists for).
     *
     * Usage: sbt "runMain graft.Soak 30 semdedup_k" */
   private def semDedupK(spark: SparkSession, mult: Int): Unit = {

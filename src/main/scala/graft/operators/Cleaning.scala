@@ -113,20 +113,19 @@ object Cleaning {
   }
 
   /** Fraction of the document's characters covered by its single most
-    * frequent token n-gram: run-length fold over the SORTED gram array
-    * (prev, run, best, bg) — runs arrive in lexicographic order and only
-    * a STRICTLY longer run replaces the best, so the argmax tie-break is
-    * (highest count, then lexicographically smallest gram). Per-doc
-    * state only — pure map-side, nothing to shuffle. */
+    * frequent token n-gram: run-length argmax over the SORTED gram array
+    * — runs arrive in lexicographic order and only a STRICTLY longer run
+    * replaces the best, so the argmax tie-break is (highest count, then
+    * lexicographically smallest gram). Per-doc state only — pure
+    * map-side, nothing to shuffle. The argmax is the native `top_run`
+    * expression ([[graft.plans.TextHashExpressions.TopRun]]): the
+    * interpreted `aggregate` fold it replaces (semantics pinned equal in
+    * NativeHashParitySpec) evaluated a 4-field conditional struct per
+    * gram and was the battery's dominant per-token CPU — the round-10
+    * `word_ngrams` trade repeated. */
   private def topGramFrac(toks: Column, n: Int, nChars: Column): Column = {
-    val folded = aggregate(array_sort(TextOps.shinglesNative(toks, n)),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("bg")),
-      (acc, g) => {
-        val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
-        struct(g.as("prev"), run.as("run"),
-          when(run > acc("best"), run).otherwise(acc("best")).as("best"),
-          when(run > acc("best"), g).otherwise(acc("bg")).as("bg"))
-      })
+    val folded = graft.plans.GraftFunctions.topRun(
+      array_sort(TextOps.shinglesNative(toks, n)))
     folded("best") * length(folded("bg")) / nChars.cast("double")
   }
 

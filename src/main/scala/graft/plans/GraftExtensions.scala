@@ -56,6 +56,14 @@ object GraftFunctions {
         TextHashExpressions.SimHash32(exprs.head,
           literalInt(exprs(1), "simhash32", "shingleN"))
       }),
+    (FunctionIdentifier("top_run"),
+      new ExpressionInfo(
+        classOf[TextHashExpressions.TopRun].getName, "top_run"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"top_run(sortedArr) takes 1 argument, got ${exprs.length}")
+        TextHashExpressions.TopRun(exprs.head)
+      }),
     (FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(
         classOf[TextHashExpressions.WordNGrams].getName, "word_ngrams"),
@@ -161,6 +169,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(numHashes))
   def wordNGrams(tokens: Column, n: Int): Column =
     call_function("word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
+  def topRun(sortedArr: Column): Column = call_function("top_run", sortedArr)
   def srpBands(vec: Column, tables: Int, bandBits: Int, dim: Int, seed: Int): Column =
     call_function("srp_bands", vec,
       org.apache.spark.sql.functions.lit(tables),

@@ -153,6 +153,55 @@ object TextHashExpressions {
     * measured ~10× slower than this single-pass loop on the bigram-count
     * query (q66). The HOF form stays as the independent cross-check
     * (NativeHashParitySpec). */
+  /** `top_run(sortedArr)` → `struct(best int, bg string)`: run-length
+    * argmax over an array whose equal values are ALREADY ADJACENT (the
+    * caller sorts — `array_sort(word_ngrams(...))` in the Gopher gates).
+    * Exactly the interpreted `aggregate` fold it replaces
+    * ([[graft.operators.Cleaning]]): `best` = longest run, `bg` = its
+    * value, ties resolved to the FIRST (= lexicographically smallest
+    * after a sort) because only a strictly longer run replaces the best;
+    * empty array → (0, ""). The fold evaluated a 4-field struct of
+    * Catalyst conditionals per element, interpreted — the round-10 plan
+    * audit flagged that per-token CPU as the battery's 100 TB cost, and
+    * this one JVM loop is the measured ~n× escape hatch (same trade as
+    * [[WordNGrams]] vs the HOF `transform`). Null elements cannot occur
+    * in the gate pipelines (word_ngrams emits containsNull = false) and
+    * are treated as run-breaking, never matching, never becoming `bg`. */
+  final case class TopRun(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def prettyName: String = "top_run"
+    override def dataType: DataType = StructType(Seq(
+      StructField("best", IntegerType, nullable = false),
+      StructField("bg", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkTokensType(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      var prev: UTF8String = null // distinct from any element → first run = 1
+      var run = 0
+      var best = 0
+      var bg = UTF8String.EMPTY_UTF8
+      var i = 0
+      while (i < len) {
+        if (arr.isNullAt(i)) { prev = null; run = 0 }
+        else {
+          val g = arr.getUTF8String(i)
+          run = if (prev != null && g.equals(prev)) run + 1 else 1
+          if (run > best) { best = run; bg = g }
+          prev = g
+        }
+        i += 1
+      }
+      InternalRow(best, bg)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   final case class WordNGrams(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     require(n >= 1, s"n must be >= 1, got $n")

@@ -40,6 +40,48 @@ class NativeHashParitySpec extends SparkSpec {
     fix.foreach { case (hof, native) => assert(native == hof) }
   }
 
+  test("native top_run equals the interpreted run-length fold (all n, edges, fixtures)") {
+    import graft.functions.TextOps
+    // the fold top_run replaced (verbatim from the round-10 Gopher gate)
+    def hofFold(sortedGrams: org.apache.spark.sql.Column) =
+      aggregate(sortedGrams,
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("bg")),
+        (acc, g) => {
+          val run = when(g === acc("prev"), acc("run") + 1).otherwise(lit(1))
+          struct(g.as("prev"), run.as("run"),
+            when(run > acc("best"), run).otherwise(acc("best")).as("best"),
+            when(run > acc("best"), g).otherwise(acc("bg")).as("bg"))
+        })
+    val edge = Seq(
+      (7L, ""),                       // empty text -> [""] token, "" gram survives
+      (8L, "x"),                      // single token, no 2-grams
+      (9L, "a a a a"),                // one all-equal run
+      (10L, "b a b a b a")            // tie between "a b" and "b a" -> smallest
+    ).toDF("doc_id", "text")
+    for (df <- Seq(corpus, edge); n <- Seq(2, 3, 4)) {
+      val sorted = array_sort(TextOps.shinglesNative(TextOps.tokens(col("text")), n))
+      val rows = df.select(col("doc_id"),
+          hofFold(sorted).as("h"), graft.plans.GraftFunctions.topRun(sorted).as("t"))
+        .select(col("doc_id"),
+          col("h")("best").as("hb"), col("h")("bg").as("hg"),
+          col("t")("best").as("tb"), col("t")("bg").as("tg"))
+        .as[(Long, Int, String, Int, String)].collect()
+      rows.foreach { case (id, hb, hg, tb, tg) =>
+        assert((tb, tg) == (hb, hg), s"doc $id n=$n: native ($tb,$tg) vs fold ($hb,$hg)")
+      }
+    }
+    // real fixture docs: the exact arrays the q115/q120 gates fold
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    for (n <- Seq(2, 3, 4)) {
+      val sorted = array_sort(TextOps.shinglesNative(TextOps.tokens(col("text")), n))
+      val diff = docs.select(hofFold(sorted).as("h"),
+          graft.plans.GraftFunctions.topRun(sorted).as("t"))
+        .filter(col("h")("best") =!= col("t")("best") ||
+          col("h")("bg") =!= col("t")("bg")).count()
+      assert(diff == 0L, s"n=$n fixture divergence")
+    }
+  }
+
   test("word_ngrams tolerates null array elements exactly like concat_ws (no NPE)") {
     import graft.functions.TextOps
     // user-supplied arrays can carry nulls (word_ngrams is a registered SQL
