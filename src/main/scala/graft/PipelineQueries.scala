@@ -532,6 +532,89 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q121: AUDITED PII scrub ([[Cleaning.piiScrub]]) — per-category
+    * detection counts plus the masked text, the report q62's blind
+    * redaction cannot produce. The fixture text is PII-free, so each
+    * category is injected deterministically on its own modulus (3/4/5 —
+    * docs carry zero to three categories, all combinations exercised),
+    * identically derived in the oracle; the md5 gates every masked byte
+    * and the counts gate the detector itself. Map-only: one scan, zero
+    * exchanges (the sort is the output contract). */
+  def q121(t: Tables): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@corp.example.org now"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 1,
+        concat(lit(" from host 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" logged"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 2,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    Cleaning.piiScrub(
+        t.documents.filter(col("doc_id") % 10 === 9)
+          .select(col("doc_id"), injected.as("text")),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_emails"), col("n_ips"),
+        col("n_phones"), md5(col("text_redacted")).as("h"),
+        length(col("text_redacted")).cast("long").as("len"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q122: CORPUS-LEVEL duplicate-line removal
+    * ([[Dedup.dedupLinesAcrossCorpus]]) — the CCNet/RefinedWeb stage that
+    * strips boilerplate lines repeating ACROSS documents, keeping exactly
+    * the first `(doc_id, pos)` occurrence corpus-wide. The single-line
+    * fixture gets q120's derived structure at 3-word lines (the closed
+    * ~31-word vocabulary then repeats lines heavily across the corpus —
+    * at sf0.01 roughly two thirds of all line instances are removed, and
+    * some docs lose every line, exercising the empty-reconstruction
+    * path). Runs over the WHOLE corpus — dedup against a gated slice
+    * would be a different operator — with one row out per doc; the md5
+    * pins the surviving lines and their order. */
+  def q122(t: Tables): DataFrame = {
+    val words = split(col("text"), " ")
+    val lineArr = transform(
+      sequence(lit(0L), greatest(ceil(size(words) / lit(3.0)) - 1, lit(0L))),
+      i => array_join(slice(words, (i * 3 + 1).cast("int"), lit(3)), " "))
+    val structured = t.documents
+      .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+    Dedup.dedupLinesAcrossCorpus(structured, col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean")).as("h"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q123: Unicode normalization via the native `unicode_normalize`
+    * expression ([[graft.plans.UnicodeNormalize]]) — the fixture is pure
+    * ASCII (already-NFC fast path), so canonical and compatibility
+    * variance is injected deterministically: every `a` becomes
+    * `a`+U+0301 (combining acute — NFC composes it to `á`) and every
+    * `fi` becomes the U+FB01 ligature (NFC preserves it; NFKC expands it
+    * back). The oracle uses DuckDB's `nfc_normalize` directly for NFC
+    * and the identity `NFKC(x) = NFC(expand-ligatures(x))` — exact here
+    * because `f`/`i` compose with nothing — for NFKC. Code-point lengths
+    * and md5s pin both outputs; map-only, fused into the scan's codegen
+    * span. */
+  def q123(t: Tables): DataFrame = {
+    val decomposed = regexp_replace(
+      regexp_replace(col("text"), "a", "a\u0301"), "fi", "\ufb01")
+    t.documents.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), decomposed.as("__u_raw"))
+      .select(col("doc_id"),
+        TextOps.unicodeNormalize(col("__u_raw"), "NFC").as("__u_nfc"),
+        TextOps.unicodeNormalize(col("__u_raw"), "NFKC").as("__u_nfkc"),
+        length(col("__u_raw")).cast("long").as("len_decomp"))
+      .select(col("doc_id"), col("len_decomp"),
+        length(col("__u_nfc")).cast("long").as("len_nfc"),
+        length(col("__u_nfkc")).cast("long").as("len_nfkc"),
+        md5(col("__u_nfc")).as("h_nfc"),
+        md5(col("__u_nfkc")).as("h_nfkc"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1105,6 +1188,9 @@ object PipelineQueries {
     "q117_bigram_lm_ce"  -> q117 _,
     "q119_bpe_vocab32k"  -> q119 _,
     "q120_gopher_full"   -> q120 _,
+    "q121_pii_scrub"     -> q121 _,
+    "q122_line_dedup"    -> q122 _,
+    "q123_unicode_norm"  -> q123 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1566,6 +1652,71 @@ object PipelineQueries {
       LEFT JOIN (SELECT doc_id, f FROM r3 WHERE rn = 1) t3 ON b.doc_id = t3.doc_id
       LEFT JOIN (SELECT doc_id, f FROM r4 WHERE rn = 1) t4 ON b.doc_id = t4.doc_id
       ORDER BY b.doc_id NULLS FIRST""",
+
+    // q121: the PII injection (moduli 3/4/5) is re-derived verbatim;
+    // patterns are the Java-regex/RE2 common subset (Cleaning.PiiEmail/
+    // PiiIpv4/PiiPhone), counts follow the operator's email-mask-first
+    // discipline, and DuckDB's regexp_replace needs the explicit 'g'
+    // flag to match Spark's always-global semantics
+    "q121_pii_scrub" -> """
+      WITH inj AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@corp.example.org now') ELSE '' END ||
+          CASE WHEN doc_id % 4 = 1 THEN concat(' from host 10.', doc_id % 256, '.0.', doc_id % 100, ' logged') ELSE '' END ||
+          CASE WHEN doc_id % 5 = 2 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END AS t
+        FROM documents WHERE doc_id % 10 = 9),
+      em AS (SELECT doc_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        FROM inj),
+      ip AS (SELECT doc_id, t, t1,
+          regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+        FROM em)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS h,
+        CAST(length(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS len
+      FROM ip ORDER BY doc_id NULLS FIRST""",
+
+    // q122: 3-word line derivation (q120's slice arithmetic), then
+    // keep-first-occurrence corpus-wide restated as a row_number window
+    // over (line) ordered by (doc_id, pos) — the same total order the
+    // operator uses, so the kept set and the reconstruction are
+    // byte-identical; docs whose every line is a repeat reconstruct to
+    // md5('')
+    "q122_line_dedup" -> """
+      WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS s0 FROM documents),
+      ln0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              array_to_string(s0[i*3+1:i*3+3], ' ') AS line
+              FROM d0, unnest(range(0, CAST(ceil(len(s0)/3.0) AS INT))) u(i)),
+      ln AS (SELECT * FROM ln0 WHERE line <> ''),
+      rk AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ln),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+              md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '')) AS h
+              FROM rk GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+             coalesce(a.n_kept, 0) AS n_kept, coalesce(a.h, md5('')) AS h
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id NULLS FIRST""",
+
+    // q123: the canonical/compatibility injection re-derived with
+    // chr(769) = U+0301 and chr(64257) = U+FB01; NFC comes straight from
+    // DuckDB's nfc_normalize, NFKC from the identity
+    // NFKC(x) = NFC(expand-ligatures(x)) — exact here because f/i
+    // compose with nothing; length() counts code points in both engines
+    "q123_unicode_norm" -> """
+      WITH inj AS (SELECT doc_id,
+          replace(regexp_replace(text, 'a', 'a' || chr(769), 'g'), 'fi', chr(64257)) AS raw
+        FROM documents WHERE doc_id % 10 = 7)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS len_decomp,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        CAST(length(nfc_normalize(replace(raw, chr(64257), 'fi'))) AS BIGINT) AS len_nfkc,
+        md5(nfc_normalize(raw)) AS h_nfc,
+        md5(nfc_normalize(replace(raw, chr(64257), 'fi'))) AS h_nfkc
+      FROM inj ORDER BY doc_id NULLS FIRST""",
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

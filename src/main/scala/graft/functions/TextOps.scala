@@ -20,6 +20,16 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode normalization via the native `unicode_normalize` expression
+    * ([[graft.plans.UnicodeNormalize]]; forms NFC/NFD/NFKC/NFKD) — the
+    * canonical first cleaning step: composed-vs-decomposed byte variants
+    * of the same text defeat exact dedup, MinHash shingles and stopword
+    * matches unless normalized BEFORE hashing. Codegen'd (stays inside
+    * the scan's whole-stage span); already-normalized rows return the
+    * input string without allocating. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.plans.GraftFunctions.unicodeNormalize(text, form)
+
   /** Remove stopwords from a token array (higher-order filter — no
     * explode/regroup round trip). */
   def removeStopwords(toks: Column, stopwords: Seq[String]): Column = {

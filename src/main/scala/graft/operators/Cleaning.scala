@@ -209,4 +209,45 @@ object Cleaning {
       text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
     regexp_replace(email, "\\b\\d{3}[-.]\\d{4}\\b", "[PHONE]")
   }
+
+  /** PII patterns shared by [[piiScrub]] and its oracle: every construct
+    * is valid AND identical in meaning under both Java regex (Spark) and
+    * RE2 (DuckDB) — no backreferences, no lookaround, `\b`/`\d`/bounded
+    * repetition only. Order matters downstream: emails are masked FIRST
+    * so their user/domain digits can never be re-matched as phone or IP
+    * fragments. */
+  val PiiEmail: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** AUDITED PII scrub — the BigCode-pipeline shape: don't just mask
+    * ([[redactPii]], q62); COUNT what you removed per category, because
+    * at 100 TB the per-source removal-rate report is how you notice a
+    * crawl segment that is 40% dumped credentials. Returns one row per
+    * input row: `(id, n_emails, n_ips, n_phones, text_redacted)`.
+    *
+    * Pure MAP-ONLY projection of codegen'd regexp built-ins (counts via
+    * `regexp_count`, masks via global `regexp_replace`): single scan
+    * stage, zero exchanges at any scale, composes statelessly with
+    * Structured Streaming. Masking order is email → IP → phone over the
+    * progressively-masked text; counts follow the same discipline —
+    * emails are counted on the raw text, IPs and phones on the
+    * email-masked text — so an email's digit runs can never double-count
+    * as IP or phone fragments (the placeholders themselves contain no
+    * digits or `@`, so masking introduces no new matches). */
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "[EMAIL]"),
+        PiiIpv4, "[IP]"),
+      PiiPhone, "[PHONE]")
+    df.select(
+      id.as("id"),
+      regexp_count(text, lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(text, PiiEmail, "[EMAIL]"), lit(PiiIpv4))
+        .cast("long").as("n_ips"),
+      regexp_count(regexp_replace(text, PiiEmail, "[EMAIL]"), lit(PiiPhone))
+        .cast("long").as("n_phones"),
+      masked.as("text_redacted"))
+  }
 }

@@ -1087,4 +1087,64 @@ object Dedup {
       .select(col("__kb_id").as("__dropId"))
     docs.join(losers, id === col("__dropId"), "left_anti")
   }
+
+  /** CORPUS-LEVEL duplicate-line removal — the CCNet/RefinedWeb line-dedup
+    * stage, which document-level dedup cannot replace: navigation bars,
+    * cookie banners and license headers repeat across MILLIONS of
+    * otherwise-distinct pages, and they are removed line-by-line, keeping
+    * exactly the FIRST occurrence corpus-wide (ordered by `(id, line
+    * position)` so the answer is deterministic and re-runnable).
+    *
+    * Returns one row per input doc: `(id, n_lines, n_kept, text_clean)` —
+    * `text_clean` re-joins the surviving lines IN ORDER (empty string when
+    * every line was a repeat; docs whose text has no lines after
+    * empty-filtering keep `n_lines = 0` and an empty `text_clean`).
+    *
+    * Distributed shape, sized for 100 TB:
+    *  1. `posexplode` lines (map-side; line volume ≈ corpus text volume,
+    *     same as every shingle operator here);
+    *  2. ONE hash shuffle partitioned by the line text for the
+    *     keep-first `row_number` window — this is CCNet's hash-shard
+    *     step: each line's occurrence set lands on one partition, so
+    *     "first occurrence" is decided locally, no global sort;
+    *  3. ONE shuffle back to `id` to reassemble documents
+    *     (`sort_array(collect_list(struct(pos, line)))` — per-doc arrays,
+    *     bounded by doc length).
+    * Nothing is ever collected to the driver and no pairwise join exists
+    * — cost is two exchanges of the line volume, independent of how
+    * duplicated the corpus is. Skew note: a single line repeated billions
+    * of times makes its window key one hot partition, and a window CANNOT
+    * be skew-split (the partition-local sort must see the whole key). The
+    * escape hatch at that regime is the associative form: pre-aggregate
+    * `min(struct(id, pos))` per line (map-side partial combine collapses
+    * the hot key BEFORE the shuffle) and semi-join lines against their
+    * line's minimum — the keep-first answer is identical, at the price of
+    * re-shuffling the line volume for the join. This method uses the
+    * window form: strictly less shuffle on realistically-skewed corpora,
+    * and the swap is mechanical if a key ever melts an executor. */
+  def dedupLinesAcrossCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = docs
+      .select(id.as("__ld_id"), posexplode(filter(split(text, "\n"), l => l =!= "")))
+      .toDF("__ld_id", "__ld_pos", "__ld_line")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ld_line").orderBy(col("__ld_id"), col("__ld_pos"))
+    val kept = lines.withColumn("__ld_rn", row_number().over(w))
+    val rebuilt = kept
+      .groupBy(col("__ld_id").as("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__ld_rn") === 1, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__ld_rn") === 1,
+              struct(col("__ld_pos"), col("__ld_line"))))),
+            s => s("__ld_line")),
+          "\n").as("text_clean"))
+    docs.select(id.as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -133,6 +133,19 @@ object GraftFunctions {
           s"bpe_tokenize(text) takes 1 argument, got ${exprs.length}")
         BpeTokenize(exprs.head)
       }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"unicode_normalize(text, form) takes 2 arguments, got ${exprs.length}")
+        val form = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize: form must be a string literal, got $other")
+        }
+        UnicodeNormalize(exprs.head, form)
+      }),
     (FunctionIdentifier("bpe_tokenize_vocab"),
       new ExpressionInfo(classOf[BpeTokenizeVocab].getName, "bpe_tokenize_vocab"),
       (exprs: Seq[Expression]) => {
@@ -184,4 +197,7 @@ object GraftFunctions {
   def bpeTokenizeVocab(text: Column, vocabId: String): Column =
     call_function("bpe_tokenize_vocab", text,
       org.apache.spark.sql.functions.lit(vocabId))
+  def unicodeNormalize(text: Column, form: String): Column =
+    call_function("unicode_normalize", text,
+      org.apache.spark.sql.functions.lit(form))
 }

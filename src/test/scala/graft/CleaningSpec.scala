@@ -156,4 +156,38 @@ class CleaningSpec extends SparkSpec {
       full(1L).getAs[Long]("n_paras") == 1L &&
       full(1L).getAs[Double]("dup_para_frac") == 0.0)
   }
+
+  test("piiScrub: per-category counts and typed masks, all categories at once") {
+    val r = Cleaning.piiScrub(
+      Seq((1L, "mail a.u+x@sub.example.org then ssh 192.168.1.17 or dial 555-012-3456 twice 555-012-3456"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_ips") == 1L)
+    assert(r.getAs[Long]("n_phones") == 2L)
+    assert(r.getAs[String]("text_redacted") ==
+      "mail [EMAIL] then ssh [IP] or dial [PHONE] twice [PHONE]")
+  }
+
+  test("piiScrub: email digits never double-count as phone or IP fragments") {
+    // the local part and domain contain an IP-shaped and a phone-shaped
+    // digit run; masking emails FIRST must make both invisible
+    val r = Cleaning.piiScrub(
+      Seq((1L, "u555-012-3456@10.0.0.7x.example.com stays otherwise clean")).toDF("id", "t"),
+      col("id"), col("t")).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_ips") == 0L, "IP inside a masked email must not count")
+    assert(r.getAs[Long]("n_phones") == 0L, "phone inside a masked email must not count")
+    assert(r.getAs[String]("text_redacted") == "[EMAIL] stays otherwise clean")
+  }
+
+  test("piiScrub: clean text passes through untouched with zero counts") {
+    val r = Cleaning.piiScrub(
+      Seq((1L, "version 1.2 of chapter 555 has no contact details")).toDF("id", "t"),
+      col("id"), col("t")).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_ips") == 0L &&
+      r.getAs[Long]("n_phones") == 0L)
+    assert(r.getAs[String]("text_redacted") ==
+      "version 1.2 of chapter 555 has no contact details")
+  }
 }

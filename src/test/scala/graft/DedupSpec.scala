@@ -703,4 +703,34 @@ class DedupSpec extends SparkSpec {
     assert(binary == Map(1L -> 1L))
     binary.foreach { case (id, ns) => assert(got(id)._3 == ns) }
   }
+
+  test("dedupLinesAcrossCorpus keeps exactly the first (doc_id, pos) occurrence") {
+    val docs = Seq(
+      (1L, "unique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nunique gamma\ncookie banner"),
+      (3L, "cookie banner")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 holds the corpus-first "cookie banner" → keeps all 3 lines
+    assert(got(1L) == ((3L, 3L, "unique alpha\ncookie banner\nunique beta")))
+    // doc 2 loses BOTH its copies (first occurrence was doc 1's)
+    assert(got(2L) == ((3L, 1L, "unique gamma")))
+    // doc 3's only line is a corpus repeat → reconstructs to empty
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
+  test("dedupLinesAcrossCorpus: empty lines are dropped, line order survives") {
+    val docs = Seq(
+      (7L, "first line\n\nsecond line\n"),
+      (9L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(7L) == ((2L, 2L, "first line\nsecond line")))
+    // a doc with no non-empty lines still gets its output row
+    assert(got(9L) == ((0L, 0L, "")))
+  }
 }

@@ -290,4 +290,34 @@ class StreamOpsSpec extends SparkSpec {
     val want = Tables.eventsView(spark, "/root/testdata/sf0.001").count()
     assert(n == want, s"late-arriving file must be read whole: $n vs $want")
   }
+
+  test("piiScrub and unicode_normalize are stateless: stream/batch parity") {
+    import graft.operators.Cleaning
+    import graft.functions.TextOps
+    val dir = Files.createTempDirectory("docs-pii")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // inject PII + decomposed unicode the same way on both sides, then
+    // run scrub-after-normalize — the composed redact-on-ingest stage
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      val seeded = df.select(col("doc_id"), concat(
+        TextOps.unicodeNormalize(
+          regexp_replace(col("text"), "a", "á"), "NFC"),
+        lit(" u"), col("doc_id").cast("string"), lit("@ex.org")).as("text"))
+      Cleaning.piiScrub(seeded, col("doc_id"), col("text"))
+    }
+    val q = stage(spark.readStream.schema(Tables.schemas("documents"))
+        .parquet(dir.toString))
+      .writeStream.format("memory").queryName("pii_s").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("id") -> (r.getAs[Long]("n_emails"),
+        r.getAs[String]("text_redacted"))
+    val streamed = spark.table("pii_s").collect().map(key).toMap
+    val batch = stage(sf0001.documents).collect().map(key).toMap
+    assert(streamed.size == batch.size && streamed == batch,
+      "redact-on-ingest must be a stateless projection, stream ≡ batch")
+    assert(batch.valuesIterator.forall(_._1 >= 1L), "every doc got an email injected")
+  }
 }
