@@ -615,6 +615,58 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q124: per-source heavy-hitter tokens via the Misra–Gries sketch
+    * ([[graft.operators.ApproxOps.heavyHitters]]) — the k-bounded,
+    * mergeable path to q26's exact top-n, gated EXACTLY by sizing
+    * `cap` (256) far above the fixture's 31-token per-source
+    * vocabulary so no trim ever fires and the sketch degenerates to
+    * exact counts (the same exact-when-small discipline as q111's KMV
+    * gate); the guarantee regime at binding caps is spec-pinned
+    * instead (HeavyHittersSpec). Top-5 per source with the (est DESC,
+    * token) tie-break both engines share. */
+  def q124(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val hh = graft.operators.ApproxOps.heavyHitters(
+      toks, col("w"), cap = 256, col("source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("est").desc, col("token"))
+    hh.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("token"), col("est"), col("rnk"))
+      .transform(sortedSmall(_, col("source"), col("rnk")))
+  }
+
+  /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
+    * FineWeb-style URL-keyed dedup is only as good as its
+    * canonicalization, so the gate derives four surface families per
+    * resource (canonical; case+www+`:443`+trailing-slash; junk-only
+    * query; kept-param+junk+fragment) from doc_id arithmetic and pins
+    * the collapse: the first three families land on one canonical form,
+    * the kept-param family stays distinct (param preservation is part of
+    * the contract). Hash covers the canonical strings plus both the
+    * surface-form and doc counts per resource. */
+  def q125(t: Tables): DataFrame = {
+    val p = (col("doc_id") % 50).cast("string")
+    val n = ((col("doc_id") % 50) % 25).cast("string")
+    val v = col("doc_id") % 4
+    val base = concat(lit("host"), n, lit(".example.org/p/"), p)
+    val raw = when(v === 0, concat(lit("https://"), base))
+      .when(v === 1, concat(lit("HTTPS://WWW.Host"), n,
+        lit(".Example.ORG:443/p/"), p, lit("/")))
+      .when(v === 2, concat(lit("https://"), base,
+        lit("?utm_source=feed&utm_campaign=x"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://"), base,
+        lit("?ref=kept&utm_medium=mail#frag"), col("doc_id").cast("string")))
+    t.documents.select(raw.as("url"))
+      .select(col("url"), Cleaning.canonicalizeUrl(col("url")).as("canon"))
+      .groupBy("canon")
+      .agg(countDistinct(col("url")).as("n_forms"),
+        count(lit(1)).as("n_docs"))
+      .transform(sortedSmall(_, col("canon")))
+  }
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1191,6 +1243,8 @@ object PipelineQueries {
     "q121_pii_scrub"     -> q121 _,
     "q122_line_dedup"    -> q122 _,
     "q123_unicode_norm"  -> q123 _,
+    "q124_heavy_hitters" -> q124 _,
+    "q125_url_canon"     -> q125 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1717,6 +1771,55 @@ object PipelineQueries {
         md5(nfc_normalize(raw)) AS h_nfc,
         md5(nfc_normalize(replace(raw, chr(64257), 'fi'))) AS h_nfkc
       FROM inj ORDER BY doc_id NULLS FIRST""",
+
+    // q124: the sketch is exact at cap=256 >> 31 distinct tokens per
+    // source, so the oracle is plain exact counting with the same
+    // (est DESC, token) tie-break
+    "q124_heavy_hitters" -> """
+      WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      c AS (SELECT source, w AS token, CAST(count(*) AS BIGINT) AS est
+            FROM tok WHERE w <> '' GROUP BY source, w),
+      r AS (SELECT source, token, est,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY est DESC, token) AS BIGINT) AS rnk FROM c)
+      SELECT source, token, est, rnk FROM r WHERE rnk <= 5
+      ORDER BY source NULLS FIRST, rnk""",
+
+    // q125: the URL derivation and every canonicalization regex step are
+    // replicated in order (the patterns are the Java-regex/RE2 common
+    // subset); DuckDB needs the explicit 'g' flag where Spark's
+    // regexp_replace is always-global
+    "q125_url_canon" -> """
+      WITH raw AS (SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN concat('https://host', (doc_id % 50) % 25, '.example.org/p/', doc_id % 50)
+               WHEN doc_id % 4 = 1 THEN concat('HTTPS://WWW.Host', (doc_id % 50) % 25, '.Example.ORG:443/p/', doc_id % 50, '/')
+               WHEN doc_id % 4 = 2 THEN concat('https://host', (doc_id % 50) % 25, '.example.org/p/', doc_id % 50, '?utm_source=feed&utm_campaign=x', doc_id)
+               ELSE concat('https://host', (doc_id % 50) % 25, '.example.org/p/', doc_id % 50, '?ref=kept&utm_medium=mail#frag', doc_id) END AS url
+        FROM documents),
+      s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM raw),
+      parts AS (SELECT doc_id, url, u,
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9.+-]*://)', 1)) AS scheme,
+          regexp_replace(u, '^[A-Za-z][A-Za-z0-9.+-]*://', '') AS rest FROM s1),
+      hp AS (SELECT doc_id, url, u, scheme,
+          lower(regexp_extract(rest, '^([^/?]*)', 1)) AS rawhost,
+          regexp_replace(rest, '^[^/?]*', '') AS tail0 FROM parts),
+      hh AS (SELECT doc_id, url, u, scheme, tail0,
+          regexp_replace(CASE WHEN scheme = 'http://' THEN regexp_replace(rawhost, ':80$', '')
+               WHEN scheme = 'https://' THEN regexp_replace(rawhost, ':443$', '')
+               ELSE rawhost END, '^www\.', '') AS host FROM hp),
+      tt AS (SELECT doc_id, url, u, scheme, host,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            tail0, '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+            '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g'),
+            '\?(utm_[a-z]+|fbclid|gclid)=[^&]*$', '', 'g'),
+            '\?$', '', 'g'), '/$', '', 'g') AS tail FROM hh),
+      c AS (SELECT doc_id, url,
+          CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9.+-]*://')
+               THEN concat(scheme, host, tail) ELSE u END AS canon FROM tt)
+      SELECT canon, CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM c GROUP BY canon ORDER BY canon NULLS FIRST""",
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

@@ -65,6 +65,11 @@ object PlanDump {
     "q118_semdedup",         // broadcast centroid assign; cluster-keyed pair equi-join
     "q119_bpe_vocab32k",     // 34k-vocab trie tokenizer: still map stage + output sort
     "q120_gopher_full",      // full battery: map-only, native top_run argmax, no exchange
+    "q121_pii_scrub",        // regexp count+mask: map-only, zero exchanges
+    "q122_line_dedup",       // line-keyed window shuffle + doc-keyed reassembly, no join
+    "q123_unicode_norm",     // codegen'd unicode_normalize: map-only, fused in scan span
+    "q124_heavy_hitters",    // MG sketch: cap-bounded partial states, map-side combine
+    "q125_url_canon",        // regexp canonicalize map stage + one canonical-key agg
   )
 
   def main(args: Array[String]): Unit = {

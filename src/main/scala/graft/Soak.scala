@@ -172,7 +172,69 @@ object Soak {
     if (filterTerms.contains("sketch_days")) sketchDays(spark, days = mult, out)
     if (filterTerms.contains("semdedup_k")) semDedupK(spark, mult)
     if (filterTerms.contains("gopher_ab")) gopherAb(spark, mult)
+    if (filterTerms.contains("hh_ab")) hhAb(spark, mult)
     spark.stop()
+  }
+
+  /** Open-vocabulary a/b behind q124's scale claim: exact top-n must
+    * shuffle one row per DISTINCT token, the Misra–Gries sketch shuffles
+    * ≤cap counters per partition. On the fixture's closed 31-word
+    * vocabulary the two are indistinguishable, so this mode OPENS the
+    * vocabulary (every non-stopword salted by `doc_id % (mult·20000)` —
+    * the URL/identifier regime) while keeping six global stopwords as
+    * the true heavy hitters, then profiles both plans end-to-end and
+    * asserts they find the same leaders. The interesting number is the
+    * shuffle volume ratio, not the wall (at sf-scale both fit in
+    * memory; at 100 TB only the cap-bounded one does).
+    *
+    * Usage: sbt "runMain graft.Soak 30 hh_ab" */
+  private def hhAb(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.ApproxOps
+    val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val salt = mult * 20000
+    val hot = Seq("the", "a", "and", "of", "to", "in")
+    val docs = (0 until mult).map(i => src.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(when(col("w").isInCollection(hot), col("w"))
+        .otherwise(concat(col("w"), lit("_"),
+          (col("doc_id") % salt).cast("string"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = toks.count()
+    def exact = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(20)
+    def mg = ApproxOps.heavyHitters(toks, col("w"), cap = 64)
+      .orderBy(col("est").desc, col("token")).limit(20)
+    exact.collect(); mg.collect() // codegen/JIT warm-up
+    val (_, pe) = Profiling.profiled(spark, "hh_exact") {
+      val r = exact.collect(); (r, r.length.toLong)
+    }
+    val (_, pm) = Profiling.profiled(spark, "hh_mg") {
+      val r = mg.collect(); (r, r.length.toLong)
+    }
+    // guarantee end-to-end (untimed): every token above the N/(cap+1)
+    // threshold must appear in the FULL sketch with est in
+    // [true − N/(cap+1), true] — on real skew, not a fixture
+    val bound = n / 65
+    val trueCounts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") > bound).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = ApproxOps.heavyHitters(toks, col("w"), cap = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCounts.foreach { case (t, c) =>
+      require(sketch.contains(t), s"$t (count $c > $bound) missing from sketch")
+      require(sketch(t) <= c && sketch(t) >= c - bound,
+        s"$t estimate ${sketch(t)} outside [${c - bound}, $c]")
+    }
+    println(f"[soak] hh_ab x$mult ($n tokens, ~${31L * salt} vocab): " +
+      f"exact ${pe.wallSec}%.2f s / ${pe.shuffleReadBytes / 1024}%d KiB shuffled, " +
+      f"mg ${pm.wallSec}%.2f s / ${pm.shuffleReadBytes / 1024}%d KiB shuffled, " +
+      f"shuffle ratio ${pe.shuffleReadBytes.toDouble / math.max(pm.shuffleReadBytes, 1)}%.0fx")
+    toks.unpersist(blocking = false)
+    ()
   }
 
   /** Interpreted-HOF vs native `top_run` a/b for the Gopher battery's

@@ -141,4 +141,30 @@ object ApproxOps {
           / lit(breaks.toDouble)))
       .drop("__graft_qs")
   }
+
+  /** Misra–Gries heavy hitters over a token column
+    * ([[graft.functions.HeavyHittersAggregator]]) — the k-bounded,
+    * mergeable sibling of the exact top-n (q26): exact counting shuffles
+    * one row per DISTINCT token (vocabulary-sized — unbounded for URLs /
+    * hostnames / identifiers), while this shuffles at most `cap` counters
+    * per partition, constant in the data. Guarantee: every token with
+    * frequency > N/(cap+1) appears, estimates err low by at most
+    * N/(cap+1); with `cap` ≥ the distinct-token count the answer is
+    * EXACT (q124 sizes it so, keeping the oracle gate byte-exact).
+    *
+    * Returns `(grp…, token, est)` rows. Null tokens are dropped before
+    * aggregation (a null key is a data bug upstream, not a frequency).
+    * With `groupCols` the sketch runs per group — per-source vocabulary
+    * drift reports — each group's state independently cap-bounded. */
+  def heavyHitters(tokens: DataFrame, token: Column, cap: Int,
+      groupCols: Column*): DataFrame = {
+    val agg = udaf(new graft.functions.HeavyHittersAggregator(cap),
+      org.apache.spark.sql.Encoders.STRING)
+    val in = tokens.filter(token.isNotNull)
+    val sketch =
+      if (groupCols.isEmpty) in.agg(agg(token).as("__hh"))
+      else in.groupBy(groupCols: _*).agg(agg(token).as("__hh"))
+    sketch.select((sketch.columns.dropRight(1).map(col) :+
+      explode(col("__hh")).as(Seq("token", "est"))): _*)
+  }
 }

@@ -220,6 +220,50 @@ object Cleaning {
   val PiiIpv4: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiPhone: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+  /** URL canonicalization — the normalization FineWeb-style URL dedup
+    * keys on: byte-distinct surface forms of the same resource (scheme/
+    * host case, `www.`, default ports, tracking params, fragments,
+    * trailing slashes) must collapse BEFORE any URL-keyed dedup or
+    * host-level aggregation, or the dedup silently undercounts. One
+    * composed chain of codegen'd regexp built-ins (map-only, stateless,
+    * streams unchanged); every pattern is the Java-regex/RE2 common
+    * subset so the q125 oracle runs the identical steps.
+    *
+    * Canonical form, in order: strip `#fragment`; lowercase the scheme
+    * and the host; drop a leading `www.`; drop the scheme's default port
+    * (`:80` http, `:443` https); remove `utm_*` / `fbclid` / `gclid`
+    * query params (fixing the separators they leave behind); drop an
+    * empty query; drop one trailing `/`. Path, non-default ports,
+    * meaningful params and their ORDER are preserved — param
+    * reordering is a different resource until proven otherwise, the
+    * conservative side of this trade. Inputs without a `scheme://` are
+    * returned trimmed but otherwise untouched (relative references have
+    * no canonical absolute form without a base). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*", "")
+    val schemeRe = "^[A-Za-z][A-Za-z0-9.+-]*://"
+    val scheme = lower(regexp_extract(u, s"($schemeRe)", 1))
+    val rest = regexp_replace(u, schemeRe, "")
+    val rawHost = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val tail0 = regexp_replace(rest, "^[^/?]*", "")
+    val host = regexp_replace(
+      when(scheme === "http://", regexp_replace(rawHost, ":80$", ""))
+        .when(scheme === "https://", regexp_replace(rawHost, ":443$", ""))
+        .otherwise(rawHost),
+      "^www\\.", "")
+    val junk = "(utm_[a-z]+|fbclid|gclid)=[^&]*"
+    val tail = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(tail0, s"&$junk", ""),
+            s"\\?$junk&", "?"),
+          s"\\?$junk$$", ""),
+        "\\?$", ""),
+      "/$", "")
+    when(u.rlike(schemeRe), concat(scheme, host, tail)).otherwise(u)
+  }
+
   /** AUDITED PII scrub — the BigCode-pipeline shape: don't just mask
     * ([[redactPii]], q62); COUNT what you removed per category, because
     * at 100 TB the per-source removal-rate report is how you notice a

@@ -157,6 +157,25 @@ class CleaningSpec extends SparkSpec {
       full(1L).getAs[Double]("dup_para_frac") == 0.0)
   }
 
+  test("canonicalizeUrl: case, www, default ports, junk params, fragment, trailing slash") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Cleaning.canonicalizeUrl(col("u"))).as[String].head()
+    // the full gauntlet collapses to the canonical form
+    assert(canon("HTTPS://WWW.Site.Example.ORG:443/a/b/?utm_source=x&ref=keep&gclid=123#sec") ==
+      "https://site.example.org/a/b/?ref=keep")
+    assert(canon("http://www.site.example.org:80/a") == "http://site.example.org/a")
+    // non-default port, param order, real params all survive
+    assert(canon("https://site.example.org:8443/a?b=2&a=1") ==
+      "https://site.example.org:8443/a?b=2&a=1")
+    // junk-only query disappears entirely; bare root slash drops
+    assert(canon("https://site.example.org/?utm_medium=mail&utm_term=x") ==
+      "https://site.example.org")
+    // leading junk param before a kept one re-anchors the '?'
+    assert(canon("https://x.org/p?fbclid=abc&q=1") == "https://x.org/p?q=1")
+    // no scheme -> trimmed passthrough (no base to resolve against)
+    assert(canon("  example.org/path  ") == "example.org/path")
+  }
+
   test("piiScrub: per-category counts and typed masks, all categories at once") {
     val r = Cleaning.piiScrub(
       Seq((1L, "mail a.u+x@sub.example.org then ssh 192.168.1.17 or dial 555-012-3456 twice 555-012-3456"))
