@@ -1095,6 +1095,9 @@ object Dedup {
     * exactly the FIRST occurrence corpus-wide (ordered by `(id, line
     * position)` so the answer is deterministic and re-runnable).
     *
+    * `sep` picks the dedup unit: `"\n"` lines (default), `"\n\n"`
+    * paragraphs — CCNet's actual unit — or any literal separator.
+    *
     * Returns one row per input doc: `(id, n_lines, n_kept, text_clean)` —
     * `text_clean` re-joins the surviving lines IN ORDER (empty string when
     * every line was a repeat; docs whose text has no lines after
@@ -1109,7 +1112,10 @@ object Dedup {
     *     "first occurrence" is decided locally, no global sort;
     *  3. ONE shuffle back to `id` to reassemble documents
     *     (`sort_array(collect_list(struct(pos, line)))` — per-doc arrays,
-    *     bounded by doc length).
+    *     bounded by doc length), plus a left join against the doc-id
+    *     spine so docs whose every line was removed (or empty) still get
+    *     their output row — id-only rows on the probe side, broadcast at
+    *     test scale, co-partitioned SMJ at cluster scale.
     * Nothing is ever collected to the driver and no pairwise join exists
     * — cost is two exchanges of the line volume, independent of how
     * duplicated the corpus is. Skew note: a single line repeated billions
@@ -1122,9 +1128,15 @@ object Dedup {
     * re-shuffling the line volume for the join. This method uses the
     * window form: strictly less shuffle on realistically-skewed corpora,
     * and the swap is mechanical if a key ever melts an executor. */
-  def dedupLinesAcrossCorpus(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def dedupLinesAcrossCorpus(docs: DataFrame, id: Column, text: Column,
+      sep: String = "\n"): DataFrame = {
+    // sep = "\n\n" is CCNet's actual unit (paragraph-level corpus dedup);
+    // the split pattern is quoted so a regex metacharacter separator
+    // splits literally
     val lines = docs
-      .select(id.as("__ld_id"), posexplode(filter(split(text, "\n"), l => l =!= "")))
+      .select(id.as("__ld_id"),
+        posexplode(filter(split(text, java.util.regex.Pattern.quote(sep)),
+          l => l =!= "")))
       .toDF("__ld_id", "__ld_pos", "__ld_line")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__ld_line").orderBy(col("__ld_id"), col("__ld_pos"))
@@ -1139,7 +1151,7 @@ object Dedup {
             array_sort(collect_list(when(col("__ld_rn") === 1,
               struct(col("__ld_pos"), col("__ld_line"))))),
             s => s("__ld_line")),
-          "\n").as("text_clean"))
+          sep).as("text_clean"))
     docs.select(id.as("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),

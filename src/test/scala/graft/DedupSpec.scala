@@ -721,6 +721,19 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, "")))
   }
 
+  test("dedupLinesAcrossCorpus at sep=\\n\\n dedups paragraphs, preserving inner newlines") {
+    val docs = Seq(
+      (1L, "keep me\nline two\n\nshared para\nbody"),
+      (2L, "shared para\nbody\n\nonly mine")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text"), sep = "\n\n")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, "keep me\nline two\n\nshared para\nbody")))
+    // doc 2 loses the paragraph doc 1 held first, keeps its own
+    assert(got(2L) == ((2L, 1L, "only mine")))
+  }
+
   test("dedupLinesAcrossCorpus: empty lines are dropped, line order survives") {
     val docs = Seq(
       (7L, "first line\n\nsecond line\n"),
