@@ -278,7 +278,10 @@ object Cleaning {
     * emails are counted on the raw text, IPs and phones on the
     * email-masked text — so an email's digit runs can never double-count
     * as IP or phone fragments (the placeholders themselves contain no
-    * digits or `@`, so masking introduces no new matches). */
+    * digits or `@`, so masking introduces no new matches). NULL text
+    * propagates (NULL counts + NULL redaction, SQL semantics — the same
+    * convention as [[gopherRules]]' metrics); a pipeline that wants
+    * null-as-empty filters or coalesces upstream. */
   def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
     val masked = regexp_replace(
       regexp_replace(

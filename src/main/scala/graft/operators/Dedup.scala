@@ -1133,7 +1133,11 @@ object Dedup {
     // sep = "\n\n" is CCNet's actual unit (paragraph-level corpus dedup);
     // the split pattern is quoted so a regex metacharacter separator
     // splits literally
+    // null-id docs are dropped defensively (the CC operators' rule): they
+    // cannot be reassembled under a null group key — all of them would
+    // MERGE into one output row — and must not claim first occurrences
     val lines = docs
+      .filter(id.isNotNull)
       .select(id.as("__ld_id"),
         posexplode(filter(split(text, java.util.regex.Pattern.quote(sep)),
           l => l =!= "")))
@@ -1152,7 +1156,7 @@ object Dedup {
               struct(col("__ld_pos"), col("__ld_line"))))),
             s => s("__ld_line")),
           sep).as("text_clean"))
-    docs.select(id.as("id"))
+    docs.filter(id.isNotNull).select(id.as("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),

@@ -200,6 +200,13 @@ class CleaningSpec extends SparkSpec {
     assert(r.getAs[String]("text_redacted") == "[EMAIL] stays otherwise clean")
   }
 
+  test("piiScrub: NULL text propagates as NULL counts and NULL redaction (SQL semantics)") {
+    val r = Cleaning.piiScrub(
+      Seq((1L, Option.empty[String])).toDF("id", "t"), col("id"), col("t")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("n_emails")) && r.isNullAt(r.fieldIndex("n_ips")) &&
+      r.isNullAt(r.fieldIndex("n_phones")) && r.isNullAt(r.fieldIndex("text_redacted")))
+  }
+
   test("piiScrub: clean text passes through untouched with zero counts") {
     val r = Cleaning.piiScrub(
       Seq((1L, "version 1.2 of chapter 555 has no contact details")).toDF("id", "t"),

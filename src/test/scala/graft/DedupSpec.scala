@@ -721,6 +721,19 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, "")))
   }
 
+  test("dedupLinesAcrossCorpus drops null-id docs defensively (no merged null group)") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "mine\nshared"),
+      (null.asInstanceOf[java.lang.Long], "shared\nghost one"),
+      (null.asInstanceOf[java.lang.Long], "ghost two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect()
+    // only the real doc comes back, and the null-id doc never claimed
+    // "shared" (doc 1 keeps both its lines)
+    assert(got.toSeq == Seq((1L, 2L, 2L, "mine\nshared")))
+  }
+
   test("dedupLinesAcrossCorpus at sep=\\n\\n dedups paragraphs, preserving inner newlines") {
     val docs = Seq(
       (1L, "keep me\nline two\n\nshared para\nbody"),

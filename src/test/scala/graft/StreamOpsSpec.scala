@@ -291,6 +291,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(n == want, s"late-arriving file must be read whole: $n vs $want")
   }
 
+  test("heavyHitters merges sketch state across micro-batches: stream(complete) ≡ batch") {
+    import spark.implicits._
+    import graft.operators.ApproxOps
+    val dir = Files.createTempDirectory("docs-hh")
+    // two files -> maxFilesPerTrigger=1 forces TWO micro-batches, so the
+    // final answer exists only if the MG partial states merge correctly
+    // across batches (the mergeable-summaries property, streamed)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val stream = ApproxOps.heavyHitters(
+      toks(spark.readStream.schema(Tables.schemas("documents"))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)),
+      col("w"), cap = 256)
+    val q = stream.writeStream.format("memory").queryName("hh_s")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("hh_s").as[(String, Long)].collect().toMap
+    val batch = ApproxOps.heavyHitters(
+      toks(sf0001.documents.unionAll(sf0001.documents)), col("w"), cap = 256)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty,
+      "cap-above-vocab sketch over two micro-batches must equal the doubled-corpus batch run")
+  }
+
   test("piiScrub and unicode_normalize are stateless: stream/batch parity") {
     import graft.operators.Cleaning
     import graft.functions.TextOps

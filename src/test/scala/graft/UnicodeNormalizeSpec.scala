@@ -54,6 +54,23 @@ class UnicodeNormalizeSpec extends SparkSpec {
     assert(e2.getMessage.contains("literal"))
   }
 
+  test("doGenCode compiles for real (no silent whole-stage fallback)") {
+    // spark.sql.codegen.fallback (default true) would mask a broken
+    // doGenCode template behind interpreted execution in the DataFrame
+    // tests above; generating an UnsafeProjection compiles the Java
+    // directly and throws on any codegen error
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.plans.UnicodeNormalize(
+      BoundReference(0, org.apache.spark.sql.types.StringType, nullable = true), "NFC")
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    assert(proj(InternalRow(UTF8String.fromString(Decomposed)))
+      .getUTF8String(0).toString == Composed)
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("normalization makes byte-distinct canonical equivalents dedup-equal") {
     // the reason the operator exists: composed vs decomposed defeats
     // exact dedup unless normalized first
