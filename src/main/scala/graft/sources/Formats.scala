@@ -70,4 +70,20 @@ object Formats {
   /** One-shot ingest conversion: text drop → columnar home. */
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ORC — the OTHER columnar home (native in Spark, no extra module):
+    * a lake inherited from a Hive/Trino estate often lands ORC, and
+    * unlike the text edges it is a first-class query target — column
+    * pruning and predicate pushdown reach the ORC reader exactly as
+    * they do parquet (`PushedFilters` in the scan node, asserted in
+    * FormatsSpec), so no ingest conversion is required to query it
+    * efficiently. Schema is still pinned on read: ORC footers carry
+    * types, but pinning keeps the same loud-drift contract as
+    * [[readCsv]]/[[readJsonLines]] ([[graft.Tables.assertSchemasMatch]]
+    * discipline). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

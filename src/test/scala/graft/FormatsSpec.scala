@@ -69,4 +69,20 @@ class FormatsSpec extends SparkSpec {
     val home = spark.read.schema(Tables.schemas("lineitem")).parquet(s"$tmp/home_parquet")
     assert(probe(home) == probe(src))
   }
+
+  test("ORC roundtrips and is a first-class query target: filters push into the scan") {
+    val src = sf0001.lineitem
+    Formats.writeOrc(src, s"$tmp/li_orc")
+    val orc = Formats.readOrc(spark, s"$tmp/li_orc", Tables.schemas("lineitem"))
+    assert(probe(orc) == probe(src))
+    // pushdown evidence: the quantity predicate must reach the ORC reader
+    // (PushedFilters on the scan node), same as the parquet plan gates
+    val plan = orc.filter(col("l_quantity") > 30.0).select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"ORC scan must carry the pushed filter, got:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"),
+      "column pruning must drop unread columns from the ORC read schema")
+  }
 }
