@@ -110,6 +110,49 @@ object Dedup {
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("bi", "bk")))
   }
 
+  /** Collision probability of the banded-LSH S-curve: a pair with true
+    * Jaccard `sim` shares at least one of `bands` bands of `rows`
+    * signature positions with probability `1 − (1 − sim^rows)^bands`.
+    * Pure arithmetic — use it to AUDIT a (bands, rows) choice (what
+    * recall at the target threshold? what candidate rate at the noise
+    * floor?) before paying for the band join. */
+  def lshCollisionProb(sim: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(sim, rows), bands)
+
+  /** Choose `(bands, rows)` for a Jaccard `threshold` given `numHashes`
+    * signature positions — the datasketch-style optimizer restated over
+    * exact divisor pairs (lshBands requires bands × rows = numHashes):
+    * minimize `falseNegWeight`-weighted miss mass above the threshold
+    * plus `falsePosWeight`-weighted candidate mass below it, both as
+    * S-curve integrals (midpoint rule). The classic rule of thumb
+    * `(1/bands)^(1/rows) ≈ threshold` is the curve's waterline; the
+    * integral form also accounts for how SHARP the curve is around it.
+    * More bands → recall (catches lower sims), more rows → precision
+    * (starves the candidate join). At 100 TB the asymmetry matters:
+    * a false positive costs one verify-join row, a false negative is a
+    * duplicate that ships to training — hence the default weighting
+    * favors recall. */
+  def lshParamsFor(numHashes: Int, threshold: Double,
+      falsePosWeight: Double = 0.5, falseNegWeight: Double = 1.0): (Int, Int) = {
+    require(numHashes >= 2, s"need >= 2 hashes, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    val steps = 1000
+    def error(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = lshCollisionProb(s, b, r)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (falsePosWeight * fp + falseNegWeight * fn) / steps
+    }
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    candidates.minBy { case (b, r) => error(b, r) }
+  }
+
   /** Candidate pairs (da < db) sharing at least one band — the LSH
     * equi-join that replaces the N² cross product. */
   def candidatePairs(bands: DataFrame): DataFrame = {

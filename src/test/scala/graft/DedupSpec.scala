@@ -704,6 +704,30 @@ class DedupSpec extends SparkSpec {
     binary.foreach { case (id, ns) => assert(got(id)._3 == ns) }
   }
 
+  test("lshParamsFor picks divisor pairs tracking the threshold waterline") {
+    // the S-curve itself, closed-form: b=4, r=2 at sim=0.5 ->
+    // 1 - (1 - 0.25)^4 = 1 - 0.31640625
+    assert(math.abs(Dedup.lshCollisionProb(0.5, 4, 2) - 0.68359375) < 1e-12)
+    // monotone in sim, and in bands at fixed rows
+    assert(Dedup.lshCollisionProb(0.8, 4, 2) > Dedup.lshCollisionProb(0.5, 4, 2))
+    assert(Dedup.lshCollisionProb(0.5, 8, 2) > Dedup.lshCollisionProb(0.5, 4, 2))
+    // low threshold wants many bands (recall); high threshold wants
+    // many rows (precision) — and both must divide numHashes exactly
+    val (bLow, rLow) = Dedup.lshParamsFor(16, 0.3)
+    val (bHigh, rHigh) = Dedup.lshParamsFor(16, 0.9)
+    assert(bLow * rLow == 16 && bHigh * rHigh == 16)
+    assert(bLow > bHigh, s"0.3 -> ($bLow,$rLow) must band more than 0.9 -> ($bHigh,$rHigh)")
+    // the chosen pair's waterline (1/b)^(1/r) lands nearer the target
+    // than the most extreme alternatives
+    def waterline(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(waterline(bHigh, rHigh) - 0.9) <
+      math.abs(waterline(16, 1) - 0.9))
+    // default minHashNearDups geometry (8 hashes, 0.7 threshold) gets a
+    // sane interior answer, not a degenerate 1-band or 1-row split
+    val (b8, r8) = Dedup.lshParamsFor(8, 0.7)
+    assert(b8 * r8 == 8 && b8 > 1 && r8 > 1, s"got ($b8, $r8)")
+  }
+
   test("dedupLinesAcrossCorpus keeps exactly the first (doc_id, pos) occurrence") {
     val docs = Seq(
       (1L, "unique alpha\ncookie banner\nunique beta"),
