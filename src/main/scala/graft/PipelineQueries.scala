@@ -667,6 +667,28 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("canon")))
   }
 
+  /** q126: distributed BPE vocabulary TRAINING
+    * ([[graft.operators.BpeTrain.learnMerges]]) — the learning half of
+    * the subword stack (q112/q119 only APPLY vocabs): 8 merges learned
+    * from the corpus word-frequency table, each iteration one
+    * vocabulary-sized pair-count aggregation plus a 1-row argmax
+    * collect. The oracle re-derives the full merge SEQUENCE — not just
+    * the first step — by unrolling the iterations ([[bpeTrainOracle]]):
+    * each round recomputes pair counts from the current segmentation,
+    * takes the same (count DESC, pair ASC) argmax, and applies the
+    * greedy left-to-right merge via the island-parity formulation
+    * (windowed gaps-and-islands; odd ranks within a run of adjacent
+    * candidates merge — exactly the fold's ⌊run/2⌋ pairing). An
+    * off-by-one in any round's counts, tie-break or application order
+    * derails every later round, so the hash pins the whole algorithm. */
+  def q126(t: Tables): DataFrame = {
+    val merges = graft.operators.BpeTrain.learnMerges(t.documents, col("text"), 8)
+    import t.spark.implicits._
+    merges.map(m => (m.rank.toLong, m.piece, m.pairCount))
+      .toDF("rank", "piece", "pair_count")
+      .transform(sortedSmall(_, col("rank")))
+  }
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1245,12 +1267,74 @@ object PipelineQueries {
     "q123_unicode_norm"  -> q123 _,
     "q124_heavy_hitters" -> q124 _,
     "q125_url_canon"     -> q125 _,
+    "q126_bpe_train"     -> q126 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
     * algorithm-agnostic (recursive-CTE reachability in DuckDB), so both
     * the pointer-jumped and the large-star/small-star CC paths are
     * hash-gated against the same independent implementation. */
+  /** q126 oracle: K BPE training iterations UNROLLED as CTE layers
+    * (generated, like the q112/q119 vocab interpolation — but here the
+    * structure repeats, not the data). Round i over segmentation
+    * `seg{i-1}`:
+    *   - `pos`: one row per (word, position) with the symbol and its
+    *     right neighbor;
+    *   - `top`: the argmax adjacent pair by (weighted count DESC,
+    *     space-joined pair ASC) — the trainer's exact tie-break (symbols
+    *     contain no spaces, and ' ' sorts below every symbol byte, so
+    *     joined-string order ≡ (a, b) tuple order);
+    *   - `cand/isl/cho`: greedy left-to-right application restated for
+    *     sets: candidate positions are islands of consecutive j
+    *     (gaps-and-islands via j − row_number), and within an island the
+    *     odd ranks merge — a run of L identical symbols pairs ⌊L/2⌋
+    *     times from the left, exactly the in-row fold's behavior (for
+    *     a ≠ b every island is a singleton and all candidates merge);
+    *   - `emit/seg`: chosen positions emit the merged piece, positions
+    *     consumed by a chosen left neighbor (lag window) vanish.
+    * Cross-checked against an independent reference implementation
+    * during development; at K=8 the fixture corpus stays well above the
+    * exhaustion edge. The seg/pos/top layers are `AS MATERIALIZED`:
+    * DuckDB inlines plain CTEs, so each of a round's four scalar
+    * `(SELECT … FROM top_i)` references would re-evaluate the whole
+    * prior chain — exponential in K (the un-hinted form exhausts file
+    * handles re-opening the parquet before it exhausts time). */
+  private def bpeTrainOracle(k: Int): String = {
+    val seed = """seg0 AS MATERIALIZED (SELECT w, cnt, regexp_extract_all(w, '.') AS s FROM (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w))"""
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""pos$i AS MATERIALIZED (SELECT w, cnt, CAST(j AS INT) AS j, s[j] AS sym, s[j+1] AS nxt
+      FROM seg$p, unnest(range(1, len(s)+1)) t(j)),
+      top$i AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, c
+      FROM (SELECT sym || ' ' || nxt AS pair, sum(cnt) AS c FROM pos$i
+            WHERE nxt IS NOT NULL GROUP BY 1)
+      ORDER BY c DESC, pair LIMIT 1),
+      cand$i AS (SELECT w, cnt, j, sym,
+      CASE WHEN sym = (SELECT a FROM top$i) AND nxt = (SELECT b FROM top$i) THEN 1 ELSE 0 END AS cd
+      FROM pos$i),
+      isl$i AS (SELECT w, cnt, j, sym, cd,
+      CASE WHEN cd = 1 THEN j - row_number() OVER (PARTITION BY w, cd ORDER BY j) END AS grp
+      FROM cand$i),
+      cho$i AS (SELECT w, cnt, j, sym, cd,
+      CASE WHEN cd = 1 AND row_number() OVER (PARTITION BY w, grp ORDER BY j) % 2 = 1 THEN 1 ELSE 0 END AS ch
+      FROM isl$i),
+      emit$i AS (SELECT w, cnt, j,
+      CASE WHEN ch = 1 THEN sym || (SELECT b FROM top$i) ELSE sym END AS osym,
+      coalesce(lag(ch) OVER (PARTITION BY w ORDER BY j), 0) AS consumed
+      FROM cho$i),
+      seg$i AS MATERIALIZED (SELECT w, min(cnt) AS cnt, list(osym ORDER BY j) AS s
+      FROM emit$i WHERE consumed = 0 GROUP BY w)"""
+    }
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, (SELECT a || b FROM top$i) AS piece, " +
+      s"(SELECT c FROM top$i) AS pair_count").mkString(" UNION ALL ")
+    s"WITH ${(seed +: rounds).mkString(",\n      ")}\n" +
+    s"      SELECT * FROM ($finals) ORDER BY rank"
+  }
+
   private val dedupClustersOracle: String = """
       WITH RECURSIVE doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
@@ -1820,6 +1904,9 @@ object PipelineQueries {
       SELECT canon, CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
              CAST(count(*) AS BIGINT) AS n_docs
       FROM c GROUP BY canon ORDER BY canon NULLS FIRST""",
+
+    // q126: the unrolled-iteration trainer oracle — see bpeTrainOracle
+    "q126_bpe_train" -> bpeTrainOracle(8),
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrain
+
+/** [[BpeTrain]] — distributed BPE vocabulary training. Expectations are
+  * hand-derived on closed corpora (the Sennrich-style frequency walk). */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges walks the hand-computed merge sequence") {
+    // word counts: low×5, lower×2, newest×6, widest×3
+    // pair counts r1: es = 6+3 = 9 (newest+widest), st = 9, t end...
+    // es vs st tie at 9 -> tie-break "e s" < "s t" -> es first
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, col("text"), 3)
+    assert(merges.map(m => (m.rank, m.piece, m.pairCount)) == Seq(
+      (1, "es", 9L),   // e+s in newest(6) + widest(3); ties with s+t, wins on pair order
+      (2, "est", 9L),  // es+t, now the only 9
+      (3, "lo", 7L)    // l+o in low(5) + lower(2)
+    ), s"got: ${merges}")
+  }
+
+  test("applyMerge pairs runs floor(L/2) times from the left") {
+    def run(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("s")
+        .select(BpeTrain.applyMerge(col("s"), a, b)).as[Seq[String]].head()
+    assert(run(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(run(Seq("a", "a", "b"), "a", "b") == Seq("a", "ab"))
+    assert(run(Seq("x"), "a", "b") == Seq("x"))
+    assert(run(Seq(), "a", "b") == Seq())
+  }
+
+  test("learn -> merges file -> registerMerges -> tokenize round-trips") {
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, col("text"), 6)
+    val path = java.nio.file.Files.createTempFile("learned-merges", ".txt")
+    java.nio.file.Files.writeString(path,
+      BpeTrain.pieces(merges).mkString("\n") + "\n")
+    graft.plans.BpeVocabs.registerMerges("learned-spec", path)
+    // the trained vocab segments its own training words using the
+    // learned pieces (greedy longest-match over merges + char fallback)
+    val got = Seq(("newest widest low")).toDF("text")
+      .select(graft.functions.TextOps.bpeTokensVocab(col("text"), "learned-spec"))
+      .as[Seq[String]].head()
+    val learned = BpeTrain.pieces(merges).toSet
+    assert(got.nonEmpty && got.exists(p => p.length > 1 && learned.contains(p)),
+      s"tokenization must use learned multi-char pieces, got $got (vocab $learned)")
+    // every emitted piece is either a learned piece or a single-char fallback
+    assert(got.forall(p => p.length == 1 || learned.contains(p)), s"got $got")
+  }
+
+  test("training is deterministic across partitionings (ties broken by pair order)") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, "abba abab baab")).toDF("doc_id", "text")
+    val a = BpeTrain.learnMerges(docs.repartition(1), col("text"), 4)
+    val b = BpeTrain.learnMerges(docs.repartition(7), col("text"), 4)
+    assert(a == b, s"$a vs $b")
+  }
+}
