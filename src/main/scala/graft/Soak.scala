@@ -173,7 +173,49 @@ object Soak {
     if (filterTerms.contains("semdedup_k")) semDedupK(spark, mult)
     if (filterTerms.contains("gopher_ab")) gopherAb(spark, mult)
     if (filterTerms.contains("hh_ab")) hhAb(spark, mult)
+    if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
     spark.stop()
+  }
+
+  /** Per-iteration cost flatness for [[graft.operators.BpeTrain]]: train
+    * `mult` merges on the sf0.1 corpus and report wall per 16-merge
+    * block. Without the lineage truncation (localCheckpoint every 16)
+    * the k-th iteration pays O(k) analysis on a k-deep fold plan and the
+    * curve bends quadratic; with it the blocks must stay flat — the
+    * 32k-merge feasibility claim in the operator's scaladoc.
+    *
+    * Usage: sbt "runMain graft.Soak 64 bpetrain_k" */
+  private def bpeTrainK(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.BpeTrain
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val block = 16
+    val blocks = math.max(1, mult / block)
+    // time each block by training cumulatively and differencing: k merges
+    // of a deterministic walk are a prefix of k+16's, so block i's cost =
+    // t(16·(i+1)) − t(16·i) measured on separate runs would double-pay
+    // the prefix; instead run ONCE with a timing hook via successive
+    // prefix trainings — acceptable here because the flatness question
+    // is about the MARGINAL cost at depth, which the differenced
+    // cumulative walls expose the same way
+    // JIT/codegen/parquet warm-up dominates cold iterations — burn off
+    // one short training, then measure per-iteration walls inside ONE
+    // run (cross-run cumulative differencing drowned in box noise)
+    BpeTrain.learnMerges(docs, col("text"), 8)
+    val iters = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    BpeTrain.learnMerges(docs, col("text"), blocks * block,
+      onIteration = (k, w) => iters += ((k, w)))
+    iters.grouped(block).zipWithIndex.foreach { case (g, i) =>
+      val ws = g.map(_._2).sorted
+      println(f"[soak] bpetrain_k block ${i + 1} (k=${g.head._1}%3d..${g.last._1}%3d): " +
+        f"median ${ws(ws.size / 2)}%.3f s, max ${ws.last}%.3f s")
+    }
+    def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    // skip the first few iterations of the measured run (residual JIT)
+    val first = median(iters.slice(4, 4 + block).map(_._2).toSeq)
+    val last = median(iters.takeRight(block).map(_._2).toSeq)
+    require(last < first * 3 + 1.0,
+      f"per-iteration cost must stay flat: early median $first%.3f s vs late $last%.3f s")
+    ()
   }
 
   /** Open-vocabulary a/b behind q124's scale claim: exact top-n must

@@ -68,9 +68,21 @@ object BpeTrain {
       .otherwise(concat(acc, array(x))))
 
   /** Learn `numMerges` merges from the corpus. Returns them in rank
-    * order; stops early if no adjacent pair remains. */
-  def learnMerges(docs: DataFrame, text: Column, numMerges: Int): Seq[Merge] = {
+    * order; stops early if no adjacent pair remains.
+    *
+    * `truncateEvery`: the per-iteration persist serves the DATA, but the
+    * logical plan still nests one fold layer per merge — at a production
+    * 32k merges the ANALYZER cost of iteration k is O(k) and the total
+    * O(k²) (the exact failure mode Graph/connectedComponents hit).
+    * Every `truncateEvery` iterations the word table is lazily
+    * `localCheckpoint`ed, cutting the plan back to a leaf — the
+    * Graph.checkpointEvery discipline, on by default here because
+    * training is inherently many-round. */
+  def learnMerges(docs: DataFrame, text: Column, numMerges: Int,
+      truncateEvery: Int = 16,
+      onIteration: (Int, Double) => Unit = (_, _) => ()): Seq[Merge] = {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
+    require(truncateEvery >= 1, s"need truncateEvery >= 1, got $truncateEvery")
     val spark = docs.sparkSession
     var words = wordTable(docs, text)
       .select(col("w"), col("cnt"),
@@ -81,6 +93,7 @@ object BpeTrain {
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val iterT0 = System.nanoTime()
       val top = words
         .select(explode(graft.plans.GraftFunctions.wordNGrams(col("syms"), 2)).as("pair"),
           col("cnt"))
@@ -94,11 +107,13 @@ object BpeTrain {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         out += Merge(rank, a, b, top(0).getLong(1))
         val prev = words
-        words = prev.select(col("w"), col("cnt"),
+        val next = prev.select(col("w"), col("cnt"),
             applyMerge(col("syms"), a, b).as("syms"))
+        words = (if (rank % truncateEvery == 0) next.localCheckpoint(false) else next)
           .persist(StorageLevel.MEMORY_AND_DISK)
         words.count() // materialize before dropping the parent
         prev.unpersist(blocking = false)
+        onIteration(rank, (System.nanoTime() - iterT0) / 1e9)
         rank += 1
       }
     }
