@@ -689,6 +689,28 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("rank")))
   }
 
+  /** q127: merge-order BPE INFERENCE ([[graft.plans.BpeApplyMerges]]) —
+    * the production tokenizer algorithm completing the subword triad
+    * (q119 greedy longest-match application, q126 training, this:
+    * rank-order replay): train 8 merges, register them as a merge-rank
+    * vocab, segment the doc_id%10==5 slice. The oracle reuses the
+    * trainer chain's FINAL segmentation table (`seg8`) and maps every
+    * word of the slice through it — the engines meet at the
+    * segmentation itself, which is only possible because rank-order
+    * inference provably reproduces training segmentations. */
+  def q127(t: Tables): DataFrame = {
+    val merges = graft.operators.BpeTrain.learnMerges(t.documents, col("text"), 8)
+    graft.plans.BpeMergeRanks.register("q127", merges.map(m => (m.a, m.b)))
+    val toks = filter(split(lower(col("text")), " "), w => w =!= "")
+    t.documents.filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), size(toks).cast("long").as("n_words"),
+        graft.plans.GraftFunctions.bpeApplyMerges(col("text"), "q127").as("__p"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__p")).cast("long").as("n_pieces"),
+        md5(array_join(col("__p"), " ")).as("h"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   def q114(t: Tables): DataFrame =
     graft.operators.Sampling.temperatureMixture(
         t.documents, col("source"),
@@ -1268,6 +1290,7 @@ object PipelineQueries {
     "q124_heavy_hitters" -> q124 _,
     "q125_url_canon"     -> q125 _,
     "q126_bpe_train"     -> q126 _,
+    "q127_bpe_apply"     -> q127 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1300,6 +1323,36 @@ object PipelineQueries {
     * prior chain — exponential in K (the un-hinted form exhausts file
     * handles re-opening the parquet before it exhausts time). */
   private def bpeTrainOracle(k: Int): String = {
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, (SELECT a || b FROM top$i) AS piece, " +
+      s"(SELECT c FROM top$i) AS pair_count").mkString(" UNION ALL ")
+    s"WITH ${bpeTrainCtes(k)}\n" +
+    s"      SELECT * FROM ($finals) ORDER BY rank"
+  }
+
+  /** q127 oracle: the SAME unrolled training chain, but the final select
+    * reads `seg{k}` — the trainer's final word→segmentation table — and
+    * maps every word of the gated doc slice through it in order. The
+    * merge-order inference expression must reproduce training
+    * segmentations exactly (the rank-order replay theorem), so the two
+    * engines meet at the segmentation, not just the merge list. */
+  private def bpeApplyOracle(k: Int): String =
+    s"""WITH ${bpeTrainCtes(k)},
+      d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id % 10 = 5),
+      wpos AS (SELECT doc_id, CAST(i AS INT) AS i, ws[i] AS w
+               FROM d, unnest(range(1, len(ws)+1)) t(i)
+               WHERE ws[i] <> ''),
+      jn AS (SELECT wpos.doc_id, wpos.i,
+                    CAST(len(sg.s) AS BIGINT) AS np,
+                    array_to_string(sg.s, ' ') AS seg
+             FROM wpos JOIN seg$k sg ON wpos.w = sg.w)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_pieces,
+             md5(string_agg(seg, ' ' ORDER BY i)) AS h
+      FROM jn GROUP BY doc_id ORDER BY doc_id NULLS FIRST"""
+
+  private def bpeTrainCtes(k: Int): String = {
     val seed = """seg0 AS MATERIALIZED (SELECT w, cnt, regexp_extract_all(w, '.') AS s FROM (
       SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
@@ -1328,11 +1381,7 @@ object PipelineQueries {
       seg$i AS MATERIALIZED (SELECT w, min(cnt) AS cnt, list(osym ORDER BY j) AS s
       FROM emit$i WHERE consumed = 0 GROUP BY w)"""
     }
-    val finals = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, (SELECT a || b FROM top$i) AS piece, " +
-      s"(SELECT c FROM top$i) AS pair_count").mkString(" UNION ALL ")
-    s"WITH ${(seed +: rounds).mkString(",\n      ")}\n" +
-    s"      SELECT * FROM ($finals) ORDER BY rank"
+    (seed +: rounds).mkString(",\n      ")
   }
 
   private val dedupClustersOracle: String = """
@@ -1907,6 +1956,10 @@ object PipelineQueries {
 
     // q126: the unrolled-iteration trainer oracle — see bpeTrainOracle
     "q126_bpe_train" -> bpeTrainOracle(8),
+
+    // q127: the same chain's final segmentation table, mapped over the
+    // gated slice — see bpeApplyOracle
+    "q127_bpe_apply" -> bpeApplyOracle(8),
 
     // q114: per-source token totals → natural share p → pow(p, 0.7)
     // reweighting; arithmetic mirrors Sampling.temperatureMixture's

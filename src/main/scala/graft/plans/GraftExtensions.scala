@@ -133,6 +133,19 @@ object GraftFunctions {
           s"bpe_tokenize(text) takes 1 argument, got ${exprs.length}")
         BpeTokenize(exprs.head)
       }),
+    (FunctionIdentifier("bpe_apply_merges"),
+      new ExpressionInfo(classOf[BpeApplyMerges].getName, "bpe_apply_merges"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"bpe_apply_merges(text, vocabId) takes 2 arguments, got ${exprs.length}")
+        val id = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_apply_merges: vocabId must be a string literal, got $other")
+        }
+        BpeApplyMerges(exprs.head, id)
+      }),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (exprs: Seq[Expression]) => {
@@ -200,4 +213,7 @@ object GraftFunctions {
   def unicodeNormalize(text: Column, form: String): Column =
     call_function("unicode_normalize", text,
       org.apache.spark.sql.functions.lit(form))
+  def bpeApplyMerges(text: Column, vocabId: String): Column =
+    call_function("bpe_apply_merges", text,
+      org.apache.spark.sql.functions.lit(vocabId))
 }
