@@ -14,19 +14,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * inference needs the pairs and their priorities). Same shipping
   * contract as [[BpeVocabs]]: the expression serializes only the id. */
 object BpeMergeRanks {
-  private val vocabs =
+  private val suppliers =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Seq[(String, String)]]()
+  private val resolved =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), Int]]()
 
+  /** In-memory registration — reaches only THIS JVM. Correct under
+    * `local[*]` (driver = executors, the q127 path); on a cluster use
+    * [[registerFile]], whose lazy file read resolves on whichever JVM
+    * evaluates first (ship the file with `spark-submit --files`, the
+    * BpeVocabs contract). */
   def register(id: String, merges: Seq[(String, String)]): Unit = {
-    vocabs.put(id, merges.zipWithIndex.toMap)
+    suppliers.put(id, () => merges)
+    resolved.remove(id) // re-registration must not serve stale ranks
+    ()
+  }
+
+  /** File-backed registration: one merge per line, `a b` (two symbols
+    * separated by a single space — symbols never contain spaces), `#`
+    * comments and blanks skipped, rank = line order. The executor-safe
+    * sibling of [[register]]; [[writeFile]] round-trips it. */
+  def registerFile(id: String, path: java.nio.file.Path): Unit = {
+    suppliers.put(id, () => {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(path).asScala.toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val sp = l.indexOf(' ')
+          require(sp > 0 && sp < l.length - 1, s"bad merge line '$l' in $path")
+          (l.substring(0, sp), l.substring(sp + 1))
+        }
+    })
+    resolved.remove(id)
+    ()
+  }
+
+  /** Write merges in [[registerFile]]'s format. */
+  def writeFile(path: java.nio.file.Path, merges: Seq[(String, String)]): Unit = {
+    java.nio.file.Files.writeString(path,
+      merges.map { case (a, b) => s"$a $b" }.mkString("", "\n", "\n"))
     ()
   }
 
   def ranks(id: String): Map[(String, String), Int] = {
-    val m = vocabs.get(id)
-    require(m != null, s"no merge-rank vocab registered under '$id' " +
-      s"(known: ${vocabs.keySet()})")
-    m
+    val m = resolved.get(id)
+    if (m != null) m
+    else resolved.computeIfAbsent(id, _ => {
+      val s = suppliers.get(id)
+      require(s != null, s"no merge-rank vocab registered under '$id' " +
+        s"(known: ${suppliers.keySet()})")
+      s().zipWithIndex.toMap
+    })
   }
 }
 

@@ -57,6 +57,19 @@ class BpeApplySpec extends SparkSpec {
     assert(e.getMessage.contains("never-registered"))
   }
 
+  test("file-backed merge-rank vocab round-trips and segments identically") {
+    BpeMergeRanks.register("apply-mem", merges.map(m => (m.a, m.b)))
+    val path = java.nio.file.Files.createTempFile("merge-ranks", ".txt")
+    BpeMergeRanks.writeFile(path, merges.map(m => (m.a, m.b)))
+    BpeMergeRanks.registerFile("apply-file", path)
+    for (w <- Seq("newest", "lowest", "widest sew"))
+      assert(viaExpr(w, "apply-file") == viaExpr(w, "apply-mem"), s"'$w'")
+    // re-registration serves the NEW vocab, never a stale resolved map
+    BpeMergeRanks.register("apply-file", Seq())
+    assert(viaExpr("newest", "apply-file") ==
+      Seq("n", "e", "w", "e", "s", "t"))
+  }
+
   test("longest-match (WordPiece-style) and merge-order can legitimately differ") {
     // vocab pieces {ab, bc, abc? no}: merges (b,c) rank0, (a,b) rank1.
     // merge-order on "abc": (b,c) first -> [a, bc].
