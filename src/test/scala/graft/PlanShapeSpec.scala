@@ -137,4 +137,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("Join"),
       s"no aggregate or join in the tokenizer pipeline:\n$p")
   }
+
+  test("q121/q123: the scrub and normalize stages are map-only (one output exchange)") {
+    for (name <- Seq("q121_pii_scrub", "q123_unicode_norm")) {
+      val p = q(name)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$name: only the output-sort exchange expected:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+        !p.contains("Window"),
+        s"$name: no aggregate/join/window in a redact-on-ingest stage:\n$p")
+    }
+  }
+
+  test("q122: line dedup is one line-keyed window + one doc-keyed reassembly") {
+    val p = q("q122_line_dedup")
+    assert(p.contains("Window"), s"keep-first needs the line window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"reassembly collects per-doc arrays:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the doc-spine join must broadcast at this scale, never cartesian:\n$p")
+  }
+
+  test("q124: the MG sketch aggregates partial+final around one exchange") {
+    val p = q("q124_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"partial map-side sketch states must combine before the shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join in the sketch path:\n$p")
+  }
 }
