@@ -206,8 +206,9 @@ object Soak {
       onIteration = (k, w) => iters += ((k, w)))
     iters.grouped(block).zipWithIndex.foreach { case (g, i) =>
       val ws = g.map(_._2).sorted
+      val (maxK, maxW) = g.maxBy(_._2)
       println(f"[soak] bpetrain_k block ${i + 1} (k=${g.head._1}%3d..${g.last._1}%3d): " +
-        f"median ${ws(ws.size / 2)}%.3f s, max ${ws.last}%.3f s")
+        f"median ${ws(ws.size / 2)}%.3f s, max $maxW%.3f s at k=$maxK")
     }
     def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
     // skip the first few iterations of the measured run (residual JIT)

@@ -109,8 +109,12 @@ object BpeTrain {
         val prev = words
         val next = prev.select(col("w"), col("cnt"),
             applyMerge(col("syms"), a, b).as("syms"))
-        words = (if (rank % truncateEvery == 0) next.localCheckpoint(false) else next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // checkpoint iterations skip the Dataset-level persist:
+        // localCheckpoint already caches at the RDD level, and stacking
+        // the CacheManager on top just materializes the same rows twice
+        words =
+          if (rank % truncateEvery == 0) next.localCheckpoint(false)
+          else next.persist(StorageLevel.MEMORY_AND_DISK)
         words.count() // materialize before dropping the parent
         prev.unpersist(blocking = false)
         onIteration(rank, (System.nanoTime() - iterT0) / 1e9)
