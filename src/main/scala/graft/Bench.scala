@@ -104,8 +104,9 @@ object Bench {
     // q102 + the CC consumers) and the resolved component table on top of
     // it (Tables.documentNearDupComponents; q57/q85/q102/q106/q109).
     // Timing each consumer cold would multi-count the shared builds, so
-    // each build is timed ONCE as its own `shared_*` entry — BEFORE any
-    // consumer is timed — and the consumers are timed against the warm
+    // each build is timed as its own `shared_*` entry (best of 2 full
+    // rebuilds) — BEFORE any consumer is timed — and the consumers are
+    // timed against the warm
     // memos — exactly the cost profile of a real suite session. (Round 10
     // had q102 misclassified as cold: its clearCache reps rebuilt the
     // whole pair table, reporting 5.89 s for a 0.37 s query.) Everything
@@ -124,18 +125,24 @@ object Bench {
       }
       n -> reps.min
     }
-    spark.sharedState.cacheManager.clearCache()
-    Tables.clearPairCache()
-    val tSharedPairs = {
+    // Best-of-2 for the shared builds too (round 11 post-mortem: the one
+    // single-pass timing left in the file caught a background-load spike
+    // and reported 118 s for a ~1.3 s build). Each rep rebuilds from
+    // scratch — clearPairCache drops the memo handles so the builds
+    // actually run — and the LAST rep leaves the memos warm for the
+    // consumer timings below, exactly as before.
+    val sharedReps = (1 to 2).map { _ =>
+      spark.sharedState.cacheManager.clearCache()
+      Tables.clearPairCache()
       val t0 = System.nanoTime()
       Tables(spark, sfDir).documentNearDupPairs // persists + materializes
-      (System.nanoTime() - t0) / 1e9
-    }
-    val tSharedComp = {
-      val t0 = System.nanoTime()
+      val t1 = System.nanoTime()
       Tables(spark, sfDir).documentNearDupComponents // one CC run, persisted
-      (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
+    val tSharedPairs = sharedReps.map(_._1).min
+    val tSharedComp = sharedReps.map(_._2).min
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
       n -> (1 to 2).map(_ => runOne(n)).min
     }
@@ -153,6 +160,44 @@ object Bench {
       import scala.jdk.CollectionConverters._
       failed.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
+    // Serial-times drift gate (bench twin of scripts/profile_drift.py):
+    // compare this run's per-query serial + extension seconds against the
+    // previous committed summary (target/bench_summary.json, read BEFORE
+    // this run overwrites it). Round 11's shared-memo anomaly was only
+    // visible by hand-diffing two JSON tails; the artifact now carries
+    // the diff itself. Thresholds per the judge's mandate: flag when the
+    // reading moved >2x AND >0.3 s — both directions (a silent 10x
+    // "speedup" is usually a query that stopped doing its work).
+    val drift: String = {
+      val curAll = (serial ++ ext).toMap
+      try {
+        val basePath = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "target/bench_summary.json"))
+        if (!java.nio.file.Files.exists(basePath)) """{"baseline":null}"""
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readString(basePath))
+          val prevAll = scala.collection.mutable.Map[String, Double]()
+          for (sec <- Seq("queries", "extensions"); node = root.get(sec); if node != null) {
+            node.fieldNames().forEachRemaining(k => prevAll(k) = node.get(k).asDouble())
+          }
+          val entries = curAll.keys.toSeq.sorted.flatMap { n =>
+            prevAll.get(n).collect {
+              case prev if math.abs(curAll(n) - prev) > 0.3 &&
+                  (curAll(n) > 2 * prev || prev > 2 * curAll(n)) =>
+                val dir = if (curAll(n) > prev) "regressed" else "improved"
+                "\"" + n + "\":{\"prev\":" + prev + ",\"cur\":" + curAll(n) +
+                  ",\"dir\":\"" + dir + "\"}"
+            }
+          }
+          s"""{"baseline":"$basePath","flagged":${entries.mkString("{", ",", "}")}}"""
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // the gate must never take down the bench artifact itself
+        """{"baseline":"unreadable: """ + e.getClass.getSimpleName + "\"}"
+      }
+    }
+
     // Key order matters for artifact durability, not for JSON parsers: the
     // driver's tail capture truncates from the FRONT, so the headline
     // metric/value go LAST on the line (the big per-query maps are what got
@@ -160,7 +205,7 @@ object Bench {
     // to target/bench_summary.json so the number survives any truncation.
     val json =
       s"""{"queries":$qs,"serial_total":$serialTotal,"concurrency":$threads,""" +
-      s""""extensions":$exts,"failed":$failedJson,"sf":"$sfDir",""" +
+      s""""extensions":$exts,"drift":$drift,"failed":$failedJson,"sf":"$sfDir",""" +
       s""""unit":"sec","metric":"suite_wall_concurrent","value":$wall}"""
     val outFile = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(outFile.getParent)

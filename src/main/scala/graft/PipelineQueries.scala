@@ -1325,7 +1325,7 @@ object PipelineQueries {
   private def bpeTrainOracle(k: Int): String = {
     val finals = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, (SELECT a || b FROM top$i) AS piece, " +
-      s"(SELECT c FROM top$i) AS pair_count").mkString(" UNION ALL ")
+      s"CAST((SELECT c FROM top$i) AS BIGINT) AS pair_count").mkString(" UNION ALL ")
     s"WITH ${bpeTrainCtes(k)}\n" +
     s"      SELECT * FROM ($finals) ORDER BY rank"
   }
@@ -1946,7 +1946,7 @@ object PipelineQueries {
             tail0, '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
             '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?', 'g'),
             '\?(utm_[a-z]+|fbclid|gclid)=[^&]*$', '', 'g'),
-            '\?$', '', 'g'), '/$', '', 'g') AS tail FROM hh),
+            '\?$', '', 'g'), '^([^?]*)/$', '\1', 'g') AS tail FROM hh),
       c AS (SELECT doc_id, url,
           CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9.+-]*://')
                THEN concat(scheme, host, tail) ELSE u END AS canon FROM tt)

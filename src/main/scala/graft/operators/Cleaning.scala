@@ -233,7 +233,9 @@ object Cleaning {
     * and the host; drop a leading `www.`; drop the scheme's default port
     * (`:80` http, `:443` https); remove `utm_*` / `fbclid` / `gclid`
     * query params (fixing the separators they leave behind); drop an
-    * empty query; drop one trailing `/`. Path, non-default ports,
+    * empty query; drop one trailing `/` (only when no query remains —
+    * a `/` ending a kept param value like `?next=/` is data, not path
+    * punctuation). Path, non-default ports,
     * meaningful params and their ORDER are preserved — param
     * reordering is a different resource until proven otherwise, the
     * conservative side of this trade. Inputs without a `scheme://` are
@@ -260,7 +262,7 @@ object Cleaning {
             s"\\?$junk&", "?"),
           s"\\?$junk$$", ""),
         "\\?$", ""),
-      "/$", "")
+      "^([^?]*)/$", "$1")
     when(u.rlike(schemeRe), concat(scheme, host, tail)).otherwise(u)
   }
 

@@ -63,7 +63,12 @@ object BpeMergeRanks {
       val s = suppliers.get(id)
       require(s != null, s"no merge-rank vocab registered under '$id' " +
         s"(known: ${suppliers.keySet()})")
-      s().zipWithIndex.toMap
+      // First occurrence wins on a duplicated pair (zipWithIndex.toMap
+      // would keep the LAST = highest rank): reference tokenizers honor
+      // the first listing, and a silent rank shift changes segmentation.
+      s().zipWithIndex.foldLeft(Map.empty[(String, String), Int]) {
+        case (m, (pair, rank)) => if (m.contains(pair)) m else m.updated(pair, rank)
+      }
     })
   }
 }
@@ -138,7 +143,10 @@ final case class BpeApplyMerges(child: Expression, vocabId: String)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // UTF8String.toLowerCase == Spark's lower(): locale-independent, so
+    // inference segmentation matches training (which lowercases via
+    // lower()) even under e.g. a Turkish default JVM locale.
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val pieces = Seq.newBuilder[Any]
     text.split(" ", -1).foreach { w =>
       if (w.nonEmpty) segment(w).foreach(p => pieces += UTF8String.fromString(p))
