@@ -682,7 +682,11 @@ object PipelineQueries {
     * off-by-one in any round's counts, tie-break or application order
     * derails every later round, so the hash pins the whole algorithm. */
   def q126(t: Tables): DataFrame = {
-    val merges = graft.operators.BpeTrain.learnMerges(t.documents, col("text"), 8)
+    // the BATCHED trainer is the production path (provably identical
+    // sequence, ~batch× fewer jobs — see learnMergesBatched's acceptance
+    // invariants); running the gate through it means the oracle pins the
+    // scale path, not just the reference per-merge loop
+    val merges = graft.operators.BpeTrain.learnMergesBatched(t.documents, col("text"), 8)
     import t.spark.implicits._
     merges.map(m => (m.rank.toLong, m.piece, m.pairCount))
       .toDF("rank", "piece", "pair_count")
@@ -699,7 +703,7 @@ object PipelineQueries {
     * segmentation itself, which is only possible because rank-order
     * inference provably reproduces training segmentations. */
   def q127(t: Tables): DataFrame = {
-    val merges = graft.operators.BpeTrain.learnMerges(t.documents, col("text"), 8)
+    val merges = graft.operators.BpeTrain.learnMergesBatched(t.documents, col("text"), 8)
     graft.plans.BpeMergeRanks.register("q127", merges.map(m => (m.a, m.b)))
     val toks = filter(split(lower(col("text")), " "), w => w =!= "")
     t.documents.filter(col("doc_id") % 10 === 5)

