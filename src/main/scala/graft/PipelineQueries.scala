@@ -587,6 +587,29 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q128: q122's corpus-level line dedup through the `hotKeySafe`
+    * ASSOCIATIVE form — `min(struct(id, pos))` partial-combined per line
+    * plus a skew-free winning-coordinates join instead of the keep-first
+    * window (the hot-boilerplate escape hatch; see
+    * [[Dedup.dedupLinesAcrossCorpus]]'s skew note and the
+    * linededup_hotkey soak). Answer-identity with the window form is the
+    * operator's contract, so the gate runs the SAME oracle as q122 —
+    * the driver independently proves both plans meet at the same
+    * byte-identical reconstruction. */
+  def q128(t: Tables): DataFrame = {
+    val words = split(col("text"), " ")
+    val lineArr = transform(
+      sequence(lit(0L), greatest(ceil(size(words) / lit(3.0)) - 1, lit(0L))),
+      i => array_join(slice(words, (i * 3 + 1).cast("int"), lit(3)), " "))
+    val structured = t.documents
+      .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+    Dedup.dedupLinesAcrossCorpus(structured, col("doc_id"), col("text"),
+        hotKeySafe = true)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean")).as("h"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q123: Unicode normalization via the native `unicode_normalize`
     * expression ([[graft.plans.UnicodeNormalize]]) — the fixture is pure
     * ASCII (already-NFC fast path), so canonical and compatibility
@@ -1295,6 +1318,7 @@ object PipelineQueries {
     "q125_url_canon"     -> q125 _,
     "q126_bpe_train"     -> q126 _,
     "q127_bpe_apply"     -> q127 _,
+    "q128_line_dedup_hotsafe" -> q128 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1419,7 +1443,7 @@ object PipelineQueries {
              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
       FROM comp GROUP BY rep ORDER BY rep NULLS FIRST"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q56_hash_sample" -> """
       WITH k AS (SELECT l_returnflag, l_quantity,
         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
@@ -2713,4 +2737,11 @@ object PipelineQueries {
                  GROUP BY n_name ORDER BY bal0 DESC, n_name LIMIT 2) t) x
       ORDER BY r_name NULLS FIRST, bal DESC NULLS LAST, n_name NULLS FIRST""",
   )
+
+  // q128: the hotKeySafe associative form's contract is answer IDENTITY
+  // with the window form, so it is gated against the exact q122 oracle —
+  // two independent Spark plans and one DuckDB derivation all meeting at
+  // the same byte-identical reconstruction
+  val oracles: Map[String, String] = oraclesBase +
+    ("q128_line_dedup_hotsafe" -> oraclesBase("q122_line_dedup"))
 }

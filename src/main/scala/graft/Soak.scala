@@ -175,6 +175,7 @@ object Soak {
     if (filterTerms.contains("hh_ab")) hhAb(spark, mult)
     if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
+    if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
     spark.stop()
   }
 
@@ -297,6 +298,62 @@ object Soak {
     ab("open", open, gateJobs = true)
     ab("closed", spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
       gateJobs = false)
+    ()
+  }
+
+  /** Window-vs-associative a/b behind [[graft.operators.Dedup
+    * .dedupLinesAcrossCorpus]]'s `hotKeySafe` flag: a single line
+    * repeated across every document makes the keep-first window's
+    * partition key ONE hot partition whose local sort must see every
+    * occurrence on one task — a wall that grows linearly in the hot
+    * multiplicity and cannot be split. The associative form collapses
+    * the hot key map-side (`min(struct)` partial combine: one row per
+    * input partition reaches the shuffle) and its flagging join's
+    * residual skew is AQE-splittable. This mode sweeps the hot
+    * multiplicity ×1/×4/×16 (docs = 250k·mult/10 at the top step),
+    * asserts both forms agree on kept-line totals at the smallest step,
+    * and requires the WINDOW form's wall to grow strictly faster than
+    * the associative form's across the sweep — the cliff-vs-flat claim.
+    *
+    * Usage: sbt "runMain graft.Soak 10 linededup_hotkey" */
+  private def lineDedupHotKey(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def corpus(n: Long): DataFrame = spark.range(n).selectExpr(
+      "id AS doc_id",
+      // every doc carries the hot boilerplate + a salted line; the hot
+      // line's multiplicity == n, and it is realistic cookie-banner
+      // LENGTH (~200 bytes) — the window's hot partition must receive
+      // and sort n×200 B on one task, which is what actually melts an
+      // executor (short hot lines hide the cliff behind the shared
+      // explode/rebuild volume: measured 6.3x vs 7.3x growth, no signal)
+      "concat('unique ', id, '\\n', repeat('HOT NAVIGATION BAR ', 10), " +
+        "'\\nmid ', id % 1000) AS text")
+    def run(df: DataFrame, hotKeySafe: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val kept = Dedup.dedupLinesAcrossCorpus(df, col("doc_id"), col("text"),
+          hotKeySafe = hotKeySafe)
+        .agg(sum("n_kept")).head().getLong(0)
+      (kept, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = 25000L * mult
+    val steps = Seq(base, base * 4, base * 16)
+    run(corpus(base), hotKeySafe = false) // warm both plan shapes
+    run(corpus(base), hotKeySafe = true)
+    val walls = steps.map { n =>
+      val df = corpus(n)
+      val (kw, ww) = run(df, hotKeySafe = false)
+      val (ka, wa) = run(df, hotKeySafe = true)
+      require(kw == ka, s"forms disagree at n=$n: window kept $kw, assoc kept $ka")
+      println(f"[soak] linededup_hotkey n=$n%9d: window $ww%6.2f s, assoc $wa%6.2f s")
+      (ww, wa)
+    }
+    val (w0, a0) = walls.head
+    val (wN, aN) = walls.last
+    println(f"[soak] linededup_hotkey growth x${steps.last / steps.head}: " +
+      f"window ${wN / w0}%.1fx, assoc ${aN / a0}%.1fx")
+    require(wN / w0 > aN / a0,
+      f"window wall must grow faster than associative on the hot key: " +
+        f"window ${wN / w0}%.1fx vs assoc ${aN / a0}%.1fx")
     ()
   }
 

@@ -783,4 +783,30 @@ class DedupSpec extends SparkSpec {
     // a doc with no non-empty lines still gets its output row
     assert(got(9L) == ((0L, 0L, "")))
   }
+
+  test("dedupLinesAcrossCorpus: hotKeySafe associative form is answer-identical on a skew-salted corpus") {
+    // one boilerplate line hot across EVERY doc (the window form's hot
+    // key), salted unique lines, multi-copy mid-frequency lines, and a
+    // doc that reconstructs to empty — the full shape space. Shuffled
+    // doc order + repartition so "first occurrence" is genuinely decided
+    // by (id, pos), never by input order.
+    val rnd = new scala.util.Random(12L)
+    val docs = rnd.shuffle((1L to 400L).map { i =>
+      val mid = s"mid ${i % 7}"
+      val body =
+        if (i % 97 == 0) "HOT BOILERPLATE" // reconstructs empty unless i==1's
+        else s"unique $i\nHOT BOILERPLATE\n$mid\nunique tail $i"
+      (i, body)
+    }).toDF("doc_id", "text").repartition(13)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val window = canon(Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text")))
+    val assoc = canon(Dedup.dedupLinesAcrossCorpus(docs, col("doc_id"), col("text"),
+      hotKeySafe = true))
+    assert(window == assoc,
+      s"forms diverged: ${window.diff(assoc).take(3)} vs ${assoc.diff(window).take(3)}")
+    // sanity: the hot line survived exactly once, in doc 1
+    assert(window.count(_._4.contains("HOT BOILERPLATE")) == 1)
+    assert(window.find(_._1 == 1L).get._4.contains("HOT BOILERPLATE"))
+  }
 }
