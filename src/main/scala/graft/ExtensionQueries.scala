@@ -223,6 +223,22 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q129: QUARANTINE decode over a deliberately corrupted media batch
+    * ([[Multimodal.decodeImagesOrQuarantine]] over
+    * [[Multimodal.corruptFixture]]) — q40's real-codec pipeline meeting
+    * a production crawl segment: payloads truncated past their magic
+    * (`decode_error`) and mislabeled non-media bytes (`no_reader`)
+    * become typed error rows with NULL metadata, intact payloads decode
+    * to the exact q40 values, and NO task ever fails. The oracle derives
+    * the full ok/quarantined split and every surviving pixel sum from
+    * doc_id arithmetic. */
+  def q129(t: Tables): DataFrame = {
+    val blobs = Multimodal.synthImages(t.documents.select(col("doc_id")), "doc_id")
+    val corrupted = Multimodal.corruptFixture(blobs, "doc_id", "blob")
+    Multimodal.decodeImagesOrQuarantine(corrupted, "doc_id", "blob").toDF()
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q41: JSON props parsed as a typed MAP column (`from_json` →
     * `map<string,int>`) — the MapType variant of Q19's regexp extraction
     * (SURVEY §2.8 "Map" row). */
@@ -275,6 +291,7 @@ object ExtensionQueries {
     "q38_token_stats"        -> q38 _,
     "q39_fingerprint"        -> q39 _,
     "q40_multimodal_decode"  -> q40 _,
+    "q129_decode_quarantine" -> q129 _,
     "q80_ann_ivf_multiprobe" -> q80 _,
     "q118_semdedup" -> q118 _,
     "q89_ann_pq"             -> q89 _,
@@ -300,6 +317,35 @@ object ExtensionQueries {
              CAST(width * (((height+1)//2)*ga + (height//2)*gb) AS BIGINT) AS sum_g,
              CAST(width * (((height+1)//2)*ba + (height//2)*bb) AS BIGINT) AS sum_b
       FROM dims ORDER BY doc_id NULLS FIRST""",
+
+    // q129: q40's arithmetic re-derivation, split by the corruption
+    // fixture's doc_id classes — quarantined rows carry NULL metadata
+    "q129_decode_quarantine" -> """
+      WITH dims AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+               CAST(8 + doc_id % 32 AS INTEGER) AS width,
+               CAST(8 + doc_id % 24 AS INTEGER) AS height,
+               doc_id % 256 AS ra, (doc_id*7) % 256 AS ga, (doc_id*13) % 256 AS ba,
+               (doc_id*3) % 256 AS rb, (doc_id*5) % 256 AS gb, (doc_id*11) % 256 AS bb
+        FROM documents),
+      full_meta AS (
+        SELECT doc_id, format, width, height,
+               CAST(width * (((height+1)//2)*ra + (height//2)*rb) AS BIGINT) AS sum_r,
+               CAST(width * (((height+1)//2)*ga + (height//2)*gb) AS BIGINT) AS sum_g,
+               CAST(width * (((height+1)//2)*ba + (height//2)*bb) AS BIGINT) AS sum_b
+        FROM dims)
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+             CASE WHEN doc_id % 7 = 3 THEN 'decode_error'
+                  WHEN doc_id % 7 = 5 THEN 'no_reader' ELSE '' END AS reason,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE format END AS format,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE width END AS width,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE height END AS height,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE sum_r END AS sum_r,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE sum_g END AS sum_g,
+             CASE WHEN doc_id % 7 IN (3, 5) THEN NULL ELSE sum_b END AS sum_b
+      FROM full_meta ORDER BY doc_id NULLS FIRST""",
 
     "q41_json_map" -> """
       SELECT event_type,

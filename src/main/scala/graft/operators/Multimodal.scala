@@ -145,38 +145,119 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => decodeOneImage(id, bytes) }
+      }
+  }
+
+  /** Thrown when no registered ImageIO reader recognizes the container
+    * bytes — an `IllegalArgumentException` subtype so [[decodeImages]]'s
+    * historical contract (require-style failure) is unchanged, while
+    * [[decodeImagesOrQuarantine]] can classify it without string
+    * matching. */
+  final class NoReaderException(msg: String) extends IllegalArgumentException(msg)
+
+  /** The per-row image decode kernel shared by the strict and the
+    * quarantining decoders. Throws [[NoReaderException]] when the
+    * container is unrecognized; whatever the matched codec throws when
+    * the payload is truncated/corrupt past its magic. */
+  private def decodeOneImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) {
+      iis.close()
+      throw new NoReaderException(s"doc $id: no ImageIO reader for payload")
+    }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val fmt = reader.getFormatName.toLowerCase
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageMeta(id, fmt, w, h, sr, sg, sb)
+    } finally {
+      // dispose() releases the reader but NOT the input stream it
+      // was given — close iis too or each row leaks a stream handle
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** One output row per input payload, decoded OR quarantined: `status`
+    * is `ok`/`quarantined`, `reason` is `''`/`no_reader`/`decode_error`,
+    * and the [[ImageMeta]] fields are null on quarantined rows. */
+  final case class ImageOrQuarantine(
+      doc_id: Long,
+      status: String,
+      reason: String,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      sum_r: Option[Long],
+      sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  /** QUARANTINE decode — the first thing a production media lake needs
+    * that the strict kernel ([[decodeImages]]) refuses to be: a crawl
+    * segment's malformed payloads (truncated downloads, mislabeled
+    * content types, hostile bytes) must become TYPED ERROR ROWS, never
+    * task failures — one bad blob in a 10k-row task would otherwise
+    * retry (and re-fail) the 9 999 good rows around it 4 times and then
+    * kill the job. The catch sits exactly at the codec boundary, the
+    * same place the honest mp3/video stubs live: `no_reader` when no
+    * codec claims the container, `decode_error` when the matched codec
+    * throws on the payload. Map-only (one `mapPartitions` over the
+    * blobs, no shuffle); downstream splits the stream with a
+    * `status = 'ok'` filter and routes the quarantine partition to its
+    * own sink. */
+  def decodeImagesOrQuarantine(
+      df: DataFrame, idCol: String, blobCol: String): Dataset[ImageOrQuarantine] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"doc $id: no ImageIO reader for payload")
-          val reader = readers.next()
           try {
-            reader.setInput(iis)
-            val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            ImageMeta(id, fmt, w, h, sr, sg, sb)
-          } finally {
-            // dispose() releases the reader but NOT the input stream it
-            // was given — close iis too or each row leaks a stream handle
-            reader.dispose()
-            iis.close()
+            val m = decodeOneImage(id, bytes)
+            ImageOrQuarantine(id, "ok", "", Some(m.format), Some(m.width),
+              Some(m.height), Some(m.sum_r), Some(m.sum_g), Some(m.sum_b))
+          } catch {
+            case _: NoReaderException =>
+              ImageOrQuarantine(id, "quarantined", "no_reader",
+                None, None, None, None, None, None)
+            case scala.util.control.NonFatal(_) =>
+              ImageOrQuarantine(id, "quarantined", "decode_error",
+                None, None, None, None, None, None)
           }
         }
       }
   }
+
+  /** Deterministic corruption fixture for the quarantine gates: payloads
+    * for `id % 7 == 3` are truncated to their first 10 bytes (the
+    * container magic survives — PNG 8 B, BMP 2 B, GIF 6 B — so a reader
+    * is FOUND and then fails mid-parse: `decode_error`), payloads for
+    * `id % 7 == 5` are replaced with a non-media stamp (no reader
+    * matches: `no_reader`); everything else passes through intact. */
+  def corruptFixture(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    df.withColumn(blobCol,
+      when(col(idCol) % 7 === 3, expr(s"substring($blobCol, 1, 10)"))
+        .when(col(idCol) % 7 === 5,
+          lit("NOTMEDIA-0123456789".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+        .otherwise(col(blobCol)))
 
   // ---------------------------------------------------------------------
   // Real audio codec path — javax.sound.sampled ships a WAV/PCM parser

@@ -63,6 +63,43 @@ class MultimodalSpec extends SparkSpec {
      w * (top * (9 * 13 % 256) + bot * (9 * 11 % 256)))
   }
 
+  test("quarantine decode: corrupt payloads become typed error rows, zero task failures") {
+    // ids covering all three formats in each corruption class: %7==3
+    // truncated (magic survives -> decode_error), %7==5 stamped
+    // non-media (-> no_reader), rest intact
+    val ids = (0L to 41L).toSeq
+    val blobs = Multimodal.synthImages(ids.toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeImagesOrQuarantine(
+        Multimodal.corruptFixture(blobs, "doc_id", "blob"), "doc_id", "blob")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == ids.toSet, "every payload must produce exactly one row")
+    ids.foreach { id =>
+      val r = out(id)
+      if (id % 7 == 3) {
+        assert(r.status == "quarantined" && r.reason == "decode_error", s"doc $id: $r")
+        assert(r.format.isEmpty && r.width.isEmpty && r.sum_r.isEmpty, s"doc $id: $r")
+      } else if (id % 7 == 5) {
+        assert(r.status == "quarantined" && r.reason == "no_reader", s"doc $id: $r")
+        assert(r.format.isEmpty, s"doc $id: $r")
+      } else {
+        assert(r.status == "ok" && r.reason == "", s"doc $id: $r")
+        // intact rows must carry the exact strict-decoder values
+        val (w, h) = ((8 + id % 32).toInt, (8 + id % 24).toInt)
+        val (top, bot) = ((h + 1) / 2, h / 2)
+        assert(r.width.contains(w) && r.height.contains(h), s"doc $id: $r")
+        assert(r.sum_r.contains(w.toLong * (top * (id % 256) + bot * (id * 3 % 256))),
+          s"doc $id: $r")
+      }
+    }
+    // the strict decoder on the same corrupted batch DOES fail the job —
+    // the quarantine boundary is what converts that into error rows
+    val boom = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(
+        Multimodal.corruptFixture(blobs, "doc_id", "blob"), "doc_id", "blob").collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("real audio codec roundtrip: synth WAV decodes to the arithmetic contract") {
     import org.apache.spark.sql.functions.col
     val ids = Seq(0L, 1L, 7L, 399L, 1000L).toDF("doc_id")
