@@ -563,6 +563,53 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q130: FULL-category PII scrub ([[Cleaning.piiScrubFull]]) — q121's
+    * audited shape extended with the three categories a code/crawl
+    * corpus leaks most: SSNs, IBANs (format-only, see
+    * [[Cleaning.PiiIban]]), and credit cards gated by the native Luhn
+    * expression ([[graft.plans.LuhnMaskCards]]) — per-match checksum
+    * validation that no regexp can express, which is the whole point of
+    * the gate: the fixture injects BOTH a Luhn-valid card and its
+    * check-digit-broken twin (four container families: spaced Visa/MC,
+    * bare Amex-15, dashed Discover), and only the valid ones may mask.
+    * The oracle replays the same progressive masking; it cannot run
+    * Luhn, but it doesn't need to — validity is decided by the fixture's
+    * doc_id class, so the oracle masks the known-valid literals and
+    * leaves the broken twins, and any scrub that masks unvalidated digit
+    * runs (or misses a separated card) hash-mismatches. */
+  def q130(t: Tables): DataFrame = {
+    val id = col("doc_id")
+    def pad(c: Column, n: Int) = lpad(c.cast("string"), n, "0")
+    val validCards = array(lit("4539 1488 0343 6467"), lit("5500 0000 0000 0004"),
+      lit("340000000000009"), lit("6011-0009-9013-9424"))
+    val brokenCards = array(lit("4539 1488 0343 6468"), lit("5500 0000 0000 0005"),
+      lit("340000000000000"), lit("6011-0009-9013-9425"))
+    val cardIdx = (id % 4).cast("int") + 1
+    val injected = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@corp.example.org now"))).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit(" card "), element_at(validCards, cardIdx),
+        lit(" on file"))).otherwise(lit("")),
+      when(id % 6 === 3, concat(lit(" card "), element_at(brokenCards, cardIdx),
+        lit(" on file"))).otherwise(lit("")),
+      when(id % 4 === 1, concat(lit(" from host 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
+      when(id % 7 === 4, concat(lit(" ssn 123-45-"), pad(id % 10000, 4)))
+        .otherwise(lit("")),
+      when(id % 8 === 5, concat(lit(" pay DE89"), pad(id % 1000000, 18),
+        lit(" ref"))).otherwise(lit("")),
+      when(id % 5 === 2, concat(lit(" call 555-"), pad(id % 1000, 3), lit("-"),
+        pad(id % 10000, 4))).otherwise(lit("")))
+    Cleaning.piiScrubFull(
+        t.documents.filter(id % 10 === 4).select(id, injected.as("text")),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_emails"), col("n_cards"),
+        col("n_ibans"), col("n_ips"), col("n_ssns"), col("n_phones"),
+        md5(col("text_redacted")).as("h"),
+        length(col("text_redacted")).cast("long").as("len"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q122: CORPUS-LEVEL duplicate-line removal
     * ([[Dedup.dedupLinesAcrossCorpus]]) — the CCNet/RefinedWeb stage that
     * strips boilerplate lines repeating ACROSS documents, keeping exactly
@@ -1319,6 +1366,7 @@ object PipelineQueries {
     "q126_bpe_train"     -> q126 _,
     "q127_bpe_apply"     -> q127 _,
     "q128_line_dedup_hotsafe" -> q128 _,
+    "q130_pii_scrub_full" -> q130 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1892,6 +1940,48 @@ object PipelineQueries {
         md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS h,
         CAST(length(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS len
       FROM ip ORDER BY doc_id NULLS FIRST""",
+
+
+    // q130: the full-category progressive masking replayed in order
+    // email -> card -> IBAN -> IP -> SSN -> phone. The card step is a
+    // CONDITIONAL LITERAL replace: the fixture controls which injected
+    // cards are Luhn-valid (doc_id % 6 = 0) and which are check-digit
+    // broken twins (doc_id % 6 = 3), so the oracle masks exactly the
+    // valid literals without running Luhn — an engine that masks
+    // unvalidated runs or misses a separated card diverges
+    "q130_pii_scrub_full" -> """
+      WITH inj AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@corp.example.org now') ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN concat(' card ', (['4539 1488 0343 6467','5500 0000 0000 0004','340000000000009','6011-0009-9013-9424'])[CAST(doc_id % 4 AS INT) + 1], ' on file') ELSE '' END ||
+          CASE WHEN doc_id % 6 = 3 THEN concat(' card ', (['4539 1488 0343 6468','5500 0000 0000 0005','340000000000000','6011-0009-9013-9425'])[CAST(doc_id % 4 AS INT) + 1], ' on file') ELSE '' END ||
+          CASE WHEN doc_id % 4 = 1 THEN concat(' from host 10.', doc_id % 256, '.0.', doc_id % 100, ' logged') ELSE '' END ||
+          CASE WHEN doc_id % 7 = 4 THEN concat(' ssn 123-45-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END ||
+          CASE WHEN doc_id % 8 = 5 THEN concat(' pay DE89', lpad(CAST(doc_id % 1000000 AS VARCHAR), 18, '0'), ' ref') ELSE '' END ||
+          CASE WHEN doc_id % 5 = 2 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END AS t
+        FROM documents WHERE doc_id % 10 = 4),
+      em AS (SELECT doc_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        FROM inj),
+      cd AS (SELECT doc_id, t, t1,
+          CASE WHEN doc_id % 6 = 0 THEN replace(t1,
+            (['4539 1488 0343 6467','5500 0000 0000 0004','340000000000009','6011-0009-9013-9424'])[CAST(doc_id % 4 AS INT) + 1], '[CARD]')
+          ELSE t1 END AS t2 FROM em),
+      ib AS (SELECT doc_id, t, t1, t2,
+          regexp_replace(t2, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b', '[IBAN]', 'g') AS t3 FROM cd),
+      ip AS (SELECT doc_id, t, t1, t2, t3,
+          regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t4 FROM ib),
+      sn AS (SELECT doc_id, t, t1, t2, t3, t4,
+          regexp_replace(t4, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t5 FROM ip)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+        CAST(len(regexp_extract_all(t2, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b')) AS BIGINT) AS n_ibans,
+        CAST(len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t4, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        CAST(len(regexp_extract_all(t5, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(t5, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS h,
+        CAST(length(regexp_replace(t5, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS BIGINT) AS len
+      FROM sn ORDER BY doc_id NULLS FIRST""",
 
     // q122: 3-word line derivation (q120's slice arithmetic), then
     // keep-first-occurrence corpus-wide restated as a row_number window

@@ -219,6 +219,18 @@ object Cleaning {
   val PiiEmail: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpv4: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiPhone: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  /** US SSN `AAA-GG-SSSS` — the 3-2-4 shape cannot collide with
+    * [[PiiPhone]]'s 3-3-4. */
+  val PiiSsn: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  /** IBAN, FORMAT-only (country code + 2 check digits + 11-30 BBAN
+    * chars, total 15-34 — Norway's 15 is the shortest real one). The
+    * mod-97 checksum is deliberately NOT validated: big-number modular
+    * arithmetic is not expressible identically in both engines' SQL, and
+    * the format-only rule is what the published code-corpus scrubs
+    * (BigCode) ship. Cards are the opposite trade — pure digit runs are
+    * too common to mask unvalidated, hence the native Luhn expression
+    * ([[graft.plans.LuhnMaskCards]]). */
+  val PiiIban: String = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
 
   /** URL canonicalization — the normalization FineWeb-style URL dedup
     * keys on: byte-distinct surface forms of the same resource (scheme/
@@ -298,5 +310,41 @@ object Cleaning {
       regexp_count(regexp_replace(text, PiiEmail, "[EMAIL]"), lit(PiiPhone))
         .cast("long").as("n_phones"),
       masked.as("text_redacted"))
+  }
+
+  /** [[piiScrub]] with the full category set — emails, Luhn-VALIDATED
+    * credit cards ([[graft.plans.LuhnMaskCards]]: per-match checksum
+    * validation, which no regexp can express), IBANs (format-only, see
+    * [[PiiIban]]), IPv4s, SSNs, phones. One row per input row:
+    * `(id, n_emails, n_cards, n_ibans, n_ips, n_ssns, n_phones,
+    * text_redacted)`.
+    *
+    * Same map-only, single-scan-stage, stream-composable shape as
+    * [[piiScrub]], and the same progressive-masking discipline, in
+    * masking order email → card → IBAN → IP → SSN → phone: each
+    * category is counted on the text with all PREVIOUS categories
+    * masked, so an email's digits can't count as a card run, a card's
+    * digits can't count as a phone, and an IBAN's 20-digit tail can't
+    * count as anything else (no placeholder contains a digit or `@`, so
+    * masking never CREATES a match). Longest-pattern-first ordering
+    * resolves the digit-run containments deterministically. NULL text
+    * propagates as in [[piiScrub]]. */
+  def piiScrubFull(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import graft.plans.GraftFunctions.{luhnCountCards, luhnMaskCards}
+    val m1 = regexp_replace(text, PiiEmail, "[EMAIL]")
+    val m2 = luhnMaskCards(m1)
+    val m3 = regexp_replace(m2, PiiIban, "[IBAN]")
+    val m4 = regexp_replace(m3, PiiIpv4, "[IP]")
+    val m5 = regexp_replace(m4, PiiSsn, "[SSN]")
+    val m6 = regexp_replace(m5, PiiPhone, "[PHONE]")
+    df.select(
+      id.as("id"),
+      regexp_count(text, lit(PiiEmail)).cast("long").as("n_emails"),
+      luhnCountCards(m1).cast("long").as("n_cards"),
+      regexp_count(m2, lit(PiiIban)).cast("long").as("n_ibans"),
+      regexp_count(m3, lit(PiiIpv4)).cast("long").as("n_ips"),
+      regexp_count(m4, lit(PiiSsn)).cast("long").as("n_ssns"),
+      regexp_count(m5, lit(PiiPhone)).cast("long").as("n_phones"),
+      m6.as("text_redacted"))
   }
 }

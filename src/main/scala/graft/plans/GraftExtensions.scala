@@ -159,6 +159,20 @@ object GraftFunctions {
         }
         UnicodeNormalize(exprs.head, form)
       }),
+    (FunctionIdentifier("luhn_mask_cards"),
+      new ExpressionInfo(classOf[LuhnMaskCards].getName, "luhn_mask_cards"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"luhn_mask_cards(text) takes 1 argument, got ${exprs.length}")
+        LuhnMaskCards(exprs.head)
+      }),
+    (FunctionIdentifier("luhn_count_cards"),
+      new ExpressionInfo(classOf[LuhnCountCards].getName, "luhn_count_cards"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1) throw new IllegalArgumentException(
+          s"luhn_count_cards(text) takes 1 argument, got ${exprs.length}")
+        LuhnCountCards(exprs.head)
+      }),
     (FunctionIdentifier("bpe_tokenize_vocab"),
       new ExpressionInfo(classOf[BpeTokenizeVocab].getName, "bpe_tokenize_vocab"),
       (exprs: Seq[Expression]) => {
@@ -196,6 +210,8 @@ object GraftFunctions {
   def wordNGrams(tokens: Column, n: Int): Column =
     call_function("word_ngrams", tokens, org.apache.spark.sql.functions.lit(n))
   def topRun(sortedArr: Column): Column = call_function("top_run", sortedArr)
+  def luhnMaskCards(text: Column): Column = call_function("luhn_mask_cards", text)
+  def luhnCountCards(text: Column): Column = call_function("luhn_count_cards", text)
   def srpBands(vec: Column, tables: Int, bandBits: Int, dim: Int, seed: Int): Column =
     call_function("srp_bands", vec,
       org.apache.spark.sql.functions.lit(tables),

@@ -207,6 +207,102 @@ class CleaningSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("n_phones")) && r.isNullAt(r.fieldIndex("text_redacted")))
   }
 
+  test("piiScrubFull: all six categories at once, typed masks and counts") {
+    val r = Cleaning.piiScrubFull(
+      Seq((1L, "mail a@ex.org pay DE89370400440532013000 now card 4539 1488 0343 6467 ok " +
+        "ssh 10.0.0.7 ssn 123-45-6789 dial 555-012-3456")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L && r.getAs[Long]("n_cards") == 1L &&
+      r.getAs[Long]("n_ibans") == 1L && r.getAs[Long]("n_ips") == 1L &&
+      r.getAs[Long]("n_ssns") == 1L && r.getAs[Long]("n_phones") == 1L, s"$r")
+    assert(r.getAs[String]("text_redacted") ==
+      "mail [EMAIL] pay [IBAN] now card [CARD] ok ssh [IP] ssn [SSN] dial [PHONE]")
+  }
+
+  test("piiScrubFull: only Luhn-VALID card runs mask, across separators and lengths") {
+    val cases = Seq(
+      ("4539 1488 0343 6467", true),  // spaced visa, valid
+      ("4539 1488 0343 6468", false), // check digit broken
+      ("6011-0009-9013-9424", true),  // dashed discover
+      ("340000000000009", true),      // bare amex (15 digits)
+      ("340000000000000", false),
+      ("1234567890", false),          // 10 digits: below PAN range
+      ("12345678901234567890", false) // 20 digits: above PAN range
+    )
+    cases.zipWithIndex.foreach { case ((card, valid), i) =>
+      val r = Cleaning.piiScrubFull(
+        Seq((i.toLong, s"num $card end")).toDF("id", "t"), col("id"), col("t"))
+        .collect()(0)
+      assert(r.getAs[Long]("n_cards") == (if (valid) 1L else 0L), s"$card: $r")
+      assert(r.getAs[String]("text_redacted") ==
+        (if (valid) "num [CARD] end" else s"num $card end"), s"$card: $r")
+    }
+  }
+
+  test("piiScrubFull: an IBAN's 20-digit tail is neither a card nor anything else") {
+    // card masking runs BEFORE the IBAN mask sees the text: the 20-digit
+    // run must be rejected by the PAN length gate, then masked as [IBAN]
+    val r = Cleaning.piiScrubFull(
+      Seq((1L, "send to DE89370400440532013000 please")).toDF("id", "t"),
+      col("id"), col("t")).collect()(0)
+    assert(r.getAs[Long]("n_cards") == 0L && r.getAs[Long]("n_ibans") == 1L, s"$r")
+    assert(r.getAs[String]("text_redacted") == "send to [IBAN] please")
+  }
+
+  test("piiScrubFull: masked categories never re-match downstream; NULL propagates") {
+    // an email whose local part is a VALID card number: the email mask
+    // runs first, so the card counter must see nothing
+    val r = Cleaning.piiScrubFull(
+      Seq((1L, "4539148803436467@ex.org wrote")).toDF("id", "t"),
+      col("id"), col("t")).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L && r.getAs[Long]("n_cards") == 0L, s"$r")
+    assert(r.getAs[String]("text_redacted") == "[EMAIL] wrote")
+    val n = Cleaning.piiScrubFull(
+      Seq((1L, Option.empty[String])).toDF("id", "t"), col("id"), col("t")).collect()(0)
+    assert(n.isNullAt(n.fieldIndex("n_cards")) && n.isNullAt(n.fieldIndex("n_ibans")) &&
+      n.isNullAt(n.fieldIndex("n_ssns")) && n.isNullAt(n.fieldIndex("text_redacted")))
+  }
+
+  test("luhn card expressions participate in whole-stage codegen (UnsafeProjection compiles)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = BoundReference(0, org.apache.spark.sql.types.StringType, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.plans.LuhnMaskCards(in), graft.plans.LuhnCountCards(in)))
+    val out = proj(InternalRow(UTF8String.fromString("x 4539 1488 0343 6467 y")))
+    assert(out.getUTF8String(0).toString == "x [CARD] y" && out.getInt(1) == 1)
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
+  test("piiScrubFull is a stateless projection: stream/batch parity") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("docs-pii-full")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val injected = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" card 4539 1488 0343 6467 ssn 123-45-6789"))
+        .otherwise(lit(" card 4539 1488 0343 6468 pay DE89370400440532013000 x")))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("id") -> (r.getAs[Long]("n_cards"), r.getAs[Long]("n_ibans"),
+        r.getAs[Long]("n_ssns"), r.getAs[String]("text_redacted"))
+    val docsStream = spark.readStream.schema(Tables.schemas("documents"))
+      .parquet(dir.toString).select(col("doc_id"), injected.as("text"))
+    val q = Cleaning.piiScrubFull(docsStream, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("pii_full_s")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("pii_full_s").collect().map(key).toMap
+    val batchDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), injected.as("text"))
+    val batch = Cleaning.piiScrubFull(batchDocs, col("doc_id"), col("text"))
+      .collect().map(key).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed scrub must equal the batch scrub row for row")
+  }
+
   test("piiScrub: clean text passes through untouched with zero counts") {
     val r = Cleaning.piiScrub(
       Seq((1L, "version 1.2 of chapter 555 has no contact details")).toDF("id", "t"),
