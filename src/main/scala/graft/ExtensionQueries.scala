@@ -129,6 +129,25 @@ object ExtensionQueries {
         Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
   }
 
+  /** q131: PQ candidates + EXACT re-rank ([[Similarity.pqTopKReranked]])
+    * — the production recipe around q89's codes: ADC keeps the top
+    * k·mult candidates per query (corpus side stays codes-only), then
+    * only those re-rank against the exact vectors. The ann_recall soak
+    * measures WHY this exists (ADC-only recall@10 0.29-0.40 even on
+    * clustered data; +rerank ≥ 0.996); this gate pins the exact
+    * two-stage semantics — candidate cut by (adist, vec_id), final
+    * order by exact L2 — against an independent DuckDB derivation. */
+  def q131(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cb = Similarity.pqCodebook(e, m = 4, ksub = 16, dim = 64)
+    val recon = Similarity.pqReconstruct(Similarity.pqEncode(e, cb, m = 4, dim = 64), cb)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.pqTopKReranked(recon, e, queries, k = 3, mult = 4)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
     * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
     * query probes its 2 nearest buckets and ranks members by asymmetric
@@ -295,6 +314,7 @@ object ExtensionQueries {
     "q80_ann_ivf_multiprobe" -> q80 _,
     "q118_semdedup" -> q118 _,
     "q89_ann_pq"             -> q89 _,
+    "q131_pq_rerank"         -> q131 _,
     "q90_ann_ivf_pq"         -> q90 _,
   )
 
@@ -501,6 +521,37 @@ object ExtensionQueries {
           row_number() OVER (PARTITION BY q.qid
             ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
         FROM q JOIN recon r ON r.vec_id <> q.qid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q131: q89's recon CTEs + the two-stage cut — ADC keeps top
+    // k*mult=12 per query by (adist, vec_id), the survivors re-rank by
+    // EXACT L2 against the original vectors
+    "q131_pq_rerank" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      cb AS (SELECT j, vec_id AS code, e[(j-1)*16+1 : j*16] AS sub
+             FROM e, unnest(range(1, 5)) AS t(j) WHERE vec_id < 16),
+      sl AS (SELECT vec_id, j, e[(j-1)*16+1 : j*16] AS vsub
+             FROM e, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1),
+      recon AS (SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.j)) AS re
+                FROM codes c JOIN cb ON cb.j = c.j AND cb.code = c.code
+                GROUP BY c.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105),
+      cand AS (SELECT qid, vec_id FROM (
+          SELECT q.qid, r.vec_id,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS crn
+          FROM q JOIN recon r ON r.vec_id <> q.qid) t
+        WHERE crn <= 12)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT q.qid, cand.vec_id, list_distance(q.qe, e.e) AS adist,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_distance(q.qe, e.e) NULLS LAST, cand.vec_id NULLS FIRST) AS rn
+        FROM cand JOIN q USING (qid) JOIN e ON e.vec_id = cand.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     // q90: q80's probe CTE composed with q89's recon CTE — bucket-

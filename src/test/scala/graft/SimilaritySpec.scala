@@ -191,6 +191,27 @@ class SimilaritySpec extends SparkSpec {
       s"nearest quantized neighbors of 10 must stay in its cluster: $top")
   }
 
+  test("PQ re-rank: candidates covering the corpus make the answer exactly brute-force") {
+    // the re-rank's exactness anchor: with k·mult >= corpus the ADC
+    // candidate stage keeps everyone, so the exact re-rank IS exact
+    // brute-force L2 top-k — even against a COARSE codebook whose
+    // ADC-only ranking is wrong in fine order
+    val n = 6
+    val cb = Similarity.pqCodebook(vecs, m = 2, ksub = 2, dim = 2) // coarse
+    val recon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 2, dim = 2), cb)
+    val got = Similarity.pqTopKReranked(recon, vecs, vecs, k = 2, mult = n)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    orig.keys.foreach { q =>
+      val exact = orig.keys.filter(_ != q).toSeq.map { v =>
+        (math.sqrt(orig(q).zip(orig(v)).map { case (a, b) => (a - b) * (a - b) }.sum), v)
+      }.sortBy(identity).take(2).map(_._2)
+      assert(got(q) == exact, s"query $q: reranked ${got(q)} vs exact $exact")
+    }
+  }
+
   test("IVF-PQ: nprobe=#centroids with a full codebook equals brute-force L2 top-k") {
     // both approximations turned off at their exact endpoints: every
     // bucket probed AND exact reconstruction → ivfPqTopK must reproduce
