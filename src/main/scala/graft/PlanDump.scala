@@ -70,6 +70,10 @@ object PlanDump {
     "q123_unicode_norm",     // codegen'd unicode_normalize: map-only, fused in scan span
     "q124_heavy_hitters",    // MG sketch: cap-bounded partial states, map-side combine
     "q125_url_canon",        // regexp canonicalize map stage + one canonical-key agg
+    "q128_line_dedup_hotsafe", // assoc form: partial-agg min(struct) + skew-free (id,pos) join
+    "q129_decode_quarantine", // codec-boundary try/catch: still one map stage, no shuffle
+    "q130_pii_scrub_full",   // 6-category scrub incl. native Luhn: map-only, zero exchanges
+    "q131_pq_rerank",        // ADC candidate cut + exact re-rank join, broadcast query side
   )
 
   def main(args: Array[String]): Unit = {

@@ -164,4 +164,41 @@ class PlanShapeSpec extends SparkSpec {
       s"partial map-side sketch states must combine before the shuffle:\n$p")
     assert(!p.contains("Join"), s"no join in the sketch path:\n$p")
   }
+
+  test("q128: hotKeySafe line dedup has NO window — partial+final min(struct) plus joins only") {
+    val p = q("q128_line_dedup_hotsafe")
+    assert(!p.contains("Window"),
+      s"the associative form must never plan the hot-key window:\n$p")
+    // the min(struct) firsts aggregation must combine map-side (partial
+    // + final around its exchange) — that partial combine IS the
+    // hot-key collapse the escape hatch exists for
+    assert("HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size >= 3,
+      s"partial+final firsts agg plus reassembly expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("q129/q130: quarantine decode and full scrub add no shuffle over their map stages") {
+    // q129's decode is mapPartitions over blobs (one deserialize span);
+    // q130 is pure projection incl. the native Luhn expressions — in
+    // both, the only exchange is the output sort
+    for (name <- Seq("q130_pii_scrub_full")) {
+      val p = q(name)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$name: only the output-sort exchange expected:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+        !p.contains("Window"),
+        s"$name: map-only stage expected:\n$p")
+    }
+    val p129 = q("q129_decode_quarantine")
+    assert("Exchange".r.findAllIn(p129).size == 1 && !p129.contains("Join"),
+      s"q129: decode is one map span + output sort:\n$p129")
+  }
+
+  test("q131: the exact re-rank join broadcasts the query side, never the corpus") {
+    val p = q("q131_pq_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row query side must broadcast into the candidate join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the two-stage rerank:\n$p")
+  }
 }
