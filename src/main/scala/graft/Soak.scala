@@ -66,7 +66,8 @@ object Soak {
     // the skew queries synthesize their corpus inline — when a filter
     // selects only those, the (minutes-long) table replication is skipped
     val tableQsAll = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++
-      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q118_semdedup")
+      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q118_semdedup",
+        "q129_decode_quarantine", "q131_pq_rerank")
         .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
         // the 64-bit scale variant (not oracle-gated; measured here to back
         // the N²/buckets claim against the 32-bit contract form)
