@@ -112,15 +112,16 @@ class BpeTrainSpec extends SparkSpec {
     // (overlap chains, created-pair overtakes, collisions) occurs with
     // high probability somewhere in the sweep. Seeded: reproducible.
     val rnd = new scala.util.Random(421202L)
-    for (trial <- 1 to 4) {
-      val sigma = "ab".length + rnd.nextInt(2) // alphabet size 2-3
+    for (trial <- 1 to 6) {
+      val sigma = "ab".length + rnd.nextInt(3) // alphabet size 2-4
+      val batch = 2 + rnd.nextInt(8)           // vary batching pressure too
       val docs = Seq.tabulate(30) { i =>
         val words = Seq.fill(3 + rnd.nextInt(5)) {
           Seq.fill(1 + rnd.nextInt(7))(('a' + rnd.nextInt(sigma)).toChar).mkString
         }
         (i.toLong, words.mkString(" "))
       }.toDF("doc_id", "text")
-      assertBatchedEquals(docs, 10, batch = 6, s"trial$trial")
+      assertBatchedEquals(docs, 12, batch = batch, s"trial$trial(batch=$batch)")
     }
   }
 

@@ -239,6 +239,41 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
+  test("luhn expression vs an independent checksum on random PANs (property sweep)") {
+    // generate random 13-19-digit numbers, decide validity with an
+    // INDEPENDENTLY written Luhn (table-free, forward scan with parity),
+    // inject with random space/dash grouping — mask and count must agree
+    def refLuhn(ds: String): Boolean = {
+      // forward pass: double every digit at even distance from the END-1
+      val n = ds.length
+      var sum = 0
+      for (i <- 0 until n) {
+        val d0 = ds.charAt(i) - '0'
+        val d = if ((n - 1 - i) % 2 == 1) d0 * 2 else d0
+        sum += (if (d > 9) d - 9 else d)
+      }
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(1202L)
+    val cases = (1 to 40).map { i =>
+      val len = 13 + rnd.nextInt(7)
+      val ds = Seq.fill(len)(('0' + rnd.nextInt(10)).toChar).mkString
+      // random grouping with single separators
+      val grouped = ds.grouped(1 + rnd.nextInt(5)).mkString(
+        if (rnd.nextBoolean()) " " else "-")
+      (i.toLong, s"pay $grouped today", refLuhn(ds))
+    }
+    val got = Cleaning.piiScrubFull(
+        cases.map { case (id, t, _) => (id, t) }.toDF("id", "t"), col("id"), col("t"))
+      .select("id", "n_cards", "text_redacted").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.foreach { case (id, t, valid) =>
+      val (n, masked) = got(id)
+      assert(n == (if (valid) 1L else 0L), s"id $id '$t': valid=$valid got $n")
+      assert(masked == (if (valid) "pay [CARD] today" else t), s"id $id: $masked")
+    }
+  }
+
   test("piiScrubFull: an IBAN's 20-digit tail is neither a card nor anything else") {
     // card masking runs BEFORE the IBAN mask sees the text: the 20-digit
     // run must be rejected by the PAN length gate, then masked as [IBAN]
