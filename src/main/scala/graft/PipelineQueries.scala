@@ -497,6 +497,37 @@ object PipelineQueries {
         array_join(col("__bpe_p"), " ").as("pieces"))
       .transform(sortedSmall(_, col("doc_id")))
 
+  /** q132: TOKENIZER CENSUS — the per-source tokenizer-quality report a
+    * production pipeline runs before committing a vocab to a training
+    * mix: fertility (pieces per word — the classic cross-source
+    * tokenizer-bias metric), single-char fallback rate (how often
+    * longest-match degraded to a character — the OOV-pressure signal),
+    * and chars per piece (compression). Aggregated per source over the
+    * WHOLE corpus with q119's production 32k vocab; one vocab-apply map
+    * stage + one source-keyed aggregate, nothing corpus-sized shuffles
+    * twice. The oracle re-derives the segmentation with q119's
+    * recursive probe-ladder machinery (extended to count 1-char
+    * emissions) and aggregates from the doc spine so zero-token docs
+    * still count. */
+  def q132(t: Tables): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val pieces = TextOps.bpeTokensVocab(col("text"), "synth32k")
+    t.documents
+      .select(coalesce(col("source"), lit("__null__")).as("source"),
+        size(toks).cast("long").as("__nw"),
+        size(pieces).cast("long").as("__np"),
+        size(filter(pieces, p => length(p) === 1)).cast("long").as("__ncp"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("__nch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nw").as("n_words"),
+        sum("__np").as("n_pieces"),
+        Rounding.portable(sum("__np") / sum("__nw"), 6).as("fertility"),
+        Rounding.portable(sum("__ncp") / sum("__np"), 6).as("char_fallback_frac"),
+        Rounding.portable(sum("__nch") / sum("__np"), 6).as("chars_per_piece"))
+      .transform(sortedSmall(_, col("source")))
+  }
+
   /** q120: the COMPLETE Gopher battery ([[Cleaning.gopherRulesFull]]) —
     * q115's four rules plus duplicate-line / duplicate-paragraph
     * fractions and the top-3/4-gram coverage ceilings; doc_id % 10 == 8
@@ -1367,6 +1398,7 @@ object PipelineQueries {
     "q127_bpe_apply"     -> q127 _,
     "q128_line_dedup_hotsafe" -> q128 _,
     "q130_pii_scrub_full" -> q130 _,
+    "q132_tokenizer_census" -> q132 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1851,6 +1883,63 @@ object PipelineQueries {
       FROM toks t JOIN wp ON t.w = wp.w
       GROUP BY t.doc_id
       ORDER BY doc_id NULLS FIRST""",
+
+    // q132: q119's recursive segmentation machinery with the probe
+    // ladder, extended to carry ncp (1-char emissions); per-doc sums
+    // joined back onto the doc spine (LEFT) so zero-token docs count,
+    // then per-source aggregation — BIGINT/BIGINT division is double in
+    // both engines (the q116 precedent)
+    "q132_tokenizer_census" -> s"""
+      WITH RECURSIVE
+      fixture(piece) AS ${graft.plans.BpeVocab.sqlValues},
+      letter(s) AS (SELECT chr(97 + CAST(i AS INT)) FROM range(26) t(i)),
+      vowel(s) AS (VALUES ('a'),('e'),('i'),('o'),('u')),
+      cons(s) AS (SELECT s FROM letter WHERE s NOT IN (SELECT s FROM vowel)),
+      vocab(piece) AS (
+        SELECT piece FROM fixture
+        UNION SELECT a.s || b.s FROM letter a, letter b
+        UNION SELECT a.s || b.s || c.s FROM letter a, letter b, letter c
+        UNION SELECT c1.s || v1.s || c2.s || v2.s
+              FROM cons c1, vowel v1, cons c2, vowel v2
+        UNION SELECT v1.s || c1.s || v2.s || c2.s
+              FROM vowel v1, cons c1, vowel v2, cons c2
+              WHERE v1.s IN ('a', 'e')
+      ),
+      doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+      toks AS (SELECT doc_id, s[i] AS w
+               FROM doc, unnest(range(1, len(s) + 1)) AS t(i)),
+      dw AS (SELECT DISTINCT w FROM toks),
+      seg AS (
+        SELECT w, w AS rem, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS ncp FROM dw
+        UNION ALL
+        SELECT w, substr(rem, length(p) + 1), np + 1,
+               ncp + CASE WHEN length(p) = 1 THEN 1 ELSE 0 END
+        FROM (
+          SELECT s.w, s.rem, s.np, s.ncp,
+            coalesce(
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 5)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 4)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 3)),
+              (SELECT piece FROM vocab v WHERE v.piece = substr(s.rem, 1, 2)),
+              substr(s.rem, 1, 1)) AS p
+          FROM seg s WHERE s.rem <> ''
+        )
+      ),
+      wp AS (SELECT w, np, ncp FROM seg WHERE rem = ''),
+      perdoc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(sum(wp.np) AS BIGINT) AS np,
+                   CAST(sum(wp.ncp) AS BIGINT) AS ncp,
+                   CAST(sum(length(t.w)) AS BIGINT) AS nch
+                 FROM toks t JOIN wp ON t.w = wp.w GROUP BY t.doc_id),
+      ds AS (SELECT coalesce(source, '__null__') AS source, doc_id FROM documents)
+      SELECT ds.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(coalesce(nw, 0)) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(np, 0)) AS BIGINT) AS n_pieces,
+             round(sum(coalesce(np, 0)) / sum(coalesce(nw, 0)), 6) AS fertility,
+             round(sum(coalesce(ncp, 0)) / sum(coalesce(np, 0)), 6) AS char_fallback_frac,
+             round(sum(coalesce(nch, 0)) / sum(coalesce(np, 0)), 6) AS chars_per_piece
+      FROM ds LEFT JOIN perdoc USING (doc_id)
+      GROUP BY ds.source ORDER BY ds.source NULLS FIRST""",
 
     // q120: the derived line/paragraph structure (2-word lines, 4-line
     // paragraphs) is rebuilt verbatim, then each battery metric mirrors

@@ -74,6 +74,7 @@ object PlanDump {
     "q129_decode_quarantine", // codec-boundary try/catch: still one map stage, no shuffle
     "q130_pii_scrub_full",   // 6-category scrub incl. native Luhn: map-only, zero exchanges
     "q131_pq_rerank",        // ADC candidate cut + exact re-rank join, broadcast query side
+    "q132_tokenizer_census", // trie vocab-apply map stage + one source-keyed partial/final agg
   )
 
   def main(args: Array[String]): Unit = {
