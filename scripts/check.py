@@ -81,7 +81,21 @@ def main():
             print(f"FAIL {name}: {str(e)[:200]}"); n_bad += 1
     for name in sorted(oracle):
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            cur = con.execute(oracle[name])
+            # Dtype-hazard guard (round 12, from the q126 post-mortem): a
+            # DuckDB DECIMAL/HUGEINT output column (e.g. an uncast
+            # sum(BIGINT)) formats differently than Spark's int64 under
+            # some fetch paths and flips the hash with zero value
+            # difference. The oracle author must CAST; fail loudly HERE
+            # rather than mysteriously on the driver.
+            hazards = [d[0] for d in (cur.description or [])
+                       if "DECIMAL" in str(d[1]).upper() or "HUGEINT" in str(d[1]).upper()]
+            if hazards:
+                print(f"FAIL {name}: oracle emits DECIMAL/HUGEINT column(s) "
+                      f"{hazards} — add CAST(... AS BIGINT/DOUBLE)")
+                n_bad += 1
+                continue
+            exp = cur.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
         try:
