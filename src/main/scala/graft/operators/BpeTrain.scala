@@ -195,24 +195,59 @@ object BpeTrain {
     *
     * `batch` also caps the folds chained in one projection (codegen
     * depth); `collectK` caps the driver collect at a few KB.
-    * `onRound(rankOfLast, accepted, secs)` fires once per round. */
+    * `onRound(rankOfLast, accepted, secs)` fires once per round.
+    *
+    * `resumeFrom` is the production fault-tolerance path for a long
+    * train: pass the rank-contiguous merge prefix from a checkpointed
+    * merges file and training replays it as chained map-only folds
+    * (lineage-truncated), then CONTINUES selecting from merge
+    * `|prefix|+1` — the continuation is provably the unresumed sequence
+    * (selection depends only on the current word table, which replay
+    * reproduces; spec-pinned, including a prefix crossing a
+    * `truncateEvery` boundary). `numMerges` stays the TOTAL, and the
+    * returned sequence includes the prefix. */
   def learnMergesBatched(docs: DataFrame, text: Column, numMerges: Int,
       batch: Int = 16, truncateEvery: Int = 16,
-      onRound: (Int, Int, Double) => Unit = (_, _, _) => ()): Seq[Merge] = {
+      onRound: (Int, Int, Double) => Unit = (_, _, _) => (),
+      resumeFrom: Seq[Merge] = Nil): Seq[Merge] = {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
     require(batch >= 1, s"need batch >= 1, got $batch")
     require(truncateEvery >= 1, s"need truncateEvery >= 1, got $truncateEvery")
-    var words = wordTable(docs, text)
-      .select(col("w"), col("cnt"),
-        expr("regexp_extract_all(w, '(.)', 1)").as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(resumeFrom.size < numMerges,
+      s"resumeFrom already has ${resumeFrom.size} merges, numMerges=$numMerges")
+    require(resumeFrom.map(_.rank) == (1 to resumeFrom.size),
+      s"resumeFrom must be a rank-contiguous prefix, got ranks ${resumeFrom.map(_.rank)}")
+    // RESUME path (production fault tolerance for a 32k-merge train):
+    // replay the checkpointed prefix as chained map-only folds — in rank
+    // order, so the segmentation is definitionally the one training left
+    // off at — truncating lineage every `truncateEvery` folds, then
+    // continue selecting from merge |prefix|+1. The continuation is
+    // EXACTLY the unresumed sequence (spec-pinned): selection depends
+    // only on the current word table, which replay reproduces.
+    var words = {
+      var w = wordTable(docs, text)
+        .select(col("w"), col("cnt"),
+          expr("regexp_extract_all(w, '(.)', 1)").as("syms"))
+      resumeFrom.grouped(truncateEvery).foreach { g =>
+        val folded = g.foldLeft(col("syms")) { (acc, m) => applyMerge(acc, m.a, m.b) }
+        w = w.select(col("w"), col("cnt"), folded.as("syms")).localCheckpoint(false)
+      }
+      // a replayed table is already localCheckpoint-cached; stacking the
+      // CacheManager on top would materialize the same rows twice
+      if (resumeFrom.isEmpty) w.persist(StorageLevel.MEMORY_AND_DISK) else w
+    }
     // exact current alphabet = seed characters ∪ accepted pieces; the
     // seed collect is bounded by the corpus charset (invariant 3)
     val alphabet = scala.collection.mutable.Set[String]()
+    // seeding from the (possibly replayed) table's distinct symbols is
+    // exactly right for invariant 3: the collision hazard is about keys
+    // over CURRENT table symbols — a fully-merged-away symbol has no
+    // pairs left to contaminate
     words.select(explode(col("syms")).as("s")).distinct().collect()
       .foreach(r => alphabet += r.getString(0))
     val out = Seq.newBuilder[Merge]
-    var rank = 1
+    out ++= resumeFrom // numMerges is the TOTAL; the result includes the prefix
+    var rank = resumeFrom.size + 1
     var exhausted = false
     var sinceTruncate = 0
     while (rank <= numMerges && !exhausted) {

@@ -125,6 +125,32 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("batched training resumes from a checkpointed prefix to the identical sequence") {
+    val docs = Seq(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim)
+    ).toDF("doc_id", "text")
+    val full = BpeTrain.learnMergesBatched(docs, col("text"), 8)
+    assert(full.size == 8, s"fixture must support 8 merges, got $full")
+    // resume mid-train; result must include the prefix and equal the
+    // unresumed sequence merge for merge
+    val resumed = BpeTrain.learnMergesBatched(docs, col("text"), 8,
+      resumeFrom = full.take(3))
+    assert(resumed == full, s"resumed $resumed vs full $full")
+    // a prefix CROSSING the lineage-truncation boundary replays through
+    // a localCheckpoint and must still land on the same continuation
+    val resumed2 = BpeTrain.learnMergesBatched(docs, col("text"), 8,
+      truncateEvery = 2, resumeFrom = full.take(5))
+    assert(resumed2 == full, s"checkpoint-crossing resume $resumed2 vs $full")
+    // guardrails: non-contiguous prefix and already-complete prefix throw
+    intercept[IllegalArgumentException] {
+      BpeTrain.learnMergesBatched(docs, col("text"), 8, resumeFrom = full.drop(1))
+    }
+    intercept[IllegalArgumentException] {
+      BpeTrain.learnMergesBatched(docs, col("text"), 8, resumeFrom = full)
+    }
+  }
+
   test("batched training accepts multi-merge rounds on a Zipfian corpus") {
     // disjoint-alphabet frequent pairs with well-separated counts: the
     // acceptance walk should clear several merges per snapshot — the
