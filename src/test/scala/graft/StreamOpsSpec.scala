@@ -349,4 +349,36 @@ class StreamOpsSpec extends SparkSpec {
       "redact-on-ingest must be a stateless projection, stream ≡ batch")
     assert(batch.valuesIterator.forall(_._1 >= 1L), "every doc got an email injected")
   }
+
+  test("quarantine decode is stateless: corrupt media on a STREAM becomes error rows, parity with batch") {
+    import graft.operators.Multimodal
+    // media arrives as a stream in production; a malformed payload must
+    // become a typed error row there too, never a failed micro-batch.
+    // Write a corrupted media-lake parquet, read it as a file stream,
+    // decode-or-quarantine, and require row-for-row batch parity.
+    val ids = sf0001.documents.select(col("doc_id"))
+    val corrupted = Multimodal.corruptFixture(
+      Multimodal.synthImages(ids, "doc_id"), "doc_id", "blob")
+    val dir = Files.createTempDirectory("media-quarantine")
+    corrupted.write.mode("overwrite").parquet(dir.resolve("blobs").toString)
+    val blobStream = spark.readStream
+      .schema(corrupted.schema)
+      .parquet(dir.resolve("blobs").toString)
+    val q = Multimodal.decodeImagesOrQuarantine(blobStream, "doc_id", "blob")
+      .writeStream.format("memory").queryName("quarantine_s")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("status"), r.getAs[String]("reason"),
+        Option(r.getAs[java.lang.Long]("sum_r")).map(Long.unbox)))
+    val streamed = spark.table("quarantine_s").collect().map(key).toMap
+    val batch = Multimodal.decodeImagesOrQuarantine(
+      spark.read.parquet(dir.resolve("blobs").toString), "doc_id", "blob")
+      .toDF().collect().map(key).toMap
+    assert(streamed.size == batch.size && streamed == batch,
+      "streamed quarantine decode must equal batch row for row")
+    assert(streamed.valuesIterator.exists(_._1 == "quarantined") &&
+      streamed.valuesIterator.exists(_._1 == "ok"),
+      "fixture must exercise both outcomes on the stream")
+  }
 }
