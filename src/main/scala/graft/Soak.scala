@@ -178,6 +178,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
+    if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
     spark.stop()
   }
 
@@ -770,5 +771,53 @@ object Soak {
     require(rel < 4.0 / math.sqrt(k - 2.0),
       f"kmv estimate off: est $lastEst%.0f vs exact $exact (rel $rel%.4f)")
     println(f"[soak] sketch_days final: est $lastEst%.0f exact $exact rel_err $rel%.4f")
+  }
+
+  /** Join-then-max vs union-sort as-of on a POWER-LAW key
+    * ([[graft.operators.AsOf.lastEventBefore]] — the r11 verdict's one
+    * named as-of scale risk): one hot user carries n views AND n/10
+    * probes, so the contract join form materializes n²/10 intermediate
+    * rows per step while the union form sorts 1.1n. Sweeps n ×1/×4,
+    * requires identical answers and the join form's wall growing faster
+    * than the union form's (quadratic vs linear separation).
+    *
+    * Usage: sbt "runMain graft.Soak 10 asof_hotuser" */
+  private def asofHotUser(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.AsOf
+    def views(n: Long): DataFrame = spark.range(n).selectExpr(
+      "42L AS user_id", "timestamp_micros(1700000000000000 + id * 1000) AS ts")
+    def probes(n: Long): DataFrame = spark.range(n / 10).selectExpr(
+      "id AS event_id", "42L AS user_id",
+      "timestamp_micros(1700000000000500 + id * 10000) AS ts")
+    def run(n: Long, union: Boolean): (Long, Double) = {
+      val (p, v) = (probes(n), views(n))
+      val t0 = System.nanoTime()
+      val sum =
+        if (union)
+          AsOf.lastEventBefore(p, col("user_id"), col("ts"), col("event_id"),
+              v, col("user_id"), col("ts"))
+            .agg(sum_distinct(col("id")) + count(col("last_ts"))).head().getLong(0)
+        else
+          p.as("p").join(v.as("v"), col("p.user_id") === col("v.user_id") &&
+              col("v.ts") < col("p.ts"), "left")
+            .groupBy(col("p.event_id")).agg(max(col("v.ts")).as("last_ts"))
+            .agg(sum_distinct(col("event_id")) + count(col("last_ts"))).head().getLong(0)
+      (sum, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = 10000L * mult
+    run(base, union = true); run(base, union = false) // warm both shapes
+    val walls = Seq(base, base * 4).map { n =>
+      val (sj, wj) = run(n, union = false)
+      val (su, wu) = run(n, union = true)
+      require(sj == su, s"forms disagree at n=$n: join $sj union $su")
+      println(f"[soak] asof_hotuser n=$n%9d: join $wj%6.2f s, union $wu%6.2f s")
+      (wj, wu)
+    }
+    val (j0, u0) = walls.head
+    val (jN, uN) = walls.last
+    println(f"[soak] asof_hotuser growth x4: join ${jN / j0}%.1fx, union ${uN / u0}%.1fx")
+    require(jN / j0 > uN / u0,
+      f"join-then-max must grow faster on the hot key: ${jN / j0}%.1fx vs ${uN / u0}%.1fx")
+    ()
   }
 }
