@@ -231,7 +231,25 @@ object CoverageQueries {
       .transform(sortedSmall(_, col("vec_id")))
   }
 
+  /** q133: Q30's as-of join through the UNION-SORT escape hatch
+    * ([[graft.operators.AsOf.lastEventBefore]] — linear in a hot key's
+    * event count where join-then-max is quadratic; see the asof_hotuser
+    * soak). Answer identity with the contract shape is the operator's
+    * contract, so the gate runs Q30's exact oracle — the q128/q122
+    * precedent: two independent Spark plans and one DuckDB derivation
+    * meeting at the same rows. */
+  def q133(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+    val v = t.events.filter(col("event_type") === "view")
+    graft.operators.AsOf.lastEventBefore(
+        p, col("user_id"), col("ts"), col("event_id"),
+        v, col("user_id"), col("ts"))
+      .select(col("id").as("event_id"), col("last_ts").as("last_view"))
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
   val all: Map[String, Tables => DataFrame] = Map(
+    "q133_asof_union"      -> q133 _,
     "q43_sliding_window"   -> q43 _,
     "q44_cube"             -> q44 _,
     "q45_percentiles"      -> q45 _,
@@ -249,6 +267,15 @@ object CoverageQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q133: the union-sort as-of form's contract is answer identity
+    // with Q30, so it is gated against Q30's exact oracle
+    "q133_asof_union" -> """
+      SELECT p.event_id, max(v.ts) AS last_view
+      FROM events p LEFT JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id ORDER BY p.event_id NULLS FIRST""",
+
     "q43_sliding_window" -> """
       SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS s
       FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS ws,
