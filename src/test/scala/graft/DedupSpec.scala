@@ -123,7 +123,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("near-dup operators release their intermediate caches (only the result stays)") {
+    // the CacheManager dedups identical plans, so earlier tests' cached
+    // pair tables over the same corpus would absorb one of this test's
+    // three persists — start from a clean cache
     spark.sharedState.cacheManager.clearCache()
+    // getPersistentRDDs is CONTEXT-global and sbt runs suites
+    // concurrently in the shared JVM, so raw counts race against other
+    // suites' persists (flaked once in round 12 when new suites shifted
+    // the interleave). Assert on the DELTA vs a post-clear snapshot,
+    // with a short settle loop for foreign persists that are transiting
+    // through our window.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def added: Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    def settle(want: Int): Set[Int] = {
+      var d = added
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (d.size != want && System.nanoTime() < deadline) {
+        Thread.sleep(200); d = added
+      }
+      d
+    }
     val r1 = Dedup.minHashNearDups(corpus, col("doc_id"), col("text"))
     val r2 = Dedup.simHashNearDups(
       Dedup.simHash(Dedup.shingleSet(corpus, col("doc_id"), col("text"), 3)))
@@ -132,16 +152,16 @@ class DedupSpec extends SparkSpec {
     // each call persists exactly one thing: its materialized result. The
     // signature/shingle/hash intermediates must be gone — a long-lived
     // session looping over corpora must not accumulate lineage caches.
-    val cached = spark.sparkContext.getPersistentRDDs.size
-    assert(cached == 3, s"expected 3 cached results, found $cached cached RDDs")
+    val cached = settle(3)
+    assert(cached.size == 3, s"expected 3 new cached results, found $cached")
     Seq(r1, r2, r3).foreach(_.unpersist(blocking = true))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(settle(0).isEmpty,
       "unpersisting the returned handles must release everything")
     // the loan form owns the cleanup: nothing stays cached after withPairs
     val n = Dedup.withPairs(
       Dedup.minHashNearDups(corpus, col("doc_id"), col("text")))(_.count())
     assert(n >= 1)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(settle(0).isEmpty,
       "withPairs must unpersist the pair table it loaned out")
   }
 
