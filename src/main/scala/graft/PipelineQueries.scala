@@ -528,6 +528,73 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("source")))
   }
 
+  /** q134: BOILERPLATE line removal by per-source document frequency
+    * ([[Dedup.removeBoilerplateLines]]) — the RefinedWeb rule: a line in
+    * `>= 4` distinct documents of the same source is navigation/footer
+    * noise and EVERY occurrence goes (q122 keeps first occurrences; this
+    * keeps none — the complementary cleaning stage). 2-word lines (q120's
+    * width, the one at which the fixture's closed vocabulary repeats
+    * lines at all): at minDocs=4 the boilerplate head is 92 of ~9.7k
+    * distinct (source, line) pairs — exactly the tiny-high-df-head shape
+    * that makes the operator's broadcast anti join the right plan. The
+    * md5 pins every surviving line and its order. */
+  def q134(t: Tables): DataFrame = {
+    val words = split(col("text"), " ")
+    val lineArr = transform(
+      sequence(lit(0L), greatest(ceil(size(words) / lit(2.0)) - 1, lit(0L))),
+      i => array_join(slice(words, (i * 2 + 1).cast("int"), lit(2)), " "))
+    val structured = t.documents
+      .select(col("doc_id"), col("source"), array_join(lineArr, "\n").as("text"))
+    Dedup.removeBoilerplateLines(structured, col("doc_id"), col("text"),
+        col("source"), minDocs = 4L)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text_clean")).as("h"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q135: DISTRIBUTED CLASSIFIER TRAINING ([[TextAnalysis.logisticTrain]])
+    * — full-batch logistic-regression gradient descent over the whole
+    * corpus (4 iterations, lr 0.5) on three cheap text features
+    * (tokens/100, mean word length/10, en-stopword fraction), label
+    * `lang = 'en'` — the fastText-style "looks like the target" filter
+    * every published pretraining pipeline trains. The gate scores the
+    * `doc_id % 20 = 3` slice under the learned weights and pins the
+    * weights THEMSELVES (bit-identical across engines by the
+    * gradient-grid-rounding design — see the operator's determinism
+    * note), the linear score and probability at 6 decimals, and the
+    * hard prediction. The oracle re-derives the entire 4-iteration
+    * trajectory as unrolled CTE rounds, [[logisticOracle]]. */
+  def q135(t: Tables): DataFrame = {
+    val n = size(TextOps.tokens(col("text"))).cast("double")
+    val feats = Seq(
+      n / lit(100.0),
+      (length(col("text")).cast("double") - (n - lit(1.0))) / n / lit(10.0),
+      size(filter(TextOps.tokens(col("text")),
+        w => w.isin(TextAnalysis.stopwords.head._2: _*))).cast("double") / n)
+    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    TextAnalysis.logisticScore(
+        t.documents.filter(col("doc_id") % 20 === 3), feats, w)
+      .select(col("doc_id"), y.cast("long").as("y"),
+        lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+        lit(w(2)).as("w2"), lit(w(3)).as("w3"),
+        Rounding.portable(col("z"), 6).as("z6"),
+        Rounding.portable(col("p"), 6).as("p6"),
+        (col("p") > 0.5).cast("long").as("pred"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q136: KEY-SKEW AUDIT ([[Layout.skewAudit]]) — the pre-shuffle
+    * diagnostic for choosing between a plain exchange, [[Layout.saltedJoin]]
+    * and the hot-key escape hatches (q128/q133): top keys by count with
+    * share, ratio-to-mean and the global max ratio. Audited key: the
+    * documents language column, whose head ('en') runs ~2.2× the mean —
+    * real skew on the real fixture. All ratio arithmetic is pure IEEE
+    * division of exact integers, identical in both engines unrounded. */
+  def q136(t: Tables): DataFrame =
+    Layout.skewAudit(t.documents, col("lang"), topK = 5)
+      .transform(sortedSmall(_, col("rank")))
+
   /** q120: the COMPLETE Gopher battery ([[Cleaning.gopherRulesFull]]) —
     * q115's four rules plus duplicate-line / duplicate-paragraph
     * fractions and the top-3/4-gram coverage ceilings; doc_id % 10 == 8
@@ -1399,6 +1466,9 @@ object PipelineQueries {
     "q128_line_dedup_hotsafe" -> q128 _,
     "q130_pii_scrub_full" -> q130 _,
     "q132_tokenizer_census" -> q132 _,
+    "q134_boilerplate_lines" -> q134 _,
+    "q135_classifier_train" -> q135 _,
+    "q136_skew_audit" -> q136 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1490,6 +1560,57 @@ object PipelineQueries {
       FROM emit$i WHERE consumed = 0 GROUP BY w)"""
     }
     (seed +: rounds).mkString(",\n      ")
+  }
+
+  /** q135 oracle: the FULL gradient-descent trajectory unrolled as CTE
+    * rounds (the bpeTrainOracle discipline applied to model training).
+    * `f` computes the identical features with identical association;
+    * round i evaluates the gradient under `w{i-1}` (1-row weight CTE,
+    * cross-joined), snaps each component to the 1e-9 grid with the
+    * EXPLICIT `floor(sum/n * 1e9 + 0.5)/1e9` the trainer's
+    * [[TextAnalysis.gridRound]] uses (never a library `round` — the
+    * half-rule differs across engines), and updates `w{i} = w{i-1} −
+    * lr·g{i}`. Because the rounded gradients agree exactly, the weight
+    * TRAJECTORY is bit-identical between Spark and DuckDB, and the gate
+    * pins the raw weight doubles plus the scored slice. MATERIALIZED for
+    * the bpeTrainOracle reason: each round references the previous
+    * weight CTE several times. */
+  private def logisticOracle(iters: Int): String = {
+    val stop = "('the','a','of','and','to','is')"
+    val feat = s"""f0 AS (SELECT doc_id, lang,
+        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n,
+        CAST(length(text) AS DOUBLE) AS lc,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          w -> w IN $stop)) AS DOUBLE) AS sw
+      FROM documents),
+      f AS MATERIALIZED (SELECT doc_id, y,
+        n / 100.0 AS x1,
+        (lc - (n - 1.0)) / n / 10.0 AS x2,
+        sw / n AS x3 FROM f0),
+      w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3)"""
+    def z(src: String = "") = s"(((b + c1 * x1) + c2 * x2) + c3 * x3)"
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      val diff = s"(1.0 / (1.0 + exp(-${z()})) - y)"
+      def g(term: String) =
+        s"floor(sum($term) / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) / 1e9"
+      s"""g$i AS MATERIALIZED (SELECT
+        ${g(diff)} AS g0, ${g(s"$diff * x1")} AS g1,
+        ${g(s"$diff * x2")} AS g2, ${g(s"$diff * x3")} AS g3
+      FROM f, w$p),
+      w$i AS MATERIALIZED (SELECT b - 0.5 * g0 AS b, c1 - 0.5 * g1 AS c1,
+        c2 - 0.5 * g2 AS c2, c3 - 0.5 * g3 AS c3 FROM w$p, g$i)"""
+    }
+    s"""WITH ${(feat +: rounds).mkString(",\n      ")}
+      SELECT doc_id, CAST(y AS BIGINT) AS y,
+        b AS w0, c1 AS w1, c2 AS w2, c3 AS w3,
+        round(${z()}, 6) AS z6,
+        round(1.0 / (1.0 + exp(-${z()})), 6) AS p6,
+        CAST(CASE WHEN 1.0 / (1.0 + exp(-${z()})) > 0.5
+          THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM f, w$iters WHERE doc_id % 20 = 3
+      ORDER BY doc_id NULLS FIRST"""
   }
 
   private val dedupClustersOracle: String = """
@@ -2915,6 +3036,53 @@ object PipelineQueries {
                  WHERE n_regionkey = r.r_regionkey
                  GROUP BY n_name ORDER BY bal0 DESC, n_name LIMIT 2) t) x
       ORDER BY r_name NULLS FIRST, bal DESC NULLS LAST, n_name NULLS FIRST""",
+
+    // q134: 2-word line derivation (q120's width), per-source document
+    // frequency, lines at df >= 4 removed EVERYWHERE (NOT EXISTS — the
+    // anti join), reassembly + id spine exactly like the q122 oracle
+    "q134_boilerplate_lines" -> """
+      WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS s0 FROM documents),
+      ln0 AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+              array_to_string(s0[i*2+1:i*2+2], ' ') AS line
+              FROM d0, unnest(range(0, CAST(ceil(len(s0)/2.0) AS INT))) u(i)),
+      ln AS (SELECT * FROM ln0 WHERE line <> ''),
+      boiler AS (SELECT source, line FROM ln
+                 GROUP BY source, line HAVING count(DISTINCT doc_id) >= 4),
+      kept AS (SELECT * FROM ln WHERE NOT EXISTS (
+                 SELECT 1 FROM boiler b
+                 WHERE b.source = ln.source AND b.line = ln.line)),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(line, chr(10) ORDER BY pos)) AS h
+              FROM kept GROUP BY doc_id),
+      na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+             FROM ln GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(na.n_lines, 0) AS n_lines,
+             coalesce(a.n_kept, 0) AS n_kept, coalesce(a.h, md5('')) AS h
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN na USING (doc_id) LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id NULLS FIRST""",
+
+    // q135: the unrolled-trajectory training oracle — see logisticOracle
+    "q135_classifier_train" -> logisticOracle(4),
+
+    // q136: counts, 1-row stats, rank by (cnt DESC, key); every ratio is
+    // IEEE division of exact integers — identical doubles, unrounded
+    "q136_skew_audit" -> """
+      WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), 'NULL') AS key,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM documents GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS mx FROM c),
+      t AS (SELECT key, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+            FROM c)
+      SELECT rank, key, cnt,
+        CAST(cnt AS DOUBLE) / n_rows AS share,
+        CAST(cnt AS DOUBLE) * n_keys / n_rows AS ratio_to_mean,
+        n_keys, n_rows,
+        CAST(mx AS DOUBLE) * n_keys / n_rows AS max_ratio
+      FROM t, s WHERE rank <= 5 ORDER BY rank""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

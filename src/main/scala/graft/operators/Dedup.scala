@@ -1238,4 +1238,77 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** BOILERPLATE line removal by document frequency — the RefinedWeb rule
+    * ("remove lines occurring in more than N documents from the same
+    * domain"): a line is boilerplate when it appears in `>= minDocs`
+    * DISTINCT documents of its `group` (domain/source), and then EVERY
+    * occurrence is removed — including the first. The complementary
+    * operator to [[dedupLinesAcrossCorpus]] (which keeps first
+    * occurrences of any repeat): nav bars, cookie banners and footers are
+    * noise in ALL documents, not content in their earliest one.
+    *
+    * Returns one row per input doc: `(id, n_lines, n_kept, text_clean)`
+    * with the same reassembly contract as [[dedupLinesAcrossCorpus]]
+    * (empty string when everything was boilerplate; null-id docs dropped
+    * defensively under the same rule).
+    *
+    * Distributed shape, sized for 100 TB — and structurally LIGHTER than
+    * the keep-first window:
+    *  1. `posexplode` lines (map-side, line volume ≈ text volume);
+    *  2. the document-frequency aggregate: distinct `(group, line, id)`
+    *     then count per `(group, line)` — both phases partial-combine
+    *     map-side, shuffle = the distinct line-occurrence volume;
+    *  3. the flag side is `df >= minDocs` — by DEFINITION the high-df
+    *     head of the line distribution, whose DISTINCT vocabulary is
+    *     tiny even when its occurrence count is billions (that is what
+    *     makes it boilerplate), so it is explicitly `broadcast()` and
+    *     the removal is a broadcast LEFT ANTI join: the line volume is
+    *     never shuffled on the line text at all. A line hot in a billion
+    *     docs costs one hash probe per occurrence — no hot partition
+    *     exists anywhere in this operator, unlike the window form's
+    *     skew note (no `hotKeySafe` escape hatch needed);
+    *  4. one shuffle back to `id` to reassemble, plus the id-spine left
+    *     join for fully-boilerplate docs.
+    * `minDocs` must be >= 2: at 1 every line is boilerplate and the
+    * broadcast-dimension assumption (and the operator's meaning)
+    * collapses. */
+  def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
+      group: Column, minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .filter(id.isNotNull)
+      .select(id.as("__bp_id"), group.as("__bp_grp"),
+        posexplode(filter(split(text, java.util.regex.Pattern.quote(sep)),
+          l => l =!= "")))
+      .toDF("__bp_id", "__bp_grp", "__bp_pos", "__bp_line")
+    val boiler = lines
+      .select(col("__bp_grp"), col("__bp_line"), col("__bp_id"))
+      .distinct()
+      .groupBy(col("__bp_grp").as("__bp_fgrp"), col("__bp_line").as("__bp_fline"))
+      .agg(count(lit(1)).as("__bp_df"))
+      .filter(col("__bp_df") >= minDocs)
+      .select(col("__bp_fgrp"), col("__bp_fline"))
+    val kept = lines.join(broadcast(boiler),
+      col("__bp_grp") === col("__bp_fgrp") && col("__bp_line") === col("__bp_fline"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col("__bp_id").as("id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__bp_pos"), col("__bp_line")))),
+            s => s("__bp_line")),
+          sep).as("text_clean"))
+    val nAll = lines.groupBy(col("__bp_id").as("id"))
+      .agg(count(lit(1)).as("n_lines"))
+    docs.filter(id.isNotNull).select(id.as("id"))
+      .join(nAll, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -111,4 +111,48 @@ object Layout {
       "__graft_salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedLeft.join(saltedRight, keys :+ "__graft_salt").drop("__graft_salt")
   }
+
+  /** KEY-SKEW AUDIT — the diagnostic a 100 TB job runs BEFORE choosing
+    * between a plain shuffle, [[saltedJoin]], or a hot-key escape hatch
+    * (the as-of union-sort form, line-dedup `hotKeySafe`): how
+    * concentrated is this key, and which values are the hot ones?
+    *
+    * Returns the top `topK` keys by row count with the global context on
+    * every row: `(rank, key, cnt, share, ratio_to_mean, n_keys, n_rows,
+    * max_ratio)` — `share` = this key's fraction of all rows,
+    * `ratio_to_mean` = cnt / (n_rows / n_keys) (a uniform key audits at
+    * 1.0; AQE's skew threshold thinks in exactly this ratio), `max_ratio`
+    * = the hottest key's ratio (the one number a planner gate would
+    * threshold on). Keys render as strings (`NULL` for null keys — nulls
+    * are frequently THE hot key in the wild, so they are counted, not
+    * dropped).
+    *
+    * Shape at scale: ONE map-side-combined count aggregate (shuffle =
+    * distinct-key volume), a 1-row stats aggregate over the count table,
+    * and a distributed `TakeOrdered` top-k — the count table is never
+    * globally sorted and never single-partitioned; ranks are assigned by
+    * a window over the k collected survivors only (k rows, bounded).
+    * Deterministic: ties break by key string ascending. */
+  def skewAudit(df: DataFrame, key: Column, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df
+      .select(coalesce(key.cast("string"), lit("NULL")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      max("cnt").as("__sk_max"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows")).as("share"),
+        // cast BEFORE multiplying: cnt·n_keys in long arithmetic can
+        // overflow at petabyte key cardinalities
+        (col("cnt").cast("double") * col("n_keys") / col("n_rows")).as("ratio_to_mean"),
+        col("n_keys"), col("n_rows"),
+        (col("__sk_max").cast("double") * col("n_keys") / col("n_rows")).as("max_ratio"))
+  }
 }

@@ -296,4 +296,83 @@ object TextAnalysis {
         avg(-log((coalesce(col("c2"), lit(0L)) + lit(1)) /
                  (coalesce(col("c1"), lit(0L)) + col("v")))).as("ce"))
   }
+
+  /** Snap a double to the 1e-9 grid with explicitly-mirrored arithmetic
+    * (`floor(x·1e9 + 0.5) / 1e9` — NOT a library `round`, whose
+    * half-even/half-away choice differs across engines). Used by
+    * [[logisticTrain]] to make distributed training bit-deterministic:
+    * see the gradient-rounding note there. */
+  def gridRound(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+  /** In-plan z = w·x with the SAME association as the oracle and the
+    * driver update: `((b + w1·x1) + w2·x2) + …` — left-assoc, so the
+    * doubles agree bitwise wherever the inputs do. */
+  private def zOf(weights: Array[Double], xs: Seq[Column]): Column =
+    xs.zipWithIndex.foldLeft(lit(weights(0))) { case (acc, (x, i)) =>
+      acc + lit(weights(i + 1)) * x
+    }
+
+  /** DISTRIBUTED LOGISTIC-REGRESSION TRAINING — the quality/language
+    * classifier every published pretraining pipeline trains over cheap
+    * text features (the GPT-3/PaLM "looks like curated text" filter,
+    * fastText-style): full-batch gradient descent on the logistic loss,
+    * `w ← w − lr · (1/n) Σ (σ(w·x) − y) x`, bias folded in as x₀ = 1.
+    *
+    * Spark shape, sized for 100 TB: the feature projection is computed
+    * ONCE and persisted (map-only over the corpus); each iteration is a
+    * single partial-aggregated `agg` producing d+1 gradient sums — the
+    * ONLY driver traffic is those d+1 doubles per iteration (the IVF
+    * centroid discipline: bounded by the model size, never by the data).
+    * No per-row state, no shuffle of the corpus — gradient descent on a
+    * cluster is embarrassingly aggregate-shaped.
+    *
+    * DETERMINISM: a float sum over partitions is partition-order
+    * dependent (~1e-15 relative wobble), which would make the learned
+    * weights differ between runs, CPU counts, and engines. Each gradient
+    * component is therefore snapped to the 1e-9 grid ([[gridRound]])
+    * before the update: any two evaluations of the same true sum land in
+    * the same cell, so the weight TRAJECTORY is bit-identical across
+    * partitionings (spec-pinned 1-vs-7 partitions) and re-derivable by
+    * the DuckDB oracle with plain SQL arithmetic. 1e-9 is ~1e6 ULPs of
+    * slack for unit-scale features yet far below any decision-relevant
+    * resolution.
+    *
+    * Returns the weight vector `[b, w1, …, wd]`. Feature scaling is the
+    * caller's job (unit-magnitude features keep fixed-lr GD stable). */
+  def logisticTrain(df: DataFrame, features: Seq[Column], label: Column,
+      iters: Int, lr: Double): Array[Double] = {
+    require(features.nonEmpty && iters >= 1 && lr > 0,
+      s"need features, iters >= 1, lr > 0 (got d=${features.length}, iters=$iters, lr=$lr)")
+    val d = features.length
+    val cols = label.cast("double").as("__lg_y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__lg_x$i") }
+    val base = df.select(cols: _*).persist()
+    try {
+      val w = Array.fill(d + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val z = zOf(w, (0 until d).map(i => col(s"__lg_x$i")))
+        val diff = lit(1.0) / (lit(1.0) + exp(-z)) - col("__lg_y")
+        val aggs = sum(diff).as("__lg_g0") +:
+          (0 until d).map(i => sum(diff * col(s"__lg_x$i")).as(s"__lg_g${i + 1}")) :+
+          count(lit(1)).as("__lg_n")
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(d + 1).toDouble
+        for (j <- 0 to d)
+          w(j) = w(j) - lr * gridRound(row.getDouble(j) / n)
+      }
+      w
+    } finally base.unpersist()
+  }
+
+  /** Score rows under a trained logistic model: adds `z` (the linear
+    * score, left-assoc as trained) and `p = σ(z)`. Map-only — the model
+    * rides in as plan literals, the corpus never shuffles. */
+  def logisticScore(df: DataFrame, features: Seq[Column],
+      weights: Array[Double]): DataFrame = {
+    require(weights.length == features.length + 1,
+      s"weights must be d+1 (got ${weights.length} for d=${features.length})")
+    val z = zOf(weights, features)
+    df.withColumn("z", z)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+  }
 }

@@ -829,4 +829,55 @@ class DedupSpec extends SparkSpec {
     assert(window.count(_._4.contains("HOT BOILERPLATE")) == 1)
     assert(window.find(_._1 == 1L).get._4.contains("HOT BOILERPLATE"))
   }
+
+  test("removeBoilerplateLines drops EVERY occurrence at df >= minDocs, keeps below") {
+    // "nav bar" in 3 distinct docs (>= 3) → removed everywhere including
+    // the first; "twice only" in 2 docs stays; within-doc repetition must
+    // count ONE doc toward df (doc 4 repeats "solo line" twice — df 1)
+    val docs = Seq(
+      (1L, "nav bar\ncontent one\ntwice only"),
+      (2L, "content two\nnav bar\ntwice only"),
+      (3L, "nav bar\ncontent three"),
+      (4L, "solo line\nsolo line\ncontent four")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+        lit("g"), minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, "content one\ntwice only")))
+    assert(got(2L) == ((3L, 2L, "content two\ntwice only")))
+    assert(got(3L) == ((2L, 1L, "content three")))
+    assert(got(4L) == ((3L, 3L, "solo line\nsolo line\ncontent four")))
+  }
+
+  test("removeBoilerplateLines scopes document frequency to the group") {
+    // the same line is boilerplate in source A (2 docs) but unique in B —
+    // removed only under A's key; a fully-boilerplate doc reconstructs
+    // empty; null-id docs are dropped under the reassembly rule
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "A", "footer\nreal a1"),
+      (java.lang.Long.valueOf(2L), "A", "footer\nreal a2"),
+      (java.lang.Long.valueOf(3L), "B", "footer\nreal b"),
+      (java.lang.Long.valueOf(4L), "A", "footer"),
+      (null.asInstanceOf[java.lang.Long], "A", "footer\nghost")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+        col("source"), minDocs = 2L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((2L, 1L, "real a1")))
+    assert(got(2L) == ((2L, 1L, "real a2")))
+    // B's lone copy survives: df is per (group, line)
+    assert(got(3L) == ((2L, 2L, "footer\nreal b")))
+    // everything boilerplate → empty reconstruction, counts intact
+    assert(got(4L) == ((1L, 0L, "")))
+  }
+
+  test("removeBoilerplateLines rejects the degenerate minDocs < 2") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"), lit("g"), 1L)
+    }
+  }
 }

@@ -88,4 +88,30 @@ class LayoutSpec extends SparkSpec {
     val aM = a.map(r => r._1 -> ((r._2, r._3))).toMap
     assert(c.exists(r => aM(r._1) != ((r._2, r._3))), "seed must change the order")
   }
+
+  test("skewAudit reports hot keys with exact shares and ratios, nulls counted") {
+    // a × 6, b × 3, c × 1, null × 2 → 4 keys / 12 rows; mean 3, max 6
+    val rows = (Seq.fill(6)(Option("a")) ++ Seq.fill(3)(Option("b")) ++
+      Seq(Option("c")) ++ Seq.fill(2)(Option.empty[String]))
+      .zipWithIndex.map { case (k, i) => (k, i) }
+    val got = graft.operators.Layout.skewAudit(
+        rows.toDF("k", "v").repartition(5), col("k"), topK = 3)
+      .orderBy("rank").collect()
+    assert(got.length == 3)
+    val top = got.head
+    assert(top.getAs[Long]("rank") == 1L && top.getAs[String]("key") == "a")
+    assert(top.getAs[Long]("cnt") == 6L)
+    assert(top.getAs[Double]("share") == 6.0 / 12)
+    assert(top.getAs[Double]("ratio_to_mean") == 6.0 * 4 / 12)
+    assert(top.getAs[Long]("n_keys") == 4L && top.getAs[Long]("n_rows") == 12L)
+    assert(top.getAs[Double]("max_ratio") == 2.0)
+    // rank 2 = the null bucket at cnt 2? No: b (3) beats NULL (2)
+    assert(got(1).getAs[String]("key") == "b" && got(1).getAs[Long]("cnt") == 3L)
+    assert(got(2).getAs[String]("key") == "NULL" && got(2).getAs[Long]("cnt") == 2L)
+    // topK above the key cardinality returns every key, tie-broken by key
+    val all = graft.operators.Layout.skewAudit(
+        rows.toDF("k", "v"), col("k"), topK = 10).collect()
+    assert(all.length == 4)
+    assert(all.map(_.getAs[String]("key")).toSeq == Seq("a", "b", "NULL", "c"))
+  }
 }

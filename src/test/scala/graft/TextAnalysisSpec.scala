@@ -168,4 +168,57 @@ class TextAnalysisSpec extends SparkSpec {
     // unseen (c1 = 0) -> p = 1/6 each -> ce = ln 6
     assert(math.abs(out(11L)._2 - math.log(6)) < 1e-12, s"got ${out(11L)._2}")
   }
+
+  test("logisticTrain learns a separable boundary and logisticScore applies it") {
+    // y = 1 iff x > 0 — linearly separable on one feature; after a few
+    // full-batch steps the model must classify every point correctly
+    val pts = Seq(-3.0, -2.0, -1.5, -0.5, 0.5, 1.5, 2.0, 3.0)
+      .map(x => (x, if (x > 0) 1.0 else 0.0)).toDF("x", "y")
+    val w = TextAnalysis.logisticTrain(pts, Seq(col("x")), col("y"),
+      iters = 25, lr = 1.0)
+    assert(w.length == 2 && w(1) > 0, s"slope must be positive: ${w.toSeq}")
+    val scored = TextAnalysis.logisticScore(pts, Seq(col("x")), w)
+      .select(col("y"), col("p")).as[(Double, Double)].collect()
+    assert(scored.forall { case (y, p) => (p > 0.5) == (y == 1.0) },
+      s"misclassified: ${scored.toSeq}")
+    // and training moved the loss: mean logistic loss under w beats w=0
+    // (ln 2 per point)
+    val loss = scored.map { case (y, p) =>
+      -(y * math.log(p) + (1 - y) * math.log(1 - p)) }.sum / scored.length
+    assert(loss < math.log(2) * 0.5, s"loss $loss barely moved")
+  }
+
+  test("logisticTrain weight trajectory is bit-identical across partitionings") {
+    // the gradient-grid-rounding determinism claim: a float sum's
+    // partition-order wobble (~1e-15 relative) must never reach the
+    // weights. 1 partition vs 7 partitions, same data.
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 500).map { i =>
+      val x1 = rnd.nextDouble() * 2 - 1; val x2 = rnd.nextDouble()
+      (x1, x2, if (x1 + 0.3 * x2 > 0.1) 1.0 else 0.0)
+    }
+    val a = TextAnalysis.logisticTrain(rows.toDF("x1", "x2", "y").repartition(1),
+      Seq(col("x1"), col("x2")), col("y"), iters = 6, lr = 0.5)
+    val b = TextAnalysis.logisticTrain(rows.toDF("x1", "x2", "y").repartition(7),
+      Seq(col("x1"), col("x2")), col("y"), iters = 6, lr = 0.5)
+    assert(a.toSeq == b.toSeq,
+      s"weights diverged across partitionings:\n${a.toSeq}\n${b.toSeq}")
+  }
+
+  test("gridRound snaps to the 1e-9 grid with floor(x*1e9 + 0.5)/1e9 semantics") {
+    assert(TextAnalysis.gridRound(0.1234567894) == 0.123456789)
+    assert(TextAnalysis.gridRound(0.1234567896) == 0.12345679)
+    assert(TextAnalysis.gridRound(-0.1234567894) == -0.123456789)
+    assert(TextAnalysis.gridRound(0.0) == 0.0)
+  }
+
+  test("logisticTrain/Score validate their shape arguments") {
+    val df = Seq((1.0, 1.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(df, Seq.empty, col("y"), 3, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticScore(df, Seq(col("x")), Array(0.0, 0.0, 0.0))
+    }
+  }
 }
