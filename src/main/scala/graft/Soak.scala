@@ -177,6 +177,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
+    if (filterTerms.contains("boilerplate_hot")) boilerplateHot(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
     if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
     spark.stop()
@@ -357,6 +358,58 @@ object Soak {
     require(wN / w0 > aN / a0,
       f"window wall must grow faster than associative on the hot key: " +
         f"window ${wN / w0}%.1fx vs assoc ${aN / a0}%.1fx")
+    ()
+  }
+
+  /** Boilerplate removal vs keep-first window on the SAME hot-line corpus
+    * (lineDedupHotKey's shape: every doc carries a ~200 B nav bar, so the
+    * window form funnels n×200 B through one task). The a/b is STRUCTURAL,
+    * not semantic — the operators answer different questions (keep-first
+    * vs remove-all) — but they process the identical line volume, and the
+    * claim under test is [[graft.operators.Dedup.removeBoilerplateLines]]'s
+    * scaladoc: the broadcast anti join has NO hot partition anywhere, so
+    * its wall must grow like the line volume while the window's grows
+    * like the hot partition. Keeps are closed-form asserted each step
+    * (n unique lines survive; nav bar and mid-frequency lines go).
+    *
+    * Usage: sbt "runMain graft.Soak 10 boilerplate_hot" */
+  private def boilerplateHot(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def corpus(n: Long): DataFrame = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat('unique ', id, '\\n', repeat('HOT NAVIGATION BAR ', 10), " +
+        "'\\nmid ', id % 1000) AS text")
+    def runWindow(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      Dedup.dedupLinesAcrossCorpus(df, col("doc_id"), col("text"))
+        .agg(sum("n_kept")).head().getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runBoiler(df: DataFrame, n: Long): Double = {
+      val t0 = System.nanoTime()
+      val kept = Dedup.removeBoilerplateLines(df, col("doc_id"), col("text"),
+          lit("all"), minDocs = 4L)
+        .agg(sum("n_kept")).head().getLong(0)
+      require(kept == n, s"expected the $n unique lines to survive, got $kept")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = 25000L * mult
+    val steps = Seq(base, base * 4, base * 16)
+    runWindow(corpus(base)); runBoiler(corpus(base), base) // warm
+    val walls = steps.map { n =>
+      val df = corpus(n)
+      val ww = runWindow(df)
+      val wb = runBoiler(df, n)
+      println(f"[soak] boilerplate_hot n=$n%9d: window $ww%6.2f s, boiler $wb%6.2f s")
+      (ww, wb)
+    }
+    val (w0, b0) = walls.head
+    val (wN, bN) = walls.last
+    println(f"[soak] boilerplate_hot growth x${steps.last / steps.head}: " +
+      f"window ${wN / w0}%.1fx, boiler ${bN / b0}%.1fx")
+    require(wN / w0 > bN / b0,
+      f"window wall must grow faster than the broadcast anti join on the hot line: " +
+        f"window ${wN / w0}%.1fx vs boiler ${bN / b0}%.1fx")
     ()
   }
 

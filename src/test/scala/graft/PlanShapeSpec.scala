@@ -201,4 +201,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian in the two-stage rerank:\n$p")
   }
+
+  test("q134: the boilerplate head removes via BROADCAST anti join, no line-keyed window") {
+    // the operator's scale claim: the high-df head is a dimension, so
+    // every line occurrence is filtered by hash probe — the line volume
+    // is never shuffled on the line text and no hot partition can exist
+    val p = q("q134_boilerplate_lines")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"boilerplate removal must be a broadcast left anti join:\n$p")
+    assert(!p.contains("Window"),
+      s"no keep-first window belongs in frequency-threshold removal:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q135: classifier scoring is map-only — model as literals, no exchange before the output sort") {
+    // training already ran (driver loop); the SCORED slice must plan as
+    // scan -> project with the weights folded in as plan literals
+    val p = q("q135_classifier_train")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"scoring must be map-only ahead of the output-sort exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"no join/aggregate in the scoring pass:\n$p")
+  }
+
+  test("q136: skew audit tops keys via TakeOrdered, never a global sort of the count table") {
+    val p = q("q136_skew_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k over key counts must plan TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats must broadcast:\n$p")
+  }
 }
