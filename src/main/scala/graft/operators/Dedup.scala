@@ -1273,22 +1273,44 @@ object Dedup {
     * `minDocs` must be >= 2: at 1 every line is boilerplate and the
     * broadcast-dimension assumption (and the operator's meaning)
     * collapses. */
-  def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
+  /** The boilerplate LINE TABLE behind [[removeBoilerplateLines]] —
+    * `(group, line)` pairs whose per-group document frequency is
+    * `>= minDocs` — exposed because production applies it twice: the
+    * batch removal here, and the streaming ingest scrub
+    * ([[graft.streaming.StreamOps.boilerplateScrub]]) that consumes
+    * yesterday's table without recounting (the corpus-signature handoff
+    * convention). Tiny by definition (the high-df head), so downstream
+    * consumers broadcast it. */
+  def boilerplateLines(docs: DataFrame, id: Column, text: Column,
       group: Column, minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
-    val lines = docs
+    boilerLinesOf(explodedLines(docs, id, text, group, sep), minDocs)
+      .select(col("__bp_fgrp").as("group"), col("__bp_fline").as("line"))
+  }
+
+  private def explodedLines(docs: DataFrame, id: Column, text: Column,
+      group: Column, sep: String): DataFrame =
+    docs
       .filter(id.isNotNull)
       .select(id.as("__bp_id"), group.as("__bp_grp"),
         posexplode(filter(split(text, java.util.regex.Pattern.quote(sep)),
           l => l =!= "")))
       .toDF("__bp_id", "__bp_grp", "__bp_pos", "__bp_line")
-    val boiler = lines
+
+  private def boilerLinesOf(lines: DataFrame, minDocs: Long): DataFrame =
+    lines
       .select(col("__bp_grp"), col("__bp_line"), col("__bp_id"))
       .distinct()
       .groupBy(col("__bp_grp").as("__bp_fgrp"), col("__bp_line").as("__bp_fline"))
       .agg(count(lit(1)).as("__bp_df"))
       .filter(col("__bp_df") >= minDocs)
       .select(col("__bp_fgrp"), col("__bp_fline"))
+
+  def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
+      group: Column, minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    val lines = explodedLines(docs, id, text, group, sep)
+    val boiler = boilerLinesOf(lines, minDocs)
     val kept = lines.join(broadcast(boiler),
       col("__bp_grp") === col("__bp_fgrp") && col("__bp_line") === col("__bp_fline"),
       "left_anti")

@@ -338,17 +338,28 @@ object TextAnalysis {
     * resolution.
     *
     * Returns the weight vector `[b, w1, …, wd]`. Feature scaling is the
-    * caller's job (unit-magnitude features keep fixed-lr GD stable). */
+    * caller's job (unit-magnitude features keep fixed-lr GD stable).
+    * `init` resumes from a checkpointed weight vector: full-batch GD is
+    * memoryless beyond the weights, so `train(k) + train(n−k, init)`
+    * equals `train(n)` EXACTLY (spec-pinned) — checkpoint the d+1
+    * doubles anywhere, no optimizer state to save. */
   def logisticTrain(df: DataFrame, features: Seq[Column], label: Column,
-      iters: Int, lr: Double): Array[Double] = {
+      iters: Int, lr: Double, init: Option[Array[Double]] = None): Array[Double] = {
     require(features.nonEmpty && iters >= 1 && lr > 0,
       s"need features, iters >= 1, lr > 0 (got d=${features.length}, iters=$iters, lr=$lr)")
     val d = features.length
+    require(init.forall(_.length == d + 1),
+      s"init must be d+1 weights (got ${init.map(_.length)} for d=$d)")
     val cols = label.cast("double").as("__lg_y") +:
       features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__lg_x$i") }
     val base = df.select(cols: _*).persist()
     try {
-      val w = Array.fill(d + 1)(0.0)
+      // resume = replay nothing: full-batch GD is a deterministic
+      // function of (weights, data), so continuing from a checkpointed
+      // weight vector provably equals the unbroken run (spec-pinned) —
+      // the fault-tolerance story for long trainings, the
+      // BpeTrain.learnMergesBatched(resumeFrom) convention
+      val w = init.map(_.clone()).getOrElse(Array.fill(d + 1)(0.0))
       for (_ <- 1 to iters) {
         val z = zOf(w, (0 until d).map(i => col(s"__lg_x$i")))
         val diff = lit(1.0) / (lit(1.0) + exp(-z)) - col("__lg_y")

@@ -142,6 +142,47 @@ object StreamOps {
       .drop("__decontam_w", "__decontam_shingles")
   }
 
+  /** Streaming BOILERPLATE scrub — apply a batch-built boilerplate line
+    * table ([[graft.operators.Dedup.boilerplateLines]], columns
+    * `(group, line)`) to documents at ingest: every line of an incoming
+    * doc that appears in its group's boilerplate set is dropped IN-ROW.
+    * The production cycle this models: the line table is recounted daily
+    * in batch (document frequency is a corpus property — a stream cannot
+    * know it), and ingest scrubs against yesterday's table, re-read per
+    * micro-batch like [[exactDupGuard]]'s corpus hashes.
+    *
+    * Shape: the static side folds into ONE row — a `group → lines` map
+    * (tiny: the high-df head is the operator's own broadcast-dimension
+    * claim) — and rides a broadcast stream-static cross join; the scrub
+    * itself is an in-row `filter` + `array_join` projection. No explode,
+    * no aggregation, no state — stateless in any trigger mode, and
+    * row-for-row equal to [[graft.operators.Dedup.removeBoilerplateLines]]
+    * on the same corpus (StreamOpsSpec parity pin). Returns
+    * `(id, n_lines, n_kept, text_clean)` matching the batch contract
+    * (empty-line filtering included). */
+  def boilerplateScrub(
+      docs: DataFrame, id: Column, text: Column, group: Column,
+      boiler: DataFrame, sep: String = "\n"): DataFrame = {
+    val model = broadcast(boiler.groupBy(col("group"))
+      .agg(collect_list(col("line")).as("__bps_ls"))
+      .agg(map_from_entries(
+        collect_list(struct(col("group"), col("__bps_ls")))).as("__bps_m")))
+    val lines = filter(
+      split(text, java.util.regex.Pattern.quote(sep)), l => l =!= "")
+    docs
+      .join(model, lit(true), "left_outer") // stream-static broadcast; 1 static row
+      .select(id.as("id"), lines.as("__bps_lines"),
+        coalesce(element_at(col("__bps_m"), group),
+          array().cast("array<string>")).as("__bps_bad"))
+      .select(col("id"),
+        size(col("__bps_lines")).cast("long").as("n_lines"),
+        filter(col("__bps_lines"),
+          l => !array_contains(col("__bps_bad"), l)).as("__bps_kept"))
+      .select(col("id"), col("n_lines"),
+        size(col("__bps_kept")).cast("long").as("n_kept"),
+        array_join(col("__bps_kept"), sep).as("text_clean"))
+  }
+
   /** Stream-stream interval join (Q23's shape as two live streams): equi
     * key + event-time range conjunct. Both sides carry watermarks and the
     * join condition bounds `rightTs` to a window after `leftTs`, which is

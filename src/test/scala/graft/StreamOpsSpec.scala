@@ -381,4 +381,42 @@ class StreamOpsSpec extends SparkSpec {
       streamed.valuesIterator.exists(_._1 == "ok"),
       "fixture must exercise both outcomes on the stream")
   }
+
+  test("boilerplateScrub applies the batch-built line table in-row: stream ≡ batch removal") {
+    import graft.operators.Dedup
+    // the production cycle: the boilerplate table is counted in BATCH
+    // (document frequency is a corpus property), ingest scrubs against it
+    // statelessly. Same 2-word line structure as q134, corpus-wide group.
+    val dir = Files.createTempDirectory("docs-boiler")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def structured(df: org.apache.spark.sql.DataFrame) = {
+      val words = split(col("text"), " ")
+      val lineArr = transform(
+        sequence(lit(0L), greatest(ceil(size(words) / lit(2.0)) - 1, lit(0L))),
+        i => array_join(slice(words, (i * 2 + 1).cast("int"), lit(2)), " "))
+      df.select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+    }
+    val batchDocs = structured(sf0001.documents)
+    val boiler = Dedup.boilerplateLines(batchDocs, col("doc_id"), col("text"),
+      lit("all"), minDocs = 4L)
+    val q = StreamOps.boilerplateScrub(
+        structured(spark.readStream.schema(Tables.schemas("documents"))
+          .parquet(dir.toString)),
+        col("doc_id"), col("text"), lit("all"), boiler)
+      .writeStream.format("memory").queryName("boiler_s").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("id") ->
+      ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("text_clean")))
+    val streamed = spark.table("boiler_s").collect().map(key).toMap
+    val batch = Dedup.removeBoilerplateLines(batchDocs, col("doc_id"),
+      col("text"), lit("all"), minDocs = 4L).collect().map(key).toMap
+    assert(streamed.size == batch.size && streamed == batch,
+      "ingest scrub must equal the batch removal row for row")
+    // both outcomes live on this corpus: removed lines and survivors
+    assert(batch.valuesIterator.exists(v => v._2 < v._1))
+    assert(batch.valuesIterator.exists(v => v._2 > 0L))
+  }
 }

@@ -212,6 +212,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.gridRound(0.0) == 0.0)
   }
 
+  test("logisticTrain resumes from checkpointed weights exactly (memoryless GD)") {
+    val rnd = new scala.util.Random(11L)
+    val df = (1 to 200).map { _ =>
+      val x = rnd.nextDouble() * 4 - 2
+      (x, if (x > 0.5) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val full = TextAnalysis.logisticTrain(df, Seq(col("x")), col("y"), 8, 0.5)
+    val half = TextAnalysis.logisticTrain(df, Seq(col("x")), col("y"), 3, 0.5)
+    val resumed = TextAnalysis.logisticTrain(df, Seq(col("x")), col("y"), 5, 0.5,
+      init = Some(half))
+    assert(resumed.toSeq == full.toSeq,
+      s"train(3)+train(5, init) must equal train(8):\n${resumed.toSeq}\n${full.toSeq}")
+    // and the init array is not mutated in place
+    val before = half.toSeq
+    TextAnalysis.logisticTrain(df, Seq(col("x")), col("y"), 1, 0.5, Some(half))
+    assert(half.toSeq == before, "init weights must not be mutated")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.logisticTrain(df, Seq(col("x")), col("y"), 1, 0.5,
+        Some(Array(0.0)))
+    }
+  }
+
   test("logisticTrain/Score validate their shape arguments") {
     val df = Seq((1.0, 1.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
