@@ -75,6 +75,9 @@ object PlanDump {
     "q130_pii_scrub_full",   // 6-category scrub incl. native Luhn: map-only, zero exchanges
     "q131_pq_rerank",        // ADC candidate cut + exact re-rank join, broadcast query side
     "q132_tokenizer_census", // trie vocab-apply map stage + one source-keyed partial/final agg
+    "q134_boilerplate_lines", // high-df head as broadcast dim: LEFT ANTI probe, no line shuffle
+    "q135_classifier_train", // scoring pass: model folded in as literals, map-only
+    "q136_skew_audit",       // count agg + TakeOrdered top-k + 1-row stats broadcast
   )
 
   def main(args: Array[String]): Unit = {
