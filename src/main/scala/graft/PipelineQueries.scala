@@ -584,6 +584,27 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q137: CCNet HEAD/MIDDLE/TAIL buckets ([[Cleaning.ccnetBuckets]]) —
+    * the published pipeline's actual downstream of the q117 LM scores:
+    * per-LANGUAGE tercile thresholds (a |langs|-row percentile aggregate
+    * broadcast into a map-only CASE — never a per-group window), docs
+    * labeled head/middle/tail, keep = not tail. Scores enter the
+    * bucketing GRID-SNAPPED at 6 decimals so the threshold comparisons
+    * are engine-deterministic (the operator's cross-engine note);
+    * doc_id % 10 == 6 gated with the thresholds trained on ALL scored
+    * docs. */
+  def q137(t: Tables): DataFrame = {
+    val scored = TextAnalysis.bigramCrossEntropy(t.documents, col("doc_id"),
+        col("text"), isTarget = col("lang") === "en")
+      .join(t.documents.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .withColumn("ce6", Rounding.portable(col("ce"), 6))
+    Cleaning.ccnetBuckets(scored, col("lang"), col("ce6"))
+      .filter(col("id") % 10 === 6)
+      .select(col("id").as("doc_id"), col("lang"), col("ce6"),
+        col("bucket"), col("keep"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q136: KEY-SKEW AUDIT ([[Layout.skewAudit]]) — the pre-shuffle
     * diagnostic for choosing between a plain exchange, [[Layout.saltedJoin]]
     * and the hot-key escape hatches (q128/q133): top keys by count with
@@ -1469,6 +1490,7 @@ object PipelineQueries {
     "q134_boilerplate_lines" -> q134 _,
     "q135_classifier_train" -> q135 _,
     "q136_skew_audit" -> q136 _,
+    "q137_ccnet_buckets" -> q137 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3083,6 +3105,40 @@ object PipelineQueries {
         n_keys, n_rows,
         CAST(mx AS DOUBLE) * n_keys / n_rows AS max_ratio
       FROM t, s WHERE rank <= 5 ORDER BY rank""",
+
+    // q137: q117's LM-score chain + per-lang quantile_cont terciles on
+    // the 6-decimal-snapped scores (Spark `percentile` and DuckDB
+    // `quantile_cont` interpolate identically — the q45 identity); the
+    // fraction literals are CAST(k AS DOUBLE)/3 so both engines bucket
+    // against the same IEEE double
+    "q137_ccnet_buckets" -> """
+      WITH d AS (SELECT doc_id, lang, lang = 'en' AS tgt,
+                        string_split(lower(text), ' ') AS s FROM documents),
+      g AS (SELECT doc_id, tgt, s[i] AS w1, concat(s[i], ' ', s[i+1]) AS gram
+            FROM d, unnest(range(1, greatest(len(s), 1))) AS t(i)),
+      c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g WHERE tgt GROUP BY gram),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM g WHERE tgt GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+            FROM (SELECT unnest(s) AS w FROM d WHERE tgt)),
+      sc AS (SELECT g.doc_id,
+               avg(-ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v))) AS ce
+             FROM g
+             LEFT JOIN c2 ON g.gram = c2.gram
+             LEFT JOIN c1 ON g.w1 = c1.w1
+             CROSS JOIN v
+             GROUP BY g.doc_id),
+      sl AS (SELECT sc.doc_id, d2.lang, round(sc.ce, 6) AS ce6
+             FROM sc JOIN (SELECT doc_id, lang FROM documents) d2 USING (doc_id)),
+      th AS (SELECT lang,
+               quantile_cont(ce6, CAST(1 AS DOUBLE)/3) AS t1,
+               quantile_cont(ce6, CAST(2 AS DOUBLE)/3) AS t2
+             FROM sl GROUP BY lang)
+      SELECT sl.doc_id, sl.lang, sl.ce6,
+        CASE WHEN ce6 <= t1 THEN 'head'
+             WHEN ce6 <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        ce6 <= t2 AS keep
+      FROM sl JOIN th USING (lang) WHERE sl.doc_id % 10 = 6
+      ORDER BY sl.doc_id NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

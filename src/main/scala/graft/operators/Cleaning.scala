@@ -72,6 +72,46 @@ object Cleaning {
       .drop("__quantile_gate_thr")
   }
 
+  /** CCNet HEAD/MIDDLE/TAIL bucketing — the step CCNet actually runs on
+    * its LM scores: per-language (per-`group`) tercile thresholds, every
+    * doc labeled `head` (most target-like), `middle`, or `tail`, and the
+    * published pipeline keeps head+middle (`keep`). The per-group form is
+    * the point: one global threshold would let a high-resource language's
+    * score distribution set the bar for every other language.
+    *
+    * Shape at scale — the [[quantileGate]] pattern, per group: ONE
+    * percentile aggregate produces a |groups|-row threshold table
+    * (languages are a dimension), broadcast back into a map-only CASE;
+    * no per-group window, no global sort, the corpus shuffles zero
+    * times. At 100 TB swap the exact percentile for
+    * `percentile_approx` exactly as q45/q97 document.
+    *
+    * Cross-engine discipline: pass a GRID-SNAPPED score (e.g.
+    * `Rounding.portable(ce, 6)`) — thresholds interpolate between grid
+    * values and generically land strictly inside a bracket, so the
+    * bucket CASE compares a grid double against a threshold both engines
+    * derive bit-identically from the same sorted grid (the q135
+    * determinism note, applied to bucketing). NULL scores get NULL
+    * buckets (`keep = false`). */
+  def ccnetBuckets(df: DataFrame, group: Column, score: Column,
+      qLow: Double = 1.0 / 3, qHigh: Double = 2.0 / 3): DataFrame = {
+    require(0.0 < qLow && qLow < qHigh && qHigh < 1.0,
+      s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
+    val thr = df
+      .select(group.as("__ccb_g"), score.as("__ccb_s"))
+      .groupBy("__ccb_g")
+      .agg(expr(s"percentile(__ccb_s, ${qLow}D)").as("__ccb_t1"),
+        expr(s"percentile(__ccb_s, ${qHigh}D)").as("__ccb_t2"))
+    val bucket = when(score.isNull, lit(null).cast("string"))
+      .when(score <= col("__ccb_t1"), "head")
+      .when(score <= col("__ccb_t2"), "middle")
+      .otherwise("tail")
+    df.join(broadcast(thr), group === col("__ccb_g"), "left")
+      .withColumn("bucket", bucket)
+      .withColumn("keep", coalesce(col("bucket") =!= "tail", lit(false)))
+      .drop("__ccb_g", "__ccb_t1", "__ccb_t2")
+  }
+
   /** Gopher-style quality rules (the published heuristic battery of Rae
     * et al. 2021 §A1.1, restated over whitespace tokens): word-count
     * bounds, mean-word-length bounds, a minimum stopword-hit count (pure

@@ -347,4 +347,41 @@ class CleaningSpec extends SparkSpec {
     assert(r.getAs[String]("text_redacted") ==
       "version 1.2 of chapter 555 has no contact details")
   }
+
+  test("ccnetBuckets: per-group terciles on a closed fixture, CCNet keep = head+middle") {
+    // lang a: scores 1..9 — terciles land ON data points (pos = (9-1)/3
+    // is an integer rank), t1 = 3.666…, t2 = 6.333…: head {1,2,3},
+    // middle {4,5,6}, tail {7,8,9}. lang b: shifted by 100 — its OWN
+    // thresholds, proving group isolation (under a's they'd all be tail).
+    val rows = (1 to 9).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => ("b", 100L + i, 100.0 + i))
+    val got = Cleaning.ccnetBuckets(
+        rows.toDF("lang", "id", "s").repartition(4), col("lang"), col("s"))
+      .select("lang", "id", "bucket", "keep")
+      .as[(String, Long, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert((1 to 3).forall(i => got(("a", i.toLong)) == (("head", true))))
+    assert((4 to 6).forall(i => got(("a", i.toLong)) == (("middle", true))))
+    assert((7 to 9).forall(i => got(("a", i.toLong)) == (("tail", false))))
+    // b's three scores split into its own terciles: 101 head, 102 middle,
+    // 103 tail — nothing leaked from a's distribution
+    assert(got(("b", 101L)) == (("head", true)))
+    assert(got(("b", 102L)) == (("middle", true)))
+    assert(got(("b", 103L)) == (("tail", false)))
+  }
+
+  test("ccnetBuckets: NULL scores bucket NULL and are never kept") {
+    val rows = Seq(("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)),
+      ("a", 3L, Some(3.0)), ("a", 4L, Option.empty[Double]))
+    val got = Cleaning.ccnetBuckets(rows.toDF("g", "id", "s"), col("g"), col("s"))
+      .select("id", "bucket", "keep")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("bucket")), r.getAs[Boolean]("keep")))).toMap
+    assert(got(4L) == ((None, false)))
+    assert(got(1L)._1.contains("head"))
+    intercept[IllegalArgumentException] {
+      Cleaning.ccnetBuckets(rows.toDF("g", "id", "s"), col("g"), col("s"),
+        qLow = 0.5, qHigh = 0.4)
+    }
+  }
 }
