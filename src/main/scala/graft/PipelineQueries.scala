@@ -564,14 +564,20 @@ object PipelineQueries {
     * note), the linear score and probability at 6 decimals, and the
     * hard prediction. The oracle re-derives the entire 4-iteration
     * trajectory as unrolled CTE rounds, [[logisticOracle]]. */
-  def q135(t: Tables): DataFrame = {
+  /** The q135/q138 feature set: tokens/100, mean word length/10,
+    * en-stopword fraction — identical association in [[logisticCtes]]. */
+  private def classifierFeatures: (Seq[Column], Column) = {
     val n = size(TextOps.tokens(col("text"))).cast("double")
     val feats = Seq(
       n / lit(100.0),
       (length(col("text")).cast("double") - (n - lit(1.0))) / n / lit(10.0),
       size(filter(TextOps.tokens(col("text")),
         w => w.isin(TextAnalysis.stopwords.head._2: _*))).cast("double") / n)
-    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    (feats, when(col("lang") === "en", 1.0).otherwise(0.0))
+  }
+
+  def q135(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
     val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
     TextAnalysis.logisticScore(
         t.documents.filter(col("doc_id") % 20 === 3), feats, w)
@@ -582,6 +588,22 @@ object PipelineQueries {
         Rounding.portable(col("p"), 6).as("p6"),
         (col("p") > 0.5).cast("long").as("pred"))
       .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q138: PRECISION/RECALL SWEEP ([[TextAnalysis.prCurve]]) over the
+    * q135 model's scores on the WHOLE corpus — the operating-point curve
+    * that turns a trained filter into a keep threshold. One conditional-
+    * sum aggregate pass (never corpus×thresholds), integer confusion
+    * counts on the 6-decimal score grid, ratios as IEEE division of
+    * exact integers. The oracle replays the full training chain and the
+    * per-threshold counts as generated SQL. */
+  def q138(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.prCurve(scored, col("y") === 1.0, col("p6"), prThresholds)
+      .transform(sortedSmall(_, col("thr")))
   }
 
   /** q137: CCNet HEAD/MIDDLE/TAIL buckets ([[Cleaning.ccnetBuckets]]) —
@@ -1491,6 +1513,7 @@ object PipelineQueries {
     "q135_classifier_train" -> q135 _,
     "q136_skew_audit" -> q136 _,
     "q137_ccnet_buckets" -> q137 _,
+    "q138_pr_curve" -> q138 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1597,7 +1620,9 @@ object PipelineQueries {
     * pins the raw weight doubles plus the scored slice. MATERIALIZED for
     * the bpeTrainOracle reason: each round references the previous
     * weight CTE several times. */
-  private def logisticOracle(iters: Int): String = {
+  private def logisticZ: String = s"(((b + c1 * x1) + c2 * x2) + c3 * x3)"
+
+  private def logisticCtes(iters: Int): String = {
     val stop = "('the','a','of','and','to','is')"
     val feat = s"""f0 AS (SELECT doc_id, lang,
         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
@@ -1611,10 +1636,9 @@ object PipelineQueries {
         (lc - (n - 1.0)) / n / 10.0 AS x2,
         sw / n AS x3 FROM f0),
       w0 AS (SELECT 0.0 AS b, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3)"""
-    def z(src: String = "") = s"(((b + c1 * x1) + c2 * x2) + c3 * x3)"
     val rounds = (1 to iters).map { i =>
       val p = i - 1
-      val diff = s"(1.0 / (1.0 + exp(-${z()})) - y)"
+      val diff = s"(1.0 / (1.0 + exp(-$logisticZ)) - y)"
       def g(term: String) =
         s"floor(sum($term) / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) / 1e9"
       s"""g$i AS MATERIALIZED (SELECT
@@ -1624,15 +1648,55 @@ object PipelineQueries {
       w$i AS MATERIALIZED (SELECT b - 0.5 * g0 AS b, c1 - 0.5 * g1 AS c1,
         c2 - 0.5 * g2 AS c2, c3 - 0.5 * g3 AS c3 FROM w$p, g$i)"""
     }
-    s"""WITH ${(feat +: rounds).mkString(",\n      ")}
+    (feat +: rounds).mkString(",\n      ")
+  }
+
+  private def logisticOracle(iters: Int): String =
+    s"""WITH ${logisticCtes(iters)}
       SELECT doc_id, CAST(y AS BIGINT) AS y,
         b AS w0, c1 AS w1, c2 AS w2, c3 AS w3,
-        round(${z()}, 6) AS z6,
-        round(1.0 / (1.0 + exp(-${z()})), 6) AS p6,
-        CAST(CASE WHEN 1.0 / (1.0 + exp(-${z()})) > 0.5
+        round($logisticZ, 6) AS z6,
+        round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6,
+        CAST(CASE WHEN 1.0 / (1.0 + exp(-$logisticZ)) > 0.5
           THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM f, w$iters WHERE doc_id % 20 = 3
       ORDER BY doc_id NULLS FIRST"""
+
+  /** q138 thresholds — exact decimal literals: both engines parse each
+    * to the identical nearest double, and the swept score is the
+    * 6-decimal grid, so `>=` at a threshold can never disagree. */
+  val prThresholds: Seq[Double] =
+    Seq(0.40, 0.42, 0.44, 0.45, 0.46, 0.465, 0.47, 0.48, 0.50)
+
+  /** q138 oracle: the SAME unrolled training chain scores the WHOLE
+    * corpus, then one conditional-sum pass per threshold (generated) +
+    * a UNION ALL reshape — the operator's single-aggregate shape
+    * restated relationally. */
+  private def prCurveOracle(iters: Int): String = {
+    val sums = prThresholds.zipWithIndex.map { case (t, i) =>
+      s"""CAST(sum(CASE WHEN p6 >= CAST($t AS DOUBLE) AND y = 1.0
+           THEN 1 ELSE 0 END) AS BIGINT) AS tp$i,
+         CAST(sum(CASE WHEN p6 >= CAST($t AS DOUBLE) AND y = 0.0
+           THEN 1 ELSE 0 END) AS BIGINT) AS fp$i"""
+    }.mkString(",\n        ")
+    val finals = prThresholds.zipWithIndex.map { case (t, i) =>
+      s"""SELECT CAST($t AS DOUBLE) AS thr, tp$i AS tp, fp$i AS fp,
+           pos - tp$i AS fn, neg - fp$i AS tn,
+           CASE WHEN tp$i + fp$i > 0
+             THEN CAST(tp$i AS DOUBLE) / (tp$i + fp$i) END AS precision,
+           CASE WHEN pos > 0
+             THEN CAST(tp$i AS DOUBLE) / pos END AS recall
+         FROM one"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${logisticCtes(iters)},
+      sc AS (SELECT y, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w$iters),
+      one AS (SELECT
+        $sums,
+        CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM sc)
+      SELECT * FROM ($finals) ORDER BY thr"""
   }
 
   private val dedupClustersOracle: String = """
@@ -3086,6 +3150,10 @@ object PipelineQueries {
 
     // q135: the unrolled-trajectory training oracle — see logisticOracle
     "q135_classifier_train" -> logisticOracle(4),
+
+    // q138: the same chain scoring the whole corpus + per-threshold
+    // conditional sums — see prCurveOracle
+    "q138_pr_curve" -> prCurveOracle(4),
 
     // q136: counts, 1-row stats, rank by (cnt DESC, key); every ratio is
     // IEEE division of exact integers — identical doubles, unrounded

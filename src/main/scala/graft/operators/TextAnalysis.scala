@@ -375,6 +375,51 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** PRECISION/RECALL THRESHOLD SWEEP — the operating-point picker run
+    * after [[logisticTrain]]/[[logisticScore]]: confusion counts and
+    * precision/recall at each candidate threshold, the curve a pipeline
+    * reads to set its keep cutoff.
+    *
+    * Shape at scale: ONE partial-aggregated pass over the scored corpus
+    * computing 2·|thresholds| conditional sums (plus the two label
+    * totals) — never a |corpus|×|thresholds| explode — then the 1-row
+    * result reshapes to |thresholds| rows through a bounded
+    * array-of-structs explode. Integer counts over a grid-snapped score
+    * are engine-exact; pass thresholds as exact decimal literals and a
+    * 6-decimal score (both sides resolve to the identical nearest
+    * double, so `>=` can never disagree). tn/fn derive from the label
+    * totals rather than two more conditional sums. Zero-denominator
+    * precision (no predicted positives) is NULL, recall 0 only when
+    * there are no positives at all (also NULL then). */
+  def prCurve(df: DataFrame, label: Column, score: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve needs at least one threshold")
+    val y = label.cast("boolean")
+    val aggs =
+      thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(score >= lit(t) && y, 1L).otherwise(0L)).as(s"__pr_tp$i"),
+        sum(when(score >= lit(t) && !y, 1L).otherwise(0L)).as(s"__pr_fp$i"))
+      } ++ Seq(
+        sum(when(y, 1L).otherwise(0L)).as("__pr_pos"),
+        sum(when(!y, 1L).otherwise(0L)).as("__pr_neg"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("thr"),
+        col(s"__pr_tp$i").as("tp"), col(s"__pr_fp$i").as("fp"))
+    }: _*))
+    one.select(rows.as("__pr_r"), col("__pr_pos"), col("__pr_neg"))
+      .select(col("__pr_r.thr").as("thr"),
+        col("__pr_r.tp").as("tp"), col("__pr_r.fp").as("fp"),
+        (col("__pr_pos") - col("__pr_r.tp")).as("fn"),
+        (col("__pr_neg") - col("__pr_r.fp")).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+
   /** Score rows under a trained logistic model: adds `z` (the linear
     * score, left-assoc as trained) and `p = σ(z)`. Map-only — the model
     * rides in as plan literals, the corpus never shuffles. */

@@ -234,6 +234,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("prCurve computes exact confusion counts and handles empty-prediction thresholds") {
+    // scores: positives at 0.9, 0.6; negatives at 0.7, 0.2
+    val scored = Seq((0.9, true), (0.6, true), (0.7, false), (0.2, false))
+      .toDF("p", "y")
+    val got = TextAnalysis.prCurve(scored, col("y"), col("p"),
+        Seq(0.5, 0.8, 0.95))
+      .collect().map(r => r.getAs[Double]("thr") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Long]("tn"), Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall"))))).toMap
+    // t=0.5: predicts {0.9, 0.6, 0.7} positive → tp 2, fp 1, fn 0, tn 1
+    assert(got(0.5) == ((2L, 1L, 0L, 1L, Some(2.0 / 3), Some(1.0))))
+    // t=0.8: only 0.9 → tp 1, fp 0 (both negatives below) → precision 1
+    assert(got(0.8) == ((1L, 0L, 1L, 2L, Some(1.0), Some(0.5))))
+    // t=0.95: nothing predicted positive → precision NULL, recall 0
+    assert(got(0.95) == ((0L, 0L, 2L, 2L, None, Some(0.0))))
+  }
+
+  test("prCurve with no positive labels reports NULL recall, and rejects empty thresholds") {
+    val scored = Seq((0.9, false), (0.1, false)).toDF("p", "y")
+    val r = TextAnalysis.prCurve(scored, col("y"), col("p"), Seq(0.5)).collect()(0)
+    assert(Option(r.getAs[java.lang.Double]("recall")).isEmpty)
+    assert(r.getAs[Long]("tn") == 1L && r.getAs[Long]("fp") == 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.prCurve(scored, col("y"), col("p"), Seq.empty)
+    }
+  }
+
   test("logisticTrain/Score validate their shape arguments") {
     val df = Seq((1.0, 1.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
