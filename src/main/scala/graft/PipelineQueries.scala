@@ -849,6 +849,33 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("source"), col("rnk")))
   }
 
+  /** q139 probe list — vocabulary words plus one guaranteed-absent
+    * token: a CMS reports absent ONLY when some row's cell is untouched,
+    * so the zero row exercises the one-sided-error floor. */
+  val cmsProbes: Seq[String] =
+    Seq("table", "row", "scan", "key", "value", "the", "spark", "absent-token")
+
+  /** q139: COUNT-MIN point-frequency estimates
+    * ([[graft.operators.ApproxOps.countMinSketch]]/`cmsPointEstimates`)
+    * — the point-query sibling of q124's heavy hitters, gated EXACTLY by
+    * sizing `width` (2048) far above the corpus vocabulary so no probe
+    * collides in every row and the min-of-cells degenerates to the true
+    * count (the q124/q111 exact-when-small discipline; the ε·N error
+    * regime at binding widths is spec-pinned in CountMinSpec instead).
+    * Per-source sketches — the state is a fixed 4×2048 counter array per
+    * source regardless of corpus size — probed for a fixed literal list
+    * including one absent token (est 0). */
+  def q139(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val sk = graft.operators.ApproxOps.countMinSketch(
+      toks, col("w"), depth = 4, width = 2048, col("source"))
+    graft.operators.ApproxOps.cmsPointEstimates(sk, cmsProbes, depth = 4, width = 2048)
+      .select(col("source"), col("token"), col("est"))
+      .transform(sortedSmall(_, col("source"), col("token")))
+  }
+
   /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
     * FineWeb-style URL-keyed dedup is only as good as its
     * canonicalization, so the gate derives four surface families per
@@ -1514,6 +1541,7 @@ object PipelineQueries {
     "q136_skew_audit" -> q136 _,
     "q137_ccnet_buckets" -> q137 _,
     "q138_pr_curve" -> q138 _,
+    "q139_cms_counts" -> q139 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3207,6 +3235,22 @@ object PipelineQueries {
         ce6 <= t2 AS keep
       FROM sl JOIN th USING (lang) WHERE sl.doc_id % 10 = 6
       ORDER BY sl.doc_id NULLS FIRST""",
+
+    // q139: width 2048 >> vocab, so every estimate degenerates to the
+    // exact per-source count — the oracle is plain counting over the
+    // probe list (a VALUES spine so absent tokens report 0), blind to
+    // the hash functions by design
+    "q139_cms_counts" -> s"""
+      WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE w <> '' GROUP BY source, w),
+      probes(token) AS (VALUES ${cmsProbes.map(p => s"('$p')").mkString(", ")}),
+      spine AS (SELECT DISTINCT source FROM documents)
+      SELECT s.source, p.token, coalesce(c.c, 0) AS est
+      FROM spine s CROSS JOIN probes p
+      LEFT JOIN c ON c.source = s.source AND c.w = p.token
+      ORDER BY s.source NULLS FIRST, p.token""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -167,4 +167,50 @@ object ApproxOps {
     sketch.select((sketch.columns.dropRight(1).map(col) :+
       explode(col("__hh")).as(Seq("token", "est"))): _*)
   }
+
+  /** COUNT-MIN sketch rows ([[graft.functions.CountMinAggregator]]) —
+    * `(grp…, sketch)` with a fixed `depth·width` counter array per
+    * group: the point-query sketch that answers "how often does token t
+    * occur" for ANY t without storing the vocabulary. Persist the rows
+    * as parquet and [[cmsMerge]] folds days together elementwise (the
+    * KMV/q111 day-over-day discipline). Null tokens dropped as in
+    * [[heavyHitters]]. */
+  def countMinSketch(tokens: DataFrame, token: Column,
+      depth: Int, width: Int, groupCols: Column*): DataFrame = {
+    val agg = udaf(new graft.functions.CountMinAggregator(depth, width),
+      org.apache.spark.sql.Encoders.STRING)
+    val in = tokens.filter(token.isNotNull)
+    if (groupCols.isEmpty) in.agg(agg(token).as("sketch"))
+    else in.groupBy(groupCols: _*).agg(agg(token).as("sketch"))
+  }
+
+  /** Point estimates for a LITERAL probe list against sketch rows:
+    * `est(t) = min over rows d of sketch[d·width + hash_d(t) mod width]`
+    * — the probe cells are derived driver-side from the same pure hash
+    * the aggregator uses, so each estimate is a bounded
+    * `least(element_at…)` projection, exploded from a |probes|-struct
+    * array. Returns `(grp…, token, est)`, [[heavyHitters]]' shape. */
+  def cmsPointEstimates(sketches: DataFrame, probes: Seq[String],
+      depth: Int, width: Int): DataFrame = {
+    require(probes.nonEmpty, "cmsPointEstimates needs at least one probe")
+    import graft.functions.CountMinAggregator.cell
+    val rows = explode(array(probes.map { p =>
+      val cells = (0 until depth).map(d =>
+        element_at(col("sketch"), d * width + cell(p, d, width) + 1))
+      struct(lit(p).as("token"),
+        (if (cells.size == 1) cells.head
+         else least(cells: _*)).as("est"))
+    }: _*))
+    sketches.select((sketches.columns.filter(_ != "sketch").map(col) :+
+      rows.as("__cms_r")): _*)
+      .withColumn("token", col("__cms_r.token"))
+      .withColumn("est", col("__cms_r.est"))
+      .drop("__cms_r")
+  }
+
+  /** Elementwise sketch union — `merge` as a column expression for
+    * persisted day sketches: `cms(day1 ∪ day2) = cms(day1) + cms(day2)`
+    * exactly (counter addition commutes with concatenation). */
+  def cmsMerge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
 }
