@@ -231,4 +231,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row stats must broadcast:\n$p")
   }
+
+  test("q137: per-group terciles arrive by broadcast — no per-group window over the corpus") {
+    val p = q("q137_ccnet_buckets")
+    assert(!p.contains("Window"),
+      s"bucketing must be threshold CASE, never a per-lang window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |langs|-row threshold table must broadcast:\n$p")
+  }
+
+  test("q138: the PR sweep is ONE aggregate pass, reshaped after — no corpus x thresholds explode") {
+    val p = q("q138_pr_curve")
+    // the only Generate (explode) allowed is the bounded 9-struct
+    // reshape of the 1-row aggregate; the corpus side must feed a
+    // partial+final aggregate directly
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial+final conditional-sum aggregate expected:\n$p")
+    assert("Generate".r.findAllIn(p).size <= 1,
+      s"only the bounded reshape explode is allowed:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("q139: the CMS aggregates partial+final around one exchange (q124's sketch shape)") {
+    val p = q("q139_cms_counts")
+    assert("ObjectHashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"typed-aggregator partial+final expected:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

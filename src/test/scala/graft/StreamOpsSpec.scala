@@ -320,6 +320,35 @@ class StreamOpsSpec extends SparkSpec {
       "cap-above-vocab sketch over two micro-batches must equal the doubled-corpus batch run")
   }
 
+  test("countMinSketch merges across micro-batches: stream(complete) ≡ batch matrix") {
+    import spark.implicits._
+    import graft.operators.ApproxOps
+    val dir = Files.createTempDirectory("docs-cms")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val q = ApproxOps.countMinSketch(
+        toks(spark.readStream.schema(Tables.schemas("documents"))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)),
+        col("w"), depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_s")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_s").select("sketch").as[Array[Long]].head()
+    val batch = ApproxOps.countMinSketch(
+      toks(sf0001.documents.unionAll(sf0001.documents)),
+      col("w"), depth = 3, width = 64)
+      .select("sketch").as[Array[Long]].head()
+    // bit-identical counter matrix — CMS state is deterministic, so the
+    // streamed merge must reproduce the batch matrix EXACTLY, not just
+    // agree on estimates
+    assert(streamed.toSeq == batch.toSeq && streamed.sum > 0)
+  }
+
   test("piiScrub and unicode_normalize are stateless: stream/batch parity") {
     import graft.operators.Cleaning
     import graft.functions.TextOps
