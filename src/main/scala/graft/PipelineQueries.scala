@@ -876,6 +876,26 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("source"), col("token")))
   }
 
+  /** q140: HASHED TF-IDF VECTORS ([[TextAnalysis.hashedTfidfVectors]])
+    * — feature-hashed document embeddings derived from raw text, no
+    * vocabulary table, no external model; doc_id % 10 == 2 gated on
+    * vector-level invariants that pin the content without hashing raw
+    * doubles: nonzero-bucket count (exact — unsigned weights cannot
+    * cancel, so a bucket is 0.0 iff every token in it has idf 0), L2
+    * norm and component sum at 6 decimals (the fold runs in bucket
+    * order in-row; the oracle aggregates the same bucket weights). */
+  def q140(t: Tables): DataFrame =
+    TextAnalysis.hashedTfidfVectors(t.documents, col("doc_id"), col("text"),
+        dims = 64)
+      .filter(col("id") % 10 === 2)
+      .select(col("id").as("doc_id"),
+        size(filter(col("vec"), v => v =!= 0.0)).cast("long").as("nnz"),
+        Rounding.portable(
+          sqrt(aggregate(col("vec"), lit(0.0), (a, v) => a + v * v)), 6).as("norm6"),
+        Rounding.portable(
+          aggregate(col("vec"), lit(0.0), (a, v) => a + v), 6).as("vsum6"))
+      .transform(sortedSmall(_, col("doc_id")))
+
   /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
     * FineWeb-style URL-keyed dedup is only as good as its
     * canonicalization, so the gate derives four surface families per
@@ -1542,6 +1562,7 @@ object PipelineQueries {
     "q137_ccnet_buckets" -> q137 _,
     "q138_pr_curve" -> q138 _,
     "q139_cms_counts" -> q139 _,
+    "q140_hashed_tfidf" -> q140 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3251,6 +3272,30 @@ object PipelineQueries {
       FROM spine s CROSS JOIN probes p
       LEFT JOIN c ON c.source = s.source AND c.w = p.token
       ORDER BY s.source NULLS FIRST, p.token""",
+
+    // q140: tf/df/N re-derived, the q116 md5-bucket idiom, per-(doc,
+    // bucket) weight sums, invariants aggregated straight off the bucket
+    // weights (absent buckets are 0.0 and contribute nothing — identical
+    // to the operator's dense-array fold)
+    "q140_hashed_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY doc_id, w),
+      dfq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY w),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      bw AS (SELECT doc_id,
+               CAST(concat('0x', substr(md5(tf.w), 1, 4)) AS BIGINT) % 64 AS b,
+               sum(tf * ln(nd / df)) AS bw
+             FROM tf JOIN dfq USING (w) CROSS JOIN nd
+             GROUP BY doc_id, b)
+      SELECT doc_id,
+        CAST(count(*) FILTER (WHERE bw <> 0.0) AS BIGINT) AS nnz,
+        round(sqrt(sum(bw * bw)), 6) AS norm6,
+        round(sum(bw), 6) AS vsum6
+      FROM bw WHERE doc_id % 10 = 2 GROUP BY doc_id
+      ORDER BY doc_id NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

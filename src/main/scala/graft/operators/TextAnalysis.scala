@@ -375,6 +375,52 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** HASHED TF-IDF DOCUMENT VECTORS — the feature-hashing trick
+    * (Weinberger et al. 2009) applied to tf-idf: every token's weight
+    * `tf · ln(N/df)` lands in bucket `md5(token) mod dims`, producing a
+    * FIXED-dimension dense vector per document with NO vocabulary table
+    * — the "embedding without a model" that feeds this engine's
+    * similarity stack (cosine top-k, IVF, SemDedup) from raw text. The
+    * md5 bucketing is [[dsirWeights]]' engine-portable idiom, so a
+    * vector written today probes identically from any engine tomorrow.
+    * (The signed variant that unbiases inner products adds a second
+    * hash bit; unsigned keeps weights nonnegative — no cancellation, so
+    * a bucket is 0.0 exactly iff every token in it has idf 0.)
+    *
+    * Shape at scale: tf = one (doc, token) aggregate; df = one
+    * vocab-sized distinct aggregate (Heaps' law — a dimension, so it
+    * broadcasts back); N as a 1-row broadcast; then one (doc, bucket)
+    * partial-combined sum and one doc-keyed assembly into the dense
+    * array. No pairwise anything; the corpus shuffles as (doc, token)
+    * pairs once and (doc, bucket) pairs once, the second already capped
+    * at `dims` rows per doc. Returns `(id, vec)` with `vec` a
+    * `dims`-length array<double> (null-id docs dropped, the reassembly
+    * rule). */
+  def hashedTfidfVectors(docs: DataFrame, id: Column, text: Column,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    import graft.functions.TextOps
+    val tok = docs.filter(id.isNotNull)
+      .select(id.as("id"), explode(TextOps.tokens(text)).as("w"))
+    val tf = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = docs.filter(id.isNotNull).agg(count(lit(1)).as("nd"))
+    val bucket = pmod(
+      conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"), lit(dims.toLong))
+    val bw = tf
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(nd))
+      .select(col("id"), bucket.as("b"),
+        (col("tf") * log(col("nd") / col("df"))).as("__htv_w"))
+      .groupBy("id", "b").agg(sum("__htv_w").as("bw"))
+    bw.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("bw")))).as("__htv_m"))
+      .select(col("id"),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(element_at(col("__htv_m"), i), lit(0.0))).as("vec"))
+  }
+
   /** PRECISION/RECALL THRESHOLD SWEEP — the operating-point picker run
     * after [[logisticTrain]]/[[logisticScore]]: confusion counts and
     * precision/recall at each candidate threshold, the curve a pipeline

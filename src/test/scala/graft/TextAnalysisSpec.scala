@@ -234,6 +234,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("hashedTfidfVectors: closed-form weights, idf-0 buckets exactly zero, null ids dropped") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a b"),
+      (java.lang.Long.valueOf(2L), "a c"),
+      (null.asInstanceOf[java.lang.Long], "ghost")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedTfidfVectors(docs, col("doc_id"), col("text"), 64)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect().toMap
+    assert(got.keySet == Set(1L, 2L), "null-id doc must be dropped")
+    assert(got(1L).length == 64)
+    // 'a' is in every doc -> idf ln(2/2) = 0 exactly; 'b'/'c' carry
+    // 1 * ln(2/1): exactly one nonzero component per doc, value ln 2
+    assert(got(1L).count(_ != 0.0) == 1 && got(2L).count(_ != 0.0) == 1)
+    assert(got(1L).sum == math.log(2.0) && got(2L).sum == math.log(2.0))
+    // tf weighting: a doc repeating its token doubles the weight
+    val rep = TextAnalysis.hashedTfidfVectors(
+        Seq((1L, "b b"), (2L, "a")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 64)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect().toMap
+    assert(rep(1L).sum == 2.0 * math.log(2.0))
+  }
+
+  test("hashedTfidfVectors: total mass survives bucket collisions (dims 2)") {
+    // nonneg weights cannot cancel, so Σ vec == Σ tf·idf no matter how
+    // tokens collide — the invariant q140's vsum6 gate rests on
+    val docs = Seq((1L, "x y z"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedTfidfVectors(docs, col("doc_id"), col("text"), 2)
+      .select(col("id"), col("vec")).as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L).length == 2)
+    // y, z unique (idf ln 2), x everywhere (idf 0)
+    assert(math.abs(got(1L).sum - 2.0 * math.log(2.0)) < 1e-12)
+    assert(got(2L).sum == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTfidfVectors(docs, col("doc_id"), col("text"), 1)
+    }
+  }
+
   test("prCurve computes exact confusion counts and handles empty-prediction thresholds") {
     // scores: positives at 0.9, 0.6; negatives at 0.7, 0.2
     val scored = Seq((0.9, true), (0.6, true), (0.7, false), (0.2, false))
