@@ -78,6 +78,10 @@ object PlanDump {
     "q134_boilerplate_lines", // high-df head as broadcast dim: LEFT ANTI probe, no line shuffle
     "q135_classifier_train", // scoring pass: model folded in as literals, map-only
     "q136_skew_audit",       // count agg + TakeOrdered top-k + 1-row stats broadcast
+    "q137_ccnet_buckets",    // |langs|-row tercile table broadcast into a map-only CASE
+    "q138_pr_curve",         // one conditional-sum pass + bounded reshape explode
+    "q139_cms_counts",       // fixed-size sketch partials, typed-agg partial+final
+    "q140_hashed_tfidf",     // tf agg + broadcast df dim + (doc,bucket) sum + dense assembly
   )
 
   def main(args: Array[String]): Unit = {
