@@ -896,6 +896,31 @@ object PipelineQueries {
           aggregate(col("vec"), lit(0.0), (a, v) => a + v), 6).as("vsum6"))
       .transform(sortedSmall(_, col("doc_id")))
 
+  /** q141: DISTRIBUTED-WEIGHT classifier training
+    * ([[TextAnalysis.logisticTrainHashed]]) — q135's flat trainer scaled
+    * to the regime where the MODEL is a relation: 32 hashed bag-of-words
+    * buckets + bias, the weight vector living as a (bucket, weight)
+    * table that never reaches the driver; 3 GD iterations, each two
+    * join+agg passes with the gradient grid-rounded IN-PLAN. Gated on
+    * the scored doc_id % 20 == 7 slice (z pins every weight through the
+    * bucket sums); the oracle unrolls the full iteration chain with
+    * weight TABLES as MATERIALIZED CTEs — [[hashedLogisticOracle]]. */
+  def q141(t: Tables): DataFrame = {
+    val y = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val w = TextAnalysis.logisticTrainHashed(t.documents, col("doc_id"),
+      col("text"), y, dims = 32, iters = 3, lr = 0.5)
+    TextAnalysis.logisticScoreHashed(
+        t.documents.filter(col("doc_id") % 20 === 7),
+        col("doc_id"), col("text"), w, dims = 32)
+      .join(t.documents.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("id"))
+      .select(col("id").as("doc_id"), col("y"),
+        Rounding.portable(col("z"), 6).as("z6"),
+        Rounding.portable(col("p"), 6).as("p6"),
+        (col("p") > 0.5).cast("long").as("pred"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
     * FineWeb-style URL-keyed dedup is only as good as its
     * canonicalization, so the gate derives four surface families per
@@ -1563,6 +1588,7 @@ object PipelineQueries {
     "q138_pr_curve" -> q138 _,
     "q139_cms_counts" -> q139 _,
     "q140_hashed_tfidf" -> q140 _,
+    "q141_hashed_classifier" -> q141 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -1746,6 +1772,48 @@ object PipelineQueries {
         CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
       FROM sc)
       SELECT * FROM ($finals) ORDER BY thr"""
+  }
+
+  /** q141 oracle: the hashed trainer's iteration chain with the weight
+    * vector as a bucket-keyed TABLE per round — the relational mirror of
+    * weights-as-a-DataFrame. Feature pairs, labels and each round's
+    * z/g/w layers are MATERIALIZED (the bpeTrainOracle reason);
+    * gradients grid-round with the exact in-plan formula. */
+  private def hashedLogisticOracle(dims: Int, iters: Int): String = {
+    val base = s"""tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      cnt AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % $dims AS b,
+                CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, b),
+      nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+      fp AS MATERIALIZED (
+        SELECT cnt.doc_id, b, c / n AS x FROM cnt JOIN nn USING (doc_id)
+        UNION ALL SELECT doc_id, $dims AS b, 1.0 AS x FROM documents),
+      lab AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS wb FROM fp)"""
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""z$i AS MATERIALIZED (SELECT doc_id, sum(x * wb) AS z
+        FROM fp JOIN w$p USING (b) GROUP BY doc_id),
+      d$i AS (SELECT z$i.doc_id, 1.0 / (1.0 + exp(-z)) - y AS d
+        FROM z$i JOIN lab USING (doc_id)),
+      g$i AS MATERIALIZED (SELECT b,
+        floor(sum(d * x) / (SELECT nd FROM nd) * 1e9 + 0.5) / 1e9 AS g
+        FROM fp JOIN d$i USING (doc_id) GROUP BY b),
+      w$i AS MATERIALIZED (SELECT w$p.b, wb - 0.5 * g AS wb
+        FROM w$p JOIN g$i USING (b))"""
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n      ")},
+      zf AS (SELECT doc_id, sum(x * wb) AS z
+             FROM fp JOIN w$iters USING (b) GROUP BY doc_id)
+      SELECT zf.doc_id, CAST(y AS BIGINT) AS y,
+        round(z, 6) AS z6,
+        round(1.0 / (1.0 + exp(-z)), 6) AS p6,
+        CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM zf JOIN lab USING (doc_id) WHERE zf.doc_id % 20 = 7
+      ORDER BY zf.doc_id NULLS FIRST"""
   }
 
   private val dedupClustersOracle: String = """
@@ -3296,6 +3364,9 @@ object PipelineQueries {
         round(sum(bw), 6) AS vsum6
       FROM bw WHERE doc_id % 10 = 2 GROUP BY doc_id
       ORDER BY doc_id NULLS FIRST""",
+
+    // q141: the weight-table training chain — see hashedLogisticOracle
+    "q141_hashed_classifier" -> hashedLogisticOracle(32, 3),
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

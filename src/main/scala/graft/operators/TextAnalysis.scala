@@ -466,6 +466,96 @@ object TextAnalysis {
           col("tp").cast("double") / (col("tp") + col("fn"))))
   }
 
+  /** Per-doc hashed bag-of-words FEATURE PAIRS `(id, bucket, x)` —
+    * normalized counts `x = cnt/n` per md5-bucket plus one bias row
+    * (`bucket = dims`, x = 1) per doc. Shared by
+    * [[logisticTrainHashed]] and [[logisticScoreHashed]]; the md5
+    * bucketing is [[hashedTfidfVectors]]' engine-portable idiom. */
+  def hashedFeaturePairs(docs: DataFrame, id: Column, text: Column,
+      dims: Int): DataFrame = {
+    import graft.functions.TextOps
+    val tok = docs.filter(id.isNotNull)
+      .select(id.as("__lh_id"), explode(TextOps.tokens(text)).as("__lh_w"))
+    val bucket = pmod(
+      conv(substring(md5(col("__lh_w")), 1, 4), 16, 10).cast("long"),
+      lit(dims.toLong))
+    val cnt = tok.groupBy(col("__lh_id"), bucket.as("__lh_b"))
+      .agg(count(lit(1)).as("__lh_c"))
+    val n = tok.groupBy("__lh_id").agg(count(lit(1)).as("__lh_n"))
+    cnt.join(n, "__lh_id")
+      .select(col("__lh_id"), col("__lh_b"),
+        (col("__lh_c") / col("__lh_n")).as("__lh_x"))
+      .unionAll(docs.filter(id.isNotNull).select(id.as("__lh_id"),
+        lit(dims.toLong).as("__lh_b"), lit(1.0).as("__lh_x")))
+  }
+
+  /** DISTRIBUTED-WEIGHT logistic training — [[logisticTrain]]'s big
+    * sibling for models too wide to hold on the driver: bag-of-words
+    * features hashed into `dims` buckets, and the parameter vector
+    * itself lives as a DataFrame `(bucket, weight)` — the weight TABLE
+    * is sharded across the cluster like any other relation, exactly the
+    * shape a 1M-bucket vocabulary model needs. Nothing model-sized ever
+    * reaches the driver: per iteration the only driver traffic is job
+    * dispatch (the doc count is collected once up front).
+    *
+    * Each full-batch GD iteration is two join+agg passes over the
+    * persisted feature-pair table:
+    *   z:  pairs ⋈ weights on bucket → per-doc `Σ x·w` (doc-keyed agg);
+    *   g:  pairs ⋈ (σ(z) − y) on doc → per-BUCKET gradient sums,
+    *       grid-rounded IN-PLAN (`floor(Σ/n·1e9 + 0.5)/1e9` — the
+    *       [[gridRound]] formula as a column, so determinism across
+    *       partitionings/engines holds per weight exactly as in the
+    *       flat trainer);
+    *   w ← w − lr·g: a bucket-keyed join of two `dims+1`-row tables,
+    *       `localCheckpoint`ed per iteration (the Graph lineage rule —
+    *       without it iteration k re-analyzes a k-deep join chain).
+    * Bias is bucket `dims` (x = 1 per doc). Returns the weight table
+    * `(bucket, weight)`. */
+  def logisticTrainHashed(docs: DataFrame, id: Column, text: Column,
+      label: Column, dims: Int, iters: Int, lr: Double): DataFrame = {
+    require(dims >= 2 && iters >= 1 && lr > 0,
+      s"need dims >= 2, iters >= 1, lr > 0 (got $dims, $iters, $lr)")
+    val fp = hashedFeaturePairs(docs, id, text, dims).persist()
+    val lab = docs.filter(id.isNotNull)
+      .select(id.as("__lh_id"), label.cast("double").as("__lh_y")).persist()
+    try {
+      val nd = lab.count().toDouble
+      var w = fp.select(col("__lh_b")).distinct()
+        .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val z = fp.join(w, "__lh_b")
+          .groupBy("__lh_id")
+          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+        val diff = z.join(lab, "__lh_id")
+          .select(col("__lh_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
+              .as("__lh_d"))
+        val g = fp.join(diff, "__lh_id")
+          .groupBy("__lh_b")
+          .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
+            + lit(0.5)) / lit(1e9)).as("__lh_g"))
+        w = g.join(w, "__lh_b")
+          .select(col("__lh_b"),
+            (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
+          .localCheckpoint()
+      }
+      w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
+    } finally { fp.unpersist(); lab.unpersist() }
+  }
+
+  /** Score docs under a [[logisticTrainHashed]] weight table: one
+    * pairs ⋈ weights join + doc-keyed sum — the weight table stays
+    * distributed (broadcast when it fits, shuffle-hash when it
+    * doesn't). Returns `(id, z, p)`. */
+  def logisticScoreHashed(docs: DataFrame, id: Column, text: Column,
+      weights: DataFrame, dims: Int): DataFrame =
+    hashedFeaturePairs(docs, id, text, dims)
+      .join(weights.select(col("bucket").as("__lh_b"),
+        col("weight").as("__lh_wb")), "__lh_b")
+      .groupBy(col("__lh_id").as("id"))
+      .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+
   /** Score rows under a trained logistic model: adds `z` (the linear
     * score, left-assoc as trained) and `p = σ(z)`. Map-only — the model
     * rides in as plan literals, the corpus never shuffles. */

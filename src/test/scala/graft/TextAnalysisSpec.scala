@@ -212,6 +212,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.gridRound(0.0) == 0.0)
   }
 
+  test("logisticTrainHashed separates token classes with the weights as a table") {
+    // even docs say "good", odd say "bad" — perfectly separable through
+    // the hashed buckets; the trained TABLE model must split them
+    val docs = (1 to 40).map(i => (i.toLong,
+      if (i % 2 == 0) "good good stuff here" else "bad bad stuff here",
+      if (i % 2 == 0) 1.0 else 0.0)).toDF("id", "text", "y")
+    val w = TextAnalysis.logisticTrainHashed(docs, col("id"), col("text"),
+      col("y"), dims = 64, iters = 12, lr = 1.0)
+    // weight table = one row per occupied bucket + the bias bucket (64)
+    val wm = w.as[(Long, Double)].collect().toMap
+    assert(wm.contains(64L), "bias bucket must be present")
+    val scored = TextAnalysis.logisticScoreHashed(docs, col("id"), col("text"),
+        w, dims = 64)
+      .select(col("id"), col("p")).as[(Long, Double)].collect().toMap
+    (1 to 40).foreach { i =>
+      val want = i % 2 == 0
+      assert((scored(i.toLong) > 0.5) == want,
+        s"doc $i misclassified: p=${scored(i.toLong)}")
+    }
+  }
+
+  test("logisticTrainHashed weight table is identical across partitionings") {
+    val rnd = new scala.util.Random(3L)
+    val docs = (1 to 120).map { i =>
+      val words = (0 until 8).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+      (i.toLong, words, if (rnd.nextBoolean()) 1.0 else 0.0)
+    }
+    def train(parts: Int) = TextAnalysis.logisticTrainHashed(
+        docs.toDF("id", "text", "y").repartition(parts),
+        col("id"), col("text"), col("y"), dims = 16, iters = 4, lr = 0.5)
+      .as[(Long, Double)].collect().toMap
+    val a = train(1)
+    val b = train(7)
+    assert(a == b, s"weight tables diverged:\n$a\n$b")
+  }
+
   test("logisticTrain resumes from checkpointed weights exactly (memoryless GD)") {
     val rnd = new scala.util.Random(11L)
     val df = (1 to 200).map { _ =>
