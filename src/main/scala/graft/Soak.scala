@@ -178,6 +178,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
     if (filterTerms.contains("boilerplate_hot")) boilerplateHot(spark, mult)
+    if (filterTerms.contains("hashedlr_dims")) hashedLrDims(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
     if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
     spark.stop()
@@ -410,6 +411,47 @@ object Soak {
     require(wN / w0 > bN / b0,
       f"window wall must grow faster than the broadcast anti join on the hot line: " +
         f"window ${wN / w0}%.1fx vs boiler ${bN / b0}%.1fx")
+    ()
+  }
+
+  /** Model-width scaling for [[graft.operators.TextAnalysis
+    * .logisticTrainHashed]] — the claim behind the weight-as-a-TABLE
+    * design: training wall must be governed by the feature-pair volume
+    * (corpus-sized, constant across dims), NOT by the model width,
+    * because the weight relation only ever joins and never collects.
+    * A driver-array trainer would pay O(dims) per iteration in
+    * transfer + literal folding; this one sweeps dims 64 → 4096 → 262144
+    * over the same corpus and requires the widest model to cost < 2×
+    * the narrowest (the occupied-bucket table is bounded by the
+    * corpus's distinct (doc, bucket) pairs either way — at production
+    * vocab sizes the sweep's upper end is a million-bucket model).
+    *
+    * Usage: sbt "runMain graft.Soak 10 hashedlr_dims" */
+  private def hashedLrDims(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.TextAnalysis
+    val docs = (1 to mult * 5000).map { i =>
+      (i.toLong, s"tok${i % 997} tok${(i * 7) % 997} tok${(i * 13) % 997} filler common",
+        (i % 2).toDouble)
+    }
+    val df = spark.createDataFrame(docs).toDF("id", "text", "y").repartition(16)
+    df.cache(); df.count()
+    def run(dims: Int): Double = {
+      val t0 = System.nanoTime()
+      TextAnalysis.logisticTrainHashed(df, col("id"), col("text"), col("y"),
+        dims = dims, iters = 3, lr = 0.5).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(64) // warm
+    val walls = Seq(64, 4096, 262144).map { d =>
+      val w = run(d)
+      println(f"[soak] hashedlr_dims dims=$d%7d: $w%6.2f s")
+      (d, w)
+    }
+    val narrow = walls.head._2
+    val wide = walls.last._2
+    require(wide < narrow * 2 + 1.0,
+      f"training wall must not scale with model width: $narrow%.2f s at 64 vs $wide%.2f s at 262144")
+    df.unpersist()
     ()
   }
 

@@ -259,4 +259,23 @@ class PlanShapeSpec extends SparkSpec {
       s"typed-aggregator partial+final expected:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q140: the df table broadcasts into the weight join — vectors never shuffle on tokens twice") {
+    val p = q("q140_hashed_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-dimension df join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(!p.contains("Window"), s"no window in vector assembly:\n$p")
+  }
+
+  test("q141: scoring joins the weight TABLE (checkpointed scan), no cartesian") {
+    // training ran in the driver loop; the gated plan is the scoring
+    // composition — feature pairs joined to the checkpointed weight
+    // relation plus the doc-keyed sum
+    val p = q("q141_hashed_classifier")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"the trained weight table must enter as a materialized relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
