@@ -79,6 +79,25 @@ object ExtensionQueries {
       .select(col("qid"), col("vec_id"), Rounding.portable(col("sim"), 6).as("sim"))
   }
 
+  /** q142: DISTRIBUTED k-MEANS TRAINING ([[Similarity.trainCentroids]])
+    * — the third member of the in-engine training family (BPE q126,
+    * logistic q135/q141): 2 Lloyd rounds at k=8 over the embeddings,
+    * init = first k vectors by id, cosine assignment with the
+    * (csim DESC, cid) tie-break q35's gate already proved
+    * engine-portable, per-round centroid = elementwise mean. The gate
+    * explodes every centroid component (8×64 rows at 6 decimals) — any
+    * divergence in either round's assignment or mean flips some
+    * component. Each round is one broadcast assignment pass + one
+    * k-group mean aggregate; only k rows ever reach the driver. */
+  def q142(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
+      .select(col("vec_id").as("cid"), posexplode(col("e")))
+      .select(col("cid"), col("pos").cast("long").as("i"),
+        graft.functions.Rounding.portable(col("col"), 6).as("v6"))
+      .transform(sortedSmall(_, col("cid"), col("i")))
+  }
+
   /** q118: SemDedup ([[Similarity.semDedupDropped]]) — semantic
     * near-duplicate pruning scoped to q35's 8 deterministic clusters:
     * within a cluster, a vector is dropped when a cosine-0.4 neighbor
@@ -316,6 +335,7 @@ object ExtensionQueries {
     "q89_ann_pq"             -> q89 _,
     "q131_pq_rerank"         -> q131 _,
     "q90_ann_ivf_pq"         -> q90 _,
+    "q142_kmeans_train"      -> q142 _,
   )
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
@@ -635,5 +655,32 @@ object ExtensionQueries {
       SELECT count(*) AS docs, count(DISTINCT fp) AS uniq_fp,
           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS collapsed
       FROM fp""",
+
+    // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
+    // rank), q35's proven cosine-argmax assignment idiom per round,
+    // elementwise avg per (cid, dim); the final select emits round 2's
+    // means directly (0-based dim to match posexplode)
+    "q142_kmeans_train" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS ce
+             FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 8)),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c0 c) t WHERE rn = 1),
+      x1 AS (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
+             FROM a1 a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i)),
+      c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+             SELECT cid, i, avg(x) AS m FROM x1 GROUP BY cid, i) GROUP BY cid),
+      a2 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c1 c) t WHERE rn = 1),
+      x2 AS (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
+             FROM a2 a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i))
+      SELECT cid, i - 1 AS i, round(avg(x), 6) AS v6
+      FROM x2 GROUP BY cid, i ORDER BY cid, i - 1""",
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }
