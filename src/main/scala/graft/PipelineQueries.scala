@@ -921,6 +921,23 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q143: CALIBRATION CURVE ([[TextAnalysis.calibrationCurve]]) — the
+    * reliability audit of the q135 model at 100 probability bins: per
+    * occupied bin, count, mean predicted p and observed positive
+    * fraction. Binning floors the 6-decimal grid score — identical IEEE
+    * ops on identical doubles, so bin membership cannot disagree even at
+    * bin edges. One |bins|-row aggregate pass. */
+  def q143(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.calibrationCurve(scored, col("y") === 1.0, col("p6"), bins = 100)
+      .select(col("bin"), col("n"),
+        Rounding.portable(col("mean_p"), 6).as("mean_p6"), col("frac_pos"))
+      .transform(sortedSmall(_, col("bin")))
+  }
+
   /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
     * FineWeb-style URL-keyed dedup is only as good as its
     * canonicalization, so the gate derives four surface families per
@@ -1589,6 +1606,7 @@ object PipelineQueries {
     "q139_cms_counts" -> q139 _,
     "q140_hashed_tfidf" -> q140 _,
     "q141_hashed_classifier" -> q141 _,
+    "q143_calibration" -> q143 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3367,6 +3385,18 @@ object PipelineQueries {
 
     // q141: the weight-table training chain — see hashedLogisticOracle
     "q141_hashed_classifier" -> hashedLogisticOracle(32, 3),
+
+    // q143: the q135 training chain scoring the whole corpus, binned at
+    // floor(p6·100) (identical IEEE ops on the identical grid double)
+    "q143_calibration" -> s"""
+      WITH ${logisticCtes(4)},
+      sc AS (SELECT y, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w4),
+      b AS (SELECT CAST(least(floor(p6 * 100.0), 99.0) AS BIGINT) AS bin, y, p6 FROM sc)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        round(avg(p6), 6) AS mean_p6,
+        CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_pos
+      FROM b GROUP BY bin ORDER BY bin""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -556,6 +556,29 @@ object TextAnalysis {
       .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
 
+  /** CALIBRATION (reliability) CURVE — the companion audit to
+    * [[prCurve]]: bucket predictions into `bins` equal-width probability
+    * bins and report, per bin, the count, the mean predicted
+    * probability and the observed positive fraction. A calibrated model
+    * tracks the diagonal; a quality filter that over-claims shows up
+    * immediately. One partial-aggregated groupBy on the bin key —
+    * |bins| output rows, nothing else. `p = 1.0` lands in the top bin
+    * (`least`), the standard convention. Pass a grid-snapped score for
+    * engine-deterministic binning (the [[prCurve]] note); observed
+    * fractions are IEEE division of exact counts. */
+  def calibrationCurve(df: DataFrame, label: Column, score: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val y = label.cast("boolean")
+    val bin = least(floor(score * lit(bins.toDouble)), lit(bins - 1.0)).cast("long")
+    df.select(bin.as("bin"), y.as("__cal_y"), score.as("__cal_p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        avg(col("__cal_p")).as("mean_p"),
+        (sum(when(col("__cal_y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("frac_pos"))
+  }
+
   /** Score rows under a trained logistic model: adds `z` (the linear
     * score, left-assoc as trained) and `p = σ(z)`. Map-only — the model
     * rides in as plan literals, the corpus never shuffles. */

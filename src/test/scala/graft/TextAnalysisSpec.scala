@@ -335,6 +335,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("calibrationCurve bins predictions with p=1.0 in the top bin and exact fractions") {
+    val scored = Seq((0.05, false), (0.95, true), (0.95, false), (1.0, true))
+      .toDF("p", "y")
+    val got = TextAnalysis.calibrationCurve(scored, col("y"), col("p"), bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_p"),
+          r.getAs[Double]("frac_pos")))).toMap
+    assert(got.keySet == Set(0L, 9L))
+    assert(got(0L) == ((1L, 0.05, 0.0)))
+    val (n9, mp9, fp9) = got(9L)
+    assert(n9 == 3L && fp9 == 2.0 / 3)
+    assert(math.abs(mp9 - (0.95 + 0.95 + 1.0) / 3) < 1e-12)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.calibrationCurve(scored, col("y"), col("p"), bins = 1)
+    }
+  }
+
   test("logisticTrain/Score validate their shape arguments") {
     val df = Seq((1.0, 1.0)).toDF("x", "y")
     intercept[IllegalArgumentException] {
