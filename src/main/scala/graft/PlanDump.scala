@@ -82,6 +82,9 @@ object PlanDump {
     "q138_pr_curve",         // one conditional-sum pass + bounded reshape explode
     "q139_cms_counts",       // fixed-size sketch partials, typed-agg partial+final
     "q140_hashed_tfidf",     // tf agg + broadcast df dim + (doc,bucket) sum + dense assembly
+    "q141_hashed_classifier", // scoring joins the checkpointed weight relation
+    "q142_kmeans_train",     // broadcast assignment pass + k-group mean aggregate
+    "q143_calibration",      // one |bins|-row aggregate on the floored grid score
   )
 
   def main(args: Array[String]): Unit = {
