@@ -1299,6 +1299,11 @@ object Dedup {
 
   private def boilerLinesOf(lines: DataFrame, minDocs: Long): DataFrame =
     lines
+      // null-group lines can never be REMOVED anyway (the anti join's
+      // equality never matches null), so a null-group row in the
+      // dimension would be dead weight here and a crash downstream —
+      // map_from_entries in the streaming scrub rejects null keys
+      .filter(col("__bp_grp").isNotNull)
       .select(col("__bp_grp"), col("__bp_line"), col("__bp_id"))
       .distinct()
       .groupBy(col("__bp_grp").as("__bp_fgrp"), col("__bp_line").as("__bp_fline"))

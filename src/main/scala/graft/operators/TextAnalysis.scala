@@ -352,7 +352,10 @@ object TextAnalysis {
       s"init must be d+1 weights (got ${init.map(_.length)} for d=$d)")
     val cols = label.cast("double").as("__lg_y") +:
       features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__lg_x$i") }
-    val base = df.select(cols: _*).persist()
+    // drop rows with any null feature or label BEFORE counting n: a null
+    // would silently vanish from the gradient sums while still inflating
+    // the 1/n denominator — a biased step, not an error
+    val base = df.select(cols: _*).na.drop().persist()
     try {
       // resume = replay nothing: full-batch GD is a deterministic
       // function of (weights, data), so continuing from a checkpointed
@@ -516,7 +519,10 @@ object TextAnalysis {
     require(dims >= 2 && iters >= 1 && lr > 0,
       s"need dims >= 2, iters >= 1, lr > 0 (got $dims, $iters, $lr)")
     val fp = hashedFeaturePairs(docs, id, text, dims).persist()
-    val lab = docs.filter(id.isNotNull)
+    // null labels would vanish from gradient sums but not from nd — the
+    // flat trainer's bias hazard; drop them from the label table (their
+    // feature pairs then join nothing and contribute nothing)
+    val lab = docs.filter(id.isNotNull && label.isNotNull)
       .select(id.as("__lh_id"), label.cast("double").as("__lh_y")).persist()
     try {
       val nd = lab.count().toDouble

@@ -874,6 +874,29 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, "")))
   }
 
+  test("boilerplateLines never emits null-group rows (they would crash the scrub's map build)") {
+    val docs = Seq(
+      (1L, Option("A"), "footer\na1"),
+      (2L, Option("A"), "footer\na2"),
+      (3L, Option.empty[String], "footer\nfooter extra"),
+      (4L, Option.empty[String], "footer")
+    ).toDF("doc_id", "source", "text")
+    val boiler = Dedup.boilerplateLines(docs, col("doc_id"), col("text"),
+      col("source"), minDocs = 2L)
+    val rows = boiler.collect().map(r => (r.getAs[String]("group"), r.getAs[String]("line")))
+    // "footer" reached minDocs both under A (docs 1,2) and under null
+    // (docs 3,4) — only the A row may surface
+    assert(rows.toSet == Set(("A", "footer")))
+    // and the removal semantics stay consistent: null-group docs keep
+    // their lines (the anti join's equality can never match them)
+    val removed = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"),
+        col("source"), minDocs = 2L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(removed(3L) == "footer\nfooter extra" && removed(4L) == "footer")
+    assert(removed(1L) == "a1" && removed(2L) == "a2")
+  }
+
   test("removeBoilerplateLines rejects the degenerate minDocs < 2") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -248,6 +248,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b, s"weight tables diverged:\n$a\n$b")
   }
 
+  test("logisticTrain drops null-feature/label rows entirely — no denominator bias") {
+    val clean = Seq((1.0, 1.0), (-1.0, 0.0), (2.0, 1.0), (-2.0, 0.0))
+    val dirty = clean.map { case (x, y) =>
+      (Option(x), Option(y)) } :+ ((Option.empty[Double], Option(1.0))) :+
+      ((Option(5.0), Option.empty[Double]))
+    val a = TextAnalysis.logisticTrain(clean.toDF("x", "y"),
+      Seq(col("x")), col("y"), 5, 0.5)
+    val b = TextAnalysis.logisticTrain(dirty.toDF("x", "y"),
+      Seq(col("x")), col("y"), 5, 0.5)
+    // a null row must neither contribute to the gradient NOR inflate n
+    assert(a.toSeq == b.toSeq,
+      s"null rows changed the trajectory:\n${a.toSeq}\n${b.toSeq}")
+  }
+
   test("logisticTrain resumes from checkpointed weights exactly (memoryless GD)") {
     val rnd = new scala.util.Random(11L)
     val df = (1 to 200).map { _ =>
