@@ -98,6 +98,30 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("cid"), col("i")))
   }
 
+  /** q144: MARGIN-BASED BITEXT MINING ([[Similarity.marginMinedPairs]])
+    * — the CCMatrix/CCAligned parallel-pair criterion: even vec_ids as
+    * the source side, odd as the target, brute-force cosine candidates
+    * (the exact generation path the oracle can replay; production swaps
+    * in IVF candidates — the criterion is generation-agnostic by
+    * design), k=4 neighborhood normalization, mined = top-1 pairs at
+    * ratio margin ≥ 1. The gate pins the mined pair SET, both raw sims
+    * and margins. */
+  def q144(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = e.filter(col("vec_id") % 2 === 0).repartition(32)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+    val pairs = a.join(broadcast(b))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
+    Similarity.marginMinedPairs(pairs, k = 4, minMargin = 1.0)
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("sim"), 6).as("sim6"),
+        Rounding.portable(col("margin"), 6).as("margin6"))
+      .transform(sortedSmall(_, col("qid")))
+  }
+
   /** q118: SemDedup ([[Similarity.semDedupDropped]]) — semantic
     * near-duplicate pruning scoped to q35's 8 deterministic clusters:
     * within a cluster, a vector is dropped when a cosine-0.4 neighbor
@@ -336,6 +360,7 @@ object ExtensionQueries {
     "q131_pq_rerank"         -> q131 _,
     "q90_ann_ivf_pq"         -> q90 _,
     "q142_kmeans_train"      -> q142 _,
+    "q144_bitext_margin"     -> q144 _,
   )
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
@@ -682,5 +707,26 @@ object ExtensionQueries {
              FROM a2 a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i))
       SELECT cid, i - 1 AS i, round(avg(x), 6) AS v6
       FROM x2 GROUP BY cid, i ORDER BY cid, i - 1""",
+
+    // q144: even×odd cosine candidates, per-side top-4 neighborhood
+    // averages, ratio margin with the identical association, mined =
+    // rq=1 pairs at margin >= 1
+    "q144_bitext_margin" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      p AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+              list_cosine_similarity(a.e, b.e) AS sim
+            FROM e a, e b WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+      r AS (SELECT qid, vec_id, sim,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC NULLS LAST, vec_id NULLS FIRST) AS rq,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC NULLS LAST, qid NULLS FIRST) AS rv
+            FROM p),
+      sa AS (SELECT qid, avg(sim) AS sa FROM r WHERE rq <= 4 GROUP BY qid),
+      sb AS (SELECT vec_id, avg(sim) AS sb FROM r WHERE rv <= 4 GROUP BY vec_id),
+      m AS (SELECT r.qid, r.vec_id, r.sim, r.sim / ((sa + sb) / 2.0) AS margin
+            FROM r JOIN sa USING (qid) JOIN sb USING (vec_id) WHERE rq = 1)
+      SELECT qid, vec_id, round(sim, 6) AS sim6, round(margin, 6) AS margin6
+      FROM m WHERE margin >= 1.0 ORDER BY qid NULLS FIRST""",
   ).map { case (k, v) => k -> v.stripMargin.trim }
 }

@@ -147,6 +147,45 @@ object Similarity {
     (cents, it)
   }
 
+  /** MARGIN-BASED BITEXT MINING criterion (Artetxe & Schwenk 2019 — the
+    * CCMatrix/CCAligned parallel-corpus scoring rule) over a precomputed
+    * NEIGHBOR TABLE `pairs(qid, vec_id, sim)`: a candidate pair's raw
+    * cosine is normalized by both endpoints' neighborhood density,
+    * `margin = sim / ((avgTopK(q) + avgTopK(v)) / 2)` — a hub vector
+    * that is close to EVERYTHING scores no mined pairs, which is the
+    * entire point of the ratio margin over absolute thresholds.
+    *
+    * Factoring: the criterion is deliberately decoupled from neighbor
+    * GENERATION — the gate feeds it brute-force cosine pairs (exact,
+    * oracle-replayable), production feeds it [[ivfTopK]] /
+    * [[pqTopKReranked]] candidates, same margin math. Input must
+    * contain, per qid, its candidate neighbors with symmetric sims
+    * (cosine is symmetric, so one table serves both directions).
+    *
+    * Returns the top-1 neighbor per qid with `(qid, vec_id, sim,
+    * margin)`, filtered to `margin >= minMargin`; ties break by vec_id
+    * (and by qid on the reverse side), so the mined set is
+    * deterministic. All aggregates are per-qid/per-vec k-row windows —
+    * nothing global. */
+  def marginMinedPairs(pairs: DataFrame, k: Int, minMargin: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val wV = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("qid"))
+    val ranked = pairs
+      .withColumn("__mg_rq", row_number().over(wQ))
+      .withColumn("__mg_rv", row_number().over(wV))
+    val saQ = ranked.filter(col("__mg_rq") <= k)
+      .groupBy(col("qid").as("__mg_q")).agg(avg("sim").as("__mg_sa"))
+    val sbV = ranked.filter(col("__mg_rv") <= k)
+      .groupBy(col("vec_id").as("__mg_v")).agg(avg("sim").as("__mg_sb"))
+    ranked.filter(col("__mg_rq") === 1)
+      .join(saQ, col("qid") === col("__mg_q"))
+      .join(sbV, col("vec_id") === col("__mg_v"))
+      .select(col("qid"), col("vec_id"), col("sim"),
+        (col("sim") / ((col("__mg_sa") + col("__mg_sb")) / lit(2.0))).as("margin"))
+      .filter(col("margin") >= minMargin)
+  }
+
   /** IVF top-k: each query searches only the vectors assigned to its own
     * centroid bucket. Returns (qid, vec_id, sim, rn) with rn ≤ k. */
   def ivfTopK(

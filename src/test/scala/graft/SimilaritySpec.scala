@@ -340,4 +340,27 @@ class SimilaritySpec extends SparkSpec {
       Seq("vec_id"), "left_anti").select("vec_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 1L, 11L, 12L))
   }
+
+  test("marginMinedPairs: closed-form ratio margins, hub normalization, threshold") {
+    // sims: (1,10)=0.9 (1,11)=0.1 (2,10)=0.8 (2,11)=0.7, k=2:
+    //   sa(1)=0.5  sa(2)=0.75  sb(10)=0.85  sb(11)=0.4
+    //   top1(1)=10 margin 0.9/0.675 = 4/3; top1(2)=10 margin 0.8/0.8 = 1.0
+    // vec 10 is the HUB (everyone's best): qid 2's pair with it scores
+    // exactly 1.0 — the density normalization at work
+    val pairs = Seq((1L, 10L, 0.9), (1L, 11L, 0.1), (2L, 10L, 0.8), (2L, 11L, 0.7))
+      .toDF("qid", "vec_id", "sim")
+    val all = Similarity.marginMinedPairs(pairs, k = 2, minMargin = 1.0)
+      .select("qid", "vec_id", "margin").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(all.keySet == Set(1L, 2L))
+    assert(all(1L)._1 == 10L && math.abs(all(1L)._2 - 4.0 / 3) < 1e-12)
+    assert(all(2L)._1 == 10L && math.abs(all(2L)._2 - 1.0) < 1e-12)
+    // a stricter threshold drops the hub-normalized pair
+    val strict = Similarity.marginMinedPairs(pairs, k = 2, minMargin = 1.2)
+      .select("qid").as[Long].collect()
+    assert(strict.toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Similarity.marginMinedPairs(pairs, k = 0, minMargin = 1.0)
+    }
+  }
 }
