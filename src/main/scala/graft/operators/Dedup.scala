@@ -1316,22 +1316,26 @@ object Dedup {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
     val lines = explodedLines(docs, id, text, group, sep)
     val boiler = boilerLinesOf(lines, minDocs)
-    val kept = lines.join(broadcast(boiler),
+    // broadcast LEFT join + keep flag rather than an anti join: the
+    // kept/total counts and the reassembly then ride ONE line-keyed
+    // aggregate over ONE pass of the line table (an anti join plus a
+    // separate n_lines aggregate re-derived the explode twice)
+    val flagged = lines.join(broadcast(boiler),
       col("__bp_grp") === col("__bp_fgrp") && col("__bp_line") === col("__bp_fline"),
-      "left_anti")
-    val rebuilt = kept
+      "left")
+      .withColumn("__bp_keep", col("__bp_fline").isNull)
+    val rebuilt = flagged
       .groupBy(col("__bp_id").as("id"))
       .agg(
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_lines"),
+        count(when(col("__bp_keep"), 1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__bp_pos"), col("__bp_line")))),
+            array_sort(collect_list(when(col("__bp_keep"),
+              struct(col("__bp_pos"), col("__bp_line"))))),
             s => s("__bp_line")),
           sep).as("text_clean"))
-    val nAll = lines.groupBy(col("__bp_id").as("id"))
-      .agg(count(lit(1)).as("n_lines"))
     docs.filter(id.isNotNull).select(id.as("id"))
-      .join(nAll, Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),

@@ -202,13 +202,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no cartesian in the two-stage rerank:\n$p")
   }
 
-  test("q134: the boilerplate head removes via BROADCAST anti join, no line-keyed window") {
+  test("q134: the boilerplate head flags via BROADCAST join, no line-keyed window") {
     // the operator's scale claim: the high-df head is a dimension, so
-    // every line occurrence is filtered by hash probe — the line volume
-    // is never shuffled on the line text and no hot partition can exist
+    // every line occurrence is flagged by hash probe (broadcast LEFT
+    // join + keep flag — counts and reassembly ride one aggregate) —
+    // the line volume is never shuffled on the line text and no hot
+    // partition can exist
     val p = q("q134_boilerplate_lines")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"boilerplate removal must be a broadcast left anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"boilerplate flagging must be a broadcast left join:\n$p")
     assert(!p.contains("Window"),
       s"no keep-first window belongs in frequency-threshold removal:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
