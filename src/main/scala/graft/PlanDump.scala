@@ -85,6 +85,7 @@ object PlanDump {
     "q141_hashed_classifier", // scoring joins the checkpointed weight relation
     "q142_kmeans_train",     // broadcast assignment pass + k-group mean aggregate
     "q143_calibration",      // one |bins|-row aggregate on the floored grid score
+    "q144_bitext_margin",    // broadcast NLJ candidates + per-side k-row margin windows
   )
 
   def main(args: Array[String]): Unit = {

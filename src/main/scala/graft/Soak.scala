@@ -67,7 +67,8 @@ object Soak {
     // selects only those, the (minutes-long) table replication is skipped
     val tableQsAll = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++
       (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q118_semdedup",
-        "q129_decode_quarantine", "q131_pq_rerank", "q142_kmeans_train")
+        "q129_decode_quarantine", "q131_pq_rerank", "q142_kmeans_train",
+        "q144_bitext_margin")
         .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
         // the 64-bit scale variant (not oracle-gated; measured here to back
         // the N²/buckets claim against the 32-bit contract form)
