@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * events with `ts` strictly below the probe's — spec-pinned equal to
   * Q30's answer row for row, including ties and no-prior-event NULLs.
   *
+  * NULL keys: the contract join (`e.key = p.key`) never matches NULL, so
+  * a null-key probe must answer `last_ts` NULL no matter what null-key
+  * events exist. `Window.partitionBy` would instead group all NULL keys
+  * into ONE partition and let null-key events feed null-key probes — so
+  * null-key EVENTS are dropped before the union (they can match nothing),
+  * while null-key probes flow through and read NULL off the empty max.
+  * Pinned by the null-key case in AsOfSpec.
+  *
   * Returns one row per probe: `(id, last_ts)`. */
 object AsOf {
   def lastEventBefore(
@@ -29,7 +37,8 @@ object AsOf {
       events: DataFrame, eventKey: Column, eventTs: Column): DataFrame = {
     val p = probes.select(probeKey.as("__ao_k"), probeTs.as("__ao_ts"),
       lit(0).as("__ao_tag"), probeId.as("__ao_id"))
-    val e = events.select(eventKey.as("__ao_k"), eventTs.as("__ao_ts"),
+    val e = events.filter(eventKey.isNotNull)
+      .select(eventKey.as("__ao_k"), eventTs.as("__ao_ts"),
       lit(1).as("__ao_tag"), lit(null).cast(p.schema("__ao_id").dataType).as("__ao_id"))
     val w = Window.partitionBy("__ao_k")
       .orderBy(col("__ao_ts"), col("__ao_tag"))

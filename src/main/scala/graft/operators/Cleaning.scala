@@ -102,7 +102,11 @@ object Cleaning {
       .groupBy("__ccb_g")
       .agg(expr(s"percentile(__ccb_s, ${qLow}D)").as("__ccb_t1"),
         expr(s"percentile(__ccb_s, ${qHigh}D)").as("__ccb_t2"))
-    val bucket = when(score.isNull, lit(null).cast("string"))
+    // a doc whose group has NO threshold row (NULL group, or any future
+    // left-join miss) has no per-group distribution to bucket against —
+    // it takes a NULL bucket (keep=false via the coalesce), never a
+    // confident "tail" off `score <= NULL` falling through to otherwise
+    val bucket = when(score.isNull || col("__ccb_t1").isNull, lit(null).cast("string"))
       .when(score <= col("__ccb_t1"), "head")
       .when(score <= col("__ccb_t2"), "middle")
       .otherwise("tail")

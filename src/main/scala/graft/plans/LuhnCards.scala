@@ -21,12 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * Candidate grammar, scanned in one pass over the bytes: a maximal run
   * of digits optionally separated by SINGLE spaces or dashes (two
   * separators in a row, or a separator not followed by a digit, ends the
-  * run), not adjacent to another digit by construction. A candidate with
-  * 13-19 digits (the ISO/IEC 7812 PAN range) whose digits pass Luhn is
-  * masked to `[CARD]` / counted; anything else — including a 20-digit
-  * IBAN tail or a 10-digit phone — is left untouched. Both expressions
-  * share the scanner; `doGenCode` is a one-line static call so the
-  * expressions stay fused in the scan's whole-stage-codegen span (the
+  * run), split into GROUPS at each separator. Within a run the scanner
+  * searches contiguous group subsequences — left-to-right start, longest
+  * end first — for a 13-19-digit (ISO/IEC 7812 PAN range) Luhn-valid
+  * candidate, masks it to `[CARD]` / counts it, and resumes after the
+  * match. This is what rescues a card ADJACENT to another number
+  * ("ref 12 4539 1488 0343 6467", or a card followed by " 123"): the
+  * maximal run fails length/checksum, but the card's own group span
+  * still matches — the false-negative an all-or-nothing maximal-run
+  * matcher leaks (pinned in LuhnCardsSpec). Sub-runs never split INSIDE
+  * a contiguous group, so a 20-digit IBAN tail or order id cannot have
+  * an internal substring mass-redacted; the residual risk is a ~1-in-10
+  * accidental Luhn pass on a genuine group-aligned sub-span, inherent to
+  * any retry scheme and preferable to leaking real PANs. The per-start
+  * search is bounded by 19 groups (each group holds ≥1 digit), so the
+  * scan stays linear with a small constant. Both expressions share the
+  * scanner; `doGenCode` is a one-line static call so the expressions
+  * stay fused in the scan's whole-stage-codegen span (the
   * UnicodeNormalize discipline).
   */
 object LuhnCards {
@@ -59,22 +70,55 @@ object LuhnCards {
     while (i < n) {
       val c = str.charAt(i)
       if (isDigit(c)) {
-        // consume the maximal digit[-sep-digit...] run
+        // consume the maximal digit[-sep-digit...] run, recording group bounds
         val start = i
-        val digits = new java.lang.StringBuilder(20)
         var j = i
+        var gs = i
+        val groupStart = new scala.collection.mutable.ArrayBuffer[Int](8)
+        val groupEnd = new scala.collection.mutable.ArrayBuffer[Int](8)
         var continue = true
         while (continue && j < n) {
           val cj = str.charAt(j)
-          if (isDigit(cj)) { digits.append(cj); j += 1 }
-          else if (isSep(cj) && j + 1 < n && isDigit(str.charAt(j + 1))) j += 1
-          else continue = false
+          if (isDigit(cj)) j += 1
+          else if (isSep(cj) && j + 1 < n && isDigit(str.charAt(j + 1))) {
+            groupStart += gs; groupEnd += j; gs = j + 1; j += 1
+          } else continue = false
         }
-        val ds = digits.toString
-        if (ds.length >= 13 && ds.length <= 19 && luhnValid(ds)) {
-          count += 1
-          if (mask) { out.append("[CARD]"); () }
-        } else if (mask) { out.append(str, start, j); () }
+        groupStart += gs; groupEnd += j
+        // prefix digit counts over groups; then search contiguous group
+        // subsequences: start left-to-right, end longest-first, first
+        // Luhn-valid 13-19-digit span wins, resume after it
+        val g = groupStart.length
+        val pref = new Array[Int](g + 1)
+        var t = 0
+        while (t < g) { pref(t + 1) = pref(t) + (groupEnd(t) - groupStart(t)); t += 1 }
+        var emitted = start
+        var s0 = 0
+        while (s0 < g) {
+          var e0 = s0
+          while (e0 + 1 < g && pref(e0 + 2) - pref(s0) <= 19) e0 += 1
+          var hit = -1
+          while (hit < 0 && e0 >= s0) {
+            val len = pref(e0 + 1) - pref(s0)
+            if (len >= 13 && len <= 19) {
+              val sb = new java.lang.StringBuilder(len)
+              var k = s0
+              while (k <= e0) { sb.append(str, groupStart(k), groupEnd(k)); k += 1 }
+              if (luhnValid(sb.toString)) hit = e0
+            }
+            e0 -= 1
+          }
+          if (hit >= 0) {
+            count += 1
+            if (mask) {
+              out.append(str, emitted, groupStart(s0))
+              out.append("[CARD]")
+              emitted = groupEnd(hit)
+            }
+            s0 = hit + 1
+          } else s0 += 1
+        }
+        if (mask) { out.append(str, emitted, j); () }
         i = j
       } else {
         if (mask) { out.append(c); () }

@@ -157,7 +157,10 @@ object StreamOps {
     * itself is an in-row `filter` + `array_join` projection. No explode,
     * no aggregation, no state — stateless in any trigger mode, and
     * row-for-row equal to [[graft.operators.Dedup.removeBoilerplateLines]]
-    * on the same corpus (StreamOpsSpec parity pin). Returns
+    * on the same corpus (StreamOpsSpec parity pin). Null-id docs are
+    * dropped here for the same reason the batch operator drops them: its
+    * reassembly joins lines back on an `id.isNotNull` spine, so a
+    * null-id doc has no batch answer to be row-for-row equal TO. Returns
     * `(id, n_lines, n_kept, text_clean)` matching the batch contract
     * (empty-line filtering included). */
   def boilerplateScrub(
@@ -170,6 +173,7 @@ object StreamOps {
     val lines = filter(
       split(text, java.util.regex.Pattern.quote(sep)), l => l =!= "")
     docs
+      .filter(id.isNotNull) // batch contract: reassembly spine keeps only non-null ids
       .join(model, lit(true), "left_outer") // stream-static broadcast; 1 static row
       .select(id.as("id"), lines.as("__bps_lines"),
         coalesce(element_at(col("__bps_m"), group),
