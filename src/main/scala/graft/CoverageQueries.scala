@@ -248,8 +248,24 @@ object CoverageQueries {
       .transform(sortedSmall(_, col("event_id")))
   }
 
+  /** q146: Q11's discretization through the RANGE-RANK escape hatch
+    * ([[graft.operators.Discretize.ntileRangeRank]] — a parallel range
+    * sort + closed-form bucket split where the contract ntile funnels
+    * every row through ONE partition's sort). Answer identity with the
+    * window form is the operator's contract, so the gate runs Q11's
+    * exact oracle — the q133/q128 precedent: two independent Spark
+    * plans and one DuckDB derivation meeting at the same rows. */
+  def q146(t: Tables): DataFrame =
+    graft.operators.Discretize.ntileRangeRank(
+        t.events.filter(col("event_id") % 20 === 0)
+          .select(col("event_id"), col("value")),
+        16, col("value"), col("event_id"))
+      .select(col("event_id"), col("bucket"))
+      .transform(sortedSmall(_, col("event_id")))
+
   val all: Map[String, Tables => DataFrame] = Map(
     "q133_asof_union"      -> q133 _,
+    "q146_ntile_rangerank" -> q146 _,
     "q43_sliding_window"   -> q43 _,
     "q44_cube"             -> q44 _,
     "q45_percentiles"      -> q45 _,
@@ -275,6 +291,12 @@ object CoverageQueries {
         ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
       WHERE p.event_type = 'purchase'
       GROUP BY p.event_id ORDER BY p.event_id NULLS FIRST""",
+
+    // q146: the range-rank form's contract is answer identity with Q11's
+    // global ntile, so it is gated against Q11's exact oracle
+    "q146_ntile_rangerank" -> """
+      SELECT event_id, CAST(ntile(16) OVER (ORDER BY value NULLS FIRST, event_id NULLS FIRST) AS BIGINT) AS bucket
+      FROM events WHERE event_id % 20 = 0 ORDER BY event_id NULLS FIRST""",
 
     "q43_sliding_window" -> """
       SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS s

@@ -273,6 +273,30 @@ object PipelineQueries {
     Dedup.exactSubstringSelfRuns(t.documents, col("doc_id"), col("text"), minRun = 8)
       .transform(sortedSmall(_, col("da"), col("db"), col("pos_a"), col("pos_b")))
 
+  /** q145: q88 through the `dfCap` STOP-SHINGLE escape hatch — the
+    * hot-boilerplate guard [[Dedup.exactSubstringSelfRuns]] carries for
+    * Zipfian corpora. Every document gets the same 11-token banner
+    * prefixed (a cookie-banner stand-in), so WITHOUT the cap the banner
+    * shingles would collide across every doc pair and the self-join
+    * would be quadratic in the corpus (500 docs → 125k pair-islands at
+    * sf0.001 from the banner alone). `dfCap = 50` drops every shingle
+    * present in more than 50 distinct documents BEFORE the join — the
+    * banner (df = corpus size) vanishes, genuine cross-doc runs in the
+    * underlying text survive with their positions shifted by the 11
+    * banner tokens. The oracle rebuilds the cap with an anti join on
+    * `count(DISTINCT doc_id) > 50`, so the gate proves the DROP
+    * semantics, not just the happy path (the q128 discipline applied to
+    * q88; `exactsub_hotshingle` soak measures the capped-vs-uncapped
+    * separation this exists for). */
+  def q145(t: Tables): DataFrame = {
+    val banner = "please accept our cookie policy to continue reading this site today"
+    val docs = t.documents.select(col("doc_id"),
+      concat(lit(banner + " "), col("text")).as("text"))
+    Dedup.exactSubstringSelfRuns(docs, col("doc_id"), col("text"),
+        minRun = 8, dfCap = Some(50L))
+      .transform(sortedSmall(_, col("da"), col("db"), col("pos_a"), col("pos_b")))
+  }
+
   /** q91: domain-authority PAGERANK ([[graft.operators.Graph
     * .weightedPageRank]]) — the crawl-curation centrality signal: a
     * deterministic synthetic domain link graph over the corpus (each doc
@@ -1559,6 +1583,7 @@ object PipelineQueries {
     "q86_exact_substring" -> q86 _,
     "q87_exact_dup_guard" -> q87 _,
     "q88_exact_substring_self" -> q88 _,
+    "q145_exact_substring_dfcap" -> q145 _,
     "q91_domain_pagerank" -> q91 _,
     "q92_zorder_key" -> q92 _,
     "q93_train_val_test" -> q93 _,
@@ -3014,6 +3039,28 @@ object PipelineQueries {
       m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
                    a.pos - b.pos AS diag
             FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id),
+      i AS (SELECT *, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island FROM m)
+      SELECT da, db, min(pa) AS pos_a, min(pb) AS pos_b,
+             CAST(max(pa) - min(pa) + 8 AS BIGINT) AS run_len
+      FROM i GROUP BY da, db, diag, island
+      ORDER BY da NULLS FIRST, db NULLS FIRST,
+               pos_a NULLS FIRST, pos_b NULLS FIRST""",
+
+    // q145: q88 with the banner prefix and the df > 50 stop-shingle cap
+    // rebuilt as an anti join — the oracle proves the DROP, not just
+    // the surviving runs
+    "q145_exact_substring_dfcap" -> """
+      WITH doc AS (SELECT doc_id, string_split(lower(concat(
+               'please accept our cookie policy to continue reading this site today ',
+               text)), ' ') AS s FROM documents),
+      sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               concat(s[i],' ',s[i+1],' ',s[i+2],' ',s[i+3],' ',s[i+4],' ',s[i+5],' ',s[i+6],' ',s[i+7]) AS w
+             FROM doc, unnest(range(1, greatest(len(s) - 6, 1))) AS t(i)),
+      hot AS (SELECT w FROM sh GROUP BY w HAVING count(DISTINCT doc_id) > 50),
+      kept AS (SELECT sh.* FROM sh ANTI JOIN hot USING (w)),
+      m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+                   a.pos - b.pos AS diag
+            FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id),
       i AS (SELECT *, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island FROM m)
       SELECT da, db, min(pa) AS pos_a, min(pb) AS pos_b,
              CAST(max(pa) - min(pa) + 8 AS BIGINT) AS run_len

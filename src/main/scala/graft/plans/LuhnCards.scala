@@ -29,36 +29,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * ("ref 12 4539 1488 0343 6467", or a card followed by " 123"): the
   * maximal run fails length/checksum, but the card's own group span
   * still matches — the false-negative an all-or-nothing maximal-run
-  * matcher leaks (pinned in LuhnCardsSpec). Sub-runs never split INSIDE
-  * a contiguous group, so a 20-digit IBAN tail or order id cannot have
-  * an internal substring mass-redacted; the residual risk is a ~1-in-10
-  * accidental Luhn pass on a genuine group-aligned sub-span, inherent to
-  * any retry scheme and preferable to leaking real PANs. The per-start
-  * search is bounded by 19 groups (each group holds ≥1 digit), so the
-  * scan stays linear with a small constant. Both expressions share the
+  * matcher leaks. The adversarial cases (adjacent prefix number, card
+  * followed by a short trailer, two back-to-back cards, 20-digit
+  * contiguous tail untouched) are pinned in `LuhnCardsSpec`, and
+  * `CleaningSpec`'s property sweep checks the scanner against an
+  * independently written group-aligned sub-span model on random PANs.
+  * Sub-runs never split INSIDE a contiguous group, so a 20-digit IBAN
+  * tail or order id cannot have an internal substring mass-redacted;
+  * the residual risk is a ~1-in-10 accidental Luhn pass on a genuine
+  * group-aligned sub-span, inherent to any retry scheme and preferable
+  * to leaking real PANs. The per-start search is bounded by 19 groups
+  * (each group holds ≥1 digit), so the scan stays linear with a small
+  * constant — and runs under 13 digits total (dates, short ids, the
+  * overwhelming majority of digit runs in real text) take a counting
+  * fast path that allocates nothing. Both expressions share the
   * scanner; `doGenCode` is a one-line static call so the expressions
   * stay fused in the scan's whole-stage-codegen span (the
   * UnicodeNormalize discipline).
   */
 object LuhnCards {
 
-  /** Luhn checksum over `digits[from, until)` (ASCII digit bytes). */
-  private def luhnValid(s: String): Boolean = {
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isSep(c: Char): Boolean = c == ' ' || c == '-'
+
+  /** Luhn checksum over the digit chars of groups `[s0, e0]` (bounds in
+    * `gs`/`ge`), walked right-to-left — no candidate string is built. */
+  private def luhnValidSpan(
+      str: String, gs: Array[Int], ge: Array[Int], s0: Int, e0: Int): Boolean = {
     var sum = 0
     var dbl = false
-    var i = s.length - 1
-    while (i >= 0) {
-      var d = s.charAt(i) - '0'
-      if (dbl) { d *= 2; if (d > 9) d -= 9 }
-      sum += d
-      dbl = !dbl
-      i -= 1
+    var g = e0
+    while (g >= s0) {
+      var i = ge(g) - 1
+      val lo = gs(g)
+      while (i >= lo) {
+        var d = str.charAt(i) - '0'
+        if (dbl) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        dbl = !dbl
+        i -= 1
+      }
+      g -= 1
     }
     sum % 10 == 0
   }
-
-  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
-  private def isSep(c: Char): Boolean = c == ' ' || c == '-'
 
   /** One scan; `mask = true` rebuilds the string, `false` only counts.
     * Returns (masked-or-null, count). */
@@ -70,55 +84,68 @@ object LuhnCards {
     while (i < n) {
       val c = str.charAt(i)
       if (isDigit(c)) {
-        // consume the maximal digit[-sep-digit...] run, recording group bounds
+        // pass 1 over the maximal digit[-sep-digit...] run: find its end
+        // and count digits/groups — NO allocation yet
         val start = i
         var j = i
-        var gs = i
-        val groupStart = new scala.collection.mutable.ArrayBuffer[Int](8)
-        val groupEnd = new scala.collection.mutable.ArrayBuffer[Int](8)
+        var digits = 0
+        var groups = 1
         var continue = true
         while (continue && j < n) {
           val cj = str.charAt(j)
-          if (isDigit(cj)) j += 1
+          if (isDigit(cj)) { digits += 1; j += 1 }
           else if (isSep(cj) && j + 1 < n && isDigit(str.charAt(j + 1))) {
-            groupStart += gs; groupEnd += j; gs = j + 1; j += 1
+            groups += 1; j += 1
           } else continue = false
         }
-        groupStart += gs; groupEnd += j
-        // prefix digit counts over groups; then search contiguous group
-        // subsequences: start left-to-right, end longest-first, first
-        // Luhn-valid 13-19-digit span wins, resume after it
-        val g = groupStart.length
-        val pref = new Array[Int](g + 1)
-        var t = 0
-        while (t < g) { pref(t + 1) = pref(t) + (groupEnd(t) - groupStart(t)); t += 1 }
-        var emitted = start
-        var s0 = 0
-        while (s0 < g) {
-          var e0 = s0
-          while (e0 + 1 < g && pref(e0 + 2) - pref(s0) <= 19) e0 += 1
-          var hit = -1
-          while (hit < 0 && e0 >= s0) {
-            val len = pref(e0 + 1) - pref(s0)
-            if (len >= 13 && len <= 19) {
-              val sb = new java.lang.StringBuilder(len)
-              var k = s0
-              while (k <= e0) { sb.append(str, groupStart(k), groupEnd(k)); k += 1 }
-              if (luhnValid(sb.toString)) hit = e0
+        if (digits < 13) {
+          // fast path: too few digits for any PAN — copy through untouched
+          if (mask) { out.append(str, start, j); () }
+        } else {
+          // pass 2: record group bounds into primitive arrays (every
+          // non-digit inside [start, j) is a single separator by pass 1)
+          val groupStart = new Array[Int](groups)
+          val groupEnd = new Array[Int](groups)
+          var g = 0
+          var gs = start
+          var k = start
+          while (k < j) {
+            if (!isDigit(str.charAt(k))) {
+              groupStart(g) = gs; groupEnd(g) = k; g += 1; gs = k + 1
             }
-            e0 -= 1
+            k += 1
           }
-          if (hit >= 0) {
-            count += 1
-            if (mask) {
-              out.append(str, emitted, groupStart(s0))
-              out.append("[CARD]")
-              emitted = groupEnd(hit)
+          groupStart(g) = gs; groupEnd(g) = j; g += 1
+          // prefix digit counts over groups; then search contiguous group
+          // subsequences: start left-to-right, end longest-first, first
+          // Luhn-valid 13-19-digit span wins, resume after it
+          val pref = new Array[Int](g + 1)
+          var t = 0
+          while (t < g) { pref(t + 1) = pref(t) + (groupEnd(t) - groupStart(t)); t += 1 }
+          var emitted = start
+          var s0 = 0
+          while (s0 < g) {
+            var e0 = s0
+            while (e0 + 1 < g && pref(e0 + 2) - pref(s0) <= 19) e0 += 1
+            var hit = -1
+            while (hit < 0 && e0 >= s0) {
+              val len = pref(e0 + 1) - pref(s0)
+              if (len >= 13 && len <= 19 &&
+                  luhnValidSpan(str, groupStart, groupEnd, s0, e0)) hit = e0
+              else e0 -= 1
             }
-            s0 = hit + 1
-          } else s0 += 1
+            if (hit >= 0) {
+              count += 1
+              if (mask) {
+                out.append(str, emitted, groupStart(s0))
+                out.append("[CARD]")
+                emitted = groupEnd(hit)
+              }
+              s0 = hit + 1
+            } else s0 += 1
+          }
+          if (mask) { out.append(str, emitted, j); () }
         }
-        if (mask) { out.append(str, emitted, j); () }
         i = j
       } else {
         if (mask) { out.append(c); () }

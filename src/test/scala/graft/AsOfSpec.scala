@@ -46,6 +46,37 @@ class AsOfSpec extends SparkSpec {
     assert(got2.length == 1 && got2(0).isNullAt(1), s"${got2.toSeq}")
   }
 
+  test("null keys: a null-key probe answers NULL even when null-key events exist") {
+    // the contract join (e.key = p.key) never matches NULL — but
+    // Window.partitionBy groups all NULL keys into ONE partition, so
+    // without the events-side isNotNull filter a null-key EVENT would
+    // feed a null-key PROBE. Fixture: a null-key probe surrounded by
+    // null-key events that would wrongly match, plus a normal key that
+    // must be unaffected by the filter.
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, Option(7L), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val events = Seq(
+      (Option(7L), ts("2024-01-01 09:00:00")),
+      (Option.empty[Long], ts("2024-01-01 09:00:00")), // must match NOTHING
+      (Option.empty[Long], ts("2024-01-01 09:30:00"))
+    ).toDF("user_id", "ts")
+    val got = AsOf.lastEventBefore(probes, col("user_id"), col("ts"), col("event_id"),
+        events, col("user_id"), col("ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(2L).isEmpty, s"null-key probe matched a null-key event: $got")
+    assert(got(1L).contains(ts("2024-01-01 09:00:00")), s"non-null key affected: $got")
+    // and the contract join form agrees row for row on this fixture
+    val joinForm = probes.as("p")
+      .join(events.as("v"), col("p.user_id") === col("v.user_id") &&
+        col("v.ts") < col("p.ts"), "left")
+      .groupBy(col("p.event_id")).agg(max(col("v.ts")).as("last_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == joinForm, s"union form $got != join form $joinForm")
+  }
+
   test("hot key: both forms agree where the join form is still runnable") {
     // one user carries 2000 views and 50 purchases (join form: 100k
     // intermediate rows here; at production hot-key sizes it is the

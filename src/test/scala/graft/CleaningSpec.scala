@@ -239,10 +239,21 @@ class CleaningSpec extends SparkSpec {
     }
   }
 
-  test("luhn expression vs an independent checksum on random PANs (property sweep)") {
-    // generate random 13-19-digit numbers, decide validity with an
-    // INDEPENDENTLY written Luhn (table-free, forward scan with parity),
-    // inject with random space/dash grouping — mask and count must agree
+  test("luhn scanner vs an independent group-aligned sub-span model (property sweep)") {
+    // generate random 13-19-digit numbers, inject with random space/dash
+    // grouping, and check the native scanner against an INDEPENDENTLY
+    // written model of its documented semantics (regex tokenization +
+    // string slicing instead of the byte-level scan): within each digit
+    // run, search contiguous GROUP subsequences — start left-to-right,
+    // end longest-first — for a Luhn-valid 13-19-digit span; mask it,
+    // resume after it. Two properties fall out and are asserted:
+    //  1. scanner output ≡ model output (mask text AND count), and
+    //  2. a Luhn-VALID full run always masks whole as one [CARD] (the
+    //     longest span from start 0 IS the run) — the old all-or-nothing
+    //     sweep's positive direction, preserved.
+    // Invalid full runs MAY legitimately mask a group-aligned sub-span
+    // (~1-in-10 per eligible span): that recall-over-precision trade is
+    // the r13 semantics decision, adversarially pinned in LuhnCardsSpec.
     def refLuhn(ds: String): Boolean = {
       // forward pass: double every digit at even distance from the END-1
       val n = ds.length
@@ -253,6 +264,49 @@ class CleaningSpec extends SparkSpec {
         sum += (if (d > 9) d - 9 else d)
       }
       sum % 10 == 0
+    }
+    def modelRun(run: String): (String, Int) = {
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 0
+      for (k <- 0 until run.length)
+        if (!run.charAt(k).isDigit) { bounds += ((s, k)); s = k + 1 }
+      bounds += ((s, run.length))
+      val g = bounds.length
+      def spanDigits(a: Int, b: Int): String =
+        (a to b).map { k => run.substring(bounds(k)._1, bounds(k)._2) }.mkString
+      val sb = new StringBuilder
+      var emitted = 0
+      var count = 0
+      var s0 = 0
+      while (s0 < g) {
+        ((g - 1) to s0 by -1).find { e0 =>
+          val ds = spanDigits(s0, e0)
+          ds.length >= 13 && ds.length <= 19 && refLuhn(ds)
+        } match {
+          case Some(e0) =>
+            count += 1
+            sb.append(run.substring(emitted, bounds(s0)._1)).append("[CARD]")
+            emitted = bounds(e0)._2
+            s0 = e0 + 1
+          case None => s0 += 1
+        }
+      }
+      sb.append(run.substring(emitted))
+      (sb.toString, count)
+    }
+    def modelText(text: String): (String, Int) = {
+      val re = "[0-9]+(?:[ -][0-9]+)*".r
+      var count = 0
+      val sb = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(text).foreach { m =>
+        val (masked, n) = modelRun(m.matched)
+        sb.append(text.substring(last, m.start)).append(masked)
+        count += n
+        last = m.end
+      }
+      sb.append(text.substring(last))
+      (sb.toString, count)
     }
     val rnd = new scala.util.Random(1202L)
     val cases = (1 to 40).map { i =>
@@ -269,8 +323,11 @@ class CleaningSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     cases.foreach { case (id, t, valid) =>
       val (n, masked) = got(id)
-      assert(n == (if (valid) 1L else 0L), s"id $id '$t': valid=$valid got $n")
-      assert(masked == (if (valid) "pay [CARD] today" else t), s"id $id: $masked")
+      val (wantMasked, wantN) = modelText(t)
+      assert(n == wantN.toLong && masked == wantMasked,
+        s"id $id '$t': got ($n, $masked) want ($wantN, $wantMasked)")
+      if (valid) // property 2: a valid full run always masks whole
+        assert(masked == "pay [CARD] today" && n == 1L, s"id $id: $masked")
     }
   }
 
@@ -383,5 +440,25 @@ class CleaningSpec extends SparkSpec {
       Cleaning.ccnetBuckets(rows.toDF("g", "id", "s"), col("g"), col("s"),
         qLow = 0.5, qHigh = 0.4)
     }
+  }
+
+  test("ccnetBuckets: NULL-group docs bucket NULL (keep=false), groups unaffected") {
+    // a NULL group has no per-language distribution to bucket against:
+    // the equi-join misses (NULL never equals), the threshold columns
+    // come back NULL, and the doc must take a NULL bucket — NOT a
+    // confident 'tail' off `score <= NULL` falling through to otherwise.
+    // The null-group scores (0.5 and 9.5) are chosen to bracket lang a's
+    // distribution: under a's thresholds they'd read 'head' and 'tail'.
+    val rows = Seq(
+      (Option("a"), 1L, 1.0), (Option("a"), 2L, 2.0), (Option("a"), 3L, 3.0),
+      (Option.empty[String], 10L, 0.5), (Option.empty[String], 11L, 9.5))
+    val got = Cleaning.ccnetBuckets(rows.toDF("g", "id", "s"), col("g"), col("s"))
+      .select("id", "bucket", "keep")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("bucket")), r.getAs[Boolean]("keep")))).toMap
+    assert(got.size == 5, s"null-group rows duplicated or dropped: $got")
+    assert(got(10L) == ((None, false)) && got(11L) == ((None, false)), s"$got")
+    assert(got(1L) == ((Some("head"), true)) && got(3L) == ((Some("tail"), false)),
+      s"non-null group disturbed: $got")
   }
 }

@@ -115,6 +115,23 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus rows must not shuffle on the way to the gate:\n$p")
   }
 
+  test("q146: range-rank discretization sorts in parallel, no single-partition data sort") {
+    // Q11's scale-killer is `ntile OVER (ORDER BY ...)`: every row
+    // through ONE partition's sort. The sibling must show (a) a range
+    // exchange (the parallel global sort), (b) the offsets riding back
+    // as a broadcast, and (c) exactly one SinglePartition exchange —
+    // the partition-COUNT dimension (one row per shuffle partition)
+    // feeding the offsets window, never the data
+    val src = sf0001.events.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("value"))
+    val p = plan(graft.operators.Discretize.ntileRangeRank(
+      src, 16, col("value"), col("event_id")))
+    assert(p.contains("rangepartitioning"), s"parallel range sort expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast back:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1,
+      s"only the partition-count dimension may gather to one partition:\n$p")
+  }
+
   test("q94: unigram sides broadcast; totals arrive as 1-row broadcast cross joins") {
     val p = q("q94_pmi_collocations")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2,

@@ -424,7 +424,12 @@ class StreamOpsSpec extends SparkSpec {
       val lineArr = transform(
         sequence(lit(0L), greatest(ceil(size(words) / lit(2.0)) - 1, lit(0L))),
         i => array_join(slice(words, (i * 2 + 1).cast("int"), lit(2)), " "))
-      df.select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      // null out one id in BOTH legs: a null-id doc has no batch answer
+      // (the batch reassembly joins on an id.isNotNull spine), so the
+      // stream must drop it too — parity includes the null-id case
+      df.select(when(col("doc_id") === 7L, lit(null).cast("long"))
+          .otherwise(col("doc_id")).as("doc_id"),
+        array_join(lineArr, "\n").as("text"))
     }
     val batchDocs = structured(sf0001.documents)
     val boiler = Dedup.boilerplateLines(batchDocs, col("doc_id"), col("text"),
@@ -444,6 +449,11 @@ class StreamOpsSpec extends SparkSpec {
       col("text"), lit("all"), minDocs = 4L).collect().map(key).toMap
     assert(streamed.size == batch.size && streamed == batch,
       "ingest scrub must equal the batch removal row for row")
+    // the null-id doc (injected above) is absent from BOTH legs: the
+    // fixture has doc_id 7, so the corpus lost exactly that one row
+    val total = sf0001.documents.count()
+    assert(streamed.size.toLong == total - 1 && !streamed.contains(7L),
+      s"null-id doc not dropped: ${streamed.size} of $total")
     // both outcomes live on this corpus: removed lines and survivors
     assert(batch.valuesIterator.exists(v => v._2 < v._1))
     assert(batch.valuesIterator.exists(v => v._2 > 0L))
