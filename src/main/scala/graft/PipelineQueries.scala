@@ -947,6 +947,34 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q147: TRAINED LANGUAGE-ID ([[TextAnalysis.langIdTrained]]) — q36's
+    * stopword heuristic upgraded to the model the production pipelines
+    * actually run (fastText-style: CCNet, RedPajama): one-vs-rest
+    * hashed bag-of-words logistic classifiers, one per language,
+    * trained distributed and composed into score→argmax→confusion. The
+    * oracle unrolls all five training chains with weight tables as
+    * materialized CTEs ([[langidOracle]] — q141's unroll, ×5) and
+    * replays the grid-snapped argmax. Output is the (lang, pred, n)
+    * confusion matrix, directly comparable with heuristic q36's.
+    *
+    * Fixture honesty: the driver corpus's `lang` column is label NOISE
+    * (the text distribution is lang-independent by construction —
+    * verified: identical token soup across langs), so NO classifier can
+    * beat the majority prior here and the gated matrix collapses to
+    * pred = 'en' for every doc. The gate therefore proves ENGINE PARITY
+    * through 10 unrolled GD iterations + argmax; the DISCRIMINATION
+    * claim is pinned in LangIdSpec on a disjoint-vocab fixture the task
+    * is learnable on (acc = 1.0) — the two-leg discipline. */
+  def q147(t: Tables): DataFrame =
+    TextAnalysis.langIdTrained(t.documents, col("doc_id"), col("text"),
+        col("lang"), langs = Seq("de", "en", "es", "fr", "zh"),
+        dims = 32, iters = 2, lr = 0.5)
+      .select(col("id").as("doc_id"), col("pred"))
+      .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .transform(sortedSmall(_, col("lang"), col("pred")))
+
   /** q143: CALIBRATION CURVE ([[TextAnalysis.calibrationCurve]]) — the
     * reliability audit of the q135 model at 100 probability bins: per
     * occupied bin, count, mean predicted p and observed positive
@@ -1633,6 +1661,7 @@ object PipelineQueries {
     "q139_cms_counts" -> q139 _,
     "q140_hashed_tfidf" -> q140 _,
     "q141_hashed_classifier" -> q141 _,
+    "q147_trained_langid" -> q147 _,
     "q143_calibration" -> q143 _,
   )
 
@@ -1859,6 +1888,52 @@ object PipelineQueries {
         CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM zf JOIN lab USING (doc_id) WHERE zf.doc_id % 20 = 7
       ORDER BY zf.doc_id NULLS FIRST"""
+  }
+
+  /** q147's oracle: [[hashedLogisticOracle]]'s iteration unroll run once
+    * per language (shared tok/fp/w0 CTEs), final scores 6-decimal
+    * rounded, argmax replayed as the same (z6 DESC, cand ASC) window. */
+  private def langidOracle(dims: Int, iters: Int, langs: Seq[String]): String = {
+    val base = s"""tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      cnt AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(w), 1, 4)) AS BIGINT) % $dims AS b,
+                CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, b),
+      nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+      fp AS MATERIALIZED (
+        SELECT cnt.doc_id, b, c / n AS x FROM cnt JOIN nn USING (doc_id)
+        UNION ALL SELECT doc_id, $dims AS b, 1.0 AS x FROM documents),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      w0 AS MATERIALIZED (SELECT DISTINCT b, 0.0 AS wb FROM fp)"""
+    val chains = langs.map { l =>
+      val lab = s"""lab_$l AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN lang = '$l' THEN 1.0 ELSE 0.0 END AS y FROM documents)"""
+      val rounds = (1 to iters).map { i =>
+        val p = if (i == 1) "w0" else s"w${i - 1}_$l"
+        s"""z${i}_$l AS MATERIALIZED (SELECT doc_id, sum(x * wb) AS z
+        FROM fp JOIN $p USING (b) GROUP BY doc_id),
+      d${i}_$l AS (SELECT z${i}_$l.doc_id, 1.0 / (1.0 + exp(-z)) - y AS d
+        FROM z${i}_$l JOIN lab_$l USING (doc_id)),
+      g${i}_$l AS MATERIALIZED (SELECT b,
+        floor(sum(d * x) / (SELECT nd FROM nd) * 1e9 + 0.5) / 1e9 AS g
+        FROM fp JOIN d${i}_$l USING (doc_id) GROUP BY b),
+      w${i}_$l AS MATERIALIZED (SELECT $p.b, wb - 0.5 * g AS wb
+        FROM $p JOIN g${i}_$l USING (b))"""
+      }
+      val score = s"""zf_$l AS (SELECT doc_id, '$l' AS cand, round(sum(x * wb), 6) AS z6
+        FROM fp JOIN w${iters}_$l USING (b) GROUP BY doc_id)"""
+      (lab +: rounds) :+ score
+    }
+    val union = langs.map(l => s"SELECT * FROM zf_$l").mkString("\n        UNION ALL ")
+    s"""WITH ${(base +: chains.flatten).mkString(",\n      ")},
+      sc AS ($union),
+      pick AS (SELECT doc_id, cand,
+        row_number() OVER (PARTITION BY doc_id ORDER BY z6 DESC, cand ASC) AS rn
+        FROM sc)
+      SELECT d.lang, p.cand AS pred, CAST(count(*) AS BIGINT) AS n
+      FROM pick p JOIN documents d USING (doc_id) WHERE rn = 1
+      GROUP BY d.lang, p.cand
+      ORDER BY lang NULLS FIRST, pred NULLS FIRST"""
   }
 
   private val dedupClustersOracle: String = """
@@ -3434,6 +3509,9 @@ object PipelineQueries {
 
     // q141: the weight-table training chain — see hashedLogisticOracle
     "q141_hashed_classifier" -> hashedLogisticOracle(32, 3),
+    // q147: five unrolled one-vs-rest chains + the replayed argmax
+    "q147_trained_langid" -> langidOracle(32, 2,
+      Seq("de", "en", "es", "fr", "zh")),
 
     // q143: the q135 training chain scoring the whole corpus, binned at
     // floor(p6·100) (identical IEEE ops on the identical grid double)

@@ -549,6 +549,46 @@ object TextAnalysis {
     } finally { fp.unpersist(); lab.unpersist() }
   }
 
+  /** TRAINED LANGUAGE-ID — the model the production pipelines run where
+    * q36's stopword heuristic stops scaling (fastText-style supervised
+    * classification: CCNet, RedPajama): ONE-VS-REST
+    * [[logisticTrainHashed]] models, one per candidate language, each a
+    * distributed (bucket, weight) relation, composed into
+    * score→argmax. Prediction compares GRID-SNAPPED scores (z at 6
+    * decimals — without the grid, a cross-engine argmax is ill-defined
+    * the moment two sums differ in the 1e-15s), ties broken by
+    * candidate name ascending; the |langs|-row-per-doc argmax window
+    * partitions on the doc id, so it parallelizes like any keyed
+    * window and the corpus never gathers.
+    *
+    * Accuracy is a CORPUS property, not an operator property: on
+    * lang-separable text the composition is exact on a disjoint-vocab
+    * fixture (LangIdSpec pins acc = 1.0 at dims 32, iters 2), while on
+    * text whose label carries no signal every one-vs-rest z collapses
+    * to its class-prior bias and argmax returns the majority class —
+    * the honest answer to an unlearnable task (the driver fixture's
+    * `lang` is exactly such label noise; q147's gate is therefore
+    * engine parity, with discrimination pinned in the spec).
+    *
+    * Returns one row per doc: `(id, pred, z6)`. */
+  def langIdTrained(docs: DataFrame, id: Column, text: Column, lang: Column,
+      langs: Seq[String], dims: Int, iters: Int, lr: Double): DataFrame = {
+    require(langs.nonEmpty && langs.distinct == langs,
+      s"langs must be non-empty and distinct, got $langs")
+    val scored = langs.map { l =>
+      val w = logisticTrainHashed(docs, id, text,
+        when(lang === l, 1.0).otherwise(0.0), dims, iters, lr)
+      logisticScoreHashed(docs, id, text, w, dims)
+        .select(col("id"), lit(l).as("__li_cand"),
+          graft.functions.Rounding.portable(col("z"), 6).as("z6"))
+    }.reduce(_.unionAll(_))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("z6").desc, col("__li_cand")))
+    scored.withColumn("__li_rn", rn).filter(col("__li_rn") === 1)
+      .select(col("id"), col("__li_cand").as("pred"), col("z6"))
+  }
+
   /** Score docs under a [[logisticTrainHashed]] weight table: one
     * pairs ⋈ weights join + doc-keyed sum — the weight table stays
     * distributed (broadcast when it fits, shuffle-hash when it
