@@ -600,17 +600,32 @@ object Soak {
           topSet(Similarity.ivfPqTopK(assign, recon, centroids, queries, k, nprobe = 4)))
         val rerankR = recallVs(exactL2,
           topSet(Similarity.pqTopKReranked(recon, e, queries, k, mult = 8)))
+        // the composed production layout: IVF-bucketed ADC candidates +
+        // exact rerank — must reach the corpus-wide rerank's floor at
+        // bucket-restricted candidate cost
+        val ivfRerankR = recallVs(exactL2,
+          topSet(Similarity.ivfPqTopKReranked(assign, recon, centroids, e,
+            queries, k, nprobe = 4, mult = 8)))
+        // IVFADC proper: residual-encoded codes at the SAME m/ksub — the
+        // recall lift residual encoding buys over raw-vector encoding
+        val residRecon = Similarity.ivfResidualReconstruct(
+          e, assign, centroids, m, ksub = 16, dim = dim)
+        val residR = recallVs(exactL2,
+          topSet(Similarity.ivfPqTopK(assign, residRecon, centroids, queries, k,
+            nprobe = 4)))
         println(f"[soak] ann_recall $label pq m=$m%2d ksub=16: adc recall@$k $pqR%.3f, " +
-          f"ivf-pq(nprobe=4) $ivfPqR%.3f, adc+rerank(8k) $rerankR%.3f")
-        (m, pqR, ivfPqR, rerankR)
+          f"ivf-pq(nprobe=4) $ivfPqR%.3f, adc+rerank(8k) $rerankR%.3f, " +
+          f"ivfpq+rerank(8k) $ivfRerankR%.3f, ivfadc-residual $residR%.3f")
+        (m, pqR, ivfPqR, rerankR, ivfRerankR, residR)
       }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
         s""""ivf":{"kc":$kc,"trained_iters":10,"curve":{""" +
         ivfCurve.map { case (np, r) => s""""$np":$r""" }.mkString(",") + "}}," +
-        s""""pq":[""" + pqCurve.map { case (m, pr, ip, rr) =>
+        s""""pq":[""" + pqCurve.map { case (m, pr, ip, rr, ir, rs) =>
           s"""{"m":$m,"ksub":16,"adc_recall":$pr,"ivfpq_nprobe4_recall":$ip,""" +
-          s""""adc_rerank8k_recall":$rr}"""
+          s""""adc_rerank8k_recall":$rr,"ivfpq_rerank8k_recall":$ir,""" +
+          s""""ivfadc_residual_recall":$rs}"""
         }.mkString(",") + "]," +
         s""""operating_point":{"index":"ivf","kc":$kc,"nprobe":4,"gated":$gateOperatingPoint,""" +
         s""""recall_at_$k":${ivfCurve.toMap.apply(4)}}}"""
@@ -625,6 +640,10 @@ object Soak {
           s"$label: operating point (kc=$kc, nprobe=4) must reach recall@$k >= 0.9: $ivfCurve")
         require(pqCurve.forall(_._4 >= 0.9),
           s"$label: PQ with exact re-rank (mult=8) must reach recall@$k >= 0.9: $pqCurve")
+        require(pqCurve.forall(_._5 >= 0.9),
+          s"$label: IVF+PQ+rerank composed must reach the rerank floor >= 0.9: $pqCurve")
+        require(pqCurve.forall(c => c._6 > c._3),
+          s"$label: residual encoding must lift recall over raw IVF-PQ at equal m/ksub: $pqCurve")
       }
       assign.unpersist(blocking = false)
       e.unpersist(blocking = false)

@@ -237,6 +237,61 @@ class SimilaritySpec extends SparkSpec {
       assign, recon, centroids, vecs, k = 5, nprobe = 2).count())
   }
 
+  test("IVF+PQ+rerank composed: exact endpoints reproduce brute-force L2 top-k") {
+    // every bucket probed AND candidates covering the corpus: the ADC
+    // stage may rank arbitrarily badly (coarse 2x2 codebook) but the
+    // exact re-rank over the full candidate set must be brute force —
+    // the pqTopKReranked anchor, through the bucketed candidate path
+    val n = 6
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assign = Similarity.ivfAssign(vecs, centroids)
+    val cb = Similarity.pqCodebook(vecs, m = 2, ksub = 2, dim = 2) // coarse
+    val recon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 2, dim = 2), cb)
+    val got = Similarity.ivfPqTopKReranked(assign, recon, centroids, vecs, vecs,
+        k = 2, nprobe = 2, mult = n)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    orig.keys.foreach { q =>
+      val exact = orig.keys.filter(_ != q).toSeq.map { v =>
+        (math.sqrt(orig(q).zip(orig(v)).map { case (a, b) => (a - b) * (a - b) }.sum), v)
+      }.sorted.take(2).map(_._2)
+      assert(got(q) == exact, s"query $q: composed ${got(q)} vs exact $exact")
+    }
+    // nprobe=1 restricts candidates to the query's own bucket
+    val own = Similarity.ivfPqTopKReranked(assign, recon, centroids, vecs, vecs,
+        k = 5, nprobe = 1, mult = n)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val a = Similarity.ivfAssign(vecs, centroids).as[(Long, Long)].collect().toMap
+    assert(own.forall { case (q, v) => a(q) == a(v) },
+      s"nprobe=1 answers must stay in the query's bucket: ${own.toSeq}")
+  }
+
+  test("residual reconstruction: full codebook is exact (re = centroid + residual)") {
+    // m=1, ksub covering the corpus: every RESIDUAL encodes as itself,
+    // so centroid + PQ(residual) must reproduce the original vector
+    // bit-for-bit — including both centroids, whose zero residuals tie
+    // (code asc picks 0 for both, sub (0,0), reconstruction unaffected)
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assign = Similarity.ivfAssign(vecs, centroids)
+    val recon = Similarity.ivfResidualReconstruct(vecs, assign, centroids,
+      m = 1, ksub = 100, dim = 2)
+    val re = recon.as[(Long, Seq[Double])].collect().toMap
+    val orig = vecs.as[(Long, Seq[Double])].collect().toMap
+    assert(re == orig, s"full-codebook residual reconstruction must be exact: $re")
+    // and composed IVFADC at every-bucket probing is then brute force
+    val got = Similarity.ivfPqTopK(assign, recon, centroids, vecs, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for ((qid, ranked) <- got) {
+      val exact = orig.keys.filter(_ != qid).toSeq.sortBy { v =>
+        (math.sqrt(orig(qid).zip(orig(v)).map { case (a, b) => (a - b) * (a - b) }.sum), v)
+      }
+      assert(ranked == exact, s"q$qid: got $ranked want $exact")
+    }
+  }
+
   test("cosine LSH: exact precision, high recall on embedding near-dups, deterministic") {
     // SRP-LSH targets NEAR-DUPLICATE embeddings (cosine >= ~0.9) — the
     // dedup regime, where a handful of sign bits separates dup from
