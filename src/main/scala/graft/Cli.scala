@@ -37,7 +37,8 @@ object Cli {
     "dir", "table", "x", "y", "where", "width", "height",
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
-    "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile")
+    "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile",
+    "jobs")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -210,11 +211,24 @@ object Cli {
     * shared scan + persisted axis-dedup'd projection feeding every
     * plot's raster, instead of one scan per `shadems` invocation.
     * Returns total raster cells across plots. */
+  /** `--jobs N` (reference `-j N` pool [U]) renders the batch's plots
+    * from N submit threads: each plot's shade/write/count pipeline is
+    * independent (they share only the cached axis projection, which
+    * concurrent Spark jobs read safely), so the per-plot DRIVER work —
+    * raster collect, PNG encode, parquet commit — overlaps and the
+    * scheduler interleaves the small per-plot jobs across idle cores.
+    * Outputs are byte-identical to the serial path (CliSpec pins the
+    * PNGs): nothing about a plot's computation depends on its
+    * neighbors. Only the `[cli] plot i` progress lines may interleave
+    * across plots; each line stays whole and carries its index. */
   private def runBatch(a: Args, spark: SparkSession): Long = {
     require(a.get("iter").isEmpty, "--iter is not supported with --plot batches")
+    val jobs = a.int("jobs", 1)
+    require(jobs >= 1, s"--jobs must be >= 1, got $jobs")
     val (projection, plotFrames) = batchFrames(a, spark)
     try {
-      plotFrames.zipWithIndex.map { case ((p, raster, spec), i) =>
+      def renderOne(p: Map[String, String],
+          raster: org.apache.spark.sql.DataFrame, spec: PlotSpec, i: Int): Long = {
         val shaded =
           if (spec.colourBy.isEmpty) ShadePlot.shade(raster, spec) else raster
         p.get("out").foreach(dir =>
@@ -230,7 +244,22 @@ object Cli {
           p.get("png").map(f => s"; png: $f").getOrElse("") +
           p.get("out").map(d => s"; raster: $d").getOrElse(""))
         cells
-      }.sum
+      }
+      val indexed = plotFrames.zipWithIndex
+      if (jobs <= 1 || indexed.size <= 1)
+        indexed.map { case ((p, raster, spec), i) => renderOne(p, raster, spec, i) }.sum
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(jobs, indexed.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(indexed.map { case ((p, raster, spec), i) =>
+            Future(renderOne(p, raster, spec, i))
+          }), Duration.Inf).sum
+        finally { pool.shutdown(); () }
+      }
     } finally { projection.unpersist(blocking = false); () }
   }
 

@@ -188,6 +188,33 @@ class CliSpec extends SparkSpec {
     } finally { projection.unpersist(blocking = false); () }
   }
 
+  test("--jobs N renders the batch in parallel with byte-identical PNGs") {
+    // the reference's `-j N` render pool: same 3-plot batch serial and
+    // with a 3-thread pool — every PNG byte-identical, same cell total
+    def batch(tag: String, jobs: Seq[String]): (Long, Seq[Array[Byte]]) = {
+      val pngs = (1 to 3).map(i => tmp(s"$tag$i.png"))
+      val cells = Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--width", "32", "--height", "32") ++ jobs ++ Seq(
+        "--plot", s"x:l_quantity;y:l_extendedprice;png:${pngs(0)}",
+        "--plot", s"x:l_discount;y:l_quantity;norm:log;png:${pngs(1)}",
+        "--plot", s"x:l_tax;y:l_discount;cmap:viridis;png:${pngs(2)}"), spark)
+      (cells, pngs.map(p => Files.readAllBytes(java.nio.file.Paths.get(p))))
+    }
+    val (serialCells, serialPngs) = batch("s", Nil)
+    val (parCells, parPngs) = batch("p", Seq("--jobs", "3"))
+    assert(serialCells == parCells, s"cell totals diverged: $serialCells vs $parCells")
+    serialPngs.zip(parPngs).zipWithIndex.foreach { case ((s, p), i) =>
+      assert(s.nonEmpty && java.util.Arrays.equals(s, p),
+        s"plot $i PNG must be byte-identical under --jobs")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Seq("--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--jobs", "0", "--plot", "x:l_tax;y:l_discount"), spark)
+    }
+    assert(e.getMessage.contains("--jobs"))
+  }
+
   test("--plot batch rejects unknown keys and composes global defaults") {
     val e = intercept[IllegalArgumentException] {
       Cli.parsePlotOpts("x:a;bogus:1")
