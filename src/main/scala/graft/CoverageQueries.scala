@@ -151,6 +151,24 @@ object CoverageQueries {
         width = 32, height = 32, radius = 1)
       .transform(sortedSmall(_, col("xb"), col("yb")))
 
+  /** q150: DENSITY-ADAPTIVE dynspread ([[Raster.dynSpreadDensity]] —
+    * datashader `tf.dynspread`'s real criterion, vs q77's fixed
+    * radius): a sparse scatter (1/1000th of lineitem on the 32×32
+    * canvas) chooses its own spread radius from the nearest-neighbor
+    * density table and dilates by it. threshold = 0.9 makes BOTH gate
+    * scales exercise the selection arithmetic non-trivially (measured:
+    * sf0.01 picks the interior r = 1; sf0.001's fractions never pass
+    * 0.9, exercising the no-qualifier → maxRadius branch). The oracle
+    * rebuilds the whole chain closed-form — neighborhood explode,
+    * min-Chebyshev table, per-radius fractions, argmin radius, spread
+    * — with no iteration. */
+  def q150(t: Tables): DataFrame =
+    Raster.dynSpreadDensity(
+        canvas32.points(t.lineitem.filter(col("l_orderkey") % 1000 === 0),
+          col("l_quantity"), col("l_extendedprice")),
+        width = 32, height = 32, threshold = 0.9, maxRadius = 3)
+      .transform(sortedSmall(_, col("xb"), col("yb")))
+
   /** q51: bivariate statistics + conditional aggregation — correlation,
     * sample covariance, regression slope (the "how does y scale with x"
     * companion to the raster's visual answer) and a FILTER-style
@@ -280,6 +298,7 @@ object CoverageQueries {
     "q54_date_arith"       -> q54 _,
     "q55_array_hof"        -> q55 _,
     "q77_dynspread"        -> q77 _,
+    "q150_dynspread_density" -> q150 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +409,35 @@ object CoverageQueries {
       o AS (SELECT CAST(a.dx AS INT) AS dx, CAST(b.dy AS INT) AS dy
             FROM unnest(range(-1, 2)) AS a(dx), unnest(range(-1, 2)) AS b(dy)),
       s AS (SELECT r.xb + o.dx AS xb, r.yb + o.dy AS yb, r.c FROM r, o)
+      SELECT xb, yb, CAST(sum(c) AS BIGINT) AS c FROM s
+      WHERE xb >= 0 AND xb < 32 AND yb >= 0 AND yb < 32
+      GROUP BY xb, yb ORDER BY xb NULLS FIRST, yb NULLS FIRST""",
+
+    // q150: the adaptive-radius chain closed-form — min-Chebyshev
+    // neighbor table, per-radius density fractions, argmin radius
+    // (coalesce maxRadius), spread by the chosen r
+    "q150_dynspread_density" -> """
+      WITH r AS (
+        SELECT least(31, greatest(0, CAST(floor((l_quantity - 0.0)/(50.0 - 0.0)*32) AS INT))) AS xb,
+               least(31, greatest(0, CAST(floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*32) AS INT))) AS yb,
+               count(*) AS c
+        FROM lineitem WHERE l_orderkey % 1000 = 0 GROUP BY xb, yb),
+      md AS (SELECT a.xb, a.yb, min(greatest(abs(a.xb-b.xb), abs(a.yb-b.yb))) AS mind
+             FROM r a JOIN r b ON NOT (a.xb = b.xb AND a.yb = b.yb)
+               AND abs(a.xb-b.xb) <= 7 AND abs(a.yb-b.yb) <= 7
+             GROUP BY a.xb, a.yb),
+      n AS (SELECT count(*) AS n FROM r),
+      rr AS (SELECT CAST(x AS INT) AS rad FROM unnest(range(0, 4)) AS t(x)),
+      k AS (SELECT rad, count(*)::DOUBLE AS k FROM md JOIN rr ON mind <= 2*rad + 1
+            GROUP BY rad),
+      chosen AS (SELECT coalesce(min(rad), 3) AS rad FROM rr
+                 LEFT JOIN k USING (rad)
+                 WHERE coalesce(k.k, 0) / (SELECT n FROM n) > 0.9),
+      o AS (SELECT CAST(a.dx AS INT) AS dx, CAST(b.dy AS INT) AS dy
+            FROM unnest(range(-3, 4)) AS a(dx), unnest(range(-3, 4)) AS b(dy)),
+      s AS (SELECT r.xb + o.dx AS xb, r.yb + o.dy AS yb, r.c
+            FROM r, o, chosen
+            WHERE greatest(abs(o.dx), abs(o.dy)) <= chosen.rad)
       SELECT xb, yb, CAST(sum(c) AS BIGINT) AS c FROM s
       WHERE xb >= 0 AND xb < 32 AND yb >= 0 AND yb < 32
       GROUP BY xb, yb ORDER BY xb NULLS FIRST, yb NULLS FIRST""",

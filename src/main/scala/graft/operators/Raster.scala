@@ -109,6 +109,67 @@ object Raster {
     current
   }
 
+  /** DENSITY-adaptive spreading — datashader `tf.dynspread`'s actual
+    * criterion [U] (the coverage loop above is the simplified cousin;
+    * the r13 verdict flagged the gap): pick the SMALLEST radius at
+    * which enough points visually merge, then spread by it — sparse
+    * scatter dilates until dots touch, dense rasters stay sharp. The
+    * merge test for radius `r`: two cells spread into (2r+1)-sided
+    * squares touch iff their Chebyshev distance ≤ 2r+1, so
+    * `density(r)` = fraction of non-empty cells whose NEAREST other
+    * non-empty cell lies within 2r+1. Chosen radius = min r in
+    * [0, maxRadius] with `density(r) > threshold`, or `maxRadius` when
+    * no radius qualifies (a lone point spreads maximally — the
+    * visibility intent).
+    *
+    * Unlike the driver-looped coverage form, this is ONE declarative
+    * plan: the nearest-other-cell distances come from a bounded
+    * neighborhood explode over the RASTER (≤ canvas cells ×
+    * (4·maxRadius+3)², never data-sized), the per-radius density table
+    * is maxRadius+1 rows, and the chosen radius rides back into the
+    * spread as a 1-row broadcast — so the operator composes into a
+    * gated query with a closed-form SQL oracle (q150), no iteration
+    * anywhere. */
+  def dynSpreadDensity(
+      raster: DataFrame, width: Int, height: Int,
+      threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
+    require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
+    require(threshold >= 0 && threshold <= 1, s"threshold in [0,1], got $threshold")
+    val base = raster.select(col("xb"), col("yb"), col("c"))
+    // nearest OTHER non-empty cell per cell, probed within the farthest
+    // distance any candidate radius can care about (2·maxRadius + 1)
+    val reach = 2 * maxRadius + 1
+    val probe = for { dx <- -reach to reach; dy <- -reach to reach
+                      if dx != 0 || dy != 0 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val minDist = base
+      .select(col("xb").as("ox"), col("yb").as("oy"), explode(array(probe: _*)).as("o"))
+      .select((col("ox") + col("o.dx")).as("xb"), (col("oy") + col("o.dy")).as("yb"),
+        greatest(abs(col("o.dx")), abs(col("o.dy"))).as("d"))
+      .join(base.select("xb", "yb"), Seq("xb", "yb"))
+      .groupBy("xb", "yb").agg(min(col("d")).as("__ds_d"))
+    val rs = raster.sparkSession.range(0, maxRadius + 1L)
+      .select(col("id").cast("int").as("__ds_r"))
+    val qualifying = minDist.crossJoin(broadcast(rs))
+      .filter(col("__ds_d") <= col("__ds_r") * 2 + 1)
+      .groupBy("__ds_r").agg(count(lit(1)).as("__ds_k"))
+    val chosen = broadcast(rs).join(qualifying, Seq("__ds_r"), "left")
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__ds_n"))))
+      .filter(coalesce(col("__ds_k"), lit(0L)).cast("double") / col("__ds_n") > threshold)
+      .agg(coalesce(min(col("__ds_r")), lit(maxRadius)).as("__ds_r"))
+    val offsets = for { dx <- -maxRadius to maxRadius; dy <- -maxRadius to maxRadius }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    base
+      .crossJoin(broadcast(chosen))
+      .select(col("xb"), col("yb"), col("c"), col("__ds_r"),
+        explode(array(offsets: _*)).as("o"))
+      .filter(greatest(abs(col("o.dx")), abs(col("o.dy"))) <= col("__ds_r"))
+      .select((col("xb") + col("o.dx")).as("xb"), (col("yb") + col("o.dy")).as("yb"), col("c"))
+      .filter(col("xb") >= 0 && col("xb") < width && col("yb") >= 0 && col("yb") < height)
+      .groupBy("xb", "yb")
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Sparse-pixel spreading (datashader `tf.dynspread` [U], simplified to a
     * fixed-radius square-kernel convolution): each cell's count is summed
     * into its neighbors within `radius`. Runs as explode + re-aggregate

@@ -56,6 +56,28 @@ class SubsetSpec extends SparkSpec {
     assert(out.count() >= 32, s"sparse point should dilate to >= 32 cells, got ${out.count()}")
   }
 
+  test("dynSpreadDensity: dense stays sharp, near pair merges at r=1, lone point maxes out") {
+    import graft.operators.Raster
+    // dense full grid: every cell's nearest neighbor is at distance 1,
+    // density(0) = 1 > threshold -> radius 0 -> identity
+    val dense = (for { x <- 0 until 4; y <- 0 until 4 } yield (x, y, 1L)).toDF("xb", "yb", "c")
+    val d = Raster.dynSpreadDensity(dense, 4, 4, threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(d.size == 16 && d.values.forall(_ == 1L), s"dense must come back unspread: $d")
+    // two cells at Chebyshev distance 3: squares touch at radius 1
+    // (2·1+1 = 3), so r = 1 is chosen — blocks 2x2 (clipped) and 3x2
+    val pair = Seq((0, 0, 1L), (3, 0, 5L)).toDF("xb", "yb", "c")
+    val p = Raster.dynSpreadDensity(pair, 16, 16, threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(p.size == 10 && p.values.sum == 4L * 1 + 6L * 5, s"pair must spread r=1: $p")
+    assert(p((0, 0)) == 1L && p((2, 0)) == 5L, s"$p")
+    // lone point: no radius ever qualifies -> maxRadius, clipped block
+    val lone = Seq((8, 8, 1L)).toDF("xb", "yb", "c")
+    val l = Raster.dynSpreadDensity(lone, 16, 16, threshold = 0.5, maxRadius = 3)
+    assert(l.count() == 49 && l.collect().map(_.getLong(2)).sum == 49L,
+      "a lone point must dilate by maxRadius (7x7 block)")
+  }
+
   test("Engine.open registers the catalog for free-form SQL (TaQL passthrough)") {
     Engine.open(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
