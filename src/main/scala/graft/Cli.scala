@@ -38,7 +38,7 @@ object Cli {
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
     "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile",
-    "jobs")
+    "jobs", "title")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -74,7 +74,7 @@ object Cli {
   private[graft] def parsePlotOpts(s: String): Map[String, String] = {
     val perPlot = Set("x", "y", "width", "height", "xmin", "xmax", "ymin",
       "ymax", "aaxis", "ared", "order", "colour-by", "norm", "cmap",
-      "conj", "out", "png")
+      "conj", "out", "png", "title")
     s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf(':')
       require(i > 0, s"bad --plot entry '$kv' (want key:value)")
@@ -234,10 +234,12 @@ object Cli {
         p.get("out").foreach(dir =>
           shaded.coalesce(1).write.mode("overwrite").parquet(dir))
         p.get("png").foreach { png =>
-          if (spec.colourBy.isEmpty)
-            ShadePlot.writePng(shaded, spec, png,
-              p.getOrElse("cmap", a.get("cmap").getOrElse("fire")))
-          else ShadePlot.writePngCategorical(raster, spec, png)
+          val cm = p.getOrElse("cmap", a.get("cmap").getOrElse("fire"))
+          if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
+          else p.get("title").orElse(a.get("title")) match {
+            case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png, cm, t)
+            case None => ShadePlot.writePng(shaded, spec, png, cm)
+          }
         }
         val cells = shaded.count()
         println(s"[cli] plot $i: $cells raster cells" +
@@ -338,9 +340,13 @@ object Cli {
         a.get("out").foreach(dir =>
           shaded.coalesce(1).write.mode("overwrite").parquet(dir))
         a.get("png").foreach { png =>
-          if (spec.colourBy.isEmpty)
-            ShadePlot.writePng(shaded, spec, png, a.get("cmap").getOrElse("fire"))
-          else ShadePlot.writePngCategorical(raster, spec, png)
+          if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
+          else a.get("title") match {
+            case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png,
+              a.get("cmap").getOrElse("fire"), t)
+            case None => ShadePlot.writePng(shaded, spec, png,
+              a.get("cmap").getOrElse("fire"))
+          }
         }
         (shaded.count(), a.get("png").map(p => s"; png: $p"))
     }

@@ -86,6 +86,12 @@ object PlanDump {
     "q142_kmeans_train",     // broadcast assignment pass + k-group mean aggregate
     "q143_calibration",      // one |bins|-row aggregate on the floored grid score
     "q144_bitext_margin",    // broadcast NLJ candidates + per-side k-row margin windows
+    "q145_exact_substring_dfcap", // anti join drops hot shingles BEFORE the self-join
+    "q146_ntile_rangerank",  // parallel range sort + broadcast offsets, no 1-partition sort
+    "q147_trained_langid",   // per-lang weight relations + keyed argmax window
+    "q148_ivfpq_rerank",     // bucket-restricted ADC candidates + bounded exact rerank
+    "q149_ivfadc_residual",  // residual encode/reconstruct, broadcast centroids both ways
+    "q150_dynspread_density", // raster-bounded neighbor explode + 1-row radius broadcast
   )
 
   def main(args: Array[String]): Unit = {

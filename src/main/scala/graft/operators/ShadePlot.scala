@@ -153,6 +153,86 @@ object ShadePlot {
     }
   }
 
+  /** Decorated render — title bar, axis tick labels and a colorbar
+    * around the raster (the reference's matplotlib title/ticks/colorbar
+    * cosmetics [U], re-expressed): the raster draws exactly as
+    * [[writePng]] does, framed by a white page with
+    *  - a centered TITLE line (when non-empty),
+    *  - three ticks per axis labeled from the canvas ranges at `%.3g`
+    *    (min / midpoint / max — the y axis reads upward, matching the
+    *    raster's orientation), and
+    *  - a vertical COLORBAR sampling the colormap top (1.0) to bottom
+    *    (0.0) with its own scale labels — the shade domain every norm
+    *    (eq_hist/log/cbrt/linear) maps into.
+    * All text uses [[PixelFont]], so the output is byte-deterministic
+    * on any JVM and needs no fontconfig (ShadePlotSpec pins identical
+    * bytes across renders and checks colorbar pixels against the
+    * colormap directly). */
+  def writePngDecorated(shaded: DataFrame, spec: PlotSpec, path: String,
+      cmap: String = "fire", title: String = ""): Unit = {
+    require(spec.colourBy.isEmpty,
+      "writePngDecorated renders one value per cell, like writePng")
+    val w = spec.canvas.width
+    val h = spec.canvas.height
+    val left = 50
+    val bottom = 16
+    val top = if (title.nonEmpty) 13 else 4
+    val cbGap = 4
+    val cbW = 10
+    val right = cbGap + cbW + 3 + PixelFont.width("0.0") + 3
+    val W = left + w + right
+    val H = top + h + bottom
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    val ink = 0x202020
+    for (x <- 0 until W; y <- 0 until H) img.setRGB(x, y, 0xFFFFFF)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(left + x, top + y, 0x000000)
+    val map = colormap(cmap) _
+    shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
+      val (rC, gC, bC) = map(r.getDouble(2))
+      img.setRGB(left + r.getInt(0), top + h - 1 - r.getInt(1),
+        (rC << 16) | (gC << 8) | bC)
+    }
+    if (title.nonEmpty) {
+      val tw = PixelFont.width(title)
+      PixelFont.draw(img, left + math.max(0, (w - tw) / 2), 2, title, ink)
+    }
+    def fmt(v: Double): String = "%.3g".format(v)
+    // x ticks: min / mid / max under the raster's left / center / right
+    val (x0, x1) = spec.canvas.xRange
+    Seq((0.0, left), (0.5, left + w / 2), (1.0, left + w - 1)).foreach { case (f, px) =>
+      img.setRGB(px, top + h, ink)
+      img.setRGB(px, top + h + 1, ink)
+      val label = fmt(x0 + f * (x1 - x0))
+      val lw = PixelFont.width(label)
+      PixelFont.draw(img, math.min(W - lw - 1, math.max(0, px - lw / 2)),
+        top + h + 4, label, ink)
+    }
+    // y ticks: max at the top row (the raster's y axis reads upward)
+    val (y0v, y1v) = spec.canvas.yRange
+    Seq((1.0, top), (0.5, top + h / 2), (0.0, top + h - 1)).foreach { case (f, py) =>
+      img.setRGB(left - 2, py, ink)
+      img.setRGB(left - 3, py, ink)
+      val label = fmt(y0v + f * (y1v - y0v))
+      PixelFont.draw(img, math.max(0, left - 5 - PixelFont.width(label)),
+        math.max(0, py - PixelFont.glyphH / 2), label, ink)
+    }
+    // colorbar: colormap sampled 1.0 (top) to 0.0 (bottom)
+    val cbX = left + w + cbGap
+    for (row <- 0 until h) {
+      val v = if (h == 1) 1.0 else (h - 1 - row).toDouble / (h - 1)
+      val (rC, gC, bC) = map(v)
+      for (dx <- 0 until cbW)
+        img.setRGB(cbX + dx, top + row, (rC << 16) | (gC << 8) | bC)
+    }
+    Seq(("1.0", top), ("0.5", top + h / 2), ("0.0", top + h - 1)).foreach {
+      case (label, py) =>
+        PixelFont.draw(img, cbX + cbW + 3,
+          math.max(0, py - PixelFont.glyphH / 2), label, ink)
+    }
+    ImageIO.write(img, "png", new File(path))
+    ()
+  }
+
   /** Deterministic colormaps (`--cmap` analog): shade in [0,1] → RGB.
     * "fire" is black→red→yellow→white; "gray" linear; "viridis" a
     * piecewise-linear approximation of the matplotlib default. */

@@ -188,6 +188,20 @@ class CliSpec extends SparkSpec {
     } finally { projection.unpersist(blocking = false); () }
   }
 
+  test("--title renders the decorated layout (margins, colorbar) around the raster") {
+    val png = tmp("titled.png")
+    Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--width", "32", "--height", "32",
+      "--title", "qty vs price", "--png", png), spark)
+    val img = javax.imageio.ImageIO.read(new java.io.File(png))
+    // decorated page is strictly larger than the raster: left margin 50,
+    // title bar 13, bottom 16, colorbar + labels on the right
+    assert(img.getWidth > 32 + 50 && img.getHeight == 13 + 32 + 16,
+      s"decorated layout expected, got ${img.getWidth}x${img.getHeight}")
+  }
+
   test("--jobs N renders the batch in parallel with byte-identical PNGs") {
     // the reference's `-j N` render pool: same 3-plot batch serial and
     // with a 3-thread pool — every PNG byte-identical, same cell total

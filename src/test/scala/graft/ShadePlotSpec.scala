@@ -28,6 +28,57 @@ class ShadePlotSpec extends SparkSpec {
     assert(total == sf0001.lineitem.filter(col("l_returnflag") =!= "R").count())
   }
 
+  test("decorated png: layout, colorbar = colormap, bitmap text, byte-determinism") {
+    import graft.operators.PixelFont
+    import javax.imageio.ImageIO
+    val dir = Files.createTempDirectory("shade-dec")
+    val s = spec()
+    val shaded = ShadePlot.shade(ShadePlot.raster(sf0001.lineitem, s), s)
+    val p1 = dir.resolve("a.png").toString
+    val p2 = dir.resolve("b.png").toString
+    ShadePlot.writePngDecorated(shaded, s, p1, title = "lineitem qty vs price")
+    ShadePlot.writePngDecorated(shaded, s, p2, title = "lineitem qty vs price")
+    val b1 = Files.readAllBytes(java.nio.file.Paths.get(p1))
+    assert(java.util.Arrays.equals(b1, Files.readAllBytes(java.nio.file.Paths.get(p2))),
+      "decorated output must be byte-deterministic (bitmap font, no AWT text)")
+    val img = ImageIO.read(new java.io.File(p1))
+    // layout: left 50, top 13 (titled), bottom 16, right = 4+10+3+width("0.0")+3
+    val (left, top, cbGap, cbW) = (50, 13, 4, 10)
+    val right = cbGap + cbW + 3 + PixelFont.width("0.0") + 3
+    assert(img.getWidth == left + 32 + right && img.getHeight == top + 32 + 16,
+      s"unexpected canvas: ${img.getWidth}x${img.getHeight}")
+    // colorbar samples the colormap exactly: top row v=1.0, middle v~0.5
+    def rgb(v: Double) = {
+      val (r, g, b) = ShadePlot.colormap("fire")(v); (r << 16) | (g << 8) | b
+    }
+    assert((img.getRGB(left + 32 + cbGap + 1, top) & 0xFFFFFF) == rgb(1.0))
+    assert((img.getRGB(left + 32 + cbGap + 1, top + 31) & 0xFFFFFF) == rgb(0.0))
+    assert((img.getRGB(left + 32 + cbGap + 1, top + 16) & 0xFFFFFF) ==
+      rgb((31 - 16).toDouble / 31))
+    // the title row and both tick-label margins contain ink pixels
+    def inkIn(x0: Int, x1: Int, y0: Int, y1: Int) =
+      (x0 until x1).exists(x => (y0 until y1).exists(y =>
+        (img.getRGB(x, y) & 0xFFFFFF) == 0x202020))
+    assert(inkIn(0, img.getWidth, 0, top), "title text expected")
+    assert(inkIn(0, left, top, top + 32), "y tick labels expected")
+    assert(inkIn(0, img.getWidth, top + 32, img.getHeight), "x tick labels expected")
+  }
+
+  test("PixelFont: glyphs draw the exact table pixels, clipped at edges") {
+    import graft.operators.PixelFont
+    val img = new java.awt.image.BufferedImage(16, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    PixelFont.draw(img, 1, 1, "1", 0xFF0000)
+    val lit = (for { x <- 0 until 16; y <- 0 until 9
+                     if (img.getRGB(x, y) & 0xFFFFFF) == 0xFF0000 } yield (x - 1, y - 1)).toSet
+    val want = Set((2, 0), (1, 1), (2, 1), (2, 2), (2, 3), (2, 4), (2, 5),
+      (1, 6), (2, 6), (3, 6))
+    assert(lit == want, s"glyph '1' pixels: $lit")
+    assert(PixelFont.width("0.5") == 17)
+    // clipping: drawing off-canvas must not throw
+    PixelFont.draw(img, 14, 7, "XY", 0x00FF00)
+  }
+
   test("pngPathForGroup: sanitized-but-distinct groups never collide") {
     // "a/b" and "a_b" both sanitize to "a_b"; the original-value hash
     // suffix keeps them distinct (a collision silently overwrites a PNG)
