@@ -210,8 +210,9 @@ object Cli {
     * main loop renders MANY plots per MS read; this is that shape — one
     * shared scan + persisted axis-dedup'd projection feeding every
     * plot's raster, instead of one scan per `shadems` invocation.
-    * Returns total raster cells across plots. */
-  /** `--jobs N` (reference `-j N` pool [U]) renders the batch's plots
+    * Returns total raster cells across plots.
+    *
+    * `--jobs N` (reference `-j N` pool [U]) renders the batch's plots
     * from N submit threads: each plot's shade/write/count pipeline is
     * independent (they share only the cached axis projection, which
     * concurrent Spark jobs read safely), so the per-plot DRIVER work —
@@ -235,6 +236,11 @@ object Cli {
           shaded.coalesce(1).write.mode("overwrite").parquet(dir))
         p.get("png").foreach { png =>
           val cm = p.getOrElse("cmap", a.get("cmap").getOrElse("fire"))
+          // reject rather than silently drop the title (matches the
+          // CLI's unsupported-combination philosophy, e.g. --iter+--plot)
+          require(spec.colourBy.isEmpty || p.get("title").isEmpty,
+            s"plot $i: title: is not supported with colour-by: " +
+              "(categorical renders are undecorated)")
           if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
           else p.get("title").orElse(a.get("title")) match {
             case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png, cm, t)
@@ -340,6 +346,9 @@ object Cli {
         a.get("out").foreach(dir =>
           shaded.coalesce(1).write.mode("overwrite").parquet(dir))
         a.get("png").foreach { png =>
+          require(spec.colourBy.isEmpty || a.get("title").isEmpty,
+            "--title is not supported with --colour-by " +
+              "(categorical renders are undecorated)")
           if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
           else a.get("title") match {
             case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png,

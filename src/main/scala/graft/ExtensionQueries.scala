@@ -227,8 +227,13 @@ object ExtensionQueries {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val centroids = e.filter(col("vec_id") < 8)
     val assign = Similarity.ivfAssign(e, centroids)
+    // cbFrom = 8: vec 0-7 ARE the IVF centroids, so their residuals are
+    // exactly zero — seeding the codebook from vec_id < 16 would fill
+    // half of it with duplicate zero entries (effective ksub 9, codes
+    // 0-7 indistinguishable). Training on [8, 24) keeps all 16 entries
+    // distinct and exercises the full encode arithmetic the gate claims
     val recon = Similarity.ivfResidualReconstruct(e, assign, centroids,
-      m = 4, ksub = 16, dim = 64)
+      m = 4, ksub = 16, dim = 64, cbFrom = 8)
     val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
     Similarity.ivfPqTopK(assign, recon, centroids, queries, k = 3, nprobe = 2)
       .transform(sortedSmall(_, col("qid"), col("rn")))
@@ -701,8 +706,9 @@ object ExtensionQueries {
                   c.ce AS ce
                 FROM e JOIN assign a ON a.vec_id = e.vec_id
                 JOIN c ON c.cid = a.cid),
-      cb AS (SELECT j, vec_id AS code, r[(j-1)*16+1 : j*16] AS sub
-             FROM resid, unnest(range(1, 5)) AS t(j) WHERE vec_id < 16),
+      cb AS (SELECT j, vec_id - 8 AS code, r[(j-1)*16+1 : j*16] AS sub
+             FROM resid, unnest(range(1, 5)) AS t(j)
+             WHERE vec_id >= 8 AND vec_id < 24),
       sl AS (SELECT vec_id, j, r[(j-1)*16+1 : j*16] AS vsub
              FROM resid, unnest(range(1, 5)) AS t(j)),
       codes AS (SELECT vec_id, j, code FROM (

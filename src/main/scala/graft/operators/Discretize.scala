@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   * `DiscretizeSpec` (fixture parity with Q11, a heavy-tie fixture, and
   * the n < buckets edge); the no-single-partition-sort claim is
   * plan-gated in PlanShapeSpec and the form is oracle-gated as q146
-  * against Q11's own DuckDB ntile SQL. */
+  * against Q11's own DuckDB ntile SQL. Measured (`discretize_ab` soak,
+  * checksum-equal legs): across a 3M → 12M row step the window ntile
+  * grows 3.53 s → 15.22 s (the one-partition sort), this form 1.48 s →
+  * 2.07 s — 7.3x at 12M on 32 cores, widening with parallelism. */
 object Discretize {
 
   /** `(df + "bucket")` where bucket ≡ `ntile(buckets) OVER (ORDER BY
@@ -48,6 +51,16 @@ object Discretize {
   def ntileRangeRank(df: DataFrame, buckets: Int, orderCols: Column*): DataFrame = {
     require(buckets >= 1, s"need at least 1 bucket, got $buckets")
     require(orderCols.nonEmpty, "ntileRangeRank needs at least one order column")
+    // Persisted because TWO branches below (the offsets aggregate and
+    // the main join) consume this range-partitioned view: without the
+    // cache their correctness would rest on ReuseExchange deduplicating
+    // the exchange — RangePartitioner samples boundaries with an
+    // RDD-id-derived seed, so two physical instantiations could place
+    // the same row in different partitions and the broadcast offsets
+    // would describe the wrong partitioning (e.g. under
+    // spark.sql.exchange.reuse.enabled=false). The cache pins ONE
+    // physical partitioning by construction. Storage follows the repo
+    // pattern (MEMORY_AND_DISK; Bench/Soak clearCache between runs).
     val ranked = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -55,9 +68,9 @@ object Discretize {
       .withColumn("__nt_pid", shiftright(col("__nt_mid"), 33))
       .withColumn("__nt_rn", (col("__nt_mid") % (1L << 33)) + 1L)
       .drop("__nt_mid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts → cumulative offsets: one row per shuffle
-    // partition (the range exchange below is deduped with the main
-    // branch's by ReuseExchange — the corpus shuffles once)
+    // partition (a partition-count-sized dimension, not data)
     val offs = ranked
       .groupBy(col("__nt_pid"))
       .agg(count(lit(1)).as("__nt_c"))

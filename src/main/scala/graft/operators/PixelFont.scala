@@ -76,7 +76,9 @@ object PixelFont {
   def draw(img: BufferedImage, x0: Int, y0: Int, text: String, rgb: Int,
       scale: Int = 1): Unit = {
     var cx = x0
-    text.toUpperCase.foreach { ch =>
+    // Locale.ROOT: default-locale toUpperCase maps 'i' to dotted İ on
+    // tr_TR JVMs — a glyph we don't have — breaking byte determinism
+    text.toUpperCase(java.util.Locale.ROOT).foreach { ch =>
       val g = glyphs.getOrElse(ch, glyphs('?'))
       for {
         r <- 0 until glyphH; c <- 0 until glyphW if g(r).charAt(c) == 'X'

@@ -174,7 +174,16 @@ object ShadePlot {
       "writePngDecorated renders one value per cell, like writePng")
     val w = spec.canvas.width
     val h = spec.canvas.height
-    val left = 50
+    // formatLocal(ROOT): plain .format uses the JVM default locale,
+    // which would print decimal COMMAS on e.g. de_DE — different label
+    // bytes per machine, the exact dependence PixelFont exists to avoid
+    def fmt(v: Double): String = "%.3g".formatLocal(java.util.Locale.ROOT, v)
+    // left margin grows to fit the widest y label (e.g. "-1.05e+05" is
+    // 53 px — wider than the 45-px default budget; without this it
+    // would clamp to x=0 and overdraw the raster's left columns)
+    val (y0v, y1v) = spec.canvas.yRange
+    val yLabels = Seq(fmt(y1v), fmt(y0v + 0.5 * (y1v - y0v)), fmt(y0v))
+    val left = math.max(50, yLabels.map(PixelFont.width(_)).max + 8)
     val bottom = 16
     val top = if (title.nonEmpty) 13 else 4
     val cbGap = 4
@@ -187,16 +196,11 @@ object ShadePlot {
     for (x <- 0 until W; y <- 0 until H) img.setRGB(x, y, 0xFFFFFF)
     for (x <- 0 until w; y <- 0 until h) img.setRGB(left + x, top + y, 0x000000)
     val map = colormap(cmap) _
-    shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
-      val (rC, gC, bC) = map(r.getDouble(2))
-      img.setRGB(left + r.getInt(0), top + h - 1 - r.getInt(1),
-        (rC << 16) | (gC << 8) | bC)
-    }
+    drawRaster(img, shaded, h, map, left, top)
     if (title.nonEmpty) {
       val tw = PixelFont.width(title)
       PixelFont.draw(img, left + math.max(0, (w - tw) / 2), 2, title, ink)
     }
-    def fmt(v: Double): String = "%.3g".format(v)
     // x ticks: min / mid / max under the raster's left / center / right
     val (x0, x1) = spec.canvas.xRange
     Seq((0.0, left), (0.5, left + w / 2), (1.0, left + w - 1)).foreach { case (f, px) =>
@@ -207,13 +211,13 @@ object ShadePlot {
       PixelFont.draw(img, math.min(W - lw - 1, math.max(0, px - lw / 2)),
         top + h + 4, label, ink)
     }
-    // y ticks: max at the top row (the raster's y axis reads upward)
-    val (y0v, y1v) = spec.canvas.yRange
-    Seq((1.0, top), (0.5, top + h / 2), (0.0, top + h - 1)).foreach { case (f, py) =>
+    // y ticks: max at the top row (the raster's y axis reads upward);
+    // labels right-align to left-5 and always fit — `left` was sized
+    // from these exact strings above
+    yLabels.zip(Seq(top, top + h / 2, top + h - 1)).foreach { case (label, py) =>
       img.setRGB(left - 2, py, ink)
       img.setRGB(left - 3, py, ink)
-      val label = fmt(y0v + f * (y1v - y0v))
-      PixelFont.draw(img, math.max(0, left - 5 - PixelFont.width(label)),
+      PixelFont.draw(img, left - 5 - PixelFont.width(label),
         math.max(0, py - PixelFont.glyphH / 2), label, ink)
     }
     // colorbar: colormap sampled 1.0 (top) to 0.0 (bottom)
@@ -269,14 +273,22 @@ object ShadePlot {
     val h = spec.canvas.height
     val map = colormap(cmap) _
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
-      val x = r.getInt(0)
-      val y = r.getInt(1)
-      val (rC, gC, bC) = map(r.getDouble(2))
-      img.setRGB(x, h - 1 - y, (rC << 16) | (gC << 8) | bC) // y up, like the reference
-    }
+    drawRaster(img, shaded, h, map, 0, 0)
     ImageIO.write(img, "png", new File(path))
   }
+
+  /** Shared raster blit for [[writePng]] and [[writePngDecorated]]:
+    * collect (xb, yb, shade) — bounded by the canvas size, never the
+    * data — map through the colormap, and paint at offset (ox, oy)
+    * with y reading upward, like the reference. One definition so the
+    * plain and decorated renders cannot diverge on draw conventions. */
+  private def drawRaster(img: BufferedImage, shaded: DataFrame, h: Int,
+      map: Double => (Int, Int, Int), ox: Int, oy: Int): Unit =
+    shaded.select(col("xb"), col("yb"), col("shade")).collect().foreach { r =>
+      val (rC, gC, bC) = map(r.getDouble(2))
+      img.setRGB(ox + r.getInt(0), oy + h - 1 - r.getInt(1),
+        (rC << 16) | (gC << 8) | bC)
+    }
 
   /** Deterministic n-color key — datashader's `color_key` default:
     * the first three categories get the pure R/G/B primaries (backward

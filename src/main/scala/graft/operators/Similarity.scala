@@ -437,11 +437,16 @@ object Similarity {
     * iterative trainer is [[trainCentroids]]'s job; PQ composes with it
     * by training per-subspace, but the GATED contract fixes the codebook
     * so encode/ADC semantics are oracle-exact). Returns (j, code, sub). */
-  def pqCodebook(vectors: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+  def pqCodebook(vectors: DataFrame, m: Int, ksub: Int, dim: Int,
+      trainFrom: Long = 0L): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
-    vectors.filter(col("vec_id") < ksub)
-      .select(col("vec_id").as("code"), col("e"),
+    // trainFrom picks which id window seeds the codebook (codes stay
+    // 0-based): residual trainings pass a window DISJOINT from the IVF
+    // centroid ids — centroid rows have all-zero residuals, and seeding
+    // from them would duplicate zero entries across the codebook
+    vectors.filter(col("vec_id") >= trainFrom && col("vec_id") < trainFrom + ksub)
+      .select((col("vec_id") - lit(trainFrom)).as("code"), col("e"),
         explode(sequence(lit(1), lit(m))).as("j"))
       .select(col("j"), col("code"),
         slice(col("e"), (col("j") - 1) * sub + 1, lit(sub)).as("sub"))
@@ -557,15 +562,18 @@ object Similarity {
     * raw-vector encoding at identical m/ksub: clustered leg, nprobe=4,
     * recall@10 0.286→0.436 at m=8 and 0.402→0.528 at m=16; the lift
     * gate requires strict improvement). Codebook discipline
-    * matches [[pqCodebook]]: init-only from the first `ksub` RESIDUALS
-    * by id, so the whole chain stays oracle-exact. Reconstruction adds
+    * matches [[pqCodebook]]: init-only from the `ksub` RESIDUALS in the
+    * id window starting at `cbFrom`, so the whole chain stays
+    * oracle-exact — pass a window disjoint from the centroid ids when
+    * the centroids are corpus rows (their residuals are all-zero and
+    * would duplicate across the codebook). Reconstruction adds
     * the centroid back (`re = centroid + PQ(residual)`), which makes the
     * output drop-in for [[ivfPqTopK]]/[[ivfPqTopKReranked]] — ADC
     * against these reconstructions IS asymmetric distance in the
     * original space. Returns `(vec_id, re)`. */
   def ivfResidualReconstruct(
       vectors: DataFrame, assign: DataFrame, centroids: DataFrame,
-      m: Int, ksub: Int, dim: Int): DataFrame = {
+      m: Int, ksub: Int, dim: Int, cbFrom: Long = 0L): DataFrame = {
     val c = centroids.select(col("vec_id").as("cid"), col("e").as("ce"))
     val resid = vectors.select(col("vec_id"), col("e"))
       .join(assign.select(col("vec_id"), col("cid")), "vec_id")
@@ -573,7 +581,7 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("e"), col("ce"), (a, b) => a - b).as("e"), col("ce"))
     val rOnly = resid.select("vec_id", "e")
-    val cb = pqCodebook(rOnly, m, ksub, dim)
+    val cb = pqCodebook(rOnly, m, ksub, dim, cbFrom)
     pqReconstruct(pqEncode(rOnly, cb, m, dim), cb)
       .join(resid.select(col("vec_id"), col("ce")), "vec_id")
       .select(col("vec_id"),

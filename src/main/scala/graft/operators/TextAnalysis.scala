@@ -524,29 +524,38 @@ object TextAnalysis {
     // feature pairs then join nothing and contribute nothing)
     val lab = docs.filter(id.isNotNull && label.isNotNull)
       .select(id.as("__lh_id"), label.cast("double").as("__lh_y")).persist()
-    try {
-      val nd = lab.count().toDouble
-      var w = fp.select(col("__lh_b")).distinct()
-        .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
-      for (_ <- 1 to iters) {
-        val z = fp.join(w, "__lh_b")
-          .groupBy("__lh_id")
-          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
-        val diff = z.join(lab, "__lh_id")
-          .select(col("__lh_id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
-              .as("__lh_d"))
-        val g = fp.join(diff, "__lh_id")
-          .groupBy("__lh_b")
-          .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
-            + lit(0.5)) / lit(1e9)).as("__lh_g"))
-        w = g.join(w, "__lh_b")
-          .select(col("__lh_b"),
-            (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
-          .localCheckpoint()
-      }
-      w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
-    } finally { fp.unpersist(); lab.unpersist() }
+    try trainOnPairs(fp, lab, iters, lr)
+    finally { fp.unpersist(); lab.unpersist() }
+  }
+
+  /** The GD loop of [[logisticTrainHashed]] over an ALREADY-BUILT
+    * (and caller-persisted) feature-pair table — shared so multi-model
+    * trainings ([[langIdTrained]]'s one-vs-rest) featurize the corpus
+    * ONCE instead of once per model. Numerics are identical to the
+    * public entry: same joins, same grid-rounded gradients. */
+  private def trainOnPairs(fp: DataFrame, lab: DataFrame,
+      iters: Int, lr: Double): DataFrame = {
+    val nd = lab.count().toDouble
+    var w = fp.select(col("__lh_b")).distinct()
+      .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val z = fp.join(w, "__lh_b")
+        .groupBy("__lh_id")
+        .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+      val diff = z.join(lab, "__lh_id")
+        .select(col("__lh_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
+            .as("__lh_d"))
+      val g = fp.join(diff, "__lh_id")
+        .groupBy("__lh_b")
+        .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
+          + lit(0.5)) / lit(1e9)).as("__lh_g"))
+      w = g.join(w, "__lh_b")
+        .select(col("__lh_b"),
+          (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
+        .localCheckpoint()
+    }
+    w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
   }
 
   /** TRAINED LANGUAGE-ID — the model the production pipelines run where
@@ -575,13 +584,31 @@ object TextAnalysis {
       langs: Seq[String], dims: Int, iters: Int, lr: Double): DataFrame = {
     require(langs.nonEmpty && langs.distinct == langs,
       s"langs must be non-empty and distinct, got $langs")
-    val scored = langs.map { l =>
-      val w = logisticTrainHashed(docs, id, text,
-        when(lang === l, 1.0).otherwise(0.0), dims, iters, lr)
-      logisticScoreHashed(docs, id, text, w, dims)
-        .select(col("id"), lit(l).as("__li_cand"),
-          graft.functions.Rounding.portable(col("z"), 6).as("z6"))
-    }.reduce(_.unionAll(_))
+    // Featurize ONCE: tokenization+hashing is the dominant corpus cost,
+    // and every one-vs-rest model consumes the identical feature table
+    // (only the 0/1 label differs) — training |langs| models through
+    // the public entry would tokenize the corpus 2·|langs| times (train
+    // + score), as its DuckDB oracle's single MATERIALIZED fp CTE
+    // already acknowledges. Labels likewise project once.
+    val fp = hashedFeaturePairs(docs, id, text, dims).persist()
+    // NULL-lang docs stay: their one-vs-rest label is the `otherwise`
+    // 0.0 for every candidate, exactly as the per-model `when` gave
+    // them before this table was factored out (the oracle pins that)
+    val labAll = docs.filter(id.isNotNull)
+      .select(id.as("__lh_id"), lang.as("__li_lang")).persist()
+    val scored = try {
+      langs.map { l =>
+        val lab = labAll.select(col("__lh_id"),
+          when(col("__li_lang") === l, 1.0).otherwise(0.0).as("__lh_y"))
+        val w = trainOnPairs(fp, lab, iters, lr)
+        fp.join(w.select(col("bucket").as("__lh_b"),
+            col("weight").as("__lh_wb")), "__lh_b")
+          .groupBy(col("__lh_id").as("id"))
+          .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
+          .select(col("id"), lit(l).as("__li_cand"),
+            graft.functions.Rounding.portable(col("z"), 6).as("z6"))
+      }.reduce(_.unionAll(_)).localCheckpoint()
+    } finally { fp.unpersist(blocking = false); labAll.unpersist(blocking = false) }
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("z6").desc, col("__li_cand")))

@@ -42,8 +42,14 @@ class ShadePlotSpec extends SparkSpec {
     assert(java.util.Arrays.equals(b1, Files.readAllBytes(java.nio.file.Paths.get(p2))),
       "decorated output must be byte-deterministic (bitmap font, no AWT text)")
     val img = ImageIO.read(new java.io.File(p1))
-    // layout: left 50, top 13 (titled), bottom 16, right = 4+10+3+width("0.0")+3
-    val (left, top, cbGap, cbW) = (50, 13, 4, 10)
+    // layout: left grows to fit the widest y label (+8 px of tick/gap
+    // budget; floor 50) — this fixture's "1.05e+05" is 47 px, so
+    // left = 55; top 13 (titled), bottom 16, right = 4+10+3+width("0.0")+3
+    def fmt(v: Double) = "%.3g".formatLocal(java.util.Locale.ROOT, v)
+    val yLabs = Seq(fmt(105000.0), fmt(900.0 + 0.5 * (105000.0 - 900.0)), fmt(900.0))
+    val left = math.max(50, yLabs.map(PixelFont.width(_)).max + 8)
+    assert(left == 55, s"fixture expects a 47-px widest y label, got $yLabs")
+    val (top, cbGap, cbW) = (13, 4, 10)
     val right = cbGap + cbW + 3 + PixelFont.width("0.0") + 3
     assert(img.getWidth == left + 32 + right && img.getHeight == top + 32 + 16,
       s"unexpected canvas: ${img.getWidth}x${img.getHeight}")
@@ -62,6 +68,33 @@ class ShadePlotSpec extends SparkSpec {
     assert(inkIn(0, img.getWidth, 0, top), "title text expected")
     assert(inkIn(0, left, top, top + 32), "y tick labels expected")
     assert(inkIn(0, img.getWidth, top + 32, img.getHeight), "x tick labels expected")
+  }
+
+  test("decorated png: y labels wider than the default margin never overdraw the raster") {
+    import graft.operators.PixelFont
+    import javax.imageio.ImageIO
+    // ymin = -105000 → widest label "-1.05e+05" (9 chars, 53 px): under
+    // a FIXED 50-px margin this clamped to x=0 and painted ink over the
+    // raster's left columns; the margin must grow instead
+    val dir = Files.createTempDirectory("shade-dec-wide")
+    val s = PlotSpec(
+      x = col("l_quantity"), y = col("l_extendedprice"),
+      canvas = Canvas(32, 32, (0.0, 50.0), (-105000.0, 105000.0)),
+      flagMask = None, conjugate = false, norm = "eq_hist")
+    val shaded = ShadePlot.shade(ShadePlot.raster(sf0001.lineitem, s), s)
+    val png = dir.resolve("wide.png").toString
+    ShadePlot.writePngDecorated(shaded, s, png)
+    val img = ImageIO.read(new java.io.File(png))
+    val left = math.max(50, PixelFont.width("-1.05e+05") + 8)
+    assert(left == 61 && img.getWidth == left + 32 + 4 + 10 + 3 + PixelFont.width("0.0") + 3,
+      s"margin must fit the widest label: ${img.getWidth}")
+    // no ink (0x202020 label pixels) anywhere inside the raster area
+    val top = 4
+    val overdrawn = for {
+      x <- left until left + 32; y <- top until top + 32
+      if (img.getRGB(x, y) & 0xFFFFFF) == 0x202020
+    } yield (x - left, y - top)
+    assert(overdrawn.isEmpty, s"labels overdraw raster cells at: $overdrawn")
   }
 
   test("PixelFont: glyphs draw the exact table pixels, clipped at edges") {
