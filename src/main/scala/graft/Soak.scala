@@ -183,6 +183,7 @@ object Soak {
     if (filterTerms.contains("hashedlr_dims")) hashedLrDims(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
     if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
+    if (filterTerms.contains("discretize_ab")) discretizeAb(spark, mult)
     spark.stop()
   }
 
@@ -984,6 +985,55 @@ object Soak {
     println(f"[soak] asof_hotuser growth x4: join ${jN / j0}%.1fx, union ${uN / u0}%.1fx")
     require(jN / j0 > uN / u0,
       f"join-then-max must grow faster on the hot key: ${jN / j0}%.1fx vs ${uN / u0}%.1fx")
+    ()
+  }
+
+  /** Q11's scale-killer vs its q146 sibling, MEASURED: the contract's
+    * global `ntile(16) OVER (ORDER BY value, id)` funnels every row
+    * through ONE partition's sort (the one perf-weak plan in the gated
+    * surface, carried since r11), while
+    * [[graft.operators.Discretize.ntileRangeRank]] range-partitions the
+    * same total order across all cores. Both forms must bucket
+    * IDENTICALLY (checksum-asserted per size — ties broken by the
+    * unique id, so the total order is well-defined); the a/b reports
+    * wall at two sizes a 4x step apart and requires the range form to
+    * win outright at the larger one — the window form sorts n rows on
+    * one thread, the range form n/32 rows on each of 32.
+    *
+    * Usage: sbt "runMain graft.Soak 30 discretize_ab" */
+  private def discretizeAb(spark: SparkSession, mult: Int): Unit = {
+    // ~120 distinct values per 100k rows → heavy ties, the hard case for
+    // bucket-boundary agreement between the two forms
+    def corpus(n: Long): DataFrame = spark.range(n).select(
+      col("id"), pmod(xxhash64(col("id")), lit(n / 831L + 2L)).as("value"))
+    def run(n: Long, range: Boolean): (Long, Double) = {
+      // ntileRangeRank persists its range-partitioned view; time a fresh
+      // build, not a cache scan (same discipline as the main soak loop)
+      spark.sharedState.cacheManager.clearCache()
+      val df = corpus(n)
+      val t0 = System.nanoTime()
+      val bucketed =
+        if (range) graft.operators.Discretize.ntileRangeRank(df, 16, col("value"), col("id"))
+        else df.withColumn("bucket", ntile(16).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("value"), col("id"))))
+      val r = bucketed.agg(
+        sum(col("bucket") * col("id")).cast("long").as("cs"),
+        sum(col("bucket")).cast("long").as("s")).head()
+      (r.getLong(0) + 31L * r.getLong(1), (System.nanoTime() - t0) / 1e9)
+    }
+    val base = 100000L * mult
+    run(base, range = true); run(base, range = false) // warm both shapes
+    val walls = Seq(base, base * 4).map { n =>
+      val (cw, ww) = run(n, range = false)
+      val (cr, wr) = run(n, range = true)
+      require(cw == cr, s"forms disagree at n=$n: window $cw range $cr")
+      println(f"[soak] discretize_ab n=$n%9d: window-ntile $ww%6.2f s, range-rank $wr%6.2f s")
+      (ww, wr)
+    }
+    val (wN, rN) = walls.last
+    println(f"[soak] discretize_ab at n=${base * 4}: range-rank is ${wN / rN}%.1fx the window form")
+    require(rN < wN,
+      f"range-rank must beat the single-partition window sort at n=${base * 4}: $rN%.2f vs $wN%.2f s")
     ()
   }
 }

@@ -38,6 +38,37 @@ object StreamOps {
   def withLateness(events: DataFrame, tsCol: String, delay: String): DataFrame =
     events.withWatermark(tsCol, delay)
 
+  /** WINDOWED HEAVY-HITTERS SKETCH on a stream — the Misra–Gries
+    * aggregator ([[graft.functions.HeavyHittersAggregator]]) run as a
+    * streaming window aggregate: per (window, keys…) group the state
+    * store holds the sketch's cap-bounded counter map, and each
+    * micro-batch folds in via the aggregator's `merge` — the SAME
+    * mergeable-summary semilattice that makes the batch form map-side
+    * combinable is exactly what makes it incrementally maintainable
+    * here, so "frequent tokens this hour over an open vocabulary"
+    * needs state bounded by `cap`, never by the vocabulary.
+    * Compose with [[withLateness]] for append-mode emission of closed
+    * windows. Parity with the batch sketch on the same rows is pinned
+    * in StreamingParitySpec (cap ≥ vocabulary, where both are exact —
+    * q124's gating discipline); at binding caps the MG guarantee holds
+    * per window, as spec-pinned for the batch aggregator.
+    * [[graft.operators.ApproxOps.countMinSketch]] streams the same way
+    * (same Aggregator shape); the HH form is gated here because its
+    * output is directly row-comparable. Returns (window, keys…, token,
+    * est). */
+  def heavyHittersWindowed(
+      events: DataFrame, ts: Column, duration: String,
+      token: Column, cap: Int, keys: Column*): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHittersAggregator(cap),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch = events.filter(token.isNotNull)
+      .groupBy(window(ts, duration) +: keys: _*)
+      .agg(agg(token).as("__hh"))
+    sketch.select((sketch.columns.dropRight(1).map(col) :+
+      explode(col("__hh")).as(Seq("token", "est"))): _*)
+  }
+
   /** Stateful streaming dedup: exact-dup suppression keyed by content
     * hash, state bounded by the watermark (Q24's streaming variant). */
   def dedupWithinWatermark(

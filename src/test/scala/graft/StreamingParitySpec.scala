@@ -68,6 +68,24 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
 
+  test("windowed heavy-hitters sketch: stream state equals the batch sketch per window") {
+    // cap 64 >> the events fixture's event_type vocabulary, so both
+    // sides are EXACT (q124's gating discipline) and row-for-row
+    // comparable; the streaming path still exercises the aggregator's
+    // mergeable state through the state store + micro-batch merges
+    val streamed = runToCompletion(
+      graft.streaming.StreamOps.heavyHittersWindowed(
+        eventsStream, col("ts"), "1 hour", col("event_type"), cap = 64),
+      "thh")
+      .select(col("window.start").as("h"), col("token"), col("est"))
+    val batch = graft.operators.ApproxOps.heavyHitters(
+        sf0001.events, col("event_type"), cap = 64, window(col("ts"), "1 hour"))
+      .select(col("window.start").as("h"), col("token"), col("est"))
+    val s = streamed.collect().toSet
+    assert(s == batch.collect().toSet)
+    assert(s.nonEmpty, "fixture must produce at least one windowed counter")
+  }
+
   test("stream-stream interval join pairs equal batch Q23's join") {
     val e1 = eventsStream.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("u1"), col("ts").as("ts1"))
