@@ -241,6 +241,30 @@ object ExtensionQueries {
         Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
   }
 
+  /** q151: the COMPLETE production ANN layout in one plan — residual
+    * IVFADC candidates + exact rerank: q149's residual-encoded
+    * reconstructions feed q148's two-stage search (bucket-restricted
+    * ADC candidate cut at k·mult, final order by exact L2 over just
+    * those candidates). This is the layout a billion-vector deployment
+    * actually runs — IVF prunes the corpus, residual-PQ codes rank
+    * cheaply inside probed buckets, raw vectors are touched only for
+    * the k·mult finalists. Candidate generation never leaves the
+    * probed buckets, so corpus cost is codes-only; the ann_recall
+    * harness pins the recall economics of each stage separately. */
+  def q151(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val centroids = e.filter(col("vec_id") < 8)
+    val assign = Similarity.ivfAssign(e, centroids)
+    val recon = Similarity.ivfResidualReconstruct(e, assign, centroids,
+      m = 4, ksub = 16, dim = 64, cbFrom = 8)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.ivfPqTopKReranked(assign, recon, centroids, e, queries,
+        k = 3, nprobe = 2, mult = 4)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
     * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
     * query probes its 2 nearest buckets and ranks members by asymmetric
@@ -411,6 +435,7 @@ object ExtensionQueries {
     "q90_ann_ivf_pq"         -> q90 _,
     "q148_ivfpq_rerank"      -> q148 _,
     "q149_ivfadc_residual"   -> q149 _,
+    "q151_ivfadc_rerank"     -> q151 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -733,6 +758,56 @@ object ExtensionQueries {
             ORDER BY list_distance(p.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
         FROM probes p JOIN assign a ON a.cid = p.qc AND a.vec_id <> p.qid
         JOIN recon r ON r.vec_id = a.vec_id) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q151: q149's residual CTE chain through `recon`, then q148's
+    // candidate-cut + exact-rerank tail — the two independent
+    // derivations spliced at the reconstruction boundary
+    "q151_ivfadc_rerank" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c) t WHERE rn = 1),
+      resid AS (SELECT e.vec_id,
+                  list_transform(range(1, 65), i -> e.e[i] - c.ce[i]) AS r,
+                  c.ce AS ce
+                FROM e JOIN assign a ON a.vec_id = e.vec_id
+                JOIN c ON c.cid = a.cid),
+      cb AS (SELECT j, vec_id - 8 AS code, r[(j-1)*16+1 : j*16] AS sub
+             FROM resid, unnest(range(1, 5)) AS t(j)
+             WHERE vec_id >= 8 AND vec_id < 24),
+      sl AS (SELECT vec_id, j, r[(j-1)*16+1 : j*16] AS vsub
+             FROM resid, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1),
+      reconr AS (SELECT c2.vec_id, flatten(list(cb.sub ORDER BY c2.j)) AS rr
+                 FROM codes c2 JOIN cb ON cb.j = c2.j AND cb.code = c2.code
+                 GROUP BY c2.vec_id),
+      recon AS (SELECT reconr.vec_id,
+                  list_transform(range(1, 65), i -> reconr.rr[i] + resid.ce[i]) AS re
+                FROM reconr JOIN resid ON resid.vec_id = reconr.vec_id),
+      q0 AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105),
+      probes AS (SELECT qid, qe, cid AS qc FROM (
+          SELECT q0.qid, q0.qe, c.cid,
+            row_number() OVER (PARTITION BY q0.qid ORDER BY list_cosine_similarity(q0.qe, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS pn
+          FROM q0, c) t WHERE pn <= 2),
+      cand AS (SELECT qid, vec_id FROM (
+          SELECT p.qid, r.vec_id,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_distance(p.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS crn
+          FROM probes p JOIN assign a ON a.cid = p.qc AND a.vec_id <> p.qid
+          JOIN recon r ON r.vec_id = a.vec_id) t
+        WHERE crn <= 12)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT q0.qid, cand.vec_id, list_distance(q0.qe, e.e) AS adist,
+          row_number() OVER (PARTITION BY q0.qid
+            ORDER BY list_distance(q0.qe, e.e) NULLS LAST, cand.vec_id NULLS FIRST) AS rn
+        FROM cand JOIN q0 USING (qid) JOIN e ON e.vec_id = cand.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     // q90: q80's probe CTE composed with q89's recon CTE — bucket-

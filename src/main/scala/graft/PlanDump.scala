@@ -91,6 +91,7 @@ object PlanDump {
     "q147_trained_langid",   // per-lang weight relations + keyed argmax window
     "q148_ivfpq_rerank",     // bucket-restricted ADC candidates + bounded exact rerank
     "q149_ivfadc_residual",  // residual encode/reconstruct, broadcast centroids both ways
+    "q151_ivfadc_rerank",    // residual ADC candidates + bounded exact rerank, end to end
     "q150_dynspread_density", // raster-bounded neighbor explode + 1-row radius broadcast
   )
 

