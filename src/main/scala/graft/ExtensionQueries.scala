@@ -265,6 +265,27 @@ object ExtensionQueries {
         Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
   }
 
+  /** q152: INCREMENTAL index ingest ([[Similarity.indexIngest]]) — the
+    * daily-batch discipline applied to the vector index: vec_id % 50
+    * == 0 arrives as the new batch; the index artifacts (centroids
+    * from ids [1,9), codebook seeded from ids [1,17) — both entirely
+    * inside the indexed remainder) are treated as persisted outputs of
+    * the earlier build, and the batch is assigned + encoded against
+    * them map-side without the corpus being read. `SimilaritySpec`
+    * pins incremental ≡ full-corpus encode on the shared artifacts —
+    * the q75/q87 equivalence, restated for the index. */
+  def q152(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val index = e.filter(col("vec_id") % 50 =!= 0)
+    val batch = e.filter(col("vec_id") % 50 === 0)
+    val centroids = index.filter(col("vec_id") >= 1 && col("vec_id") < 9)
+    val cb = Similarity.pqCodebook(index, m = 4, ksub = 16, dim = 64, trainFrom = 1)
+    Similarity.indexIngest(batch, centroids, cb, m = 4, dim = 64)
+      .transform(sortedSmall(_, col("vec_id"), col("j")))
+      .select(col("vec_id"), col("cid"),
+        col("j").cast("long").as("j"), col("code").cast("long").as("code"))
+  }
+
   /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
     * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
     * query probes its 2 nearest buckets and ranks members by asymmetric
@@ -436,6 +457,7 @@ object ExtensionQueries {
     "q148_ivfpq_rerank"      -> q148 _,
     "q149_ivfadc_residual"   -> q149 _,
     "q151_ivfadc_rerank"     -> q151 _,
+    "q152_index_ingest"      -> q152 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -809,6 +831,32 @@ object ExtensionQueries {
             ORDER BY list_distance(q0.qe, e.e) NULLS LAST, cand.vec_id NULLS FIRST) AS rn
         FROM cand JOIN q0 USING (qid) JOIN e ON e.vec_id = cand.vec_id) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q152: the batch assigned/encoded against centroid + codebook CTEs
+    // drawn entirely from the indexed remainder — the corpus never
+    // appears outside the artifact derivations
+    "q152_index_ingest" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      idx AS (SELECT vec_id, e FROM e WHERE vec_id % 50 <> 0),
+      batch AS (SELECT vec_id, e FROM e WHERE vec_id % 50 = 0),
+      c AS (SELECT vec_id AS cid, e AS ce FROM idx WHERE vec_id >= 1 AND vec_id < 9),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT b.vec_id, c.cid,
+            row_number() OVER (PARTITION BY b.vec_id ORDER BY list_cosine_similarity(b.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM batch b, c) t WHERE rn = 1),
+      cb AS (SELECT j, vec_id - 1 AS code, e[(j-1)*16+1 : j*16] AS sub
+             FROM idx, unnest(range(1, 5)) AS t(j)
+             WHERE vec_id >= 1 AND vec_id < 17),
+      sl AS (SELECT vec_id, j, e[(j-1)*16+1 : j*16] AS vsub
+             FROM batch, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1)
+      SELECT a.vec_id, a.cid, CAST(c2.j AS BIGINT) AS j, CAST(c2.code AS BIGINT) AS code
+      FROM codes c2 JOIN assign a ON a.vec_id = c2.vec_id
+      ORDER BY a.vec_id NULLS FIRST, j NULLS FIRST""",
 
     // q90: q80's probe CTE composed with q89's recon CTE — bucket-
     // restricted ADC ranking

@@ -92,6 +92,7 @@ object PlanDump {
     "q148_ivfpq_rerank",     // bucket-restricted ADC candidates + bounded exact rerank
     "q149_ivfadc_residual",  // residual encode/reconstruct, broadcast centroids both ways
     "q151_ivfadc_rerank",    // residual ADC candidates + bounded exact rerank, end to end
+    "q152_index_ingest",     // batch-only scan; centroids + codebook ride in as broadcasts
     "q150_dynspread_density", // raster-bounded neighbor explode + 1-row radius broadcast
   )
 

@@ -33,6 +33,27 @@ object Similarity {
       .select("vec_id", "cid")
   }
 
+  /** INCREMENTAL vector-index ingest — the ANN sibling of the corpus
+    * dedup guards ([[graft.operators.Dedup.incrementalNearDups]] /
+    * `exactDupsAgainstCorpus`): encode TODAY'S batch against the
+    * PERSISTED index artifacts — the centroid table and PQ codebook
+    * written once at index build, "yesterday's output" — without
+    * reading the indexed corpus at all. Assignment is the broadcast
+    * cosine argmax against the k-row centroid set; encoding the
+    * broadcast L2 argmin against the m×ksub codebook; the batch
+    * shuffles only on its own vec_id for the argmax windows. Output
+    * rows `(vec_id, cid, j, code)` are exactly the shape
+    * [[ivfPqTopK]]/[[ivfPqTopKReranked]] search over, so appending
+    * them to the index's code table makes the new vectors searchable
+    * immediately — no retrain, no corpus re-encode. (Codebook/centroid
+    * drift as the corpus distribution moves is the operator's
+    * documented limit: recenter on the cadence the ann_recall numbers
+    * justify, exactly like re-sharding any index.) */
+  def indexIngest(batch: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    ivfAssign(batch, centroids)
+      .join(pqEncode(batch, codebook, m, dim), "vec_id")
+
   /** SemDedup (the published embedding-cluster semantic-dedup recipe of
     * Abbas et al. 2023): prune near-duplicate MEANING, not near-duplicate
     * bytes — cluster the embedding space, then within each cluster drop

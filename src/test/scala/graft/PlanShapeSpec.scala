@@ -132,6 +132,22 @@ class PlanShapeSpec extends SparkSpec {
       s"only the partition-count dimension may gather to one partition:\n$p")
   }
 
+  test("q152: index artifacts ride in as broadcasts; the batch never shuffle-joins") {
+    // incremental ingest's scale contract: assignment = broadcast
+    // nested-loop against the k-row centroid table, encoding =
+    // broadcast hash join against the m*ksub codebook — the new batch
+    // is the only data in motion, and it never meets anything in a
+    // shuffled join
+    val p = q("q152_index_ingest")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroid argmax must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    // the one permitted shuffled join is the batch zipping its OWN two
+    // derivations (assignment ⋈ codes on vec_id — linear in the batch);
+    // the indexed corpus must never appear in a shuffled join
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"only the batch's assign-codes zip may shuffle:\n$p")
+  }
+
   test("q94: unigram sides broadcast; totals arrive as 1-row broadcast cross joins") {
     val p = q("q94_pmi_collocations")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2,

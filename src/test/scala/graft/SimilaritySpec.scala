@@ -152,6 +152,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute, s"probing every bucket must equal brute force: $full vs $brute")
   }
 
+  test("indexIngest: incremental batch encode equals the full-corpus encode on shared artifacts") {
+    // the q75/q87 incremental-equals-full discipline restated for the
+    // vector index: encoding ONLY the new batch against the persisted
+    // centroid/codebook artifacts must produce exactly the rows a full
+    // re-encode would hold for those ids — so appending them to the
+    // code table is lossless
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val cb = Similarity.pqCodebook(vecs, m = 2, ksub = 2, dim = 2)
+    val batch = vecs.filter(col("vec_id") >= 20)
+    val incr = Similarity.indexIngest(batch, centroids, cb, m = 2, dim = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfAssign(vecs, centroids)
+      .join(Similarity.pqEncode(vecs, cb, m = 2, dim = 2), "vec_id")
+      .filter(col("vec_id") >= 20)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(incr == full && incr.nonEmpty, s"incremental $incr vs full $full")
+    // and the ingested rows are searchable as-is: every batch id ranks
+    // in an ivfPqTopK over the UNION of old + new code reconstructions
+    val allRecon = Similarity.pqReconstruct(
+      Similarity.pqEncode(vecs, cb, m = 2, dim = 2), cb)
+    val assignAll = Similarity.ivfAssign(vecs, centroids)
+    val hits = Similarity.ivfPqTopK(assignAll, allRecon, centroids,
+        batch, k = 2, nprobe = 2)
+      .select("qid").distinct().as[Long].collect().toSet
+    assert(hits == Set(20L, 21L), s"batch queries must answer over the index: $hits")
+  }
+
   test("PQ: m=1 with a full codebook reconstructs exactly, so ADC equals brute-force L2") {
     // every vector is its own nearest codebook entry (distance 0) → the
     // reconstruction IS the vector → asymmetric distance degenerates to
