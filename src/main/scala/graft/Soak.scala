@@ -609,8 +609,11 @@ object Soak {
             queries, k, nprobe = 4, mult = 8)))
         // IVFADC proper: residual-encoded codes at the SAME m/ksub — the
         // recall lift residual encoding buys over raw-vector encoding
+        // persisted: TWO recall measurements (plain + reranked) consume
+        // this chain — without the cache the full residual
+        // encode/reconstruct would execute twice per (leg, m)
         val residRecon = Similarity.ivfResidualReconstruct(
-          e, assign, centroids, m, ksub = 16, dim = dim)
+          e, assign, centroids, m, ksub = 16, dim = dim).persist()
         val residR = recallVs(exactL2,
           topSet(Similarity.ivfPqTopK(assign, residRecon, centroids, queries, k,
             nprobe = 4)))
@@ -620,6 +623,7 @@ object Soak {
         val residRerankR = recallVs(exactL2,
           topSet(Similarity.ivfPqTopKReranked(assign, residRecon, centroids, e,
             queries, k, nprobe = 4, mult = 8)))
+        residRecon.unpersist(blocking = false)
         println(f"[soak] ann_recall $label pq m=$m%2d ksub=16: adc recall@$k $pqR%.3f, " +
           f"ivf-pq(nprobe=4) $ivfPqR%.3f, adc+rerank(8k) $rerankR%.3f, " +
           f"ivfpq+rerank(8k) $ivfRerankR%.3f, ivfadc-residual $residR%.3f, " +

@@ -58,16 +58,13 @@ object StreamOps {
     * est). */
   def heavyHittersWindowed(
       events: DataFrame, ts: Column, duration: String,
-      token: Column, cap: Int, keys: Column*): DataFrame = {
-    val agg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.HeavyHittersAggregator(cap),
-      org.apache.spark.sql.Encoders.STRING)
-    val sketch = events.filter(token.isNotNull)
-      .groupBy(window(ts, duration) +: keys: _*)
-      .agg(agg(token).as("__hh"))
-    sketch.select((sketch.columns.dropRight(1).map(col) :+
-      explode(col("__hh")).as(Seq("token", "est"))): _*)
-  }
+      token: Column, cap: Int, keys: Column*): DataFrame =
+    // the batch operator verbatim with the window as the leading group
+    // key — ONE definition of the sketch/explode logic, so stream and
+    // batch cannot drift (the parity pin compares exactly these two
+    // call shapes)
+    graft.operators.ApproxOps.heavyHitters(
+      events, token, cap, window(ts, duration) +: keys: _*)
 
   /** Stateful streaming dedup: exact-dup suppression keyed by content
     * hash, state bounded by the watermark (Q24's streaming variant). */

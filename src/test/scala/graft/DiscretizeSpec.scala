@@ -67,6 +67,10 @@ class DiscretizeSpec extends SparkSpec {
         .select("event_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want,
         s"n=$n b=$b distinct=$distinct diverged: ${got.toSet.diff(want.toSet).take(5)}")
+      // the operator persists its range-partitioned view (its documented
+      // caller-owns-cleanup contract) — don't accumulate 12 cache entries
+      // in the suite-shared session
+      spark.sharedState.cacheManager.clearCache()
     }
   }
 
