@@ -184,6 +184,7 @@ object Soak {
     if (filterTerms.contains("ann_recall")) annRecall(spark)
     if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
     if (filterTerms.contains("discretize_ab")) discretizeAb(spark, mult)
+    if (filterTerms.contains("index_ingest_ab")) indexIngestAb(spark, mult, out)
     spark.stop()
   }
 
@@ -1047,6 +1048,68 @@ object Soak {
     println(f"[soak] discretize_ab at n=${base * 4}: range-rank is ${wN / rN}%.1fx the window form")
     require(rN < wN,
       f"range-rank must beat the single-partition window sort at n=${base * 4}: $rN%.2f vs $wN%.2f s")
+    ()
+  }
+
+  /** Incremental-vs-full for the VECTOR INDEX — the q152 discipline
+    * (q75/q87's daily-batch economics applied to ANN): at each corpus
+    * size the centroid + PQ-codebook artifacts are WRITTEN ONCE as
+    * parquet (production's index-build output) and a 1/50th batch
+    * encodes against the read-back artifacts, vs a full corpus
+    * re-encode. The fixture embeddings are too small to separate the
+    * legs from the job floor (both sub-second at ×100 — the
+    * fixture-degeneracy lesson), so the corpus is synthesized at
+    * encode-relevant size: n dim-64 vectors from a deterministic
+    * sin-expression, n and 4n legs. Full re-encode must grow faster
+    * than the batch leg across the step AND lose outright at 4n.
+    *
+    * Usage: sbt "runMain graft.Soak 30 index_ingest_ab" */
+  private def indexIngestAb(spark: SparkSession, mult: Int, out: String): Unit = {
+    import graft.operators.Similarity
+    def corpus(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> sin(CAST(id * i AS DOUBLE)))").as("e"))
+    def run(n: Long, incremental: Boolean): Double = {
+      val e = corpus(n)
+      val c = spark.read.parquet(s"$out/index_centroids.parquet")
+      val cb = spark.read.parquet(s"$out/index_codebook.parquet")
+      val t0 = System.nanoTime()
+      val encoded =
+        if (incremental)
+          Similarity.indexIngest(e.filter(col("vec_id") % 50 === 0), c, cb,
+            m = 4, dim = 64)
+        else
+          Similarity.ivfAssign(e, c)
+            .join(Similarity.pqEncode(e, cb, m = 4, dim = 64), "vec_id")
+      val rows = encoded.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      require(rows == (if (incremental) ((n + 49) / 50) * 4 else n * 4),
+        s"unexpected code rows at n=$n incremental=$incremental: $rows")
+      w
+    }
+    val base = 20000L * mult
+    def buildArtifacts(n: Long): Unit = {
+      val indexSide = corpus(n).filter(col("vec_id") % 50 =!= 0)
+      Similarity.trainCentroids(indexSide, k = 8, iters = 2, dim = 64)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/index_centroids.parquet")
+      Similarity.pqCodebook(indexSide, m = 4, ksub = 16, dim = 64, trainFrom = 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/index_codebook.parquet")
+    }
+    buildArtifacts(base)
+    run(base, incremental = true); run(base, incremental = false) // warm
+    val walls = Seq(base, base * 4).map { n =>
+      buildArtifacts(n)
+      val wi = run(n, incremental = true)
+      val wf = run(n, incremental = false)
+      println(f"[soak] index_ingest_ab n=$n%9d: incr-batch $wi%6.2f s, full-reencode $wf%6.2f s")
+      (wi, wf)
+    }
+    val (i0, f0) = walls.head
+    val (iN, fN) = walls.last
+    println(f"[soak] index_ingest_ab growth x4: incr ${iN / i0}%.1fx, full ${fN / f0}%.1fx")
+    require(fN / f0 > iN / i0 && iN < fN,
+      f"incremental ingest must stay flat while full re-encode grows: " +
+        f"incr ${iN / i0}%.1fx/${iN}%.2f s vs full ${fN / f0}%.1fx/${fN}%.2f s")
     ()
   }
 }
