@@ -39,6 +39,29 @@ class LangIdSpec extends SparkSpec {
       s"${wrong.length} misclassified, e.g. ${wrong.take(3).toSeq}")
   }
 
+  test("NULL-lang docs train as the 0.0 otherwise-arm for every candidate and still score") {
+    // the shared label table factored out in round 14 must preserve the
+    // original per-model `when(lang === l, 1).otherwise(0)` semantics:
+    // a NULL lang is 0.0 for EVERY one-vs-rest model (the otherwise
+    // arm), not dropped from training — pinned by exact output parity
+    // with the same corpus relabeled to a non-candidate sentinel, which
+    // takes the identical otherwise-arm everywhere by construction.
+    // The driver fixture has no NULL langs, so this edge lives here.
+    val withNull = corpus.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("lang")))
+    val sentinel = corpus.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.langIdTrained(df, col("doc_id"), col("text"),
+        col("lang"), langs, dims = 32, iters = 2, lr = 0.5)
+        .select("id", "pred", "z6").as[(Long, String, Double)].collect().toSet
+    val a = run(withNull)
+    assert(a == run(sentinel),
+      "NULL lang must train exactly as any non-candidate label (the otherwise arm)")
+    assert(a.map(_._1) == (0L until 120L).toSet,
+      "every doc, null-lang included, must still receive a prediction")
+  }
+
   test("unknown candidate never wins against a trained one; ties break by name") {
     // add a candidate with NO positive docs: its model trains toward
     // never-predict and must not beat the true language anywhere
