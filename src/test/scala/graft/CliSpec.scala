@@ -188,6 +188,29 @@ class CliSpec extends SparkSpec {
     } finally { projection.unpersist(blocking = false); () }
   }
 
+  test("--title with --colour-by is rejected, not silently dropped") {
+    // categorical renders are undecorated; the CLI's philosophy for
+    // unsupported combinations is a loud require (cf. --iter with
+    // --plot), never a silently ignored option
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "-x", "l_quantity", "-y", "l_extendedprice",
+        "--width", "16", "--height", "16",
+        "--colour-by", "l_linestatus",
+        "--title", "nope", "--png", tmp("rejected.png")), spark)
+    }
+    assert(e.getMessage.contains("colour-by"), e.getMessage)
+    val eb = intercept[IllegalArgumentException] {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--width", "16", "--height", "16",
+        "--plot", s"x:l_quantity;y:l_extendedprice;colour-by:l_linestatus;" +
+          s"title:nope;png:${tmp("rejected2.png")}"), spark)
+    }
+    assert(eb.getMessage.contains("colour-by"), eb.getMessage)
+  }
+
   test("--title renders the decorated layout (margins, colorbar) around the raster") {
     val png = tmp("titled.png")
     Cli.run(Seq(

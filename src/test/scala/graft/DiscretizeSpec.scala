@@ -74,6 +74,30 @@ class DiscretizeSpec extends SparkSpec {
     }
   }
 
+  test("correct with exchange reuse disabled: the persisted view pins one partitioning") {
+    // the operator's two branches (offsets aggregate + main join) both
+    // consume the range-partitioned view; before the persist landed,
+    // correctness relied on ReuseExchange deduplicating the two
+    // physical exchanges — RangePartitioner samples boundaries with an
+    // RDD-id-derived seed, so with reuse off the branches could see
+    // DIFFERENT partitionings and the offsets would be wrong. The cache
+    // must make this config-independent.
+    val key = "spark.sql.exchange.reuse.enabled"
+    val prev = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      val src = spark.range(500).selectExpr(
+        "id AS event_id", "CAST(xxhash64(id) % 37 AS double) AS value")
+      val want = ntileWindow(src, 11).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Discretize.ntileRangeRank(src, 11, col("value"), col("event_id"))
+        .select("event_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"diverged with reuse off: ${got.toSet.diff(want.toSet).take(5)}")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("single bucket and empty input degenerate correctly") {
     val src = Seq((1L, 2.0), (2L, 1.0)).toDF("event_id", "value")
     val one = Discretize.ntileRangeRank(src, 1, col("value"), col("event_id"))
