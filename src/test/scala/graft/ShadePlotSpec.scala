@@ -97,6 +97,44 @@ class ShadePlotSpec extends SparkSpec {
     assert(overdrawn.isEmpty, s"labels overdraw raster cells at: $overdrawn")
   }
 
+  test("decorated png: byte-identical under tr_TR/de_DE default locales; raster region = writePng") {
+    import javax.imageio.ImageIO
+    // the two locale hazards this render had: default-locale %g prints
+    // decimal COMMAS on de_DE, and default-locale toUpperCase maps 'i'
+    // to dotted İ (no glyph) on tr_TR — both must be pinned to ROOT so
+    // the bytes cannot depend on the machine
+    val dir = Files.createTempDirectory("shade-locale")
+    val s = spec()
+    val shaded = ShadePlot.shade(ShadePlot.raster(sf0001.lineitem, s), s)
+    def render(name: String): Array[Byte] = {
+      val p = dir.resolve(name).toString
+      ShadePlot.writePngDecorated(shaded, s, p, title = "lineitem qty vs price")
+      Files.readAllBytes(java.nio.file.Paths.get(p))
+    }
+    val home = java.util.Locale.getDefault
+    val base = render("default.png")
+    try {
+      for (l <- Seq(new java.util.Locale("tr", "TR"), java.util.Locale.GERMANY)) {
+        java.util.Locale.setDefault(l)
+        assert(java.util.Arrays.equals(base, render(s"${l.getLanguage}.png")),
+          s"decorated bytes must not depend on the default locale ($l)")
+      }
+    } finally java.util.Locale.setDefault(home)
+    // and the raster area is drawn by the SAME blit as writePng: the
+    // decorated page's raster region must match the plain render
+    // pixel-for-pixel (offset by the margins)
+    val plainPath = dir.resolve("plain.png").toString
+    ShadePlot.writePng(shaded, s, plainPath)
+    val plain = ImageIO.read(new java.io.File(plainPath))
+    val dec = ImageIO.read(new java.io.File(dir.resolve("default.png").toFile.getPath))
+    val (left, top) = (55, 13) // this fixture's margins (see layout test)
+    val diffs = for {
+      x <- 0 until 32; y <- 0 until 32
+      if (plain.getRGB(x, y) & 0xFFFFFF) != (dec.getRGB(left + x, top + y) & 0xFFFFFF)
+    } yield (x, y)
+    assert(diffs.isEmpty, s"raster regions diverged at: ${diffs.take(5)}")
+  }
+
   test("PixelFont: glyphs draw the exact table pixels, clipped at edges") {
     import graft.operators.PixelFont
     val img = new java.awt.image.BufferedImage(16, 9,
