@@ -66,6 +66,21 @@ object StreamOps {
     graft.operators.ApproxOps.heavyHitters(
       events, token, cap, window(ts, duration) +: keys: _*)
 
+  /** WINDOWED COUNT-MIN SKETCH on a stream — [[heavyHittersWindowed]]'s
+    * point-query twin ([[graft.functions.CountMinAggregator]]): per
+    * (window, keys…) the state is the fixed depth×width counter
+    * matrix, micro-batches fold in by elementwise add — and unlike the
+    * MG survivors the matrix is fully partitioning-DETERMINISTIC, so
+    * the stream parity pin is bit-identity of the counters, not just
+    * guarantee-level agreement. Same delegation discipline: the batch
+    * operator with the window as the leading group key. Returns
+    * (window, keys…, sketch). */
+  def countMinWindowed(
+      events: DataFrame, ts: Column, duration: String,
+      token: Column, depth: Int, width: Int, keys: Column*): DataFrame =
+    graft.operators.ApproxOps.countMinSketch(
+      events, token, depth, width, window(ts, duration) +: keys: _*)
+
   /** Stateful streaming dedup: exact-dup suppression keyed by content
     * hash, state bounded by the watermark (Q24's streaming variant). */
   def dedupWithinWatermark(

@@ -86,6 +86,29 @@ class StreamingParitySpec extends SparkSpec {
     assert(s.nonEmpty, "fixture must produce at least one windowed counter")
   }
 
+  test("windowed count-min sketch: stream counter matrices are bit-identical to batch") {
+    // the CMS matrix is elementwise-additive and fully
+    // partitioning-deterministic (unlike MG's under-threshold
+    // survivors), so the parity bar is BIT-IDENTITY of the counters
+    // per window — the strongest pin the sketch family allows, and it
+    // holds at a BINDING width (collisions present, still identical)
+    import spark.implicits._
+    val streamed = runToCompletion(
+      graft.streaming.StreamOps.countMinWindowed(
+        eventsStream, col("ts"), "1 hour", col("event_type"), depth = 3, width = 8),
+      "tcms")
+      .select(col("window.start").as("h"), col("sketch"))
+      .as[(java.sql.Timestamp, Seq[Long])].collect().toMap
+    val batch = graft.operators.ApproxOps.countMinSketch(
+        sf0001.events, col("event_type"), depth = 3, width = 8,
+        window(col("ts"), "1 hour"))
+      .select(col("window.start").as("h"), col("sketch"))
+      .as[(java.sql.Timestamp, Seq[Long])].collect().toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    for ((h, m) <- streamed)
+      assert(m == batch(h), s"window $h: counter matrices diverged")
+  }
+
   test("stream-stream interval join pairs equal batch Q23's join") {
     val e1 = eventsStream.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("u1"), col("ts").as("ts1"))
