@@ -185,6 +185,7 @@ object Soak {
     if (filterTerms.contains("asof_hotuser")) asofHotUser(spark, mult)
     if (filterTerms.contains("discretize_ab")) discretizeAb(spark, mult)
     if (filterTerms.contains("index_ingest_ab")) indexIngestAb(spark, mult, out)
+    if (filterTerms.contains("index_drift")) indexDrift(spark)
     spark.stop()
   }
 
@@ -1048,6 +1049,81 @@ object Soak {
     println(f"[soak] discretize_ab at n=${base * 4}: range-rank is ${wN / rN}%.1fx the window form")
     require(rN < wN,
       f"range-rank must beat the single-partition window sort at n=${base * 4}: $rN%.2f vs $wN%.2f s")
+    ()
+  }
+
+  /** ARTIFACT DRIFT for the vector index — the measured answer to the
+    * question [[graft.operators.Similarity.indexIngest]]'s scaladoc
+    * raises: how much recall does the no-retrain ingest path give up
+    * when the corpus distribution MOVES, and does recentering recover
+    * it? Corpus A (16 Gaussian clusters) trains the artifacts; corpus
+    * B arrives from 16 UNSEEN clusters; queries come from B's
+    * distribution with exact ground truth over A∪B. `stale` searches
+    * codes produced under A's centroids + codebook (what pure
+    * indexIngest accumulates); `recentered` retrains the centroids on
+    * A∪B (Lloyd — the codebook reseeds from a window straddling both
+    * distributions, since the init-only codebook is id-determined).
+    * Gate: recentered recall must strictly beat stale on the drifted
+    * queries — the cadence argument for periodic recenters.
+    *
+    * Usage: sbt "runMain graft.Soak 1 index_drift" */
+  private def indexDrift(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val dim = 64; val k = 10; val kc = 16; val m = 8
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallVs(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    def corpus(n: Int, centerSeed: Long, idBase: Long): DataFrame =
+      spark.range(n.toLong).as[Long].map { i =>
+        val rc = new scala.util.Random(centerSeed + (i % kc))
+        val center = Array.fill(dim)(rc.nextGaussian())
+        val rv = new scala.util.Random(centerSeed + 777000L + idBase + i)
+        val v = center.map(x => x + 0.5 * rv.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        (idBase + i, v.map(_ / norm).toSeq)
+      }.toDF("vec_id", "e")
+    val a = corpus(2000, 9000L, 0L)
+    val b = corpus(2000, 555000L, 2000L) // 16 clusters the index never saw
+    val all = a.unionAll(b).persist(); all.count()
+    val queries = b.filter(col("vec_id") % 40 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val exactL2 = topSet(queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(all), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.plans.GraftFunctions.l2Distance(col("qe"), col("e")).as("adist"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k))
+    // the production layout (q149/q151): residual-encoded IVFADC — the
+    // residual codebook is what drift hits hardest (B residuals vs A's
+    // centroids are large and out-of-distribution)
+    def recallOf(centroids: DataFrame, cbFrom: Long, nprobe: Int): Double = {
+      val assign = Similarity.ivfAssign(all, centroids)
+      val recon = Similarity.ivfResidualReconstruct(all, assign, centroids,
+        m, ksub = 16, dim = dim, cbFrom = cbFrom)
+      recallVs(exactL2, topSet(
+        Similarity.ivfPqTopK(assign, recon, centroids, queries, k, nprobe = nprobe)))
+    }
+    // stale: artifacts as corpus A trained them (kc=16 Lloyd on A,
+    // residual codebook seeded wholly inside A); recentered: the
+    // production response to a DOUBLED cluster count — Lloyd on A∪B at
+    // kc=32, codebook reseeded from a window straddling the boundary
+    // (8 ids each side). Probe fraction held at 1/4 of buckets.
+    val stale = recallOf(
+      Similarity.trainCentroids(a, kc, iters = 10, dim = dim), 0L, nprobe = 4)
+    val recentered = recallOf(
+      Similarity.trainCentroids(all, 2 * kc, iters = 10, dim = dim), 1992L, nprobe = 8)
+    println(f"[soak] index_drift recall@$k on drifted queries: " +
+      f"stale $stale%.3f, recentered $recentered%.3f")
+    all.unpersist(blocking = false)
+    require(recentered > stale,
+      f"recentering must recover recall on the drifted distribution: " +
+        f"stale $stale%.3f vs recentered $recentered%.3f")
     ()
   }
 
