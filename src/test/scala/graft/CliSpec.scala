@@ -209,6 +209,17 @@ class CliSpec extends SparkSpec {
           s"title:nope;png:${tmp("rejected2.png")}"), spark)
     }
     assert(eb.getMessage.contains("colour-by"), eb.getMessage)
+    // a GLOBAL --title over a batch containing a colour-by plot rejects
+    // too — the third way the combination can arise, previously the one
+    // that slipped through silently
+    val eg = intercept[IllegalArgumentException] {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--width", "16", "--height", "16", "--title", "nope",
+        "--plot", s"x:l_quantity;y:l_extendedprice;colour-by:l_linestatus;" +
+          s"png:${tmp("rejected3.png")}"), spark)
+    }
+    assert(eg.getMessage.contains("colour-by"), eg.getMessage)
   }
 
   test("--title renders the decorated layout (margins, colorbar) around the raster") {
