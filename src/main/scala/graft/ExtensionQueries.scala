@@ -286,6 +286,44 @@ object ExtensionQueries {
         col("j").cast("long").as("j"), col("code").cast("long").as("code"))
   }
 
+  /** q153: SCALAR-QUANTIZED (SQ8) ANN — the near-exact rung of the
+    * compression ladder ([[Similarity.sqStats]]/`sqEncode`/
+    * `sqReconstruct`): every dimension quantizes independently to an
+    * 8-bit cell over its corpus [min,max] range (4× memory vs float32,
+    * 256 levels PER dim — vs PQ's m·log₂ksub bits per VECTOR), and the
+    * midpoint reconstructions feed the unchanged ADC ranker. The whole
+    * encode is ONE corpus aggregate (a 1-row stats broadcast) + a
+    * map-only projection — no argmin join, no shuffle. The hash gate
+    * pins per-dim stats, every cell index (floor/clamp arithmetic),
+    * midpoint reconstruction, and the ADC ranking with tie-breaks. */
+  def q153(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = Similarity.sqStats(e, dim = 64)
+    val recon = Similarity.sqReconstruct(Similarity.sqEncode(e, stats), stats)
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.pqTopKAdc(recon, queries, k = 3)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
+  /** q155: k-means‖ SCALABLE INIT ([[Similarity.scalableInit]]) — the
+    * Bahmani et al. 2012 oversampling initializer, fully deterministic
+    * (md5 coin flips, integer-snapped potential, weighted farthest-first
+    * reduction), fixing [[Similarity.trainCentroids]]' init-by-lowest-id
+    * blindness to where the data actually lives. The gate pins the WHOLE
+    * trajectory: the hash-drawn first seed, both oversampling rounds
+    * (every candidate's membership is a pure function of the md5 draw vs
+    * the integer threshold), the attracted-count weights, and the k=4
+    * selection ranks — replayed in the oracle as unrolled CTE rounds
+    * (the q126/q135 discipline). */
+  def q155(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    Similarity.scalableInit(e, k = 4, rounds = 2, l = 4)
+      .transform(sortedSmall(_, col("src_id")))
+      .select(col("src_id"), col("weight"), col("rank"))
+  }
+
   /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
     * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
     * query probes its 2 nearest buckets and ranks members by asymmetric
@@ -396,6 +434,30 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q156: IMAGE PERCEPTUAL-HASH NEAR-DUP — the LAION-style image-dedup
+    * kernel end to end: REAL PNG decode ([[Multimodal.decodeCellSums]],
+    * javax.imageio at the codec boundary exactly like q40) → 9×8 box
+    * downscale as integer cell sums → 64-bit dHash
+    * ([[Multimodal.dHash64]], gradient-sign signature) → pigeonhole-
+    * banded Hamming join at dist ≤ 3 (REUSING
+    * [[Dedup.simHashNearDups]]' 64-bit banding — text and image
+    * near-dup share the candidate machinery). The fixture plants
+    * near-duplicate groups: every 4 slice-adjacent docs share a
+    * textured base image, members perturbing one pixel (≤ 2 hash bits),
+    * so (base, member) pairs are guaranteed hits while distinct groups
+    * differ pseudo-randomly. The oracle re-derives pixels → cells →
+    * bits → bands → pairs arithmetically from doc_id, no codec — any
+    * decoder/downscale/hash/banding drift flips the hash. */
+  def q156(t: Tables): DataFrame = {
+    val slice = t.documents.select(col("doc_id")).filter(col("doc_id") % 10 === 7)
+    val blobs = Multimodal.synthTexturedImages(slice, "doc_id")
+    val cells = Multimodal.decodeCellSums(blobs, "doc_id", "blob", cw = 2, ch = 2)
+    val hashes = cells.select(col("doc_id"),
+      Multimodal.dHash64(col("cells"), gw = 9, gh = 8).as("sh"))
+    Dedup.simHashNearDups(hashes, maxDist = 3, bits = 64)
+      .transform(sortedSmall(_, col("da"), col("db")))
+  }
+
   /** q41: JSON props parsed as a typed MAP column (`from_json` →
     * `map<string,int>`) — the MapType variant of Q19's regexp extraction
     * (SURVEY §2.8 "Map" row). */
@@ -458,6 +520,9 @@ object ExtensionQueries {
     "q149_ivfadc_residual"   -> q149 _,
     "q151_ivfadc_rerank"     -> q151 _,
     "q152_index_ingest"      -> q152 _,
+    "q153_ann_sq8"           -> q153 _,
+    "q155_kmeanspp_init"     -> q155 _,
+    "q156_image_dhash"       -> q156 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -857,6 +922,137 @@ object ExtensionQueries {
       SELECT a.vec_id, a.cid, CAST(c2.j AS BIGINT) AS j, CAST(c2.code AS BIGINT) AS code
       FROM codes c2 JOIN assign a ON a.vec_id = c2.vec_id
       ORDER BY a.vec_id NULLS FIRST, j NULLS FIRST""",
+
+    // q153: SQ8 — per-dim min/max stats, independent 8-bit cell per
+    // dimension (floor/clamp arithmetic mirrored op-for-op), midpoint
+    // reconstruction, then q89's ADC ranking unchanged
+    "q153_ann_sq8" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      st AS (SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+             FROM e, unnest(range(1, 65)) AS t(i) GROUP BY i),
+      codes AS (SELECT e.vec_id, st.i,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE least(255, CAST(floor(((e.e[st.i] - st.mn) / (st.mx - st.mn)) * 256) AS BIGINT)) END AS c
+             FROM e, st),
+      recon AS (SELECT cd.vec_id,
+                list(st.mn + (cd.c + 0.5) * ((st.mx - st.mn) / 256.0) ORDER BY cd.i) AS re
+                FROM codes cd JOIN st ON st.i = cd.i
+                GROUP BY cd.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT q.qid, r.vec_id, list_distance(q.qe, r.re) AS adist,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
+        FROM q JOIN recon r ON r.vec_id <> q.qid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q156: pixels -> cell sums -> dHash bits -> 16-bit bands ->
+    // banded candidates -> exact Hamming <= 3, all re-derived from
+    // doc_id arithmetic (the q40 no-codec-oracle discipline); the hash
+    // lives as two exact 32-bit halves (bit 63 would overflow a BIGINT
+    // power sum), hamming = the halves' bit_count sum
+    "q156_image_dhash" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+      pix AS (SELECT d.doc_id, xx.x, yy.y,
+               CASE WHEN ((d.doc_id % 40) // 10) > 0
+                     AND xx.x = 2 * ((d.doc_id % 40) // 10)
+                     AND yy.y = 2 * ((d.doc_id % 40) // 10) + 1
+                    THEN (((d.doc_id // 40) * 37 + xx.x * 13 + yy.y * 29) % 251 + 96) % 256
+                    ELSE ((d.doc_id // 40) * 37 + xx.x * 13 + yy.y * 29) % 251 END AS v
+              FROM d,
+                   (SELECT unnest(range(0, 18)) AS x) xx,
+                   (SELECT unnest(range(0, 16)) AS y) yy),
+      cells AS (SELECT doc_id, (y // 2) * 9 + (x // 2) AS ci,
+                CAST(sum(v) AS BIGINT) AS s
+                FROM pix GROUP BY doc_id, (y // 2) * 9 + (x // 2)),
+      bits AS (SELECT c1.doc_id, bb.b,
+                CASE WHEN c1.s > c2.s THEN 1 ELSE 0 END AS bit
+               FROM (SELECT unnest(range(0, 64)) AS b) bb
+               JOIN cells c1 ON c1.ci = (bb.b // 8) * 9 + (bb.b % 8)
+               JOIN cells c2 ON c2.doc_id = c1.doc_id
+                            AND c2.ci = (bb.b // 8) * 9 + (bb.b % 8) + 1),
+      halves AS (SELECT doc_id, b // 32 AS hf,
+                 CAST(sum(bit * power(2, b % 32)) AS BIGINT) AS h
+                 FROM bits GROUP BY doc_id, b // 32),
+      bands AS (SELECT doc_id, b // 16 AS bi,
+                CAST(sum(bit * power(2, b % 16)) AS BIGINT) AS bv
+                FROM bits GROUP BY doc_id, b // 16),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+               FROM bands a JOIN bands b2
+                 ON b2.bi = a.bi AND b2.bv = a.bv AND a.doc_id < b2.doc_id)
+      SELECT da, db,
+        CAST(bit_count(xor(la.h, lb.h)) + bit_count(xor(ha.h, hb.h)) AS BIGINT) AS dist
+      FROM cand
+      JOIN halves la ON la.doc_id = da AND la.hf = 0
+      JOIN halves lb ON lb.doc_id = db AND lb.hf = 0
+      JOIN halves ha ON ha.doc_id = da AND ha.hf = 1
+      JOIN halves hb ON hb.doc_id = db AND hb.hf = 1
+      WHERE bit_count(xor(la.h, lb.h)) + bit_count(xor(ha.h, hb.h)) <= 3
+      ORDER BY da NULLS FIRST, db NULLS FIRST""",
+
+    // q155: the k-means|| trajectory replayed — hash-min first seed,
+    // two oversampling rounds (integer threshold vs md5 draw, the
+    // operator's exact arithmetic), attracted-count weights, and the
+    // 4-step weighted farthest-first selection unrolled
+    "q155_kmeanspp_init" -> """
+      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      u0 AS (SELECT vec_id, e,
+              CAST(concat('0x', substr(md5(concat('kmpp|0|', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+             FROM ev),
+      c0 AS (SELECT vec_id, e FROM (
+              SELECT vec_id, e, row_number() OVER (ORDER BY u, vec_id) AS rn FROM u0) t
+             WHERE rn = 1),
+      r1 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+             FROM ev x, c0 c GROUP BY x.vec_id),
+      r1i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r1),
+      p1 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r1i),
+      s1 AS (SELECT ev.vec_id, ev.e FROM ev, r1i, p1
+             WHERE ev.vec_id = r1i.vec_id
+               AND (CAST(concat('0x', substr(md5(concat('kmpp|1|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+                 < (CASE WHEN p1.phi = 0 THEN 0
+                    ELSE least(1000000, CAST(floor((4000000 * r1i.d2i) / p1.phi) AS BIGINT)) END)),
+      c1 AS (SELECT vec_id, e FROM c0 UNION ALL SELECT vec_id, e FROM s1),
+      r2 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+             FROM ev x, c1 c GROUP BY x.vec_id),
+      r2i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r2),
+      p2 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r2i),
+      s2 AS (SELECT ev.vec_id, ev.e FROM ev, r2i, p2
+             WHERE ev.vec_id = r2i.vec_id
+               AND (CAST(concat('0x', substr(md5(concat('kmpp|2|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
+                 < (CASE WHEN p2.phi = 0 THEN 0
+                    ELSE least(1000000, CAST(floor((4000000 * r2i.d2i) / p2.phi) AS BIGINT)) END)),
+      c2 AS (SELECT vec_id, e FROM c1 UNION ALL SELECT vec_id, e FROM s2),
+      cw AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM (
+              SELECT x.vec_id, c.cid, row_number() OVER (PARTITION BY x.vec_id
+                ORDER BY list_distance(x.e, c.ce) NULLS LAST, c.cid NULLS FIRST) AS rn
+              FROM ev x, (SELECT vec_id AS cid, e AS ce FROM c2) c) t
+             WHERE rn = 1 GROUP BY cid),
+      cand AS (SELECT c2.vec_id AS src_id, c2.e AS ce, coalesce(cw.w, 0) AS w
+               FROM c2 LEFT JOIN cw ON cw.cid = c2.vec_id),
+      sel1 AS (SELECT src_id, ce, w FROM cand ORDER BY w DESC, src_id LIMIT 1),
+      rem1 AS (SELECT * FROM cand WHERE src_id NOT IN (SELECT src_id FROM sel1)),
+      m2 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+             FROM rem1 r, sel1 s GROUP BY r.src_id),
+      sel2 AS (SELECT r.src_id, r.ce, r.w FROM rem1 r JOIN m2 ON m2.src_id = r.src_id
+               ORDER BY CAST(r.w AS DOUBLE) * (m2.mind * m2.mind) DESC, r.src_id LIMIT 1),
+      rem2 AS (SELECT * FROM rem1 WHERE src_id NOT IN (SELECT src_id FROM sel2)),
+      m3 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+             FROM rem2 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2) s
+             GROUP BY r.src_id),
+      sel3 AS (SELECT r.src_id, r.ce, r.w FROM rem2 r JOIN m3 ON m3.src_id = r.src_id
+               ORDER BY CAST(r.w AS DOUBLE) * (m3.mind * m3.mind) DESC, r.src_id LIMIT 1),
+      rem3 AS (SELECT * FROM rem2 WHERE src_id NOT IN (SELECT src_id FROM sel3)),
+      m4 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+             FROM rem3 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+                           UNION ALL SELECT * FROM sel3) s
+             GROUP BY r.src_id),
+      sel4 AS (SELECT r.src_id, r.ce, r.w FROM rem3 r JOIN m4 ON m4.src_id = r.src_id
+               ORDER BY CAST(r.w AS DOUBLE) * (m4.mind * m4.mind) DESC, r.src_id LIMIT 1),
+      sel AS (SELECT src_id, 0 AS rank FROM sel1 UNION ALL SELECT src_id, 1 FROM sel2
+              UNION ALL SELECT src_id, 2 FROM sel3 UNION ALL SELECT src_id, 3 FROM sel4)
+      SELECT c.src_id, c.w AS weight, CAST(s.rank AS BIGINT) AS rank
+      FROM cand c LEFT JOIN sel s ON s.src_id = c.src_id
+      ORDER BY c.src_id NULLS FIRST""",
 
     // q90: q80's probe CTE composed with q89's recon CTE — bucket-
     // restricted ADC ranking

@@ -992,6 +992,24 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("bin")))
   }
 
+  /** q154: EXACT ROC-AUC ([[TextAnalysis.rocAuc]]) — the Mann–Whitney
+    * rank statistic with tie correction over the q135 model's scores on
+    * the WHOLE corpus, closing the evaluation family: train (q135) →
+    * threshold sweep (q138) → calibration (q143) → threshold-free
+    * ranking quality (this). One corpus aggregate by distinct 6-decimal
+    * score + a window over the score vocabulary only; the pairwise count
+    * stays in exact BIGINT arithmetic to the last op (`num2`), so the
+    * single closing division is the only float — engine-identical
+    * unrounded. Oracle: the unrolled training chain scores the corpus,
+    * then the identical integer sweep as SQL. */
+  def q154(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.rocAuc(scored, col("y") === 1.0, col("p6"))
+  }
+
   /** q125: URL canonicalization census ([[Cleaning.canonicalizeUrl]]) —
     * FineWeb-style URL-keyed dedup is only as good as its
     * canonicalization, so the gate derives four surface families per
@@ -1663,6 +1681,7 @@ object PipelineQueries {
     "q141_hashed_classifier" -> q141 _,
     "q147_trained_langid" -> q147 _,
     "q143_calibration" -> q143 _,
+    "q154_roc_auc" -> q154 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3524,6 +3543,32 @@ object PipelineQueries {
         round(avg(p6), 6) AS mean_p6,
         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_pos
       FROM b GROUP BY bin ORDER BY bin""",
+
+    // q154: the same chain scoring the whole corpus, then the exact
+    // integer Mann–Whitney sweep — (np, nn) per distinct score, strict
+    // cumulative negatives, num2 = Σ np·(2·cnb + nn) in BIGINT; the
+    // closing division is the only float op (q136's unrounded-ratio
+    // argument)
+    "q154_roc_auc" -> s"""
+      WITH ${logisticCtes(4)},
+      sc AS (SELECT y, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w4),
+      g AS (SELECT p6,
+              CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+              CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+            FROM sc GROUP BY p6),
+      cum AS (SELECT np, nn,
+              coalesce(CAST(sum(nn) OVER (ORDER BY p6
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                CAST(0 AS BIGINT)) AS cnb
+              FROM g)
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        CAST(sum(nn) AS BIGINT) AS n_neg,
+        CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS num2,
+        CASE WHEN sum(np) > 0 AND sum(nn) > 0
+          THEN CAST(sum(np * (2 * cnb + nn)) AS BIGINT) /
+               (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) END AS auc
+      FROM cum""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

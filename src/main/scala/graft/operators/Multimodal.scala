@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extension): treat image/audio/
@@ -258,6 +258,124 @@ object Multimodal {
         .when(col(idCol) % 7 === 5,
           lit("NOTMEDIA-0123456789".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
         .otherwise(col(blobCol)))
+
+  // ---------------------------------------------------------------------
+  // Image perceptual-hash dedup (the LAION-pipeline image-dedup kernel):
+  // decode -> box-downscale -> dHash -> banded Hamming join. The banding
+  // reuses Dedup.simHashNearDups(bits = 64) unchanged — a 64-bit hash is
+  // a 64-bit hash, whatever modality produced it.
+  // ---------------------------------------------------------------------
+
+  /** The deterministic TEXTURED image contract (q156's fixture — the
+    * two-band [[synthImageBytes]] images are too regular for a
+    * meaningful perceptual hash, every gradient being constant): 18×16
+    * grayscale PNG, pixel value `v(x,y) = (g·37 + x·13 + y·29) % 251`
+    * with group `g = id / 40`; member `m = (id % 40) / 10 > 0` perturbs
+    * the SINGLE pixel `(2m, 2m+1)` by `(v+96) % 256` — so the four
+    * members of a group are planted near-duplicates (≤ 2 dHash bits from
+    * the base, the perturbed pixel living inside one downscale cell)
+    * while distinct groups differ pseudo-randomly. Non-negative ids
+    * required (Scala/SQL `%` agreement). */
+  private[graft] def synthTexturedBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"image synthesis requires non-negative ids, got $id")
+    val g = id / 40
+    val m = (id % 40) / 10
+    val (w, h) = (18, 16)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = ((g * 37 + x * 13 + y * 29) % 251).toInt
+        val v = if (m > 0 && x == 2 * m && y == 2 * m + 1) ((v0 + 96) % 256) else v0
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", baos), "no png writer")
+    baos.toByteArray
+  }
+
+  /** One textured PNG per input row: (`idCol`, blob) — see
+    * [[synthTexturedBytes]] for the pixel contract. */
+  def synthTexturedImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthTexturedBytes(id))))
+      .toDF(idCol, "blob")
+  }
+
+  /** Per-image downscale-cell GRAY sums from a REAL decode — the
+    * perceptual-hash front half: the image is box-partitioned into
+    * (w/cw)×(h/ch) cells and each cell's green-channel sum is emitted
+    * row-major (`cells[j·gw + i]`). Summing equal-size cells instead of
+    * averaging keeps every value integer-exact (comparisons between
+    * sums ≡ comparisons between means). Same codec-boundary
+    * `mapPartitions` + in-kernel pixel reduction as [[decodeImages]];
+    * everything after this row (bits, hash, banded join) is DataFrame
+    * expressions. Dimensions must divide evenly — a production resize
+    * would interpolate; the gate fixture is exact by construction. */
+  def decodeCellSums(df: DataFrame, idCol: String, blobCol: String,
+      cw: Int, ch: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: no ImageIO reader for payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w % cw == 0 && h % ch == 0,
+            s"doc $id: ${w}x$h not divisible by cell ${cw}x$ch")
+          val (gw, gh) = (w / cw, h / ch)
+          val cells = new Array[Long](gw * gh)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              cells((y / ch) * gw + (x / cw)) += (img.getRGB(x, y) >> 8) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, cells.toSeq)
+        }
+      }
+      .toDF(idCol, "cells")
+  }
+
+  /** 64-bit difference hash (dHash) over a row-major cell-sum array:
+    * bit `b` (row `j = b / (gw−1)`, column `i = b % (gw−1)`) is 1 iff
+    * `cells[j·gw+i] > cells[j·gw+i+1]` — the classic
+    * brighter-than-right-neighbor gradient signature, robust to global
+    * brightness/contrast shifts because only ORDER between adjacent
+    * cells matters. Built as two 32-bit halves summed from exact powers
+    * (a Σ bit·2⁶³ would overflow BIGINT in the oracle; the halves stay
+    * positive and exact in both engines) and OR-combined — the output
+    * long is drop-in for [[graft.operators.Dedup.simHashNearDups]]'
+    * 16-bit pigeonhole banding at `bits = 64`. Requires
+    * `(gw−1)·gh == 64` (e.g. the 9×8 grid of the standard dHash). */
+  def dHash64(cells: Column, gw: Int, gh: Int): Column = {
+    require((gw - 1) * gh == 64,
+      s"dHash grid must yield 64 bits, got ${(gw - 1) * gh}")
+    def half(h: Int): Column =
+      aggregate(sequence(lit(h * 32), lit(h * 32 + 31)), lit(0L), (acc, b) => {
+        val j = floor(b / lit(gw - 1)).cast("int")
+        val i = (b % lit(gw - 1)).cast("int")
+        val left = element_at(cells, (j * lit(gw) + i + lit(1)).cast("int"))
+        val right = element_at(cells, (j * lit(gw) + i + lit(2)).cast("int"))
+        acc + when(left > right,
+          pow(lit(2), (b % lit(32)).cast("int")).cast("long")).otherwise(lit(0L))
+      })
+    half(0).bitwiseOR(shiftleft(half(1), 32))
+  }
 
   // ---------------------------------------------------------------------
   // Real audio codec path — javax.sound.sampled ships a WAV/PCM parser

@@ -142,9 +142,22 @@ object Similarity {
       eps: Double): (Seq[(Long, Seq[Double])], Int) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    var cents: Seq[(Long, Seq[Double])] = vectors.orderBy("vec_id").limit(k)
+    val init: Seq[(Long, Seq[Double])] = vectors.orderBy("vec_id").limit(k)
       .select(col("e").cast("array<double>")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    trainCentroidsLoop(vectors, init, iters, dim, eps)
+  }
+
+  /** The Lloyd loop over an explicit init — shared by
+    * [[trainCentroidsConverged]] (first-k-by-id init) and
+    * [[trainCentroidsFrom]] (caller-supplied, e.g.
+    * [[scalableInitCentroids]]). */
+  private def trainCentroidsLoop(
+      vectors: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int,
+      dim: Int, eps: Double): (Seq[(Long, Seq[Double])], Int) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] = init
     var it = 0
     var moved = Double.MaxValue
     while (it < iters && moved > eps) {
@@ -166,6 +179,162 @@ object Similarity {
       it += 1
     }
     (cents, it)
+  }
+
+  /** k-means‖ (SCALABLE k-means++) initialization — Bahmani et al. 2012,
+    * made fully DETERMINISTIC: the principled fix for
+    * [[trainCentroids]]' init-by-lowest-id, which seeds wherever the
+    * lowest ids happen to live (the index_drift soak measured exactly
+    * that failure: ids concentrated in the stale distribution seed
+    * nothing in the drifted one). k-means++ fixes seeding but is
+    * inherently sequential (k corpus passes); k-means‖ gets the same
+    * O(log φ)-competitive guarantee in `rounds` passes by OVERSAMPLING:
+    * each round every point joins the candidate set independently with
+    * probability `min(1, l·d²(x)/φ)` (d² = distance to the nearest
+    * existing candidate, φ = Σ d² — far points in uncovered regions are
+    * overwhelmingly likely), then the ~`1 + rounds·l` candidates are
+    * weighted by their attracted corpus counts and reduced to k.
+    *
+    * Determinism discipline (no `rand()` anywhere):
+    *  - the "coin flip" for (round t, vec v) is the md5 integer
+    *    `conv(md5("seed|t|v")[0,8), 16) % 1e6` — the [[graft.operators
+    *    .Sampling]] hash-sampling idiom, reproducible across runs,
+    *    partitionings and engines;
+    *  - the potential is INTEGER-snapped: `d2i = floor(d²·1e6 + 0.5)`
+    *    per point, `φ = Σ d2i` an exact BIGINT sum (order-free, unlike
+    *    a float Σd²), and the sampling threshold
+    *    `min(1e6, floor(l·1e6·d2i / φ))` divides exactly-representable
+    *    integers — so the sampled set is bit-reproducible and the
+    *    whole trajectory can be replayed by a SQL oracle (q155);
+    *  - the reduction is weighted FARTHEST-FIRST traversal (start at
+    *    the heaviest candidate, then greedily take the candidate
+    *    maximizing `w·min_dist²` to the chosen set, ties to the lower
+    *    id) — the deterministic stand-in for weighted k-means++ with
+    *    the same 2-approximation flavor, running driver-side over the
+    *    candidate-sized table only.
+    *
+    * Geometry is L2 (the paper's); for unit-normalized embeddings
+    * L2² = 2 − 2·cos, so the induced seeding is monotone-equivalent to
+    * the trainer's cosine assignment. Scale shape: per round ONE
+    * broadcast-join corpus pass (candidates are broadcast; only
+    * expected-l sampled rows plus the k-row weights ever reach the
+    * driver — the [[trainCentroids]] driver-traffic discipline; two
+    * jobs per round: φ, then the sample). Returns the FULL candidate
+    * audit `(src_id, weight, rank)` — rank 0..k−1 on the k selected
+    * seeds, NULL on the rest; [[scalableInitCentroids]] projects the
+    * selected rows into [[trainCentroids]]-shaped `(vec_id, e)`
+    * centroid input. */
+  def scalableInit(vectors: DataFrame, k: Int, rounds: Int, l: Int,
+      seed: String = "kmpp"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    scalableInitChosen(vectors, k, rounds, l, seed)._2
+      .toDF("src_id", "weight", "rank")
+  }
+
+  /** [[scalableInit]] projected to `(vec_id, e)` centroid rows (vec_id =
+    * selection rank 0..k−1) — drop-in init for [[trainCentroidsFrom]]
+    * and [[ivfAssign]]. */
+  def scalableInitCentroids(vectors: DataFrame, k: Int, rounds: Int,
+      l: Int, seed: String = "kmpp"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    scalableInitChosen(vectors, k, rounds, l, seed)._1
+      .toDF("vec_id", "e")
+  }
+
+  /** The shared trajectory: (chosen seeds as (rank, e), full candidate
+    * audit as (src_id, weight, rank-or-None)). */
+  private def scalableInitChosen(vectors: DataFrame, k: Int, rounds: Int,
+      l: Int, seed: String): (Seq[(Long, Seq[Double])], Seq[(Long, Long, Option[Long])]) = {
+    require(k >= 1 && rounds >= 1 && l >= 1,
+      s"need k >= 1, rounds >= 1, l >= 1 (got $k, $rounds, $l)")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val ev = vectors.select(col("vec_id"), col("e"))
+    def u(t: Int): Column =
+      conv(substring(md5(concat(lit(s"$seed|$t|"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    // first seed: minimum (hash, id) — an arbitrary-but-reproducible
+    // draw, per the paper's "uniform random first center"
+    var cands: Seq[(Long, Seq[Double])] = ev
+      .withColumn("__ki_u", u(0))
+      .orderBy(col("__ki_u"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    for (t <- 1 to rounds) {
+      val cDf = broadcast(cands.toDF("cid", "ce"))
+      val d2t = ev.crossJoin(cDf)
+        .select(col("vec_id"), col("e"),
+          GraftFunctions.l2Distance(col("e"), col("ce")).as("ld"))
+        .groupBy(col("vec_id")).agg(min(col("ld")).as("ld"))
+        .select(col("vec_id"),
+          floor(col("ld") * col("ld") * lit(1e6) + lit(0.5)).cast("long").as("d2i"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val phi = d2t.agg(coalesce(sum("d2i"), lit(0L)).cast("long"))
+        .as[Long].head()
+      val thr =
+        if (phi == 0L) lit(0L)
+        else least(lit(1000000L),
+          floor((lit(l * 1000000L) * col("d2i")) / lit(phi)).cast("long"))
+      val sampled = ev.join(d2t, "vec_id")
+        .filter((u(t) % lit(1000000L)) < thr)
+        .select(col("vec_id"), col("e").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      d2t.unpersist(blocking = false)
+      cands = cands ++ sampled
+    }
+    // weight candidates by attracted corpus count (argmin L2, tie on id)
+    val cDf = broadcast(cands.toDF("cid", "ce"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("ld"), col("cid"))
+    val wMap: Map[Long, Long] = ev.crossJoin(cDf)
+      .select(col("vec_id"), col("cid"),
+        GraftFunctions.l2Distance(col("e"), col("ce")).as("ld"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .as[(Long, Long)].collect().toMap
+    val cand = cands.map { case (id, e) => (id, e, wMap.getOrElse(id, 0L)) }
+    require(k <= cand.size,
+      s"k=$k exceeds ${cand.size} sampled candidates — raise l or rounds")
+    // weighted farthest-first reduction, driver-side over the candidate
+    // table only; ld mirrors the native l2Distance exactly (sequential
+    // fold, then sqrt) so the oracle's list_distance sees identical
+    // doubles
+    def ld(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    var chosen = Vector.empty[(Long, Seq[Double], Long)]
+    var remaining = cand
+    for (_ <- 0 until k) {
+      val pick =
+        if (chosen.isEmpty) remaining.minBy { case (id, _, w) => (-w, id) }
+        else remaining.minBy { case (id, e, w) =>
+          val mind = chosen.map(s => ld(e, s._2)).min
+          (-(w.toDouble * (mind * mind)), id)
+        }
+      chosen = chosen :+ pick
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    val rankOf = chosen.zipWithIndex.map { case (c, i) => c._1 -> i.toLong }.toMap
+    val centroidRows = chosen.zipWithIndex.map { case (c, i) => (i.toLong, c._2) }
+    val audit = cand.map { case (id, _, w) => (id, w, rankOf.get(id)) }
+      .sortBy(_._1)
+    (centroidRows, audit)
+  }
+
+  /** [[trainCentroids]] with an EXPLICIT initial centroid table
+    * `(vec_id, e)` — the Lloyd loop unchanged; pair with
+    * [[scalableInitCentroids]] for the principled seeding. */
+  def trainCentroidsFrom(vectors: DataFrame, init: DataFrame,
+      iters: Int, dim: Int, eps: Double = 0.0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val init0 = init.select(col("vec_id"), col("e").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    trainCentroidsLoop(vectors, init0, iters, dim, eps)._1.toDF("vec_id", "e")
   }
 
   /** MARGIN-BASED BITEXT MINING criterion (Artetxe & Schwenk 2019 — the
@@ -608,6 +777,57 @@ object Similarity {
       .select(col("vec_id"),
         zip_with(col("re"), col("ce"), (a, b) => a + b).as("re"))
   }
+
+  // ── Scalar quantization (SQ8 — the near-exact compression rung) ───────
+
+  /** Per-dimension min/max for SQ8 scalar quantization: ONE partial-
+    * aggregated corpus pass producing a single row `(mn, mx)` of
+    * dim-length arrays — the entire "codebook" of scalar quantization
+    * (contrast [[pqCodebook]]'s m×ksub table). The wide column-per-dim
+    * aggregate is the right shape up to a few hundred dims (dim=64 here
+    * is 128 agg expressions, all map-side combined); past ~1k dims the
+    * posexplode→groupBy(i) restatement trades the wide row for one
+    * bounded shuffle — same contract, documented alternative. */
+  def sqStats(vectors: DataFrame, dim: Int): DataFrame =
+    vectors.agg(
+      array((0 until dim).map(i => min(element_at(col("e"), i + 1))): _*).as("mn"),
+      array((0 until dim).map(i => max(element_at(col("e"), i + 1))): _*).as("mx"))
+
+  /** SQ8 encode: each dimension quantizes independently to an 8-bit cell
+    * index over its corpus [min, max] range — `code = min(255,
+    * floor(((x−mn)/(mx−mn))·256))`, a constant dimension (mx=mn) coding
+    * 0. One map-only projection under a 1-row broadcast of [[sqStats]]:
+    * the 100 TB shape is "aggregate once, then stream-encode the corpus
+    * scan" — no per-vector shuffle at all (vs [[pqEncode]]'s broadcast
+    * argmin join). 1 byte/dim replaces the float32's 4 (4× memory) while
+    * keeping 256 distinct levels PER dimension — the near-exact rung of
+    * the compression ladder, between raw vectors and PQ's
+    * m·log₂(ksub) bits/vector. Returns `(vec_id, codes: array<int>)`. */
+  def sqEncode(vectors: DataFrame, stats: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("e"), col("mn"), (x, lo) => x - lo),
+          zip_with(col("mx"), col("mn"), (hi, lo) => hi - lo),
+          (d, s) => when(s === 0.0, lit(0))
+            .otherwise(least(lit(255), floor((d / s) * 256)))
+            .cast("int")).as("codes"))
+
+  /** SQ8 reconstruction to cell midpoints: `re_i = mn_i + (code_i + 0.5)
+    * · ((mx_i − mn_i) / 256)` — map-only under the same 1-row stats
+    * broadcast. Output `(vec_id, re)` is drop-in for the ADC rankers
+    * ([[pqTopKAdc]]/[[pqTopKReranked]]), so the whole PQ search surface
+    * runs unchanged over SQ8 codes; with max per-dim error of half a
+    * cell, SQ ranking is exact whenever true neighbor gaps exceed the
+    * quantization noise (the SimilaritySpec anchor pins brute-force
+    * equality on the gate fixture). */
+  def sqReconstruct(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("codes").cast("array<double>"), col("mn"), (c, lo) => struct(c.as("c"), lo.as("lo"))),
+          zip_with(col("mx"), col("mn"), (hi, lo) => hi - lo),
+          (p, s) => p.getField("lo") + (p.getField("c") + 0.5) * (s / 256.0)).as("re"))
 
   /** PQ top-k via asymmetric distance (ADC): the UNCOMPRESSED query is
     * ranked against every RECONSTRUCTED corpus vector — sqrt-exact L2

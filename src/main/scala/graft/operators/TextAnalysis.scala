@@ -469,6 +469,50 @@ object TextAnalysis {
           col("tp").cast("double") / (col("tp") + col("fn"))))
   }
 
+  /** Exact ROC-AUC — the Mann–Whitney rank statistic with the standard
+    * tie correction: `AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)`, completing the
+    * classifier-evaluation family ([[prCurve]] picks a threshold,
+    * [[calibrationCurve]] audits the probabilities, this ranks the model
+    * threshold-free).
+    *
+    * Shape: ONE corpus aggregate groups by DISTINCT score — `(np, nn)`
+    * per score value — then the sweep runs entirely over that score
+    * table: a cumulative window (negatives strictly below each score)
+    * and one closing aggregate. The corpus is touched exactly once and
+    * never sorted; only the score VOCABULARY is — which the caller must
+    * keep bounded (the 6-decimal grid the scoring surfaces already snap
+    * to caps it at ~1e6 rows; on raw unbounded scores, snap first — the
+    * q135/q138 discipline).
+    *
+    * Cross-engine determinism: the pairwise count is kept in INTEGER
+    * arithmetic end to end — `num2 = Σ np·(2·cnb + nn)` (twice the
+    * tie-corrected concordant pairs, an exact BIGINT) — and the only
+    * floating-point op is the final division `num2 / (2·pos·neg)`, IEEE
+    * division of exactly-representable integers: no float-sum ordering
+    * can ever reach the result (the q136 unrounded-ratio argument).
+    * NULL scores must be filtered upstream (a NULL score row would
+    * change cnb semantics engine-dependently). Returns one row
+    * `(n_pos, n_neg, num2, auc)`; AUC of an all-pos/all-neg input is
+    * NULL (0/0), not an exception. */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val y = label.cast("boolean")
+    val g = df.groupBy(score.as("__auc_s"))
+      .agg(sum(when(y, 1L).otherwise(0L)).as("__auc_np"),
+        sum(when(y, 0L).otherwise(1L)).as("__auc_nn"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__auc_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("__auc_cnb",
+        coalesce(sum("__auc_nn").over(w), lit(0L)))
+      .agg(
+        sum("__auc_np").cast("long").as("n_pos"),
+        sum("__auc_nn").cast("long").as("n_neg"),
+        sum(col("__auc_np") * (lit(2L) * col("__auc_cnb") + col("__auc_nn")))
+          .cast("long").as("num2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2") / (lit(2.0) * col("n_pos") * col("n_neg"))))
+  }
+
   /** Per-doc hashed bag-of-words FEATURE PAIRS `(id, bucket, x)` —
     * normalized counts `x = cnt/n` per md5-bucket plus one bias row
     * (`bucket = dims`, x = 1) per doc. Shared by

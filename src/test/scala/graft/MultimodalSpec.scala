@@ -263,4 +263,86 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count(_._1 == 3L) == 4, "1-byte payload still yields n frames")
     assert(frames.forall { case (_, f, off, sha) => f >= 0 && f < 4 && off >= 0 && sha.nonEmpty })
   }
+
+  // ── perceptual-hash image dedup (textured synth → cells → dHash) ──────
+
+  /** The synthTexturedBytes pixel contract, restated independently. */
+  private def texturedPixel(id: Long, x: Int, y: Int): Long = {
+    val g = id / 40; val m = (id % 40) / 10
+    val v0 = (g * 37 + x * 13 + y * 29) % 251
+    if (m > 0 && x == 2 * m && y == 2 * m + 1) (v0 + 96) % 256 else v0
+  }
+
+  private def texturedCells(id: Long): Seq[Long] = {
+    val cells = Array.fill(72)(0L)
+    for (y <- 0 until 16; x <- 0 until 18)
+      cells((y / 2) * 9 + (x / 2)) += texturedPixel(id, x, y)
+    cells.toSeq
+  }
+
+  test("decodeCellSums round-trips the textured contract through the real PNG codec") {
+    val ids = Seq(7L, 17L, 27L, 37L, 47L).toDF("doc_id")
+    val cells = Multimodal.decodeCellSums(
+        Multimodal.synthTexturedImages(ids, "doc_id"), "doc_id", "blob", 2, 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    for (id <- Seq(7L, 17L, 27L, 37L, 47L))
+      assert(cells(id) == texturedCells(id), s"doc $id cell sums drifted")
+  }
+
+  test("decodeCellSums rejects non-divisible dimensions loudly") {
+    val blobs = Multimodal.synthTexturedImages(Seq(7L).toDF("doc_id"), "doc_id")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeCellSums(blobs, "doc_id", "blob", 5, 2).collect()
+    }
+    assert(ex.getMessage.contains("not divisible") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("not divisible"))
+  }
+
+  test("dHash64: planted member perturbation flips at most 2 bits vs its base") {
+    val ids = Seq(7L, 17L, 27L, 37L).toDF("doc_id")
+    val hashes = Multimodal.decodeCellSums(
+        Multimodal.synthTexturedImages(ids, "doc_id"), "doc_id", "blob", 2, 2)
+      .select(col("doc_id"), Multimodal.dHash64(col("cells"), 9, 8).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    for (m <- Seq(17L, 27L, 37L)) {
+      val d = java.lang.Long.bitCount(hashes(7L) ^ hashes(m))
+      assert(d <= 2, s"member $m at hamming $d from base")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash64(col("cells"), 9, 9)
+    }
+  }
+
+  test("dHash64 is invariant to a global brightness shift") {
+    val ids = Seq(7L, 127L).toDF("doc_id")
+    val cells = Multimodal.decodeCellSums(
+        Multimodal.synthTexturedImages(ids, "doc_id"), "doc_id", "blob", 2, 2)
+    val base = cells
+      .select(col("doc_id"), Multimodal.dHash64(col("cells"), 9, 8).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    // +5 per pixel = +20 per cell: order between adjacent cells unchanged
+    val brightened = cells
+      .select(col("doc_id"),
+        Multimodal.dHash64(transform(col("cells"), c => c + lit(20L)), 9, 8).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(base == brightened)
+  }
+
+  test("banded 64-bit image near-dup equals the all-pairs Hamming scan") {
+    val ids = (0L until 200L).filter(_ % 10 == 7).toDF("doc_id")
+    val hashes = Multimodal.decodeCellSums(
+        Multimodal.synthTexturedImages(ids, "doc_id"), "doc_id", "blob", 2, 2)
+      .select(col("doc_id"), Multimodal.dHash64(col("cells"), 9, 8).as("sh"))
+    val banded = graft.operators.Dedup.simHashNearDups(hashes, maxDist = 3, bits = 64)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val hs = hashes.as[(Long, Long)].collect()
+    val all = (for {
+      (da, sa) <- hs; (db, sb) <- hs if da < db
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (da, db, d.toLong)).sorted.toSeq
+    assert(banded == all, "pigeonhole banding must lose no pair at dist <= maxDist")
+    assert(banded.nonEmpty, "fixture must plant detectable near-dups")
+    // within-group (base, member) pairs are guaranteed hits
+    assert(banded.exists { case (da, db, _) => da / 40 == db / 40 })
+  }
 }

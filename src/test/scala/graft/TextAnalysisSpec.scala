@@ -375,4 +375,56 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.logisticScore(df, Seq(col("x")), Array(0.0, 0.0, 0.0))
     }
   }
+
+  // ── rocAuc (exact Mann–Whitney with tie correction) ────────────────────
+
+  private def auc(rows: Seq[(Double, Double)]): (Long, Long, Long, Option[Double]) =
+    TextAnalysis.rocAuc(rows.toDF("y", "s"), col("y") === 1.0, col("s"))
+      .as[(Long, Long, Long, Option[Double])].head()
+
+  test("rocAuc: perfect separation is 1.0, inverted is 0.0") {
+    val (np, nn, num2, a) =
+      auc(Seq((1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.1)))
+    assert((np, nn, num2) == (2L, 2L, 8L) && a.contains(1.0))
+    val (_, _, num2i, ai) =
+      auc(Seq((0.0, 0.9), (0.0, 0.8), (1.0, 0.2), (1.0, 0.1)))
+    assert(num2i == 0L && ai.contains(0.0))
+  }
+
+  test("rocAuc: a constant score is chance (0.5) via the tie correction") {
+    val (_, _, num2, a) =
+      auc(Seq((1.0, 0.5), (1.0, 0.5), (0.0, 0.5), (0.0, 0.5)))
+    assert(num2 == 4L && a.contains(0.5))
+  }
+
+  test("rocAuc: hand-computed mixed case with a pos/neg tie") {
+    // pairs: (p=.3 vs n=.1) wins, (p=.3 vs n=.3) half, (p=.5 vs both) wins
+    // -> (1 + 0.5 + 2) / 4 = 0.875
+    val (np, nn, num2, a) =
+      auc(Seq((1.0, 0.3), (1.0, 0.5), (0.0, 0.3), (0.0, 0.1)))
+    assert((np, nn) == (2L, 2L))
+    assert(num2 == 7L, s"num2 $num2")
+    assert(a.contains(0.875))
+  }
+
+  test("rocAuc: single-class input yields NULL, not a crash") {
+    val (np, nn, _, a) = auc(Seq((1.0, 0.9), (1.0, 0.1)))
+    assert(np == 2L && nn == 0L && a.isEmpty)
+  }
+
+  test("rocAuc is invariant to partitioning and to any monotone score transform") {
+    val rows = (0 until 200).map { i =>
+      (if ((i * 7) % 3 == 0) 1.0 else 0.0, ((i * 31) % 17) / 17.0)
+    }
+    val base = TextAnalysis.rocAuc(rows.toDF("y", "s"), col("y") === 1.0, col("s"))
+      .as[(Long, Long, Long, Option[Double])].head()
+    val shuffled = TextAnalysis.rocAuc(rows.toDF("y", "s").repartition(13),
+        col("y") === 1.0, col("s"))
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(base == shuffled)
+    // AUC is a RANK statistic: exp(s) must not move it
+    val mono = TextAnalysis.rocAuc(rows.toDF("y", "s"), col("y") === 1.0, exp(col("s")))
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(mono == base)
+  }
 }
