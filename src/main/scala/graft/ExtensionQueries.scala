@@ -324,6 +324,29 @@ object ExtensionQueries {
       .select(col("src_id"), col("weight"), col("rank"))
   }
 
+  /** q159: SIGNED-PERMUTATION ROTATED PQ — OPQ-lite
+    * ([[Similarity.sprRotation]]/`rotateSigned`): q89's PQ chain run in
+    * a rotated space that scatters dimensions across subspaces
+    * (variance re-balancing, PQ's classic contiguous-concentration fix;
+    * the measured lift lives in `Soak opq_ab` on a correlated corpus —
+    * the fixture embeddings are dimension-iid, so HERE the gate pins
+    * the MECHANICS). The rotation is md5-derived, so the oracle
+    * re-derives permutation and signs in SQL (rank over hashed dims)
+    * instead of trusting interpolated literals, then replays encode /
+    * reconstruct / ADC in the rotated space. */
+  def q159(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (perm, signs) = Similarity.sprRotation(64)
+    val r = Similarity.rotateSigned(e, perm, signs)
+    val cb = Similarity.pqCodebook(r, m = 4, ksub = 16, dim = 64)
+    val recon = Similarity.pqReconstruct(Similarity.pqEncode(r, cb, m = 4, dim = 64), cb)
+    val queries = r.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.pqTopKAdc(recon, queries, k = 3)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q90: IVF-PQ ([[Similarity.ivfPqTopK]]) — the billion-scale layout:
     * q35's 8-centroid bucketing composed with q89's 4×16 PQ codes; each
     * query probes its 2 nearest buckets and ranks members by asymmetric
@@ -523,6 +546,7 @@ object ExtensionQueries {
     "q153_ann_sq8"           -> q153 _,
     "q155_kmeanspp_init"     -> q155 _,
     "q156_image_dhash"       -> q156 _,
+    "q159_pq_rotated"        -> q159 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -989,6 +1013,38 @@ object ExtensionQueries {
       JOIN halves hb ON hb.doc_id = db AND hb.hf = 1
       WHERE bit_count(xor(la.h, lb.h)) + bit_count(xor(ha.h, hb.h)) <= 3
       ORDER BY da NULLS FIRST, db NULLS FIRST""",
+
+    // q159: permutation + signs re-derived from the md5 rank (never
+    // interpolated literals), rotation as an ordered-list rebuild, then
+    // q89's PQ chain verbatim over the rotated space
+    "q159_pq_rotated" -> """
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      u AS (SELECT i, CAST(concat('0x', substr(md5(concat('spr|', CAST(i AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+            FROM range(0, 64) t(i)),
+      p AS (SELECT i AS src, CAST(row_number() OVER (ORDER BY u, i) AS BIGINT) AS j,
+                   CASE WHEN u % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+            FROM u),
+      e AS (SELECT e0.vec_id, list(e0.e[p.src + 1] * p.sgn ORDER BY p.j) AS e
+            FROM e0, p GROUP BY e0.vec_id),
+      cb AS (SELECT j, vec_id AS code, e[(j-1)*16+1 : j*16] AS sub
+             FROM e, unnest(range(1, 5)) AS t(j) WHERE vec_id < 16),
+      sl AS (SELECT vec_id, j, e[(j-1)*16+1 : j*16] AS vsub
+             FROM e, unnest(range(1, 5)) AS t(j)),
+      codes AS (SELECT vec_id, j, code FROM (
+          SELECT sl.vec_id, sl.j, cb.code,
+            row_number() OVER (PARTITION BY sl.vec_id, sl.j
+              ORDER BY list_distance(sl.vsub, cb.sub) NULLS LAST, cb.code NULLS FIRST) AS rn
+          FROM sl JOIN cb ON cb.j = sl.j) t WHERE rn = 1),
+      recon AS (SELECT c.vec_id, flatten(list(cb.sub ORDER BY c.j)) AS re
+                FROM codes c JOIN cb ON cb.j = c.j AND cb.code = c.code
+                GROUP BY c.vec_id),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT q.qid, r.vec_id, list_distance(q.qe, r.re) AS adist,
+          row_number() OVER (PARTITION BY q.qid
+            ORDER BY list_distance(q.qe, r.re) NULLS LAST, r.vec_id NULLS FIRST) AS rn
+        FROM q JOIN recon r ON r.vec_id <> q.qid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     // q155: the k-means|| trajectory replayed — hash-min first seed,
     // two oversampling rounds (integer threshold vs md5 draw, the

@@ -335,6 +335,55 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("l_orderkey"), col("l_linenumber")))
   }
 
+  /** q158: HILBERT clustering key ([[Layout.hilbertValue2]]) — q92's
+    * better-locality sibling over the IDENTICAL binning: consecutive
+    * curve positions are always grid-adjacent, so range predicates
+    * touch fewer files at the same file count (`Soak hilbert_ab`
+    * measures it; this gate pins the curve arithmetic — every level's
+    * quadrant digit, reflection and transposition — against the same
+    * transform unrolled as per-level SQL CTEs). */
+  def q158(t: Tables): DataFrame = {
+    val xb = floor(col("l_quantity")).cast("long")
+    val yb = least(lit(255L), floor(col("l_extendedprice") / 500.0).cast("long"))
+    t.lineitem
+      .filter(col("l_orderkey") % 503 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        graft.operators.Layout.hilbertValue2(xb, yb, 8).as("h"))
+      .transform(sortedSmall(_, col("l_orderkey"), col("l_linenumber")))
+  }
+
+  /** q158 oracle: the xy→d Hilbert transform unrolled as one CTE per
+    * level (top bit down) — each layer computes the quadrant digit and
+    * the reflected/transposed (x, y) for the next; generated like the
+    * q92 interleave SQL, but layered because the transform carries
+    * state. */
+  private def hilbertOracle(bits: Int): String = {
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val prev = if (k == 0) "s0" else s"l${k - 1}"
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""l$k AS (SELECT l_orderkey, l_linenumber,
+        d + ${s * s} * xor(3 * $rx, $ry) AS d,
+        CASE WHEN $ry = 0
+             THEN CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN $ry = 0
+             THEN CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END
+             ELSE y END AS y
+        FROM $prev)"""
+    }
+    s"""WITH s0 AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(floor(l_quantity) AS BIGINT) AS x,
+          least(255, CAST(floor(l_extendedprice / 500.0) AS BIGINT)) AS y,
+          CAST(0 AS BIGINT) AS d
+        FROM lineitem WHERE l_orderkey % 503 = 0),
+      ${levels.mkString(",\n      ")}
+      SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h
+      FROM l${bits - 1}
+      ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""
+  }
+
   /** q93: deterministic TRAIN/VAL/TEST split
     * ([[Sampling.hashSplit]]) — 80/10/10 over the corpus by doc_id
     * md5-bucket ranges; the gate pins the per-split doc and token
@@ -1420,6 +1469,31 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("event_id")))
   }
 
+  /** q157: LINEAR TIME INTERPOLATION ([[TimeSeries.interpolateLinear]])
+    * — q59's forward fill upgraded to the two-sided time-weighted blend
+    * (pandas `interpolate(method='time')`): gaps synthesized at
+    * event_id % 5 == 2, interior gaps lerped between the neighboring
+    * observations on the epoch-seconds axis, leading gaps backfilled,
+    * trailing gaps carried forward. Ordering is (tsec, event_id) so
+    * duplicate timestamps stay deterministic; an equal-timestamp
+    * neighbor pair falls back to the previous value (guarded zero
+    * denominator). The oracle restates all four IGNORE-NULLS window
+    * reads and the identical lerp arithmetic. */
+  def q157(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    t.events
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("tsec"),
+        when(col("event_id") % 5 === 2, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .withColumn("vi", TimeSeries.interpolateLinear(col("v"), col("tsec"), w))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"),
+        col("v").isNull.cast("long").as("was_gap"),
+        Rounding.portable(col("vi"), 6).as("vi"))
+      .transform(sortedSmall(_, col("event_id")))
+  }
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -1682,6 +1756,8 @@ object PipelineQueries {
     "q147_trained_langid" -> q147 _,
     "q143_calibration" -> q143 _,
     "q154_roc_auc" -> q154 _,
+    "q157_interpolate_linear" -> q157 _,
+    "q158_hilbert_key" -> q158 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3569,6 +3645,34 @@ object PipelineQueries {
           THEN CAST(sum(np * (2 * cnb + nn)) AS BIGINT) /
                (2.0 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) END AS auc
       FROM cum""",
+
+    // q157: the four IGNORE-NULLS window reads + the identical lerp on
+    // the epoch-seconds axis (CAST(floor(epoch)) = Spark's long cast)
+    "q157_interpolate_linear" -> """
+      WITH e AS (SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+              CASE WHEN event_id % 5 = 2 THEN NULL ELSE value END AS v
+             FROM events),
+      i AS (SELECT event_id, user_id, tsec, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN tsec END IGNORE NULLS) OVER wb AS pt,
+             first_value(v IGNORE NULLS) OVER wa AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN tsec END IGNORE NULLS) OVER wa AS nt
+            FROM e
+            WINDOW wb AS (PARTITION BY user_id ORDER BY tsec, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wa AS (PARTITION BY user_id ORDER BY tsec, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id,
+        CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+        round(CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                THEN pv + (nv - pv) * (CAST(tsec - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+              WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS vi
+      FROM i WHERE event_id % 100 = 0 ORDER BY event_id NULLS FIRST""",
+
+    // q158: the Hilbert transform as layered CTEs — see hilbertOracle
+    "q158_hilbert_key" -> hilbertOracle(8),
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

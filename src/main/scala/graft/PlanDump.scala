@@ -94,6 +94,9 @@ object PlanDump {
     "q151_ivfadc_rerank",    // residual ADC candidates + bounded exact rerank, end to end
     "q152_index_ingest",     // batch-only scan; centroids + codebook ride in as broadcasts
     "q150_dynspread_density", // raster-bounded neighbor explode + 1-row radius broadcast
+    "q153_ann_sq8",          // 1-row stats broadcasts, map-only encode/reconstruct, no shuffled join
+    "q154_roc_auc",          // one corpus aggregate + window over the score vocabulary only
+    "q156_image_dhash",      // codec map stage -> in-row dHash -> banded equi-join, no window
   )
 
   def main(args: Array[String]): Unit = {

@@ -186,7 +186,112 @@ object Soak {
     if (filterTerms.contains("discretize_ab")) discretizeAb(spark, mult)
     if (filterTerms.contains("index_ingest_ab")) indexIngestAb(spark, mult, out)
     if (filterTerms.contains("index_drift")) indexDrift(spark)
+    if (filterTerms.contains("hilbert_ab")) hilbertAb(spark, mult)
+    if (filterTerms.contains("opq_ab")) opqAb(spark)
     spark.stop()
+  }
+
+  /** Rotation-vs-raw PQ behind q159's claim: a corpus whose variance
+    * concentrates in 4 CONTIGUOUS dimensions (signal scale 10, the
+    * other 60 dims noise 0.1) — PQ with contiguous 16-dim subspaces
+    * burns one subspace's entire 16-code budget on the whole signal
+    * cloud while three subspaces quantize noise; the signed permutation
+    * scatters the signal dims across subspaces, so each code table
+    * resolves ~one signal dimension. Recall is measured against the
+    * SAME exact ground truth (the rotation is orthogonal — distances
+    * are preserved), so the delta is purely the encoder's.
+    *
+    * Usage: sbt "runMain graft.Soak 1 opq_ab" */
+  private def opqAb(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.plans.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val dim = 64; val k = 10; val kc = 16; val m = 4
+    val corpus = spark.range(2000).as[Long].map { id =>
+      val c = (id % kc).toInt
+      val rc = new scala.util.Random(4400L + c)
+      val center = Array.fill(4)(rc.nextGaussian() * 10.0)
+      val rv = new scala.util.Random(4477000L + id)
+      val v = Array.tabulate(dim)(j =>
+        (if (j < 4) center(j) else 0.0) + 0.1 * rv.nextGaussian())
+      (id, v.toSeq)
+    }.toDF("vec_id", "e").persist()
+    corpus.count()
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val exact = topSet(queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+      .join(broadcast(corpus), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.l2Distance(col("qe"), col("e")).as("adist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k))
+    def recallOf(vecs: DataFrame): Double = {
+      val cb = Similarity.pqCodebook(vecs, m, ksub = 16, dim = dim)
+      val recon = Similarity.pqReconstruct(Similarity.pqEncode(vecs, cb, m, dim), cb)
+      val qs = vecs.filter(col("vec_id") % 40 === 0)
+      recallVs(exact, topSet(Similarity.pqTopKAdc(recon, qs, k)))
+    }
+    val raw = recallOf(corpus)
+    val (perm, signs) = Similarity.sprRotation(dim)
+    val rot = recallOf(Similarity.rotateSigned(corpus, perm, signs))
+    println(f"[soak] opq_ab m=$m ksub=16 contiguous-signal corpus: " +
+      f"adc recall@$k raw $raw%.3f vs rotated $rot%.3f")
+    corpus.unpersist(blocking = false)
+    require(rot > raw,
+      f"the signed-permutation rotation must lift PQ recall on the " +
+        f"concentrated corpus: raw $raw%.3f vs rotated $rot%.3f")
+  }
+
+  /** Layout-locality a/b behind q158's claim: lay the SAME point set out
+    * as `files` equal-count files under the Morton key vs the Hilbert
+    * key, keep per-file (min,max) stats of BOTH source dimensions — the
+    * parquet row-group stats a scan would prune on — and count files
+    * whose stat rectangles intersect each of a deterministic battery of
+    * square range queries. Hilbert's adjacency (consecutive curve
+    * positions are always grid-neighbors, pinned in LayoutSpec) means a
+    * file's curve interval covers a more compact region, so its stat
+    * rectangle is tighter and fewer files match a given query. Points
+    * are hash-scattered (not grid-aligned) so neither curve gets an
+    * alignment gift.
+    *
+    * Usage: sbt "runMain graft.Soak 1 hilbert_ab" — n = mult·2^20
+    * points on a 256×256 grid, 64 files, 81 queries of 48×48. */
+  private def hilbertAb(spark: SparkSession, mult: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.Layout
+    val n = mult.toLong << 20
+    val files = 64
+    // Knuth multiplicative-hash HIGH bits (low-bit residues of id*K are
+    // a lattice — every (x,y) would fall on a few lines and both curves
+    // would get degenerate stats)
+    val pts = spark.range(n).select(
+      shiftrightunsigned(col("id") * 2654435761L, 16).bitwiseAND(lit(255L)).as("x"),
+      shiftrightunsigned(col("id") * 2246822519L + 98765L, 16).bitwiseAND(lit(255L)).as("y"))
+    def touched(keyed: DataFrame): Double = {
+      // file id by equal-count curve-order split (the range-partitioned
+      // write's file boundaries); per-file min/max of both dims
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__k"), col("x"), col("y"))
+      val stats = keyed
+        .withColumn("__f", ((row_number().over(w) - 1) * files / n).cast("int"))
+        .groupBy("__f")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+      // 9x9 battery of 48x48 query rectangles on a 24-step lattice
+      val queries = (for (i <- 0 until 9; j <- 0 until 9)
+        yield (i * 24, i * 24 + 47, j * 24, j * 24 + 47)).toDF("qx0", "qx1", "qy0", "qy1")
+      stats.crossJoin(queries)
+        .filter(col("x1") >= col("qx0") && col("x0") <= col("qx1") &&
+          col("y1") >= col("qy0") && col("y0") <= col("qy1"))
+        .count().toDouble / 81.0
+    }
+    val zT = touched(pts.withColumn("__k", Layout.zValue2(col("x"), col("y"), 8)))
+    val hT = touched(pts.withColumn("__k", Layout.hilbertValue2(col("x"), col("y"), 8)))
+    println(f"[soak] hilbert_ab n=$n files=$files query=48x48: " +
+      f"avg files touched morton $zT%.2f vs hilbert $hT%.2f " +
+      f"(${(zT - hT) / zT * 100}%.1f%% fewer)")
+    require(hT < zT,
+      f"hilbert layout must prune better than morton: $hT%.2f vs $zT%.2f")
   }
 
   /** Per-iteration cost flatness for [[graft.operators.BpeTrain]]: train
@@ -636,8 +741,24 @@ object Soak {
           f"residual+rerank(8k) $residRerankR%.3f")
         (m, pqR, ivfPqR, rerankR, ivfRerankR, residR, residRerankR)
       }
+      // SQ8 — the near-exact rung: 8 bits PER DIMENSION (512 bits/vector
+      // at dim=64) vs PQ's m·log2(16) (32-64 bits/vector). ADC over SQ
+      // reconstructions should sit at or near exact recall with NO
+      // rerank — the measured placement of the compression ladder.
+      val sqStats = Similarity.sqStats(e, dim)
+      val sqRecon = Similarity.sqReconstruct(Similarity.sqEncode(e, sqStats), sqStats)
+        .select(col("vec_id"), col("re"))
+      val sqR = recallVs(exactL2, topSet(Similarity.pqTopKAdc(sqRecon, queries, k)))
+      println(f"[soak] ann_recall $label sq8: adc recall@$k $sqR%.3f (no rerank)")
+      if (gateOperatingPoint) {
+        require(sqR >= 0.95,
+          s"$label: SQ8 ADC must be near-exact without rerank, got $sqR")
+        require(pqCurve.forall(c => sqR > c._2),
+          s"$label: SQ8 (8 bits/dim) must beat every ADC-only PQ recall: $sqR vs $pqCurve")
+      }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
+        s""""sq8_adc_recall":$sqR,""" +
         s""""ivf":{"kc":$kc,"trained_iters":10,"curve":{""" +
         ivfCurve.map { case (np, r) => s""""$np":$r""" }.mkString(",") + "}}," +
         s""""pq":[""" + pqCurve.map { case (m, pr, ip, rr, ir, rs, rsr) =>
@@ -1127,12 +1248,27 @@ object Soak {
     val recentered = recallOf(
       Similarity.trainCentroids(interleaved, 2 * kc, iters = 10, dim = dim),
       1992L, nprobe = 8)
+    // the PRINCIPLED recenter: k-means|| seeding (q155) needs no id
+    // games — the oversampling rounds find B's mass because B's points
+    // are far from every A candidate (that is the d²-weighted sampling's
+    // whole job), then Lloyd refines. This is what a production recenter
+    // actually runs; the interleave leg above documents what the init
+    // must achieve, this leg achieves it from the data alone.
+    val recenteredScalable = recallOf(
+      Similarity.trainCentroidsFrom(all,
+        Similarity.scalableInitCentroids(all, k = 2 * kc, rounds = 3, l = 16),
+        iters = 10, dim = dim),
+      1992L, nprobe = 8)
     println(f"[soak] index_drift recall@$k on drifted queries: " +
-      f"stale $stale%.3f, recentered $recentered%.3f")
+      f"stale $stale%.3f, recentered(interleave) $recentered%.3f, " +
+      f"recentered(kmeans||) $recenteredScalable%.3f")
     all.unpersist(blocking = false)
     require(recentered > stale,
       f"recentering must recover recall on the drifted distribution: " +
         f"stale $stale%.3f vs recentered $recentered%.3f")
+    require(recenteredScalable > stale,
+      f"the k-means|| recenter must recover recall WITHOUT hand-seeded ids: " +
+        f"stale $stale%.3f vs kmeans|| $recenteredScalable%.3f")
     ()
   }
 

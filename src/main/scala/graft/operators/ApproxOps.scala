@@ -26,6 +26,19 @@ object ApproxOps {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group HLL distinct count — [[approxDistinct]] with group keys
+    * (the shape [[graft.streaming.StreamOps.distinctCountWindowed]]
+    * delegates to with the window as leading key). HLL++ register
+    * merges are element-wise max — associative, commutative and
+    * idempotent — so the estimate is identical under ANY partitioning
+    * or micro-batch arrival order: the streaming parity pin is exact
+    * equality, not a tolerance band. */
+  def groupApproxDistinct(df: DataFrame, item: Column, rsd: Double,
+      keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "groupApproxDistinct needs at least one group key")
+    df.groupBy(keys: _*).agg(approx_count_distinct(item, rsd).as("n_distinct"))
+  }
+
   /** Approximate axis range: (p_lo, p_hi) quantiles instead of min/max —
     * also the robust-range variant for outlier-heavy axes. */
   def approxRange(c: Column, pLo: Double, pHi: Double,

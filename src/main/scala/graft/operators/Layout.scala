@@ -72,6 +72,48 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
 
+  /** HILBERT-curve clustering key — [[zValue2]]'s better-locality
+    * sibling: the Hilbert space-filling curve visits every cell of the
+    * 2^bits × 2^bits grid such that CONSECUTIVE curve positions are
+    * always grid-adjacent (Morton order jumps across the plane at every
+    * power-of-two boundary), so an axis-aligned query rectangle decomposes
+    * into FEWER, longer runs of curve positions — fewer files/row-groups
+    * touched per range predicate at the same file count (the measured
+    * claim lives in `Soak hilbert_ab`). The standard iterative xy→d
+    * transform: per level s = 2^i from the top bit down, quadrant digit
+    * `(3·rx) xor ry` weighted s², then the lower quadrant is reflected/
+    * transposed into canonical orientation. Pure integer CASE/shift
+    * arithmetic — codegen'd, engine-exact, oracle-portable as unrolled
+    * per-level CTEs. Same caller contract as [[zValue2]]: non-negative
+    * inputs binned to < 2^bits. */
+  def hilbertValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 15,
+      s"bits must be in [1,15] (d < 4^bits stays a positive long), got $bits")
+    var cx = x.cast("long")
+    var cy = y.cast("long")
+    var d = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(cx.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(cy.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === 0, when(rx === 1, lit(s - 1L) - cy).otherwise(cy)).otherwise(cx)
+      val ny = when(ry === 0, when(rx === 1, lit(s - 1L) - cx).otherwise(cx)).otherwise(cy)
+      cx = nx
+      cy = ny
+    }
+    d
+  }
+
+  /** [[zOrdered]] on the Hilbert key: range-partition + in-partition
+    * sort, each output file a contiguous curve interval ≈ a compact
+    * connected 2-D region. */
+  def hilbertOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
+      partitions: Int): DataFrame =
+    df.withColumn("__h", hilbertValue2(x, y, bits))
+      .repartitionByRange(partitions, col("__h"))
+      .sortWithinPartitions("__h")
+
   /** Skew-resistant equi-join: the probe side's rows are spread across
     * `saltBuckets` sub-keys (deterministically, by row hash), the build
     * side is replicated across all of them. Result is identical to

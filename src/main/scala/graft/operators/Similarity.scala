@@ -829,6 +829,49 @@ object Similarity {
           zip_with(col("mx"), col("mn"), (hi, lo) => hi - lo),
           (p, s) => p.getField("lo") + (p.getField("c") + 0.5) * (s / 256.0)).as("re"))
 
+  // ── Signed-permutation rotation (OPQ-lite, PQ's decorrelation fix) ────
+
+  /** Deterministic SIGNED PERMUTATION — the cheapest member of the
+    * rotation family OPQ (Ge et al. 2013) optimizes over: dimension j of
+    * the rotated vector reads `sign_j · x[perm_j]`. A signed permutation
+    * is exactly orthogonal (L2-preserving), costs one in-row shuffle
+    * instead of a dim×dim matmul, and attacks PQ's classic failure mode:
+    * when the variance of the data concentrates in a few CONTIGUOUS
+    * dimensions, the subspace that owns them burns its whole ksub budget
+    * on a wide cloud while the other subspaces quantize noise —
+    * scattering dimensions re-balances per-subspace variance (FAISS uses
+    * a random rotation as OPQ's init for the same reason; the measured
+    * lift lives in `Soak opq_ab`). Derivation is the md5 idiom so the
+    * oracle RE-DERIVES it rather than trusting literals: dimension i
+    * draws `u_i = int(md5("seed|i")[0,8))`; the permutation is the dims
+    * sorted by (u_i, i), the sign is `+1` iff `u_i` is even. */
+  def sprRotation(dim: Int, seed: String = "spr"): (Seq[Int], Seq[Int]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val us = (0 until dim).map { i =>
+      val hex = md.digest(s"$seed|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      i -> java.lang.Long.parseLong(hex, 16)
+    }
+    val perm = us.sortBy { case (i, u) => (u, i) }.map(_._1)
+    val signs = perm.map(i => if (us(i)._2 % 2 == 0) 1 else -1)
+    (perm, signs)
+  }
+
+  /** Apply a signed permutation map-side: `e'_j = sign_j · e[perm_j]`.
+    * Pure in-row `transform` over literal index/sign arrays — no
+    * shuffle, stays in whole-stage codegen; distances in the rotated
+    * space equal distances in the original space (orthogonality), so
+    * every ADC ranker runs unchanged downstream. */
+  def rotateSigned(vectors: DataFrame, perm: Seq[Int], signs: Seq[Int]): DataFrame = {
+    require(perm.size == signs.size && perm.sorted == perm.indices.toSeq,
+      s"perm must be a permutation of 0..${perm.size - 1}")
+    val permArr = array(perm.map(i => lit(i + 1)): _*) // element_at is 1-based
+    val signArr = array(signs.map(s => lit(s.toDouble)): _*)
+    vectors.select(col("vec_id"),
+      zip_with(permArr, signArr,
+        (p, s) => element_at(col("e"), p) * s).as("e"))
+  }
+
   /** PQ top-k via asymmetric distance (ADC): the UNCOMPRESSED query is
     * ranked against every RECONSTRUCTED corpus vector — sqrt-exact L2
     * against the quantized approximation, ascending, ties on vec_id,

@@ -50,4 +50,32 @@ object TimeSeries {
   def forwardFill(value: Column, over: WindowSpec): Column =
     last(value, ignoreNulls = true)
       .over(over.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** LINEAR interpolation of missing measurements — [[forwardFill]]'s
+    * two-sided sibling (pandas `interpolate(method='time')`): a NULL
+    * between two observations takes the time-weighted blend
+    * `prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`; a NULL
+    * before the first observation backfills from it, after the last
+    * forward-fills, and an all-NULL partition stays NULL. Non-null rows
+    * pass through untouched. `ts` must be a NUMERIC time axis (epoch
+    * seconds — the q60 idiom) so the lerp is plain IEEE arithmetic,
+    * identical across engines; equal-timestamp neighbors fall back to
+    * the previous value (zero-length denominator guarded, never ±Inf).
+    *
+    * Shape: four window functions over the SAME partition/order spec —
+    * Catalyst evaluates them in one Window operator, so the cost is the
+    * one per-key sort any ordered fill already pays; nothing global. */
+  def interpolateLinear(value: Column, ts: Column, over: WindowSpec): Column = {
+    val before = over.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = over.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(value, ignoreNulls = true).over(before)
+    val pt = last(when(value.isNotNull, ts), ignoreNulls = true).over(before)
+    val nv = first(value, ignoreNulls = true).over(after)
+    val nt = first(when(value.isNotNull, ts), ignoreNulls = true).over(after)
+    when(value.isNotNull, value)
+      .when(pv.isNotNull && nv.isNotNull && nt =!= pt,
+        pv + (nv - pv) * ((ts - pt).cast("double") / (nt - pt).cast("double")))
+      .when(pv.isNotNull, pv)
+      .otherwise(nv)
+  }
 }

@@ -81,6 +81,21 @@ object StreamOps {
     graft.operators.ApproxOps.countMinSketch(
       events, token, depth, width, window(ts, duration) +: keys: _*)
 
+  /** WINDOWED DISTINCT COUNT on a stream — the third member of the
+    * streaming sketch family (MG = which tokens, CMS = how often, HLL =
+    * how many distinct): per (window, keys…) an HLL++ sketch lives in
+    * the state store and micro-batches fold in by register max —
+    * associative, commutative AND idempotent, so the streamed estimate
+    * is EXACTLY the batch estimate whatever the arrival order (the
+    * StreamingParitySpec pin is equality, not a band). Same delegation
+    * discipline as the siblings: the batch operator with the window as
+    * leading group key. */
+  def distinctCountWindowed(
+      events: DataFrame, ts: Column, duration: String,
+      item: Column, rsd: Double, keys: Column*): DataFrame =
+    graft.operators.ApproxOps.groupApproxDistinct(
+      events, item, rsd, window(ts, duration) +: keys: _*)
+
   /** Stateful streaming dedup: exact-dup suppression keyed by content
     * hash, state bounded by the watermark (Q24's streaming variant). */
   def dedupWithinWatermark(

@@ -66,6 +66,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Independent reference model: the textbook d→(x,y) Hilbert inverse
+    * (iterative, bottom-up) — the operator must invert it exactly. */
+  private def hilbertD2xy(n: Int, dIn: Int): (Int, Int) = {
+    var t = dIn; var x = 0; var y = 0; var s = 1
+    while (s < n) {
+      val rx = 1 & (t / 2)
+      val ry = 1 & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx; y += s * ry
+      t /= 4; s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbertValue2 inverts the textbook d2xy walk exactly (bits 2 and 3)") {
+    for (bits <- Seq(2, 3)) {
+      val n = 1 << bits
+      val want = (0 until n * n).map(d => hilbertD2xy(n, d) -> d.toLong).toMap
+      val grid = want.keys.toSeq.toDF("x", "y")
+      val got = grid.select(col("x"), col("y"),
+          Layout.hilbertValue2(col("x"), col("y"), bits).as("h"))
+        .as[(Int, Int, Long)].collect()
+        .map { case (x, y, h) => (x, y) -> h }.toMap
+      assert(got == want, s"bits=$bits: got $got")
+      // the property Morton lacks: CONSECUTIVE curve positions are
+      // grid-adjacent (the d2xy walk is a manhattan-1 path)
+      (1 until n * n).foreach { d =>
+        val (x0, y0) = hilbertD2xy(n, d - 1); val (x1, y1) = hilbertD2xy(n, d)
+        assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1, s"jump at d=$d")
+      }
+    }
+  }
+
+  test("hilbertOrdered partitions cover disjoint ascending curve intervals") {
+    val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    val h = Layout.hilbertOrdered(pts, col("x"), col("y"), bits = 5, partitions = 8)
+    val ranges = h
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"), col("__h"))
+      .groupBy("p").agg(min("__h").as("lo"), max("__h").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case _ => ()
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue2(col("x"), col("y"), bits = 16)
+    }
+  }
+
   test("seededShuffle: total, contiguous positions, partitioning-independent, seed-sensitive") {
     val docs = sf0001.documents.select("doc_id")
     val n = docs.count()

@@ -148,6 +148,39 @@ class PlanShapeSpec extends SparkSpec {
       s"only the batch's assign-codes zip may shuffle:\n$p")
   }
 
+  test("q153: SQ8 stats ride in as 1-row broadcasts; no shuffled join anywhere") {
+    // encode and reconstruct are map-only under broadcast cross joins of
+    // the single stats row; the ADC ranking broadcasts the 5-query side.
+    // Nothing corpus-sized ever meets anything in a shuffled join — the
+    // only exchange is the per-query window's.
+    val p = q("q153_ann_sq8")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3,
+      s"stats (x2) and the query side must ride in as broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"SQ8 search must not shuffle-join:\n$p")
+  }
+
+  test("q154: the AUC sweep aggregates the corpus once; the window sees only score groups") {
+    // partial+final aggregate on the distinct-score groupBy, then the
+    // cumulative window runs over the score vocabulary (grid-bounded),
+    // never the corpus rows
+    val p = q("q154_roc_auc")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct-score grouping must aggregate partial+final:\n$p")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"exactly one cumulative window (over score groups) expected:\n$p")
+  }
+
+  test("q156: image near-dup has no window — banded equi-join plus distinct only") {
+    // the dHash is computed inside the scan projection (after the codec
+    // map stage); candidates come from the chunk-key equi-join and the
+    // exact Hamming verify is a per-row filter. No per-doc window, no
+    // cartesian product.
+    val p = q("q156_image_dhash")
+    assert(!p.contains("Window"), s"no window in the banded join plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"banding must prevent all-pairs:\n$p")
+  }
+
   test("q94: unigram sides broadcast; totals arrive as 1-row broadcast cross joins") {
     val p = q("q94_pmi_collocations")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2,

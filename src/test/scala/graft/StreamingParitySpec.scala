@@ -109,6 +109,34 @@ class StreamingParitySpec extends SparkSpec {
       assert(m == batch(h), s"window $h: counter matrices diverged")
   }
 
+  test("windowed HLL distinct count: streamed estimates equal batch exactly") {
+    // HLL++ register merge = element-wise max — associative, commutative
+    // and IDEMPOTENT — so unlike a sum-based sketch even replayed or
+    // reordered micro-batches cannot move the estimate: parity is plain
+    // equality per window
+    import spark.implicits._
+    val streamed = runToCompletion(
+      graft.streaming.StreamOps.distinctCountWindowed(
+        eventsStream, col("ts"), "1 hour", col("user_id"), rsd = 0.05),
+      "thll")
+      .select(col("window.start").as("h"), col("n_distinct"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val batch = graft.operators.ApproxOps.groupApproxDistinct(
+        sf0001.events, col("user_id"), rsd = 0.05, window(col("ts"), "1 hour"))
+      .select(col("window.start").as("h"), col("n_distinct"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    for ((h, n) <- streamed) assert(n == batch(h), s"window $h estimate diverged")
+    // and the estimate is a real distinct count: within rsd-ish of exact
+    val exact = sf0001.events
+      .groupBy(window(col("ts"), "1 hour")).agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("h"), col("n"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    for ((h, n) <- exact)
+      assert(math.abs(streamed(h) - n).toDouble / n <= 0.15,
+        s"window $h: estimate ${streamed(h)} vs exact $n")
+  }
+
   test("stream-stream interval join pairs equal batch Q23's join") {
     val e1 = eventsStream.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id").as("u1"), col("ts").as("ts1"))

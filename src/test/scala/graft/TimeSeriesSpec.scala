@@ -68,4 +68,38 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("k", "seq").as[(Long, Int, Option[Double])].collect().toSeq
     assert(got.map(_._3) == Seq(None, Some(7.0), Some(7.0), Some(7.0), Some(9.0), None))
   }
+
+  test("interpolateLinear: time-weighted interior lerp, edge fills, all-null partition") {
+    // key 1: obs at t=0 (10.0) and t=20 (30.0); gaps at t=5 and t=10
+    //   lerp: 10 + 20*(5/20) = 15.0 and 10 + 20*(10/20) = 20.0
+    // key 2: leading gap backfills from the first obs, trailing gap
+    //   carries the last obs forward
+    // key 3: all-null stays null
+    val df = Seq(
+      (1L, 0L, Some(10.0)), (1L, 5L, None), (1L, 10L, None), (1L, 20L, Some(30.0)),
+      (2L, 0L, None), (2L, 10L, Some(4.0)), (2L, 20L, None),
+      (3L, 0L, None), (3L, 10L, None)
+    ).toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t")
+    val got = df
+      .select(col("k"), col("t"),
+        TimeSeries.interpolateLinear(col("v"), col("t"), w).as("vi"))
+      .orderBy("k", "t").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, Some(10.0)), (1L, 5L, Some(15.0)), (1L, 10L, Some(20.0)), (1L, 20L, Some(30.0)),
+      (2L, 0L, Some(4.0)), (2L, 10L, Some(4.0)), (2L, 20L, Some(4.0)),
+      (3L, 0L, None), (3L, 10L, None)), s"got $got")
+  }
+
+  test("interpolateLinear: equal-timestamp neighbors fall back to the previous value") {
+    // the null row shares t=5 with both observations: zero-length span,
+    // guarded to pv (never a division by zero / ±Inf)
+    val df = Seq((1L, 5L, 1, Some(2.0)), (1L, 5L, 2, None), (1L, 5L, 3, Some(8.0)))
+      .toDF("k", "t", "seq", "v")
+    val w = Window.partitionBy("k").orderBy("t", "seq")
+    val got = df
+      .select(col("seq"), TimeSeries.interpolateLinear(col("v"), col("t"), w).as("vi"))
+      .orderBy("seq").as[(Int, Option[Double])].collect().toSeq
+    assert(got == Seq((1, Some(2.0)), (2, Some(2.0)), (3, Some(8.0))), s"got $got")
+  }
 }
