@@ -238,7 +238,10 @@ object Soak {
     println(f"[soak] opq_ab m=$m ksub=16 contiguous-signal corpus: " +
       f"adc recall@$k raw $raw%.3f vs rotated $rot%.3f")
     corpus.unpersist(blocking = false)
-    require(rot > raw,
+    // strict lift, unless the rotated leg is already AT the 1.0 ceiling
+    // (a tie at ceiling is the best possible outcome, not a regression —
+    // a strict gate would flake on exactly that)
+    require(rot > raw || rot >= 1.0 - 1e-9,
       f"the signed-permutation rotation must lift PQ recall on the " +
         f"concentrated corpus: raw $raw%.3f vs rotated $rot%.3f")
   }
@@ -273,7 +276,10 @@ object Soak {
       // write's file boundaries); per-file min/max of both dims
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("__k"), col("x"), col("y"))
       val stats = keyed
-        .withColumn("__f", ((row_number().over(w) - 1) * files / n).cast("int"))
+        // cast to long BEFORE the multiply: row_number() is IntegerType,
+        // and (n-1)·64 overflows Int from mult ≥ 32 (n = 2^25), yielding
+        // negative file ids and corrupt stats
+        .withColumn("__f", ((row_number().over(w) - 1).cast("long") * files / n).cast("int"))
         .groupBy("__f")
         .agg(min("x").as("x0"), max("x").as("x1"),
           min("y").as("y0"), max("y").as("y1"))
@@ -753,8 +759,11 @@ object Soak {
       if (gateOperatingPoint) {
         require(sqR >= 0.95,
           s"$label: SQ8 ADC must be near-exact without rerank, got $sqR")
-        require(pqCurve.forall(c => sqR > c._2),
-          s"$label: SQ8 (8 bits/dim) must beat every ADC-only PQ recall: $sqR vs $pqCurve")
+        // >= not >: the claim is SQ8 dominating-or-tying — a PQ leg can
+        // legitimately reach the same recall (e.g. both 1.0 on an easy
+        // leg), and a strict gate would flake on exactly that tie
+        require(pqCurve.forall(c => sqR >= c._2),
+          s"$label: SQ8 (8 bits/dim) must dominate or tie every ADC-only PQ recall: $sqR vs $pqCurve")
       }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +

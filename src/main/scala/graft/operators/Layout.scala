@@ -83,12 +83,40 @@ object Layout {
     * transform: per level s = 2^i from the top bit down, quadrant digit
     * `(3·rx) xor ry` weighted s², then the lower quadrant is reflected/
     * transposed into canonical orientation. Pure integer CASE/shift
-    * arithmetic — codegen'd, engine-exact, oracle-portable as unrolled
-    * per-level CTEs. Same caller contract as [[zValue2]]: non-negative
-    * inputs binned to < 2^bits. */
+    * arithmetic — engine-exact, oracle-portable as unrolled per-level
+    * CTEs. Same caller contract as [[zValue2]]: non-negative inputs
+    * binned to < 2^bits.
+    *
+    * Implemented as the native codegen expression
+    * [[graft.plans.HilbertXY2D]] (`hilbert_xy2d(x, y, bits)`): the
+    * transform carries state across levels, so a Column-tree
+    * formulation must inline each level's trees into the next —
+    * ~4^bits nodes, which at bits=8 meant a 79 MiB task binary and
+    * ~10 min of driver-side optimizer/codegen PER RUN (it timed out
+    * round 15's bench capture). The native form is one expression
+    * node, a flat O(bits) per-row loop, whole-stage codegen'd —
+    * constant plan size at any bits. Requires graft function
+    * registration (`GraftFunctions.ensureRegistered` — done by
+    * [[graft.Tables]]/[[graft.Engine]]; cluster deployments use
+    * `spark.sql.extensions=graft.plans.GraftExtensions`).
+    * [[hilbertValue2Unrolled]] keeps the pure-Column form as a
+    * low-bits cross-check (`LayoutSpec` pins equality). */
   def hilbertValue2(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 15,
-      s"bits must be in [1,15] (d < 4^bits stays a positive long), got $bits")
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1,31] (d < 4^bits stays a positive long), got $bits")
+    graft.plans.GraftFunctions.hilbertXY2D(x.cast("long"), y.cast("long"), bits)
+  }
+
+  /** The pre-r16 pure-Column formulation of [[hilbertValue2]] — kept
+    * ONLY as an independent cross-check of the native expression (and
+    * as registration-free fallback at toy widths): its expression tree
+    * grows ~4× per level, so it is capped at bits ≤ 5 (~1k nodes).
+    * Semantics identical by construction; `LayoutSpec` pins equality
+    * against [[hilbertValue2]] across the full grid at each width. */
+  def hilbertValue2Unrolled(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 5,
+      s"unrolled Column form is a cross-check only: bits must be in [1,5] " +
+      s"(tree grows ~4x per level), got $bits — use hilbertValue2")
     var cx = x.cast("long")
     var cy = y.cast("long")
     var d = lit(0L)

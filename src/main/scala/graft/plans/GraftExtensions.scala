@@ -173,6 +173,14 @@ object GraftFunctions {
           s"luhn_count_cards(text) takes 1 argument, got ${exprs.length}")
         LuhnCountCards(exprs.head)
       }),
+    (FunctionIdentifier("hilbert_xy2d"),
+      new ExpressionInfo(classOf[HilbertXY2D].getName, "hilbert_xy2d"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"hilbert_xy2d(x, y, bits) takes 3 arguments, got ${exprs.length}")
+        HilbertXY2D(exprs.head, exprs(1),
+          literalInt(exprs(2), "hilbert_xy2d", "bits"))
+      }),
     (FunctionIdentifier("bpe_tokenize_vocab"),
       new ExpressionInfo(classOf[BpeTokenizeVocab].getName, "bpe_tokenize_vocab"),
       (exprs: Seq[Expression]) => {
@@ -229,6 +237,9 @@ object GraftFunctions {
   def unicodeNormalize(text: Column, form: String): Column =
     call_function("unicode_normalize", text,
       org.apache.spark.sql.functions.lit(form))
+  def hilbertXY2D(x: Column, y: Column, bits: Int): Column =
+    call_function("hilbert_xy2d", x, y,
+      org.apache.spark.sql.functions.lit(bits))
   def bpeApplyMerges(text: Column, vocabId: String): Column =
     call_function("bpe_apply_merges", text,
       org.apache.spark.sql.functions.lit(vocabId))

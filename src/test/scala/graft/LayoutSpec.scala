@@ -102,6 +102,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValue2 (native) matches d2xy on the FULL bits=8 grid — the gated width " +
+      "that broke the r15 bench as a Column tree") {
+    val n = 1 << 8
+    val want = (0 until n * n).map(d => hilbertD2xy(n, d) -> d.toLong).toMap
+    val grid = want.keys.toSeq.toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        Layout.hilbertValue2(col("x"), col("y"), 8).as("h"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (x, y, h) => (x, y) -> h }.toMap
+    assert(got == want)
+  }
+
+  test("hilbertValue2Unrolled (Column cross-check form) ≡ native at bits 1..5, full grids") {
+    for (bits <- 1 to 5) {
+      val n = 1 << bits
+      val grid = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")
+      val mismatches = grid.select(
+          Layout.hilbertValue2(col("x"), col("y"), bits).as("native"),
+          Layout.hilbertValue2Unrolled(col("x"), col("y"), bits).as("unrolled"))
+        .filter(col("native") =!= col("unrolled")).count()
+      assert(mismatches == 0L, s"bits=$bits: $mismatches cells disagree")
+    }
+    // the cross-check form refuses widths where its tree would explode
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue2Unrolled(col("x"), col("y"), bits = 8)
+    }
+  }
+
   test("hilbertOrdered partitions cover disjoint ascending curve intervals") {
     val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
     val h = Layout.hilbertOrdered(pts, col("x"), col("y"), bits = 5, partitions = 8)
@@ -115,7 +143,7 @@ class LayoutSpec extends SparkSpec {
       case _ => ()
     }
     intercept[IllegalArgumentException] {
-      Layout.hilbertValue2(col("x"), col("y"), bits = 16)
+      Layout.hilbertValue2(col("x"), col("y"), bits = 32)
     }
   }
 
