@@ -31,6 +31,26 @@ import org.apache.spark.sql.SparkSession
   * At 100 TB the same queries run with AQE on and default split sizes.
   */
 object Bench {
+
+  /** Absolute per-query wall ceiling (seconds) at the bench scale factor.
+    *
+    * The drift gate compares against a PRIOR reading, so a brand-new
+    * pathological query has no baseline and is invisible to it — exactly
+    * how r15's q158 (619.6 s/run of driver-side plan explosion, bolted on
+    * in the round's final minutes) took down the whole bench capture
+    * (rc=124) with no flag anywhere. Any query whose best-of-2 exceeds
+    * this budget is named in the emitted JSON's `"slow"` array even when
+    * it eventually completes: at sf0.1 every healthy query runs in
+    * ≤ ~8 s under load, so 30 s is pure headroom, not tuning. */
+  val slowCeilingSec: Double = 30.0
+
+  /** Names whose timing exceeds `ceiling`, as the JSON array fragment the
+    * bench line carries — factored out so the gate is unit-testable
+    * (`BenchSpec`). */
+  def slowJson(timings: Seq[(String, Double)], ceiling: Double = slowCeilingSec): String =
+    timings.collect { case (n, t) if t > ceiling => n }
+      .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -203,10 +223,14 @@ object Bench {
     // metric/value go LAST on the line (the big per-query maps are what got
     // the round-3 gate number truncated away). The same JSON is also written
     // to target/bench_summary.json so the number survives any truncation.
+    // absolute ceiling over EVERY timed reading (serial + extensions +
+    // shared builds) — see slowCeilingSec: new pathological queries have
+    // no drift baseline, this names them anyway
+    val slow = slowJson(serial ++ ext)
     val json =
       s"""{"queries":$qs,"serial_total":$serialTotal,"concurrency":$threads,""" +
-      s""""extensions":$exts,"drift":$drift,"failed":$failedJson,"sf":"$sfDir",""" +
-      s""""unit":"sec","metric":"suite_wall_concurrent","value":$wall}"""
+      s""""extensions":$exts,"drift":$drift,"failed":$failedJson,"slow":$slow,""" +
+      s""""sf":"$sfDir","unit":"sec","metric":"suite_wall_concurrent","value":$wall}"""
     val outFile = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
     java.nio.file.Files.write(outFile, json.getBytes("UTF-8"))

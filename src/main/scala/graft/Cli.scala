@@ -38,7 +38,8 @@ object Cli {
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
     "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile",
-    "jobs", "title")
+    "jobs", "title",
+    "ant", "ant-col", "ant1-col", "ant2-col", "baseline", "chan", "chan-col")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -115,11 +116,49 @@ object Cli {
       expr(a.get("order").getOrElse(throw new IllegalArgumentException(
         s"--ared ${a.get("ared").get} needs --order <expr> (the axis that defines first/last, e.g. a timestamp)"))))
 
-  /** The shared source frame: table → `--where` filter → `--sample`. */
+  /** Subset selectors (reference `--ant` / `--baseline` / `--chan` [U,
+    * `shade_ms/main.py`, `ms_info.py :: NamedList`]): the parquet data
+    * model has no fixed antenna/channel columns, so each selector names
+    * its target expression explicitly — `--ant "0,2:5" --ant-col a1` (or
+    * `--ant1-col/--ant2-col` for the MS-style EITHER-endpoint match),
+    * `--baseline "0-1,2-3" --ant1-col a1 --ant2-col a2` (symmetric
+    * pairs), `--chan "0:64:4" --chan-col pos` (python slice over a
+    * 0-based position). All become plain pushdown predicates
+    * ([[graft.operators.Subset]]); selectors compose with `--where` by
+    * conjunction, exactly as the reference ANDs its selection clauses. */
+  private def subsetFilters(a: Args): Seq[Column] = {
+    val ant = a.get("ant").map { spec =>
+      (a.get("ant-col"), a.get("ant1-col"), a.get("ant2-col")) match {
+        case (Some(c), _, _) =>
+          graft.operators.Subset.membership(spec, expr(c))
+        case (None, Some(c1), Some(c2)) =>
+          graft.operators.Subset.membership(spec, expr(c1)) ||
+            graft.operators.Subset.membership(spec, expr(c2))
+        case _ => throw new IllegalArgumentException(
+          "--ant needs --ant-col <expr> (or --ant1-col AND --ant2-col " +
+            "for either-endpoint selection)")
+      }
+    }
+    val bl = a.get("baseline").map { spec =>
+      val need = (k: String) => a.get(k).getOrElse(throw new IllegalArgumentException(
+        s"--baseline needs --ant1-col and --ant2-col (missing --$k)"))
+      graft.operators.Subset.baselines(spec, expr(need("ant1-col")), expr(need("ant2-col")))
+    }
+    val chan = a.get("chan").map { spec =>
+      graft.operators.Subset.chanSlice(spec,
+        expr(a.get("chan-col").getOrElse(throw new IllegalArgumentException(
+          "--chan needs --chan-col <expr> (a 0-based position column)"))))
+    }
+    Seq(ant, bl, chan).flatten
+  }
+
+  /** The shared source frame: table → `--where` filter → subset
+    * selectors → `--sample`. */
   private def sourceFrame(a: Args, spark: SparkSession) = {
     Engine.open(spark, a.req("dir"))
     val table = spark.table(a.req("table"))
-    val filtered = a.get("where").fold(table)(w => table.filter(expr(w)))
+    val whered = a.get("where").fold(table)(w => table.filter(expr(w)))
+    val filtered = subsetFilters(a).foldLeft(whered)(_ filter _)
     (a.get("sample"), a.get("sample-key")) match {
       case (Some(f), Some(k)) =>
         graft.operators.Sampling.hashSample(filtered, expr(k), f.toDouble)

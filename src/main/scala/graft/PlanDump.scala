@@ -97,6 +97,9 @@ object PlanDump {
     "q153_ann_sq8",          // 1-row stats broadcasts, map-only encode/reconstruct, no shuffled join
     "q154_roc_auc",          // one corpus aggregate + window over the score vocabulary only
     "q156_image_dhash",      // codec map stage -> in-row dHash -> banded equi-join, no window
+    "q157_interpolate_linear", // IGNORE-NULLS window reads, one keyed exchange, in-row lerp
+    "q158_hilbert_key",      // native hilbert_xy2d: ONE expression node, map stage + output sort
+    "q159_pq_rotated",       // signed-permutation rotate in-row + q131's rerank shape
   )
 
   def main(args: Array[String]): Unit = {

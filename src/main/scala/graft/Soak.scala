@@ -765,8 +765,26 @@ object Soak {
         require(pqCurve.forall(c => sqR >= c._2),
           s"$label: SQ8 (8 bits/dim) must dominate or tie every ADC-only PQ recall: $sqR vs $pqCurve")
       }
+      // the COMPOSED production rebuild (q160's shape at operating scale):
+      // k-means|| init -> Lloyd -> IVF at nprobe=4, measured against the
+      // same exact truth as the lowest-id-init curve above — the recall
+      // claim the composition's gate (q160) points at
+      val kppCent = Similarity.trainCentroidsFrom(e,
+        Similarity.scalableInitCentroids(e, kc, rounds = 3, l = kc),
+        iters = 10, dim = dim)
+      val kppAssign = Similarity.ivfAssign(e, kppCent).persist()
+      val kppR = recallVs(exactCos,
+        topSet(Similarity.ivfTopKProbed(e, kppAssign, kppCent, queries, k, 4)))
+      kppAssign.unpersist(blocking = false)
+      println(f"[soak] ann_recall $label kmeans||+lloyd+ivf(nprobe=4) composed: " +
+        f"recall@$k $kppR%.3f (lowest-id-init curve reads ${ivfCurve.toMap.apply(4)}%.3f)")
+      if (gateOperatingPoint) {
+        require(kppR >= 0.9,
+          s"$label: composed kmeans||->lloyd->ivf must hold the operating-point floor: $kppR")
+      }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
+        s""""kmeanspp_composed_nprobe4_recall":$kppR,""" +
         s""""sq8_adc_recall":$sqR,""" +
         s""""ivf":{"kc":$kc,"trained_iters":10,"curve":{""" +
         ivfCurve.map { case (np, r) => s""""$np":$r""" }.mkString(",") + "}}," +

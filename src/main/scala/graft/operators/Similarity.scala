@@ -793,6 +793,29 @@ object Similarity {
       array((0 until dim).map(i => min(element_at(col("e"), i + 1))): _*).as("mn"),
       array((0 until dim).map(i => max(element_at(col("e"), i + 1))): _*).as("mx"))
 
+  /** [[sqStats]] restated for HIGH dimensionality — the documented
+    * alternative made code: posexplode the vectors to `(pos, x)` rows,
+    * ONE partial-aggregated groupBy(pos) for per-dim min/max (shuffle
+    * volume = dim rows per partition after map-side combine), then
+    * assemble the single `(mn, mx)` row by sorting the dim-sized
+    * collected list. Identical output contract to [[sqStats]] — min/max
+    * are order-free exact, so the two forms are BIT-identical
+    * (`SimilaritySpec` pins it) — but the plan carries 2 aggregate
+    * expressions instead of 2·dim: at dim ≥ ~1k the wide form's
+    * codegen'd row blows past method/constant-pool limits while this
+    * shape is flat, and at ANY dim the exploded rows never widen the
+    * whole-stage row. Same downstream: feed [[sqEncode]] /
+    * [[sqReconstruct]] unchanged. */
+  def sqStatsTall(vectors: DataFrame, dim: Int): DataFrame =
+    vectors
+      .select(posexplode(col("e")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mn"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("mx"))
+
   /** SQ8 encode: each dimension quantizes independently to an 8-bit cell
     * index over its corpus [min, max] range — `code = min(255,
     * floor(((x−mn)/(mx−mn))·256))`, a constant dimension (mx=mn) coding

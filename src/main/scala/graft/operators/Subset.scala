@@ -31,6 +31,28 @@ object Subset {
       }
     }.reduceLeft(_ || _)
 
+  /** Baseline-pair spec (`"0-1,2-3"`) → predicate over an antenna-pair
+    * column pair — the reference's `--baseline` selector (`shade_ms/
+    * ms_info.py [U]` resolves `p-q` names against the antenna table; here
+    * the pair is matched SYMMETRICALLY, `(a1,a2) ∈ {(p,q),(q,p)}`, since
+    * a baseline is an unordered pair however the rows happen to order
+    * their endpoints). Each part must be `p-q`; a bare `p` means "every
+    * baseline involving antenna p" (either endpoint), the reference's
+    * single-antenna shorthand. Plain boolean column arithmetic —
+    * Catalyst pushes the disjunction to the scan like any filter. */
+  def baselines(spec: String, a1: Column, a2: Column): Column =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split('-') match {
+        case Array(p, q) =>
+          val (pl, ql) = (p.trim.toLong, q.trim.toLong)
+          (a1 === pl && a2 === ql) || (a1 === ql && a2 === pl)
+        case Array(p) =>
+          val pl = p.trim.toLong
+          a1 === pl || a2 === pl
+        case _ => throw new IllegalArgumentException(s"bad baseline part: '$part'")
+      }
+    }.reduceLeft(_ || _)
+
   /** Python-slice channel spec (`"start:stop[:step]"`, stop exclusive) →
     * predicate over a 0-based position column (e.g. posexplode's `pos`). */
   def chanSlice(spec: String, pos: Column): Column = {

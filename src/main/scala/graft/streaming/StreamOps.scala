@@ -155,6 +155,79 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("__minhash_key"))
       .drop("__minhash_key")
 
+  /** STREAMING incremental vector-index ingest — the `readStream` form of
+    * [[graft.operators.Similarity.indexIngest]] (q152): assign + encode
+    * each arriving vector against the PERSISTED index artifacts
+    * (centroid table, PQ codebook — "yesterday's build outputs"), so new
+    * vectors become searchable per micro-batch with no retrain and no
+    * corpus read. Same output rows `(vec_id, cid, j, code)`, append-ready
+    * for the index's code table.
+    *
+    * The batch operator's argmax/argmin are per-vector WINDOWS, which
+    * Structured Streaming cannot run (non-time windows need global
+    * state); here both collapse to IN-ROW folds, which is possible
+    * precisely because the artifacts are tiny (the operator's own
+    * broadcast claim): each artifact folds into ONE row holding a
+    * cid-sorted / (j,code)-sorted struct array, rides a broadcast
+    * stream-static cross join, and `aggregate()` folds over it per row —
+    * strict improvement comparisons over the sorted arrays reproduce the
+    * batch tie-breaks exactly (first-seen = lowest cid / lowest code).
+    * Everything is stateless (map + bounded generator explode), so any
+    * trigger mode works and batch ≡ stream row-for-row
+    * (`StreamOpsSpec` pins the full code table against q152's batch
+    * output). The same fold shape also SERVES batch at extreme corpus
+    * width: it is the no-shuffle restatement of encode (the window
+    * forms shuffle on vec_id).
+    *
+    * Re-read-per-micro-batch semantics match [[exactDupGuard]]: pass the
+    * artifact tables as batch frames read from their persisted location
+    * and a restarted day picks up yesterday's recenter without code
+    * changes. */
+  def indexIngestStream(batch: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val sub = dim / m
+    // one-row artifact tables, sorted so fold order IS the tie-break order
+    val cRow = centroids
+      .select(struct(col("vec_id").as("cid"), col("e").as("ce")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__ing_cents"))
+    val cbRow = codebook
+      .select(struct(col("j"), col("code"), col("sub")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__ing_cb"))
+    val assigned = batch
+      .join(broadcast(cRow))   // 1-row static side: broadcast NLJ, stateless
+      .join(broadcast(cbRow))
+      .withColumn("__ing_best",
+        aggregate(col("__ing_cents"),
+          struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val s = graft.plans.GraftFunctions
+              .cosineSimilarity(col("e"), c.getField("ce"))
+            when(s > acc.getField("sim"),
+              struct(s.as("sim"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+      .withColumn("cid", col("__ing_best").getField("cid"))
+    assigned
+      .withColumn("j", explode(sequence(lit(1), lit(m))))
+      .withColumn("__ing_vsub",
+        slice(col("e"), (col("j") - 1) * sub + 1, lit(sub)))
+      .withColumn("__ing_code",
+        aggregate(
+          filter(col("__ing_cb"), c => c.getField("j") === col("j")),
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("code")),
+          (acc, c) => {
+            val d = graft.plans.GraftFunctions
+              .l2Distance(col("__ing_vsub"), c.getField("sub"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("code").as("code")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("cid"), col("j"),
+        col("__ing_code").getField("code").as("code"))
+  }
+
   /** Streaming DECONTAMINATION guard — q74's semantics at ingest time:
     * admit only the incoming documents that share NO token `n`-gram with
     * a static eval suite (the benchmark answers a training corpus must

@@ -108,6 +108,48 @@ class CliSpec extends SparkSpec {
       s"with x clamped to [0,1), quantities >= 1 must pile into the edge bins, got $xbs")
   }
 
+  test("--ant/--baseline/--chan selectors ≡ their --where equivalents, end to end") {
+    def cells(extra: String*): Long = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--width", "32", "--height", "32",
+      "--xmin", "0", "--xmax", "60", "--ymin", "0", "--ymax", "120000") ++ extra,
+      spark)
+    // --ant list+range on a named column == the expanded predicate
+    val ant = cells("--ant", "1,3:5", "--ant-col", "l_linenumber")
+    val antWhere = cells("--where",
+      "l_linenumber = 1 OR (l_linenumber >= 3 AND l_linenumber <= 5)")
+    assert(ant == antWhere && ant > 0)
+    // either-endpoint form: ant1-col OR ant2-col membership
+    val ant2 = cells("--ant", "2", "--ant1-col", "l_linenumber",
+      "--ant2-col", "cast(l_suppkey % 7 as bigint)")
+    val ant2Where = cells("--where", "l_linenumber = 2 OR l_suppkey % 7 = 2")
+    assert(ant2 == ant2Where && ant2 > 0)
+    // --baseline symmetric pairs over two endpoint expressions
+    val bl = cells("--baseline", "0-1,2-2",
+      "--ant1-col", "cast(l_linenumber % 3 as bigint)",
+      "--ant2-col", "cast(l_suppkey % 3 as bigint)")
+    val blWhere = cells("--where",
+      "(l_linenumber % 3 = 0 AND l_suppkey % 3 = 1) OR " +
+      "(l_linenumber % 3 = 1 AND l_suppkey % 3 = 0) OR " +
+      "(l_linenumber % 3 = 2 AND l_suppkey % 3 = 2)")
+    assert(bl == blWhere && bl > 0)
+    // --chan python slice over a 0-based position expression
+    val ch = cells("--chan", "0:4:2", "--chan-col", "l_linenumber - 1")
+    val chWhere = cells("--where", "l_linenumber = 1 OR l_linenumber = 3")
+    assert(ch == chWhere && ch > 0)
+    // selectors COMPOSE with --where by conjunction
+    val comp = cells("--ant", "1,2", "--ant-col", "l_linenumber",
+      "--where", "l_quantity > 10")
+    val compWhere = cells("--where",
+      "(l_linenumber = 1 OR l_linenumber = 2) AND l_quantity > 10")
+    assert(comp == compWhere && comp > 0)
+    // missing target columns are rejected loudly, not defaulted
+    intercept[IllegalArgumentException](cells("--ant", "1"))
+    intercept[IllegalArgumentException](cells("--baseline", "0-1"))
+    intercept[IllegalArgumentException](cells("--chan", "0:4"))
+  }
+
   test("events table works through the CLI (nanos normalization inside Engine.open)") {
     val out = tmp("events")
     val cells = Cli.run(Seq(

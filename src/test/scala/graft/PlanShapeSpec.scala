@@ -346,4 +346,46 @@ class PlanShapeSpec extends SparkSpec {
       s"the trained weight table must enter as a materialized relation:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q157: interpolation is the user-keyed window shuffle only — no join, no aggregate") {
+    // four IGNORE-NULLS window reads share ONE (user_id)-partitioned
+    // exchange; the lerp is in-row arithmetic. Nothing joins, nothing
+    // aggregates — at 100 TB the cost is exactly one keyed shuffle.
+    val p = q("q157_interpolate_linear")
+    assert(p.contains("Window"), s"windowed neighbor reads expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"all window reads must share one user-keyed exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"no join or aggregate in the interpolation plan:\n$p")
+  }
+
+  test("q158: the Hilbert key is ONE native expression node — bounded plan, map stage only") {
+    // the r15 failure class: the Column-tree formulation grew ~4x per
+    // level (~4^8 nodes at bits=8 — a 79 MiB task binary and ~10 min of
+    // driver-side optimizer/codegen per run, data-size-independent).
+    // Gate BOTH properties: the native expression is actually in the
+    // plan, and the rendered plan stays small (the explosion produced
+    // megabytes here).
+    val df = SparkEntry.queries("q158_hilbert_key")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("hilbert_xy2d"),
+      s"the native hilbert_xy2d expression must appear in the plan:\n$p")
+    assert(p.length < 50000,
+      s"plan string must stay bounded (got ${p.length} chars) — " +
+      s"an exploding expression tree renders megabytes here")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"hilbert keying is a pure map stage over the scan:\n$p")
+  }
+
+  test("q159: rotated PQ keeps q89's ADC shape — query side broadcasts, rotation is in-row") {
+    // the signed-permutation rotate is a per-row projection (no shuffle
+    // of its own); the ADC ranking broadcasts the 5-query side against
+    // the codes — the corpus never shuffles into a join
+    val p = q("q159_pq_rotated")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query side must ride in as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join in the rotated-PQ search:\n$p")
+  }
 }

@@ -495,6 +495,42 @@ class SimilaritySpec extends SparkSpec {
     assert(sq.nonEmpty)
   }
 
+  test("sqStatsTall (high-dim restatement) is BIT-identical to the wide sqStats form") {
+    // min/max are order-free exact, so the posexplode->groupBy(pos)
+    // restatement must reproduce the wide column-per-dim aggregate
+    // exactly — the 100 TB path at dim >= ~1k is this code, not a
+    // scaladoc comment. Checked on the tiny fixture, the real sf0.001
+    // embeddings (dim=64), and a deliberately WIDE synthetic corpus
+    // (dim=512 — past where anyone should build 1024 agg expressions).
+    def statsOf(df: org.apache.spark.sql.DataFrame, dim: Int) = {
+      val wide = Similarity.sqStats(df, dim)
+        .as[(Seq[Double], Seq[Double])].head()
+      val tall = Similarity.sqStatsTall(df, dim)
+        .as[(Seq[Double], Seq[Double])].head()
+      (wide, tall)
+    }
+    val (w1, t1) = statsOf(sqVecs, 4)
+    assert(w1 == t1)
+    val emb = sf0001.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val (w2, t2) = statsOf(emb, 64)
+    assert(w2 == t2)
+    val wideDim = 512
+    val wideVecs = spark.range(200).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(wideDim - 1)),
+        i => sin(col("id") * i.cast("double") + i)).as("e"))
+    val (w3, t3) = statsOf(wideVecs, wideDim)
+    assert(w3 == t3 && w3._1.length == wideDim)
+    // and the downstream contract holds: encode over tall stats ==
+    // encode over wide stats
+    val cw = Similarity.sqEncode(sqVecs, Similarity.sqStats(sqVecs, 4))
+      .as[(Long, Seq[Int])].collect().toMap
+    val ct = Similarity.sqEncode(sqVecs, Similarity.sqStatsTall(sqVecs, 4))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(cw == ct)
+  }
+
   test("SQ8 codes are invariant to partitioning") {
     val stats = Similarity.sqStats(sqVecs, 4)
     val a = Similarity.sqEncode(sqVecs.repartition(7), stats)

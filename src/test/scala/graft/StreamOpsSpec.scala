@@ -180,6 +180,36 @@ class StreamOpsSpec extends SparkSpec {
       s"(missing=${want -- got}, extra=${got -- want})")
   }
 
+  test("indexIngestStream: streamed code table ≡ q152's batch indexIngest, row for row") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // q152's exact setup: % 50 == 0 arrives as the new batch; centroids
+    // and codebook are persisted artifacts of the earlier index build
+    val e = sf0001.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val index = e.filter(col("vec_id") % 50 =!= 0)
+    val batch = e.filter(col("vec_id") % 50 === 0)
+    val centroids = index.filter(col("vec_id") >= 1 && col("vec_id") < 9)
+    val cb = Similarity.pqCodebook(index, m = 4, ksub = 16, dim = 64, trainFrom = 1)
+    val dir = Files.createTempDirectory("ingest-stream")
+    batch.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString)
+    val out = StreamOps.indexIngestStream(stream, centroids, cb, m = 4, dim = 64)
+    assert(out.isStreaming, "the ingest must stay a streaming frame")
+    val q = out.writeStream.format("memory").queryName("so_ingest")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_ingest").select("vec_id", "cid", "j", "code")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val want = Similarity.indexIngest(batch, centroids, cb, m = 4, dim = 64)
+      .select(col("vec_id"), col("cid"), col("j"), col("code").cast("long"))
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got.nonEmpty, "the replayed batch must produce code rows")
+    assert(got == want,
+      s"stream/batch code tables differ (missing=${(want -- got).take(5)}, " +
+      s"extra=${(got -- want).take(5)})")
+  }
+
   test("stateless pipeline ops (hash sampling, quality gate) run unchanged on streams") {
     // the Spark-first payoff: Sampling/Cleaning are plain Column
     // predicates, so the SAME operator code drives batch and readStream —

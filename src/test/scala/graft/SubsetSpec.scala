@@ -24,6 +24,21 @@ class SubsetSpec extends SparkSpec {
     intercept[IllegalArgumentException](Subset.chanSlice("1:2:-1", col("pos")))
   }
 
+  test("baselines: symmetric pairs, single-antenna shorthand, bad parts rejected") {
+    val pairs = (for (a <- 0L to 3L; b <- 0L to 3L) yield (a, b)).toDF("a1", "a2")
+    def sel(spec: String) = pairs
+      .filter(Subset.baselines(spec, col("a1"), col("a2")))
+      .as[(Long, Long)].collect().toSet
+    // "0-1" matches BOTH orientations — a baseline is an unordered pair
+    assert(sel("0-1") == Set((0L, 1L), (1L, 0L)))
+    assert(sel("0-1,2-3") == Set((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)))
+    // autocorrelation pair selects only itself
+    assert(sel("2-2") == Set((2L, 2L)))
+    // bare antenna = every baseline involving it (either endpoint)
+    assert(sel("3") == (0L to 3L).flatMap(x => Seq((3L, x), (x, 3L))).toSet)
+    intercept[IllegalArgumentException](Subset.baselines("0-1-2", col("a1"), col("a2")))
+  }
+
   test("predicates reach the parquet scan (pushed filters)") {
     val plan = sf0001.orders
       .filter(Subset.membership("1:100", col("o_orderkey")))
