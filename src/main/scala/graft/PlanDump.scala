@@ -100,6 +100,7 @@ object PlanDump {
     "q157_interpolate_linear", // IGNORE-NULLS window reads, one keyed exchange, in-row lerp
     "q158_hilbert_key",      // native hilbert_xy2d: ONE expression node, map stage + output sort
     "q159_pq_rotated",       // signed-permutation rotate in-row + q131's rerank shape
+    "q160_kmeans_pipeline",  // trained k-row centroids local; census = broadcast assign + agg
   )
 
   def main(args: Array[String]): Unit = {

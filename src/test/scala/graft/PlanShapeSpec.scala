@@ -377,6 +377,20 @@ class PlanShapeSpec extends SparkSpec {
       s"hilbert keying is a pure map stage over the scan:\n$p")
   }
 
+  test("q160: composed k-means census — trained centroids enter as a k-row local relation, " +
+      "the corpus-sized assignment joins them by broadcast only") {
+    // init + Lloyd run in the driver loop (only k-row centroid sets ever
+    // reach the driver — the q142 discipline); the gated plan is the
+    // composition's final pass: the census assignment must broadcast the
+    // centroid relation against the corpus, never shuffle-join it
+    val p = q("q160_kmeans_pipeline")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"trained centroids must enter as a materialized k-row relation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the assignment pass must broadcast the centroid set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q159: rotated PQ keeps q89's ADC shape — query side broadcasts, rotation is in-row") {
     // the signed-permutation rotate is a per-row projection (no shuffle
     // of its own); the ADC ranking broadcasts the 5-query side against
