@@ -38,7 +38,7 @@ object Cli {
     "xmin", "xmax", "ymin", "ymax", "aaxis", "ared", "order",
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
     "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile",
-    "jobs", "title",
+    "jobs", "title", "dpi",
     "ant", "ant-col", "ant1-col", "ant2-col", "baseline", "chan", "chan-col")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
@@ -47,7 +47,11 @@ object Cli {
     * (one value per plot of a batch — see [[runBatch]]); every other
     * repeated option keeps its last value. */
   def parse(argv: Seq[String]): Args = {
-    val alias = Map("-x" -> "--x", "-y" -> "--y")
+    // --xcanvas/--ycanvas are the reference's names for the canvas pixel
+    // dimensions [U, main.py] — exact aliases of --width/--height
+    // (last-given wins, like any repeated option)
+    val alias = Map("-x" -> "--x", "-y" -> "--y",
+      "--xcanvas" -> "--width", "--ycanvas" -> "--height")
     val flags = Set("--noconj", "--conj", "--noflags")
     val m = scala.collection.mutable.Map[String, String]()
     val plots = scala.collection.mutable.ArrayBuffer[String]()
@@ -75,7 +79,7 @@ object Cli {
   private[graft] def parsePlotOpts(s: String): Map[String, String] = {
     val perPlot = Set("x", "y", "width", "height", "xmin", "xmax", "ymin",
       "ymax", "aaxis", "ared", "order", "colour-by", "norm", "cmap",
-      "conj", "out", "png", "title")
+      "conj", "out", "png", "title", "dpi")
     s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf(':')
       require(i > 0, s"bad --plot entry '$kv' (want key:value)")
@@ -283,10 +287,12 @@ object Cli {
               p.get("title").orElse(a.get("title")).isEmpty,
             s"plot $i: title is not supported with colour-by: " +
               "(categorical renders are undecorated)")
-          if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
+          val dpi = p.get("dpi").orElse(a.get("dpi")).map(_.toInt)
+          if (spec.colourBy.nonEmpty)
+            ShadePlot.writePngCategorical(raster, spec, png, dpi = dpi)
           else p.get("title").orElse(a.get("title")) match {
-            case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png, cm, t)
-            case None => ShadePlot.writePng(shaded, spec, png, cm)
+            case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png, cm, t, dpi)
+            case None => ShadePlot.writePng(shaded, spec, png, cm, dpi)
           }
         }
         val cells = shaded.count()
@@ -377,7 +383,8 @@ object Cli {
         try {
           grouped.write.partitionBy("grp").mode("overwrite").parquet(dir)
           val pngs = a.get("png").map(t =>
-            ShadePlot.writePngPerGroup(grouped, spec, t, a.get("cmap").getOrElse("fire")))
+            ShadePlot.writePngPerGroup(grouped, spec, t,
+              a.get("cmap").getOrElse("fire"), a.get("dpi").map(_.toInt)))
           (spark.read.parquet(dir).count(),
             pngs.map(ps => s"; pngs: ${ps.size} (${ps.headOption.getOrElse("")} …)"))
         } finally if (both) { grouped.unpersist(blocking = false); () }
@@ -391,12 +398,14 @@ object Cli {
           require(spec.colourBy.isEmpty || a.get("title").isEmpty,
             "--title is not supported with --colour-by " +
               "(categorical renders are undecorated)")
-          if (spec.colourBy.nonEmpty) ShadePlot.writePngCategorical(raster, spec, png)
+          val dpi = a.get("dpi").map(_.toInt)
+          if (spec.colourBy.nonEmpty)
+            ShadePlot.writePngCategorical(raster, spec, png, dpi = dpi)
           else a.get("title") match {
             case Some(t) => ShadePlot.writePngDecorated(shaded, spec, png,
-              a.get("cmap").getOrElse("fire"), t)
+              a.get("cmap").getOrElse("fire"), t, dpi)
             case None => ShadePlot.writePng(shaded, spec, png,
-              a.get("cmap").getOrElse("fire"))
+              a.get("cmap").getOrElse("fire"), dpi)
           }
         }
         (shaded.count(), a.get("png").map(p => s"; png: $p"))

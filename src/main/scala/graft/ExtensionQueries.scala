@@ -356,6 +356,45 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("cid"), col("i")))
   }
 
+  /** q161: BM25 TOP-K RETRIEVAL ([[TextAnalysis.bm25TopK]]) — the
+    * classic probabilistic ranking function (Lucene default idf/tf
+    * saturation, k1=1.2, b=0.75) over the documents table for three
+    * literal probe queries: the retrieval primitive a pipeline uses for
+    * leakage triage and targeted subset mining. Scale hinge: the probe
+    * terms broadcast into a semi-restriction of the token table, so
+    * tf/df shuffle only query-term postings — never the vocabulary; df
+    * stays full-corpus (the q42 restrict-tf-never-df discipline).
+    * Ranked on the 6-decimal ROUNDED score with doc_id tie-break (the
+    * q94 limit-boundary discipline); the oracle restates idf, the
+    * saturation quotient and the length norm verbatim. */
+  def q161(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val probes = Seq((0L, "scan"), (0L, "merge"), (1L, "vector"),
+      (1L, "window"), (1L, "slow"), (2L, "the"), (2L, "data"))
+      .toDF("qid", "term")
+    TextAnalysis.bm25TopK(t.documents, col("doc_id"), col("text"), probes, k = 5)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("doc_id"), col("score6"), col("n_terms"), col("rn"))
+  }
+
+  /** q162: MATRYOSHKA PREFIX-DIM RERANK ([[Similarity.prefixRerankTopK]])
+    * — MRL retrieval (Kusupati et al. 2022): candidates from the first
+    * 16 of 64 dimensions (the narrow-prefix scan that reads a quarter
+    * of the vector bytes at corpus scale), exact full-width re-rank of
+    * the k·mult survivors — [[Similarity.pqTopKReranked]]'s candidate-
+    * cut shape with slicing instead of quantization. The gate pins both
+    * stages' L2 rankings and tie-breaks; the oracle replays them with
+    * list slicing. */
+  def q162(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.prefixRerankTopK(e, queries, k = 3, dPrefix = 16, mult = 4)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"),
+        Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
+  }
+
   /** q159: SIGNED-PERMUTATION ROTATED PQ — OPQ-lite
     * ([[Similarity.sprRotation]]/`rotateSigned`): q89's PQ chain run in
     * a rotated space that scatters dimensions across subspaces
@@ -580,6 +619,8 @@ object ExtensionQueries {
     "q156_image_dhash"       -> q156 _,
     "q159_pq_rotated"        -> q159 _,
     "q160_kmeans_pipeline"   -> q160 _,
+    "q161_bm25_topk"         -> q161 _,
+    "q162_matryoshka_rerank" -> q162 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -1314,6 +1355,55 @@ object ExtensionQueries {
       SELECT c2m.cid, c2m.i - 1 AS i, round(c2m.m, 6) AS v6, n.n_members
       FROM c2m JOIN n USING (cid)
       ORDER BY c2m.cid NULLS FIRST, c2m.i - 1 NULLS FIRST""",
+
+    // q161: BM25 restated — token table, probe VALUES, dl/avgdl/N from
+    // the unrestricted corpus, tf/df restricted to probe terms, Lucene
+    // idf + saturation + length norm verbatim, rank on the rounded sum
+    "q161_bm25_topk" -> """
+      WITH tok AS (SELECT doc_id, w AS term FROM (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+            WHERE w <> ''),
+      q AS (SELECT * FROM (VALUES (0, 'scan'), (0, 'merge'), (1, 'vector'),
+              (1, 'window'), (1, 'slow'), (2, 'the'), (2, 'data')) AS v(qid, term)),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wt AS (SELECT tf.term, tf.doc_id,
+               ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 tf.tf * 2.2 /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS wt
+             FROM tf JOIN df ON df.term = tf.term
+             JOIN dl ON dl.doc_id = tf.doc_id, st),
+      s AS (SELECT q.qid, wt.doc_id, round(sum(wt.wt), 6) AS score6,
+              CAST(count(*) AS BIGINT) AS n_terms
+            FROM q JOIN wt ON wt.term = q.term GROUP BY q.qid, wt.doc_id),
+      r AS (SELECT qid, doc_id, score6, n_terms,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY score6 DESC NULLS LAST, doc_id NULLS FIRST) AS rn
+            FROM s)
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score6, n_terms,
+        CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q162: both L2 rankings replayed with DuckDB list slicing — prefix
+    // candidates at prn <= k*mult, exact full-width rerank at rn <= k
+    "q162_matryoshka_rerank" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q0 AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105),
+      cand AS (SELECT qid, vec_id FROM (
+          SELECT q0.qid, e.vec_id,
+            row_number() OVER (PARTITION BY q0.qid
+              ORDER BY list_distance(e.e[1:16], q0.qe[1:16]) NULLS LAST,
+                e.vec_id NULLS FIRST) AS prn
+          FROM q0, e WHERE e.vec_id <> q0.qid) t WHERE prn <= 12)
+      SELECT qid, vec_id, round(adist, 6) AS adist, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT c.qid, c.vec_id, list_distance(q0.qe, e.e) AS adist,
+          row_number() OVER (PARTITION BY c.qid
+            ORDER BY list_distance(q0.qe, e.e) NULLS LAST, e.vec_id NULLS FIRST) AS rn
+        FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q0 ON q0.qid = c.qid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
     // rank), q35's proven cosine-argmax assignment idiom per round,

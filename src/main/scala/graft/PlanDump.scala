@@ -101,6 +101,8 @@ object PlanDump {
     "q158_hilbert_key",      // native hilbert_xy2d: ONE expression node, map stage + output sort
     "q159_pq_rotated",       // signed-permutation rotate in-row + q131's rerank shape
     "q160_kmeans_pipeline",  // trained k-row centroids local; census = broadcast assign + agg
+    "q161_bm25_topk",        // probe terms + 1-row stats broadcast; one top-k window
+    "q162_matryoshka_rerank", // prefix candidates broadcast queries; bounded exact rerank
   )
 
   def main(args: Array[String]): Unit = {

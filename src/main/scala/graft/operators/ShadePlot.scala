@@ -123,7 +123,7 @@ object ShadePlot {
     * the collect is bounded by canvas size × group count, never data size.
     * Returns the written paths (one per group, sorted by group value). */
   def writePngPerGroup(grouped: DataFrame, spec: PlotSpec, template: String,
-      cmap: String = "fire"): Seq[String] = {
+      cmap: String = "fire", dpi: Option[Int] = None): Seq[String] = {
     import org.apache.spark.sql.expressions.Window
     val byGrp = Window.partitionBy(col("grp"))
     val shadeCol = spec.norm match {
@@ -148,7 +148,7 @@ object ShadePlot {
         img.setRGB(r.getInt(1), h - 1 - r.getInt(2), (rC << 16) | (gC << 8) | bC)
       }
       val path = pngPathForGroup(template, g)
-      ImageIO.write(img, "png", new File(path))
+      writeImage(img, path, dpi)
       path
     }
   }
@@ -169,7 +169,7 @@ object ShadePlot {
     * bytes across renders and checks colorbar pixels against the
     * colormap directly). */
   def writePngDecorated(shaded: DataFrame, spec: PlotSpec, path: String,
-      cmap: String = "fire", title: String = ""): Unit = {
+      cmap: String = "fire", title: String = "", dpi: Option[Int] = None): Unit = {
     require(spec.colourBy.isEmpty,
       "writePngDecorated renders one value per cell, like writePng")
     val w = spec.canvas.width
@@ -233,8 +233,7 @@ object ShadePlot {
         PixelFont.draw(img, cbX + cbW + 3,
           math.max(0, py - PixelFont.glyphH / 2), label, ink)
     }
-    ImageIO.write(img, "png", new File(path))
-    ()
+    writeImage(img, path, dpi)
   }
 
   /** Deterministic colormaps (`--cmap` analog): shade in [0,1] → RGB.
@@ -262,10 +261,49 @@ object ShadePlot {
     }
   }
 
+  /** PNG file write shared by every renderer — with optional PHYSICAL
+    * RESOLUTION metadata (the reference's `--dpi` [U, `main.py`
+    * figure-save options]): when `dpi` is set, the PNG carries a
+    * standards-compliant `pHYs` chunk (pixels-per-METRE, unit=meter —
+    * dpi · 1/0.0254, rounded), written through the native
+    * `javax_imageio_png_1.0` metadata tree so no JDK standard-tree
+    * unit quirk is involved. Pixel CONTENT is byte-identical with or
+    * without it — dpi is print-size metadata, not a resample (the
+    * raster's pixel dimensions are `--width`/`--height`'s job, exactly
+    * as in matplotlib where dpi scales the saved figure's physical
+    * interpretation). */
+  private[graft] def writeImage(img: BufferedImage, path: String,
+      dpi: Option[Int]): Unit = dpi match {
+    case None => ImageIO.write(img, "png", new File(path)); ()
+    case Some(d) =>
+      require(d > 0, s"dpi must be positive, got $d")
+      val ppm = math.round(d / 0.0254) // pixels per metre
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val ios = ImageIO.createImageOutputStream(new File(path))
+      try {
+        writer.setOutput(ios)
+        val param = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_png_1.0"
+        val root = new javax.imageio.metadata.IIOMetadataNode(fmt)
+        val phys = new javax.imageio.metadata.IIOMetadataNode("pHYs")
+        phys.setAttribute("pixelsPerUnitXAxis", ppm.toString)
+        phys.setAttribute("pixelsPerUnitYAxis", ppm.toString)
+        phys.setAttribute("unitSpecifier", "meter")
+        root.appendChild(phys)
+        meta.mergeTree(fmt, root)
+        writer.write(null, new javax.imageio.IIOImage(img, null, meta), param)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+  }
+
   /** Render a shaded raster to PNG. The collect is bounded by canvas
     * size, never data size. */
   def writePng(shaded: DataFrame, spec: PlotSpec, path: String,
-      cmap: String = "fire"): Unit = {
+      cmap: String = "fire", dpi: Option[Int] = None): Unit = {
     require(spec.colourBy.isEmpty,
       "writePng renders one value per cell; render categorical planes separately " +
       "(filter on cat) or aggregate them first")
@@ -274,7 +312,7 @@ object ShadePlot {
     val map = colormap(cmap) _
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     drawRaster(img, shaded, h, map, 0, 0)
-    ImageIO.write(img, "png", new File(path))
+    writeImage(img, path, dpi)
   }
 
   /** Shared raster blit for [[writePng]] and [[writePngDecorated]]:
@@ -316,7 +354,7 @@ object ShadePlot {
     * the default key this reduces to the round-1 one-channel-per-category
     * composite. Pass `key` to pin category→color assignments. */
   def writePngCategorical(rasterDf: DataFrame, spec: PlotSpec, path: String,
-      key: Map[String, (Int, Int, Int)] = null): Unit = {
+      key: Map[String, (Int, Int, Int)] = null, dpi: Option[Int] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     // per-category eq_hist in ONE plan: cume_dist partitioned by cat.
     // NULL categories render as their own "(null)" key instead of
@@ -349,7 +387,7 @@ object ShadePlot {
       def chan(i: Int): Int = math.min(255, acc(x)(y)(i).toInt)
       img.setRGB(x, h - 1 - y, (chan(0) << 16) | (chan(1) << 8) | chan(2))
     }
-    ImageIO.write(img, "png", new File(path))
+    writeImage(img, path, dpi)
   }
 
   /** The full `shadems`-equivalent entry: data → raster → shade → PNG. */

@@ -805,7 +805,10 @@ object Similarity {
     * codegen'd row blows past method/constant-pool limits while this
     * shape is flat, and at ANY dim the exploded rows never widen the
     * whole-stage row. Same downstream: feed [[sqEncode]] /
-    * [[sqReconstruct]] unchanged. */
+    * [[sqReconstruct]] unchanged. Both forms assume a NON-EMPTY corpus
+    * (there is nothing to quantize otherwise); on an empty input the
+    * wide form yields null-filled arrays, this one empty arrays — the
+    * only divergence, and not a meaningful state. */
   def sqStatsTall(vectors: DataFrame, dim: Int): DataFrame =
     vectors
       .select(posexplode(col("e")))
@@ -936,6 +939,50 @@ object Similarity {
     GraftFunctions.ensureRegistered(recon.sparkSession)
     val cand = pqTopKAdc(recon, queries, k * mult)
       .select(col("qid"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    cand.join(vectors, "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.l2Distance(col("qe"), col("e")).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** MATRYOSHKA PREFIX-DIMENSION candidates + EXACT re-rank — the MRL
+    * retrieval recipe (Kusupati et al. 2022): embeddings trained with
+    * matryoshka representation learning pack a usable coarse embedding
+    * into every PREFIX of the vector, so candidate generation can scan
+    * only the first `dPrefix` dimensions — a `dPrefix/dim` fraction of
+    * the vector bytes (at 100 TB the prefix lives as its own narrow
+    * column/file, so the scan truly reads less, the same physical
+    * argument as PQ's codes-only search) — and only the `k·mult`
+    * survivors are fetched at full width for exact re-ranking, the
+    * [[pqTopKReranked]] candidate-cut shape with slicing instead of
+    * quantization as the compressor. Both stages rank by L2 with the
+    * house tie-break (distance, vec_id); `dPrefix ≥ dim` degenerates to
+    * exact brute force (the spec anchor, mirroring PQ's mult·k ≥ corpus
+    * anchor). The candidate stage is a broadcast of the (tiny) query
+    * set against the prefix projection; the re-rank join touches
+    * queries × k·mult rows — nothing corpus-sized shuffles. Returns
+    * (qid, vec_id, adist, rn ≤ k) — adist EXACT full-width L2. */
+  def prefixRerankTopK(
+      vectors: DataFrame, queries: DataFrame, k: Int, dPrefix: Int,
+      mult: Int = 4): DataFrame = {
+    require(k >= 1 && dPrefix >= 1 && mult >= 1,
+      s"need k >= 1, dPrefix >= 1, mult >= 1 (got $k, $dPrefix, $mult)")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val qp = queries.select(col("vec_id").as("qid"),
+      slice(col("e"), 1, dPrefix).as("qp"))
+    val wp = Window.partitionBy("qid").orderBy(col("pdist"), col("vec_id"))
+    val cand = vectors
+      .select(col("vec_id"), slice(col("e"), 1, dPrefix).as("p"))
+      .join(broadcast(qp), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.l2Distance(col("p"), col("qp")).as("pdist"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= k * mult)
+      .select("qid", "vec_id")
     val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     cand.join(vectors, "vec_id")

@@ -707,4 +707,62 @@ object TextAnalysis {
     df.withColumn("z", z)
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
   }
+
+  /** BM25 TOP-K RETRIEVAL — the classic probabilistic ranking function
+    * (Robertson–Spärck Jones; the Lucene/Elasticsearch default), the
+    * retrieval-side primitive a training-data pipeline uses for
+    * "find the corpus documents most relevant to these probe queries"
+    * (eval-set leakage triage, targeted subset mining, RAG corpus
+    * curation). Per query q and document D:
+    * `score = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))` (always
+    * ≥ 0, unlike the raw RSJ log which goes negative past df > N/2).
+    *
+    * `queries` is a `(qid, term)` relation — TINY by construction (probe
+    * sets), and the scale hinge: its distinct terms broadcast into a
+    * semi-restriction of the token table, so tf/df aggregate ONLY
+    * query-term postings (shuffle volume = query-term postings, not the
+    * corpus vocabulary); df is still full-corpus df for those terms
+    * (the q42 restrict-tf-never-df discipline). dl/avgdl/N come from the
+    * unrestricted token table — one dl aggregate + a 1-row broadcast.
+    * N counts documents WITH at least one token (an empty document can
+    * match nothing and its dl=0 contributes no length signal).
+    *
+    * Output: top `k` docs per qid as `(qid, doc_id, score6, n_terms,
+    * rn)` — scored on the 6-decimal ROUNDED sum with doc_id tie-break
+    * (the q94 ordering discipline: the cross-engine order at the limit
+    * boundary must not hinge on a last-ulp float-sum difference);
+    * `n_terms` = matched distinct query terms. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = docs
+      .select(id.as("doc_id"), explode(split(lower(text), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val qterms = queries.select(col("qid"), col("term")).distinct()
+    val terms = broadcast(qterms.select("term").distinct())
+    val tf = tok.join(terms, "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wt = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("wt"))
+    val scored = wt.join(broadcast(qterms), "term")
+      .groupBy("qid", "doc_id")
+      .agg(graft.functions.Rounding.portable(sum("wt"), 6).as("score6"),
+        count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score6").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("doc_id"), col("score6"), col("n_terms"),
+        col("rn").cast("long").as("rn"))
+  }
 }

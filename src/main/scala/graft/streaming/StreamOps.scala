@@ -187,6 +187,15 @@ object StreamOps {
       codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
     graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    // an empty artifact table means a broken deployment, and the fold
+    // would tag every row cid=-1/code=-1 — refuse loudly at query build
+    // instead (the artifacts are k-row/m·ksub-row tables; counting them
+    // once is free next to the stream they gate). The batch operator
+    // needs no such guard only because its join EMITS NOTHING on an
+    // empty side — equally wrong, but visibly so.
+    require(!centroids.isEmpty, "indexIngestStream: centroid table is empty")
+    require(codebook.select("j").distinct().count() == m,
+      s"indexIngestStream: codebook must cover all $m subspaces")
     val sub = dim / m
     // one-row artifact tables, sorted so fold order IS the tie-break order
     val cRow = centroids

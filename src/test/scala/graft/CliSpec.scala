@@ -150,6 +150,54 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](cells("--chan", "0:4"))
   }
 
+  test("--xcanvas/--ycanvas alias --width/--height; --dpi writes a correct pHYs chunk") {
+    def render(extra: String*): String = {
+      val png = tmp("dpi.png")
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "-x", "l_quantity", "-y", "l_extendedprice",
+        "--png", png) ++ extra, spark)
+      png
+    }
+    // alias: identical bytes to the canonical spelling
+    val viaAlias = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      render("--xcanvas", "48", "--ycanvas", "32")))
+    val viaCanon = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      render("--width", "48", "--height", "32")))
+    assert(viaAlias.sameElements(viaCanon))
+    // --dpi: scan the file for the pHYs chunk and decode pixels-per-metre
+    def phys(path: String): Option[(Long, Long, Int)] = {
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      (0 until b.length - 12).find(i =>
+        b(i) == 'p' && b(i + 1) == 'H' && b(i + 2) == 'Y' && b(i + 3) == 's')
+        .map { i =>
+          def u32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          (u32(i + 4), u32(i + 8), b(i + 12).toInt)
+        }
+    }
+    val plain = render("--width", "48", "--height", "32")
+    assert(phys(plain).isEmpty, "no pHYs chunk without --dpi")
+    val at300 = render("--width", "48", "--height", "32", "--dpi", "300")
+    val want = math.round(300 / 0.0254) // 11811 pixels per metre
+    assert(phys(at300).contains((want, want, 1)),
+      s"pHYs must carry $want ppm with unit=metre, got ${phys(at300)}")
+    // dpi is metadata only: decoded pixels identical to the plain render
+    val a = javax.imageio.ImageIO.read(new java.io.File(plain))
+    val b = javax.imageio.ImageIO.read(new java.io.File(at300))
+    assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+    val same = (0 until a.getWidth).forall(x =>
+      (0 until a.getHeight).forall(y => a.getRGB(x, y) == b.getRGB(x, y)))
+    assert(same, "--dpi must not change pixel content")
+    // decorated and categorical writers honor it too
+    assert(phys(render("--width", "48", "--height", "32", "--dpi", "150",
+      "--title", "t")).contains((math.round(150 / 0.0254), math.round(150 / 0.0254), 1)))
+    assert(phys(render("--width", "48", "--height", "32", "--dpi", "72",
+      "--colour-by", "l_returnflag")).contains(
+      (math.round(72 / 0.0254), math.round(72 / 0.0254), 1)))
+  }
+
   test("events table works through the CLI (nanos normalization inside Engine.open)") {
     val out = tmp("events")
     val cells = Cli.run(Seq(

@@ -391,6 +391,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q161: BM25 — probe terms and the 1-row stats ride in as broadcasts, one top-k window") {
+    // the scale hinge: tf/df aggregate only query-term postings (terms
+    // broadcast into the token table), totals arrive as a 1-row
+    // broadcast cross join, and the only window ranks per-query top-k
+    val p = q("q161_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-term and df joins must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row dl stats must ride in as a broadcast cross join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // count the Window EXEC nodes ("Window [") — the rank filter also
+    // plans WindowGroupLimit nodes, which are the pushed limit, not an
+    // extra window pass
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"exactly one per-query top-k window expected:\n$p")
+  }
+
+  test("q162: matryoshka rerank — query side broadcasts both stages, nothing corpus-sized shuffles into a join") {
+    val p = q("q162_matryoshka_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the prefix candidate stage must broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"two windows (prefix cut + exact rerank) expected:\n$p")
+  }
+
   test("q159: rotated PQ keeps q89's ADC shape — query side broadcasts, rotation is in-row") {
     // the signed-permutation rotate is a per-row projection (no shuffle
     // of its own); the ADC ranking broadcasts the 5-query side against

@@ -446,6 +446,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // ── Matryoshka prefix-dim rerank ───────────────────────────────────────
+
+  test("prefixRerankTopK: dPrefix >= dim degenerates to exact brute-force top-k") {
+    val e = sf0001.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = e.filter(col("vec_id") < 3)
+    val got = Similarity.prefixRerankTopK(e, queries, k = 4, dPrefix = 64, mult = 1)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().sorted.toSeq
+    val exact = Similarity.pqTopKAdc(
+        e.select(col("vec_id"), col("e").as("re")), queries, k = 4)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == exact && got.nonEmpty)
+  }
+
+  test("prefixRerankTopK: a misleading prefix is cut at mult=1 and recovered by the wider cut") {
+    // query at the origin; A's PREFIX is nearest but its tail is far,
+    // B is the true nearest neighbor with a worse prefix — the exact
+    // failure/recovery trade the mult knob controls
+    val vs = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)), // the query
+      (1L, Seq(0.1, 0.0, 5.0, 5.0)), // A: prefix-near, truly far
+      (2L, Seq(1.0, 0.0, 0.0, 0.0))) // B: prefix-far, truly near
+      .toDF("vec_id", "e")
+    val q = vs.filter(col("vec_id") === 0L)
+    val narrow = Similarity.prefixRerankTopK(vs, q, k = 1, dPrefix = 2, mult = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow == Seq(1L), "at mult=1 the prefix cut keeps only A")
+    val wide = Similarity.prefixRerankTopK(vs, q, k = 1, dPrefix = 2, mult = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(wide == Seq(2L), "the 2x candidate cut lets exact rerank find B")
+    // full-width adist is reported, not the prefix distance
+    val d = Similarity.prefixRerankTopK(vs, q, k = 1, dPrefix = 2, mult = 2)
+      .select("adist").as[Double].head()
+    assert(math.abs(d - 1.0) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Similarity.prefixRerankTopK(vs, q, k = 1, dPrefix = 0, mult = 1)
+    }
+  }
+
   // ── SQ8 scalar quantization ────────────────────────────────────────────
 
   private val sqVecs = Seq(

@@ -427,4 +427,52 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].head()
     assert(mono == base)
   }
+
+  test("bm25TopK: closed-form scores on a 3-doc fixture, partial matches, tie-break") {
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x z"), (3L, "y y y z"),
+      (4L, "x x y"), // exact duplicate of doc 1 — same score, tie to lower id
+      (5L, "")).toDF("doc_id", "text") // empty doc: no tokens, excluded from N
+    val probes = Seq((0L, "x"), (0L, "y")).toDF("qid", "term")
+    val got = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), probes, k = 5)
+      .select("qid", "doc_id", "score6", "n_terms", "rn")
+      .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._5)
+    // closed-form BM25 (k1=1.2, b=0.75) over the token counts:
+    // N=4 (doc 5 has no tokens), avgdl=(3+2+4+3)/4=3, df(x)=3, df(y)=3
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    def w(tf: Long, dl: Long): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    // Rounding.portable's scaled-double form, exactly
+    def r6(x: Double): Double = math.round(x * 1e6).toDouble / 1e6
+    val s1 = r6(w(2, 3) + w(1, 3)) // docs 1 and 4, both terms
+    val s2 = r6(w(1, 2))           // doc 2, x only
+    val s3 = r6(w(3, 4))           // doc 3, y only
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, s1, 2L), (4L, s1, 2L), (3L, s3, 1L), (2L, s2, 1L))
+        .sortBy { case (id, s, _) => (-s, id) },
+      s"got ${got.toSeq}; want scores s1=$s1 s3=$s3 s2=$s2")
+    // ranks are 1..4 and the duplicate pair tie-broke by doc_id
+    assert(got.map(_._5).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.filter(r => r._2 == 1L || r._2 == 4L).map(_._2).toSeq == Seq(1L, 4L))
+  }
+
+  test("bm25TopK: df stays FULL-corpus for probe terms; k bounds each query's rows") {
+    // a term appearing in many docs gets a lower idf even when only few
+    // rows reach the top-k — df must come from the corpus, not survivors
+    val docs = ((1L to 9L).map(i => (i, "common")) :+ (10L, "rare common"))
+      .toDF("doc_id", "text")
+    val probes = Seq((0L, "common"), (1L, "rare")).toDF("qid", "term")
+    val got = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), probes, k = 3)
+      .select("qid", "doc_id", "score6", "n_terms", "rn")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(got.count(_._1 == 0L) == 3, "k must bound the common query")
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == Seq(10L))
+    // rare (df=1) must outscore common (df=10) at equal tf/dl
+    val rareScore = got.find(_._1 == 1L).get._3
+    val commonTop = got.filter(_._1 == 0L).map(_._3).max
+    assert(rareScore > commonTop)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), probes, k = 0)
+    }
+  }
 }
