@@ -356,6 +356,24 @@ object ExtensionQueries {
       .transform(sortedSmall(_, col("cid"), col("i")))
   }
 
+  /** q163: UNIGRAM KL/JS DIVERGENCE ([[TextAnalysis.unigramDivergence]])
+    * — the distribution-shift audit between the en and de slices of the
+    * corpus (add-one smoothing over the union vocabulary, so both KL
+    * directions are finite on disjoint vocabularies; JS is the
+    * symmetric bounded number to threshold on). One vocabulary-keyed
+    * count aggregate + a 1-row totals broadcast + one vocabulary-sized
+    * divergence fold — the corpus reads once, nothing corpus-sized
+    * reshuffles. Gate rounds the three sums at 6 decimals (float-Σ
+    * association over the ~union-vocab terms is the only cross-engine
+    * freedom, far below 1e-6). */
+  def q163(t: Tables): DataFrame =
+    TextAnalysis.unigramDivergence(t.documents, col("text"),
+        col("lang") === "en", col("lang") === "de")
+      .select(col("n_vocab"), col("t_a"), col("t_b"),
+        Rounding.portable(col("kl_ab"), 6).as("kl_ab6"),
+        Rounding.portable(col("kl_ba"), 6).as("kl_ba6"),
+        Rounding.portable(col("js"), 6).as("js6"))
+
   /** q161: BM25 TOP-K RETRIEVAL ([[TextAnalysis.bm25TopK]]) — the
     * classic probabilistic ranking function (Lucene default idf/tf
     * saturation, k1=1.2, b=0.75) over the documents table for three
@@ -621,6 +639,7 @@ object ExtensionQueries {
     "q160_kmeans_pipeline"   -> q160 _,
     "q161_bm25_topk"         -> q161 _,
     "q162_matryoshka_rerank" -> q162 _,
+    "q163_unigram_divergence" -> q163 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -1404,6 +1423,31 @@ object ExtensionQueries {
             ORDER BY list_distance(q0.qe, e.e) NULLS LAST, e.vec_id NULLS FIRST) AS rn
         FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q0 ON q0.qid = c.qid) t
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q163: union-vocabulary counts, add-one smoothing, the three
+    // divergence sums restated term-for-term
+    "q163_unigram_divergence" -> """
+      WITH tok AS (SELECT side, w AS term FROM (
+              SELECT CASE WHEN lang = 'en' THEN 'a' WHEN lang = 'de' THEN 'b' END AS side,
+                unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) t
+            WHERE side IS NOT NULL AND w <> ''),
+      c AS (SELECT term,
+              sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+            FROM tok GROUP BY term),
+      tt AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM c),
+      p AS (SELECT tt.ta, tt.tb, tt.v,
+              (c.ca + 1.0) / (tt.ta + tt.v) AS pa,
+              (c.cb + 1.0) / (tt.tb + tt.v) AS pb
+            FROM c, tt)
+      SELECT CAST(v AS BIGINT) AS n_vocab, CAST(ta AS BIGINT) AS t_a,
+        CAST(tb AS BIGINT) AS t_b,
+        round(sum(pa * ln(pa / pb)), 6) AS kl_ab6,
+        round(sum(pb * ln(pb / pa)), 6) AS kl_ba6,
+        round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0))) +
+              0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6) AS js6
+      FROM p GROUP BY v, ta, tb""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
     // rank), q35's proven cosine-argmax assignment idiom per round,

@@ -103,6 +103,7 @@ object PlanDump {
     "q160_kmeans_pipeline",  // trained k-row centroids local; census = broadcast assign + agg
     "q161_bm25_topk",        // probe terms + 1-row stats broadcast; one top-k window
     "q162_matryoshka_rerank", // prefix candidates broadcast queries; bounded exact rerank
+    "q163_unigram_divergence", // vocab-keyed partial+final count; totals 1-row broadcast
   )
 
   def main(args: Array[String]): Unit = {

@@ -782,9 +782,33 @@ object Soak {
         require(kppR >= 0.9,
           s"$label: composed kmeans||->lloyd->ivf must hold the operating-point floor: $kppR")
       }
+      // Matryoshka prefix-dim ladder (q162's operator at operating
+      // scale): candidates from the first d dims, exact rerank of the
+      // 8k survivors — how much of the vector does candidate generation
+      // actually need? Measured against the same exact-L2 truth.
+      val mrlCurve = Seq(8, 16, 32).map { dp =>
+        dp -> recallVs(exactL2,
+          topSet(Similarity.prefixRerankTopK(e, queries, k, dPrefix = dp, mult = 8)))
+      }
+      mrlCurve.foreach { case (dp, r) =>
+        println(f"[soak] ann_recall $label matryoshka d=$dp%2d/dim=$dim mult=8: recall@$k $r%.3f") }
+      // near-monotone in prefix width (small tolerance — fixed mult means
+      // a wider prefix improves candidates in expectation, not per-query)
+      mrlCurve.map(_._2).sliding(2).foreach {
+        case Seq(a, b) => require(b >= a - 0.02,
+          s"$label: matryoshka recall should not degrade with more prefix dims: $mrlCurve")
+        case _ => ()
+      }
+      if (gateOperatingPoint) {
+        // measured 0.992 / 1.000 on the clustered leg (quarter / half width)
+        require(mrlCurve.toMap.apply(16) >= 0.9 && mrlCurve.toMap.apply(32) >= 0.95,
+          s"$label: prefix rerank must hold the clustered floors: $mrlCurve")
+      }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
         s""""kmeanspp_composed_nprobe4_recall":$kppR,""" +
+        s""""matryoshka_mult8":{""" +
+        mrlCurve.map { case (dp, r) => s""""$dp":$r""" }.mkString(",") + "}," +
         s""""sq8_adc_recall":$sqR,""" +
         s""""ivf":{"kc":$kc,"trained_iters":10,"curve":{""" +
         ivfCurve.map { case (np, r) => s""""$np":$r""" }.mkString(",") + "}}," +

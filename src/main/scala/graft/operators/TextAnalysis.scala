@@ -708,6 +708,51 @@ object TextAnalysis {
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
   }
 
+  /** UNIGRAM KL / JENSEN–SHANNON DIVERGENCE between two corpus slices —
+    * the distribution-shift audit a pipeline runs before mixing sources
+    * or retraining on a moved corpus (the DSIR/CCNet world's "how far
+    * is slice A from slice B" number; also the drift trigger for the
+    * index-recenter cadence the ANN operators document). Unigram
+    * distributions over the UNION vocabulary with add-one (Laplace)
+    * smoothing — `p(w) = (c(w)+1)/(T+V)` — so both directions are
+    * finite even on disjoint vocabularies:
+    *   kl_ab = Σ p_A ln(p_A/p_B), kl_ba symmetric,
+    *   js = ½Σ p_A ln(p_A/m) + ½Σ p_B ln(p_B/m), m = (p_A+p_B)/2
+    * (JS is the symmetric, [0, ln 2]-bounded one to threshold on).
+    *
+    * Shape at scale: ONE map-side-combined count aggregate keyed by
+    * term (shuffle = union-vocabulary volume, Heaps-law sublinear in
+    * the corpus — the q42/q94 argument), a 1-row totals aggregate, and
+    * a second vocabulary-sized pass folding the divergence sums — the
+    * corpus itself is read once and never reshuffled. Returns ONE row
+    * `(n_vocab, t_a, t_b, kl_ab, kl_ba, js)` unrounded (gates round). */
+  def unigramDivergence(docs: DataFrame, text: Column,
+      sliceA: Column, sliceB: Column): DataFrame = {
+    val tok = docs
+      .select(when(sliceA, "a").when(sliceB, "b").as("side"),
+        explode(split(lower(text), " ")).as("term"))
+      .filter(col("side").isNotNull && col("term") =!= "")
+    val counts = tok.groupBy("term").agg(
+      sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(
+      sum("ca").as("ta"), sum("cb").as("tb"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("ta"), col("tb"), col("v"),
+        ((col("ca") + lit(1L)) / (col("ta") + col("v"))).as("pa"),
+        ((col("cb") + lit(1L)) / (col("tb") + col("v"))).as("pb"))
+      .select(col("ta"), col("tb"), col("v"), col("pa"), col("pb"),
+        ((col("pa") + col("pb")) / lit(2.0)).as("m"))
+      .groupBy("ta", "tb", "v")
+      .agg(
+        sum(col("pa") * log(col("pa") / col("pb"))).as("kl_ab"),
+        sum(col("pb") * log(col("pb") / col("pa"))).as("kl_ba"),
+        (sum(col("pa") * log(col("pa") / col("m"))) * lit(0.5) +
+          sum(col("pb") * log(col("pb") / col("m"))) * lit(0.5)).as("js"))
+      .select(col("v").as("n_vocab"), col("ta").as("t_a"), col("tb").as("t_b"),
+        col("kl_ab"), col("kl_ba"), col("js"))
+  }
+
   /** BM25 TOP-K RETRIEVAL — the classic probabilistic ranking function
     * (Robertson–Spärck Jones; the Lucene/Elasticsearch default), the
     * retrieval-side primitive a training-data pipeline uses for

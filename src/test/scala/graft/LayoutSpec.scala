@@ -130,6 +130,22 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertValue2 at bits=31 (the widened limit): positive, injective, partition-invariant") {
+    // d < 4^31 = 2^62 must stay a positive long at the full grid corners
+    val m = (1L << 31) - 1
+    val pts = Seq((0L, 0L), (m, 0L), (0L, m), (m, m), (123456789L, 987654321L),
+      (m / 2, m / 3), (1L, m - 1L)).toDF("x", "y")
+    val h = pts.select(col("x"), col("y"),
+        Layout.hilbertValue2(col("x"), col("y"), 31).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(h.forall(_._3 >= 0L), s"d must stay positive: ${h.toSeq}")
+    assert(h.map(_._3).distinct.length == h.length, "corner cells must map injectively")
+    val h2 = pts.repartition(5).select(col("x"), col("y"),
+        Layout.hilbertValue2(col("x"), col("y"), 31).as("h"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(h2 == h.toSet)
+  }
+
   test("hilbertOrdered partitions cover disjoint ascending curve intervals") {
     val pts = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
     val h = Layout.hilbertOrdered(pts, col("x"), col("y"), bits = 5, partitions = 8)

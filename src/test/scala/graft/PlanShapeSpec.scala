@@ -417,6 +417,18 @@ class PlanShapeSpec extends SparkSpec {
       s"two windows (prefix cut + exact rerank) expected:\n$p")
   }
 
+  test("q163: divergence audit — vocab-keyed partial+final aggregate, totals as 1-row broadcast") {
+    // the corpus reads once into one map-side-combined term count;
+    // everything after is vocabulary-sized under a 1-row broadcast
+    val p = q("q163_unigram_divergence")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"term counting must aggregate partial+final:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the totals row must ride in as a broadcast cross join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("Window"), s"no shuffled join, cartesian or window:\n$p")
+  }
+
   test("q159: rotated PQ keeps q89's ADC shape — query side broadcasts, rotation is in-row") {
     // the signed-permutation rotate is a per-row projection (no shuffle
     // of its own); the ADC ranking broadcasts the 5-query side against

@@ -428,6 +428,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mono == base)
   }
 
+  test("unigramDivergence: both closed forms on an asymmetric fixture, zero on identical " +
+      "slices, finite on disjoint vocabularies, JS bounded") {
+    def div(rows: Seq[(String, String)]) = {
+      val df = rows.toDF("side", "text")
+      TextAnalysis.unigramDivergence(df, col("text"),
+        col("side") === "a", col("side") === "b")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+    }
+    // A = "x x y", B = "x z z" — union vocab {x,y,z},
+    // smoothed pa = (.5, 1/3, 1/6), pb = (1/3, 1/6, .5)
+    val (v, ta, tb, klAb, klBa, js) = div(Seq("a" -> "x x y", "b" -> "x z z"))
+    assert((v, ta, tb) == (3L, 3L, 3L))
+    val wantAb = 0.5 * math.log(0.5 / (1.0 / 3)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (1.0 / 6)) +
+      (1.0 / 6) * math.log((1.0 / 6) / 0.5)
+    assert(math.abs(klAb - wantAb) < 1e-12, s"kl_ab $klAb vs closed form $wantAb")
+    // KL is NOT symmetric — the reverse direction has its own closed form
+    val wantBa = (1.0 / 3) * math.log((1.0 / 3) / 0.5) +
+      (1.0 / 6) * math.log((1.0 / 6) / (1.0 / 3)) +
+      0.5 * math.log(0.5 / (1.0 / 6))
+    assert(math.abs(klBa - wantBa) < 1e-12, s"kl_ba $klBa vs closed form $wantBa")
+    assert(math.abs(klAb - klBa) > 0.01, "the fixture is deliberately asymmetric")
+    assert(js > 0 && js <= math.log(2.0) + 1e-12)
+    // identical slices: every divergence is exactly 0 (pa == pb per term)
+    val same = div(Seq("a" -> "x y z", "b" -> "x y z"))
+    assert(same._4 == 0.0 && same._5 == 0.0 && same._6 == 0.0)
+    // disjoint vocabularies: smoothing keeps everything finite, JS near ln 2
+    val dis = div(Seq("a" -> "x x x x", "b" -> "y y y y"))
+    assert(!dis._4.isInfinite && !dis._5.isInfinite)
+    assert(dis._6 > 0.2 && dis._6 <= math.log(2.0) + 1e-12)
+  }
+
   test("bm25TopK: closed-form scores on a 3-doc fixture, partial matches, tie-break") {
     val docs = Seq(
       (1L, "x x y"), (2L, "x z"), (3L, "y y y z"),
