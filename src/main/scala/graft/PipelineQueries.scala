@@ -384,6 +384,19 @@ object PipelineQueries {
       ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""
   }
 
+  /** q164: WEIGHTED sampling WITHOUT replacement
+    * ([[Sampling.weightedSample]]) — Efraimidis–Spirakis per-stratum
+    * top-k by `ln(u)/w` with the deterministic md5 uniform: 5 docs per
+    * source drawn proportional to n_chars, no duplicates. The gate pins
+    * every selected doc, its 9-decimal key and rank; the oracle
+    * re-derives u from the same md5 arithmetic (the q155 hash idiom)
+    * and replays the ranking. One window exchange on the stratum key. */
+  def q164(t: Tables): DataFrame =
+    Sampling.weightedSample(t.documents, col("doc_id"), col("n_chars"),
+        col("source"), k = 5)
+      .select(col("source"), col("doc_id"), col("wkey9"), col("rn"))
+      .transform(sortedSmall(_, col("source"), col("rn")))
+
   /** q93: deterministic TRAIN/VAL/TEST split
     * ([[Sampling.hashSplit]]) — 80/10/10 over the corpus by doc_id
     * md5-bucket ranges; the gate pins the per-split doc and token
@@ -1721,6 +1734,7 @@ object PipelineQueries {
     "q103_novelty_curve" -> q103 _,
     "q104_embedding_audit" -> q104 _,
     "q105_seeded_shuffle" -> q105 _,
+    "q164_weighted_sample" -> q164 _,
     "q106_keep_one_census" -> q106 _,
     "q107_containment" -> q107 _,
     "q108_winnowing" -> q108 _,
@@ -2907,6 +2921,21 @@ object PipelineQueries {
       SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM kept GROUP BY source ORDER BY source NULLS FIRST""",
+
+    // q164: u = (md5-20-bit + 1)/2^20 in (0,1], key = ln(u)/n_chars,
+    // per-source top-5 on the 9-decimal rounded key, doc_id tie-break
+    "q164_weighted_sample" -> """
+      WITH w AS (SELECT source, doc_id,
+          round(ln((CAST(concat('0x', substr(md5(concat('wsamp|',
+              CAST(doc_id AS VARCHAR))), 1, 5)) AS BIGINT) + 1) / 1048576.0)
+            / n_chars, 9) AS wkey9
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT source, doc_id, wkey9,
+          row_number() OVER (PARTITION BY source
+            ORDER BY wkey9 DESC NULLS LAST, doc_id NULLS FIRST) AS rn
+        FROM w)
+      SELECT source, doc_id, wkey9, CAST(rn AS BIGINT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY source NULLS FIRST, rn NULLS FIRST""",
 
     // q105: shard = top-16-bits of md5(seed|key) mod 8 (non-negative, so
     // % ≡ pmod); position ranks the full digest with a key tie-break

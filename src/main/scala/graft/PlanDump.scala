@@ -104,6 +104,7 @@ object PlanDump {
     "q161_bm25_topk",        // probe terms + 1-row stats broadcast; one top-k window
     "q162_matryoshka_rerank", // prefix candidates broadcast queries; bounded exact rerank
     "q163_unigram_divergence", // vocab-keyed partial+final count; totals 1-row broadcast
+    "q164_weighted_sample",  // one stratum-keyed window exchange; md5/ln map-side
   )
 
   def main(args: Array[String]): Unit = {

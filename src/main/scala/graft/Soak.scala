@@ -193,13 +193,21 @@ object Soak {
 
   /** Rotation-vs-raw PQ behind q159's claim: a corpus whose variance
     * concentrates in 4 CONTIGUOUS dimensions (signal scale 10, the
-    * other 60 dims noise 0.1) — PQ with contiguous 16-dim subspaces
-    * burns one subspace's entire 16-code budget on the whole signal
-    * cloud while three subspaces quantize noise; the signed permutation
-    * scatters the signal dims across subspaces, so each code table
-    * resolves ~one signal dimension. Recall is measured against the
-    * SAME exact ground truth (the rotation is orthogonal — distances
-    * are preserved), so the delta is purely the encoder's.
+    * other 60 dims noise 0.1), with MORE clusters (64) than codebook
+    * entries (16) — the regime where the contiguous layout genuinely
+    * starves: the subspace owning all 4 signal dims must represent 64
+    * cluster centers with 16 joint prototypes, while the signed
+    * permutation scatters the signal dims across subspaces so each code
+    * table only has to resolve ~one signal dimension (16 levels PER
+    * dim, 16⁴ joint combinations after concatenation — the actual OPQ
+    * variance-balancing argument). With clusters ≤ codes the opposite
+    * holds for seeded codebooks (16 prototypes = the 16 centers is a
+    * perfect joint quantizer — measured this round: raw 0.202 vs
+    * rotated 0.144 at kc=16; the a/b's first corpus accidentally sat in
+    * that regime, caught the first time the soak was RUN rather than
+    * reviewed). Recall is measured against the SAME exact ground truth
+    * (the rotation is orthogonal — distances are preserved), so the
+    * delta is purely the encoder's.
     *
     * Usage: sbt "runMain graft.Soak 1 opq_ab" */
   private def opqAb(spark: SparkSession): Unit = {
@@ -207,7 +215,7 @@ object Soak {
     import graft.operators.Similarity
     import graft.plans.GraftFunctions
     GraftFunctions.ensureRegistered(spark)
-    val dim = 64; val k = 10; val kc = 16; val m = 4
+    val dim = 64; val k = 10; val kc = 64; val m = 4
     val corpus = spark.range(2000).as[Long].map { id =>
       val c = (id % kc).toInt
       val rc = new scala.util.Random(4400L + c)

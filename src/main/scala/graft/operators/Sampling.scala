@@ -174,4 +174,44 @@ object Sampling {
       .filter(hashBucket(key) < col("__cut"))
       .drop("__stratum", "__cut")
   }
+
+  /** WEIGHTED sampling WITHOUT replacement — Efraimidis–Spirakis (2006),
+    * the one-pass distributed answer to "draw k documents per stratum
+    * with probability proportional to weight, no duplicates" (quality-
+    * weighted corpus subsetting, weighted eval-set draws — where
+    * [[hashSample]] is uniform and [[temperatureMixture]] reweights
+    * whole strata, this picks INDIVIDUAL rows by weight). Each row draws
+    * the deterministic uniform `u = (md5_20bit(seed|key) + 1) / 2^20`
+    * ∈ (0, 1] and scores `wkey = ln(u) / w` — the log of the classic
+    * `u^(1/w)` key, same ordering; the per-stratum top-k by `wkey` IS a
+    * weight-proportional sample without replacement (Efraimidis–
+    * Spirakis Thm 1). Deterministic: same seed → same sample on any
+    * partitioning/engine; a different seed is an independent redraw —
+    * the [[hashSample]]/[[Layout.seededShuffle]] reproducibility
+    * contract, which `orderBy(rand())`-style sampling has none of.
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED (a zero-weight
+    * row has selection probability 0; silently keeping them would make
+    * the "proportional to weight" claim false). Ranking uses the
+    * 9-decimal ROUNDED key with the key column as tie-break (the q94
+    * limit-boundary discipline — `ln` is the only libm call, mirrored
+    * verbatim by the oracle). Shuffle shape: ONE window exchange on the
+    * stratum key — the map side carries only md5 + ln arithmetic.
+    * Appends `(wkey9, rn)`; `k ≥ stratum size` degenerates to "all
+    * rows, weight-ranked" (the spec anchor). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      stratum: Column, k: Int, seed: String = "wsamp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(concat(lit(s"$seed|"), key.cast("string"))), 1, 5), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(1048576.0)
+    val wkey = graft.functions.Rounding.portable(log(u) / weight.cast("double"), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ws_stratum").orderBy(col("wkey9").desc, key)
+    df.filter(weight.isNotNull && weight.cast("double") > 0.0)
+      .withColumn("__ws_stratum", coalesce(stratum.cast("string"), lit("__null__")))
+      .withColumn("wkey9", wkey)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("__ws_stratum")
+  }
 }

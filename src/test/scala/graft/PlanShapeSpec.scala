@@ -429,6 +429,16 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("Window"), s"no shuffled join, cartesian or window:\n$p")
   }
 
+  test("q164: weighted sample is ONE stratum-keyed window exchange — md5/ln map-side, no join") {
+    val p = q("q164_weighted_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one stratum-keyed exchange expected:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"one per-stratum top-k window expected:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"no join or aggregate in the sampling plan:\n$p")
+  }
+
   test("q159: rotated PQ keeps q89's ADC shape — query side broadcasts, rotation is in-row") {
     // the signed-permutation rotate is a per-row projection (no shuffle
     // of its own); the ADC ranking broadcasts the 5-query side against

@@ -173,4 +173,47 @@ class SamplingSpec extends SparkSpec {
       .select("stratum").as[String].collect().toSet
     assert(rows == Set("a", "__null__"), s"$rows")
   }
+
+  /** The operator's exact key arithmetic, independently restated. */
+  private def esKey(seed: String, id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val u = (java.lang.Long.parseLong(hex.take(5), 16) + 1.0) / 1048576.0
+    math.round(math.log(u) / w * 1e9) / 1e9
+  }
+
+  test("weightedSample: closed-form top-k per stratum, without replacement, " +
+      "partition-invariant, seed redraws") {
+    val rows = (1L to 40L).map(i => (i, if (i <= 20) "s1" else "s2", (i % 7 + 1) * 100.0))
+    val df = rows.toDF("id", "src", "w")
+    def run(d: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.weightedSample(d, col("id"), col("w"), col("src"), k = 4, seed = seed)
+        .select("src", "id", "wkey9", "rn").as[(String, Long, Double, Long)].collect()
+    val got = run(df, "wsamp")
+    // independently recompute every key and the per-stratum ranking
+    val want = rows.groupBy(_._2).flatMap { case (s, rs) =>
+      rs.map { case (id, _, w) => (id, esKey("wsamp", id, w)) }
+        .sortBy { case (id, key) => (-key, id) }.take(4).zipWithIndex
+        .map { case ((id, key), i) => (s, id, key, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == want, s"got ${got.toSet}\nwant $want")
+    // without replacement: 4 DISTINCT ids per stratum
+    assert(got.groupBy(_._1).forall { case (_, g) => g.map(_._2).distinct.length == 4 })
+    // physical layout must not matter
+    assert(run(df.repartition(7), "wsamp").toSet == got.toSet)
+    // a different seed is an independent redraw (some selection changes)
+    assert(run(df, "epoch1").toSet != got.toSet)
+  }
+
+  test("weightedSample: zero/null weights excluded; k >= stratum size ranks everything") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 0.0), (3L, "a", -5.0))
+      .toDF("id", "src", "w")
+      .union(Seq((4L, "a")).toDF("id", "src").withColumn("w", lit(null).cast("double")))
+    val got = Sampling.weightedSample(df, col("id"), col("w"), col("src"), k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "only the positive-weight row is sampleable")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, col("id"), col("w"), col("src"), k = 0)
+    }
+  }
 }
