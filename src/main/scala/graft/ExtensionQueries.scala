@@ -413,6 +413,99 @@ object ExtensionQueries {
         Rounding.portable(col("adist"), 6).as("adist"), col("rn").cast("long").as("rn"))
   }
 
+  /** q165: SIMPLIFIED SILHOUETTE ([[Similarity.silhouetteSimplified]]) —
+    * per-point internal cluster validity over q160/q142's trained
+    * centroids: a = cosine distance to the OWN centroid, b = to the
+    * NEAREST OTHER, s = (b−a)/max(a,b). Completes the cluster-audit
+    * family: q104's [[Similarity.clusterAudit]] reads per-CLUSTER means
+    * (Davies-Bouldin), this reads the per-POINT margin distribution —
+    * mean_s for health, min_s for the worst boundary point a mean
+    * hides. Centroid-based (Hruschka's "simplified" form), the only
+    * silhouette that scales: classic silhouette is O(n²) per cluster,
+    * this is one broadcast centroid pass + ONE vec_id exchange shared
+    * by the top-2 window and the per-point pivot + a k-group mean. The
+    * oracle extends q142's unrolled 2-round Lloyd ladder with the
+    * top-2 ranking and the silhouette fold. */
+  def q165(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
+    Similarity.silhouetteSimplified(e, cents)
+      .select(col("cid"), col("n"),
+        Rounding.portable(col("mean_s"), 6).as("mean_s6"),
+        Rounding.portable(col("min_s"), 6).as("min_s6"))
+      .transform(sortedSmall(_, col("cid")))
+  }
+
+  /** q166: COHEN'S KAPPA ([[TextAnalysis.cohensKappa]]) — chance-
+    * corrected agreement between the heuristic stopword language-ID
+    * (q100's argmax rater, the cheap labeler) and the corpus `lang`
+    * column (the reference labels): the eval-family member accuracy
+    * can't provide — a rater that always predicts the majority class
+    * scores high accuracy and kappa ≈ 0. Confusion matrix, marginals
+    * and diagonal stay BIGINT; the closing division is the only float
+    * (q154's discipline). One token aggregate per doc + one
+    * category-keyed count aggregate; the confusion table is
+    * categories², driver-free. */
+  def q166(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val scoreAggs = TextAnalysis.langScores(col("w"))
+      .map { case (lang, c) => c.as(s"s_$lang") }
+    val perDoc = tok.groupBy("doc_id", "lang")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+      .select(col("lang"), TextAnalysis.predictLang().as("pred"))
+    TextAnalysis.cohensKappa(perDoc, col("pred"), col("lang"))
+      .select(col("n"), col("agree"), col("pe_num"),
+        Rounding.portable(col("kappa"), 6).as("kappa6"))
+  }
+
+  /** q167: ROBUST DISTRIBUTION STATS ([[TextAnalysis.robustStats]]) —
+    * per-language n_chars profile: exact linear-interpolated quartiles
+    * (`percentile` ≡ DuckDB `quantile_cont`), IQR, MAD, 10–90 trimmed
+    * mean, Tukey-fence outlier count. The outlier-resistant audit the
+    * fixed-threshold Gopher gates (q115/q120) and mean-based stats
+    * can't give: a handful of pathological documents moves a mean
+    * arbitrarily, never the median/MAD. Two grouped passes (quantiles,
+    * then deviations against the broadcast per-group quantile row); at
+    * 100 TB the documented swap is `approx_percentile` — the spec pins
+    * the approx form within its rank-error bound against this exact
+    * form. */
+  def q167(t: Tables): DataFrame =
+    TextAnalysis.robustStats(t.documents, col("lang"), col("n_chars"))
+      .select(col("g").as("lang"), col("n"),
+        Rounding.portable(col("p25"), 6).as("p25"),
+        Rounding.portable(col("med"), 6).as("med"),
+        Rounding.portable(col("p75"), 6).as("p75"),
+        Rounding.portable(col("iqr"), 6).as("iqr"),
+        Rounding.portable(col("mad"), 6).as("mad"),
+        Rounding.portable(col("trimmed_mean"), 6).as("trimmed_mean"),
+        col("n_outliers"))
+      .transform(sortedSmall(_, col("lang")))
+
+  /** q168: ADJUSTED RAND INDEX ([[Similarity.adjustedRandIndex]]) —
+    * EXTERNAL cluster validity: does the trained IVF clustering
+    * (q142's 2-round Lloyd → [[Similarity.ivfAssign]]) recover the
+    * generator's `label` partition, chance-corrected and
+    * label-permutation-invariant (Hubert & Arabie 1985). q165 answers
+    * "internally coherent?", this answers "matches the reference
+    * partition?" — together the standard internal/external validity
+    * pair. Pair counts stay exact BIGINT out of ONE GROUPING SETS
+    * aggregate (contingency + both marginals + n in a single
+    * corpus-sized shuffle); the closing divisions are the only floats.
+    * The oracle replays the Lloyd ladder, the assignment, and the
+    * pair-counting combinatorics with `//` integer division. */
+  def q168(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
+    val ours = Similarity.ivfAssign(e, cents)
+      .select(col("vec_id").as("id"), col("cid"))
+    val ref = t.embeddings.select(col("vec_id").as("id"),
+      col("label").cast("long").as("cid"))
+    Similarity.adjustedRandIndex(ours, ref)
+      .select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
+        Rounding.portable(col("ari"), 6).as("ari6"))
+  }
+
   /** q159: SIGNED-PERMUTATION ROTATED PQ — OPQ-lite
     * ([[Similarity.sprRotation]]/`rotateSigned`): q89's PQ chain run in
     * a rotated space that scatters dimensions across subspaces
@@ -640,9 +733,38 @@ object ExtensionQueries {
     "q161_bm25_topk"         -> q161 _,
     "q162_matryoshka_rerank" -> q162 _,
     "q163_unigram_divergence" -> q163 _,
+    "q165_silhouette"        -> q165 _,
+    "q166_cohens_kappa"      -> q166 _,
+    "q167_robust_stats"      -> q167 _,
+    "q168_adjusted_rand"     -> q168 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
+
+  /** q142's two unrolled Lloyd rounds (k = 8, first-8-by-id init, cosine
+    * argmax assignment) as a shared CTE prefix — the q165/q168 oracles
+    * extend it (with a `cf` final-centroid-list CTE) the same way q160's
+    * oracle extends the q155 ladder. Kept textually identical to the
+    * q142 oracle's own chain so a semantics change fails all three. */
+  private val lloyd8x2Cte: String = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS ce
+             FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 8)),
+      a1 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c0 c) t WHERE rn = 1),
+      x1 AS (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
+             FROM a1 a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i)),
+      c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+             SELECT cid, i, avg(x) AS m FROM x1 GROUP BY cid, i) GROUP BY cid),
+      a2 AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, c1 c) t WHERE rn = 1),
+      x2 AS (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
+             FROM a2 a JOIN e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i))"""
 
   /** DuckDB oracles. q40's decode is real (javax.imageio pixels), but its
     * INPUT images are synthesized from doc_id under a documented
@@ -1448,6 +1570,108 @@ object ExtensionQueries {
         round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0))) +
               0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6) AS js6
       FROM p GROUP BY v, ta, tb""",
+
+    // q165: q142's unrolled 2-round Lloyd ladder (shared prefix) closed
+    // by final centroid lists, the per-point top-2 centroid ranking
+    // (own = rn 1, nearest other = rn 2 — own is the cosine argmax so
+    // its distance is the minimum), and the silhouette fold
+    "q165_silhouette" -> s"""
+      WITH $lloyd8x2Cte,
+      cf AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+             SELECT cid, i, avg(x) AS m FROM x2 GROUP BY cid, i) GROUP BY cid),
+      s AS (SELECT e.vec_id, c.cid, 1.0 - list_cosine_similarity(e.e, c.ce) AS d,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+            FROM e, cf c),
+      p AS (SELECT a.vec_id, a.cid, a.d AS da, b.d AS db
+            FROM (SELECT vec_id, cid, d FROM s WHERE rn = 1) a
+            JOIN (SELECT vec_id, d FROM s WHERE rn = 2) b USING (vec_id)),
+      sil AS (SELECT cid, CASE WHEN greatest(da, db) = 0 THEN 0.0
+                ELSE (db - da) / greatest(da, db) END AS sv FROM p)
+      SELECT cid, count(*) AS n, round(avg(sv), 6) AS mean_s6,
+        round(min(sv), 6) AS min_s6
+      FROM sil GROUP BY cid ORDER BY cid""",
+
+    // q166: q100's tokenizer + stopword scores + first-wins argmax CASE,
+    // then the kappa combinatorics — confusion, marginals and diagonal
+    // exact; the single closing division is the only float
+    "q166_cohens_kappa" -> """
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      sc AS (SELECT doc_id, lang,
+          sum(CASE WHEN w IN ('the', 'a', 'of', 'and', 'to', 'is') THEN 1 ELSE 0 END) AS s_en,
+          sum(CASE WHEN w IN ('der', 'die', 'das', 'und', 'ist', 'nicht') THEN 1 ELSE 0 END) AS s_de,
+          sum(CASE WHEN w IN ('el', 'la', 'de', 'los', 'y', 'es') THEN 1 ELSE 0 END) AS s_es,
+          sum(CASE WHEN w IN ('le', 'les', 'et', 'des', 'un', 'est') THEN 1 ELSE 0 END) AS s_fr
+        FROM tok GROUP BY doc_id, lang),
+      pred AS (SELECT lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+               WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+               WHEN s_fr > 0 THEN 'fr'
+               ELSE 'unknown' END AS pred
+        FROM sc),
+      conf AS (SELECT pred AS la, lang AS lb, count(*) AS nij FROM pred GROUP BY pred, lang),
+      rm AS (SELECT la, CAST(sum(nij) AS BIGINT) AS am FROM conf GROUP BY la),
+      cm AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bm FROM conf GROUP BY lb),
+      pe AS (SELECT CAST(coalesce(sum(am * bm), 0) AS BIGINT) AS pe_num
+             FROM rm JOIN cm ON la = lb),
+      base AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN la = lb THEN nij END), 0) AS BIGINT) AS agree
+               FROM conf)
+      SELECT n, agree, pe_num,
+        round(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6) AS kappa6
+      FROM base, pe""",
+
+    // q167: exact linear-interpolated quantiles (quantile_cont ≡ Spark
+    // percentile), MAD/trim/Tukey fences against the per-group quantile
+    // row — the same two-pass shape as the operator
+    "q167_robust_stats" -> """
+      WITH v AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x FROM documents),
+      q AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              quantile_cont(x, 0.10) AS p10, quantile_cont(x, 0.25) AS p25,
+              quantile_cont(x, 0.50) AS med, quantile_cont(x, 0.75) AS p75,
+              quantile_cont(x, 0.90) AS p90
+            FROM v GROUP BY g),
+      a AS (SELECT g,
+              quantile_cont(abs(x - med), 0.50) AS mad,
+              avg(CASE WHEN x >= p10 AND x <= p90 THEN x END) AS trimmed_mean,
+              CAST(coalesce(sum(CASE WHEN x < p25 - 1.5 * (p75 - p25)
+                                   OR x > p75 + 1.5 * (p75 - p25) THEN 1 END), 0) AS BIGINT)
+                AS n_outliers
+            FROM v JOIN q USING (g) GROUP BY g)
+      SELECT g AS lang, n, round(p25, 6) AS p25, round(med, 6) AS med,
+        round(p75, 6) AS p75, round(p75 - p25, 6) AS iqr, round(mad, 6) AS mad,
+        round(trimmed_mean, 6) AS trimmed_mean, n_outliers
+      FROM q JOIN a USING (g) ORDER BY lang""",
+
+    // q168: the Lloyd ladder + final assignment vs the generator label
+    // column; pair counting with `//` exact integer division, the two
+    // closing divisions are the only floats
+    "q168_adjusted_rand" -> s"""
+      WITH $lloyd8x2Cte,
+      cf AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+             SELECT cid, i, avg(x) AS m FROM x2 GROUP BY cid, i) GROUP BY cid),
+      af AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, cf c) t WHERE rn = 1),
+      pr AS (SELECT a.cid AS ca, CAST(l.label AS BIGINT) AS cb
+             FROM af a JOIN embeddings l ON l.vec_id = a.vec_id),
+      cont AS (SELECT ca, cb, count(*) AS nij FROM pr GROUP BY ca, cb),
+      sij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij,
+                     CAST(sum(nij) AS BIGINT) AS n FROM cont),
+      sa AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a FROM (
+             SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY ca) t),
+      sb AS (SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b FROM (
+             SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY cb) t),
+      f AS (SELECT n, sum_ij, sum_a, sum_b,
+              CAST(sum_a AS DOUBLE) * sum_b / ((n * (n - 1)) // 2) AS e_exp
+            FROM sij, sa, sb)
+      SELECT n, sum_ij, sum_a, sum_b,
+        round(CASE WHEN (sum_a + sum_b) / 2.0 - e_exp = 0 THEN 1.0
+              ELSE (sum_ij - e_exp) / ((sum_a + sum_b) / 2.0 - e_exp) END, 6) AS ari6
+      FROM f""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
     // rank), q35's proven cosine-argmax assignment idiom per round,

@@ -105,6 +105,10 @@ object PlanDump {
     "q162_matryoshka_rerank", // prefix candidates broadcast queries; bounded exact rerank
     "q163_unigram_divergence", // vocab-keyed partial+final count; totals 1-row broadcast
     "q164_weighted_sample",  // one stratum-keyed window exchange; md5/ln map-side
+    "q165_silhouette",       // k-row centroid broadcast; ONE vec_id exchange shared by window+pivot
+    "q166_cohens_kappa",     // category-keyed count agg; confusion-sized tail, 1-row scalar join
+    "q167_robust_stats",     // two grouped percentile passes; quantile row broadcast back
+    "q168_adjusted_rand",    // ONE grouping-sets aggregate: contingency + marginals + n together
   )
 
   def main(args: Array[String]): Unit = {

@@ -1292,8 +1292,8 @@ object Soak {
     // production response to a DOUBLED cluster count — Lloyd on A∪B at
     // kc=32, codebook reseeded from a window straddling the boundary
     // (8 ids each side). Probe fraction held at 1/4 of buckets.
-    val stale = recallOf(
-      Similarity.trainCentroids(a, kc, iters = 10, dim = dim), 0L, nprobe = 4)
+    val staleC = Similarity.trainCentroids(a, kc, iters = 10, dim = dim)
+    val stale = recallOf(staleC, 0L, nprobe = 4)
     // trainCentroids seeds Lloyd from the k LOWEST vec_ids — on `all`
     // those are ids 0..31, every one inside corpus A, so a "recenter"
     // would start from an all-A init and rely on 10 iterations to
@@ -1313,15 +1313,46 @@ object Soak {
     // whole job), then Lloyd refines. This is what a production recenter
     // actually runs; the interleave leg above documents what the init
     // must achieve, this leg achieves it from the data alone.
-    val recenteredScalable = recallOf(
-      Similarity.trainCentroidsFrom(all,
-        Similarity.scalableInitCentroids(all, k = 2 * kc, rounds = 3, l = 16),
-        iters = 10, dim = dim),
-      1992L, nprobe = 8)
+    val scalableC = Similarity.trainCentroidsFrom(all,
+      Similarity.scalableInitCentroids(all, k = 2 * kc, rounds = 3, l = 16),
+      iters = 10, dim = dim)
+    val recenteredScalable = recallOf(scalableC, 1992L, nprobe = 8)
     println(f"[soak] index_drift recall@$k on drifted queries: " +
       f"stale $stale%.3f, recentered(interleave) $recentered%.3f, " +
       f"recentered(kmeans||) $recenteredScalable%.3f")
+    // VALIDITY AUDIT — the q165/q168 operators run as the drift-decision
+    // instruments they exist to be. Internal: corpus-weighted mean
+    // simplified silhouette (needs NO labels — the signal a production
+    // recenter trigger can actually compute). External: ARI of the IVF
+    // assignment against the generator's true center index (known only
+    // in this fixture: A's clusters are 0..kc−1, B's kc..2kc−1) —
+    // ground-truth confirmation that the label-free signal pointed the
+    // right way. The stale index covers 32 true clusters with 16
+    // centroids, so BOTH numbers must improve after the k-means||
+    // recenter; drift shows up in geometry before it shows up in
+    // recall-vs-exact (which needs the expensive brute-force oracle).
+    def meanSil(c: DataFrame): Double =
+      Similarity.silhouetteSimplified(all, c)
+        .agg((sum(col("mean_s") * col("n")) / sum(col("n"))).as("s"))
+        .as[Double].head()
+    val truth = all.select(col("vec_id").as("id"),
+      when(col("vec_id") < 2000L, col("vec_id") % kc)
+        .otherwise(lit(kc) + (col("vec_id") - 2000L) % kc).as("cid"))
+    def ariOf(c: DataFrame): Double =
+      Similarity.adjustedRandIndex(
+          Similarity.ivfAssign(all, c).select(col("vec_id").as("id"), col("cid")),
+          truth)
+        .select("ari").as[Double].head()
+    val silStale = meanSil(staleC); val silRec = meanSil(scalableC)
+    val ariStale = ariOf(staleC); val ariRec = ariOf(scalableC)
+    println(f"[soak] index_drift validity: silhouette stale $silStale%.3f -> " +
+      f"recentered $silRec%.3f; ARI-vs-truth stale $ariStale%.3f -> " +
+      f"recentered $ariRec%.3f")
     all.unpersist(blocking = false)
+    require(silRec > silStale,
+      f"label-free silhouette must flag the stale index: $silStale%.3f vs $silRec%.3f")
+    require(ariRec > ariStale,
+      f"ARI vs ground truth must confirm the recenter: $ariStale%.3f vs $ariRec%.3f")
     require(recentered > stale,
       f"recentering must recover recall on the drifted distribution: " +
         f"stale $stale%.3f vs recentered $recentered%.3f")

@@ -101,7 +101,15 @@ object Verify {
       System.err.println(s"[verify] SCHEMA DRIFT — affected results are garbage:\n${e.getMessage}")
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (NOT set by the driver): run only queries
+    // whose name matches the SPARK_GRAFT_ONLY regex, and dump only their
+    // oracles — check.py walks oracle_sql.json keys, so both must filter
+    // together or every skipped query reads as a missing-output FAIL.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(re) => val p = re.r; name => p.findFirstIn(name).isDefined
+      case None => _ => true
+    }
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       // delete any previous output FIRST: mode(overwrite) only clears the
       // target when the new write executes, so a query that fails before
       // writing would otherwise leave a stale (possibly passing) result
@@ -128,7 +136,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1025,4 +1025,101 @@ object Similarity {
     intra.join(broadcast(nn), "cid")
       .withColumn("db_ratio", col("mean_d") / col("nn_d"))
   }
+
+  /** SIMPLIFIED (centroid-based) SILHOUETTE — the per-POINT internal
+    * cluster-validity score the [[clusterAudit]] per-CLUSTER means can't
+    * see (a cluster can have a healthy mean yet a long tail of
+    * boundary points): for every vector, `a` = cosine distance to its
+    * OWN centroid, `b` = cosine distance to the NEAREST OTHER centroid,
+    * `s = (b − a) / max(a, b)` (0 when both distances are 0 — the point
+    * sits ON two coincident centroids; the classic convention). Cosine
+    * is deliberate: it is the metric the trainer assigns by
+    * ([[trainCentroids]]' argmax), so `a ≤ b` always holds here and
+    * `s ∈ [0, 1]` measures margin-to-reassignment. This is the
+    * "simplified silhouette" of Hruschka et al. (centroid distances,
+    * not all-pairs member distances) — the ONLY silhouette that scales:
+    * the classic form is O(n²) per cluster, this is one broadcast
+    * centroid pass.
+    *
+    * Plan shape: one broadcast join against the k-row centroid set, ONE
+    * vec_id exchange shared by the top-2 window and the per-point
+    * pivot (the window already hash-partitions on vec_id, so the
+    * groupBy reuses the exchange), then a k-group mean. Requires k ≥ 2
+    * centroids (a lone centroid has no "other"; the row raises rather
+    * than silently averaging NULLs away). Returns per non-empty cluster
+    * (cid, n, mean_s, min_s) unrounded — min_s is the worst boundary
+    * point, the retrain trigger a mean hides. */
+  def silhouetteSimplified(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val c = centroids.select(col("vec_id").as("ccid"), col("e").as("ce"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("ccid"))
+    val top2 = vectors.join(broadcast(c))
+      .select(col("vec_id"), col("ccid"),
+        GraftFunctions.cosineSimilarity(col("e"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val per = top2.groupBy("vec_id").agg(
+      max(when(col("rn") === 1, col("ccid"))).as("cid"),
+      max(when(col("rn") === 1, lit(1.0) - col("csim"))).as("a"),
+      max(when(col("rn") === 2, lit(1.0) - col("csim"))).as("b"))
+    per
+      .withColumn("b", when(col("b").isNull,
+        raise_error(lit("silhouetteSimplified needs >= 2 centroids"))
+          .cast("double")).otherwise(col("b")))
+      .withColumn("s", when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), avg(col("s")).as("mean_s"),
+        min(col("s")).as("min_s"))
+  }
+
+  /** ADJUSTED RAND INDEX — EXTERNAL cluster validity: chance-corrected
+    * pair-counting agreement between two clusterings of the same id set
+    * (Hubert & Arabie 1985). [[silhouetteSimplified]] asks "is the
+    * geometry internally coherent"; ARI asks "does the clustering
+    * recover a reference partition" (generator labels, yesterday's
+    * index, a rerun with different init — the label-permutation-
+    * invariant answer). ARI = (Σij C(nij,2) − E) / ((Σi C(ai,2) +
+    * Σj C(bj,2))/2 − E) with E = Σi C(ai,2)·Σj C(bj,2) / C(n,2);
+    * 1 = identical partitions, ~0 = chance, < 0 = worse than chance.
+    *
+    * Scale shape: the contingency table AND both marginals AND n come
+    * out of ONE GROUPING SETS aggregate over the joined pair table —
+    * a single corpus-sized shuffle (partial aggregation map-side), with
+    * every C(·,2) sum reduced from the bounded grouping-set output by
+    * one tiny final aggregate. All pair counts stay exact BIGINT; the
+    * two closing divisions are the only floats (the q154 ROC-AUC
+    * discipline). The degenerate denominator-0 case (both partitions
+    * all-singletons or one-cluster) returns ARI = 1 when the numerator
+    * is also 0 (identical trivial partitions — the sklearn convention).
+    * Inputs: `a`, `b` as (id, cid) tables over the same ids (inner
+    * join; ids present on one side only are dropped — audit counts make
+    * that visible as n < corpus). Returns ONE row
+    * (n, sum_ij, sum_a, sum_b, ari). */
+  def adjustedRandIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    // C(c,2) in EXACT long arithmetic: c·(c−1) is always even, so the
+    // halving is a shift — Column./ is double division and silently
+    // loses integer precision past 2^53. Overflow bound: a single
+    // cluster/cell needs ≥ ~3e9 members before c·(c−1) exceeds a long —
+    // past that, lift to decimal(38,0) (documented, not silently wrong:
+    // Spark throws on long-multiply overflow under ANSI mode).
+    def c2(c: Column): Column = shiftright(c * (c - lit(1L)), 1)
+    val pairs = a.select(col("id"), col("cid").as("ca"))
+      .join(b.select(col("id"), col("cid").as("cb")), "id")
+    val g = pairs
+      .groupingSets(
+        Seq(Seq(col("ca"), col("cb")), Seq(col("ca")), Seq(col("cb")), Seq()),
+        col("ca"), col("cb"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+    val s = g.agg(
+      sum(when(col("gid") === 0, c2(col("cnt")))).as("sum_ij"),
+      sum(when(col("gid") === 1, c2(col("cnt")))).as("sum_a"),
+      sum(when(col("gid") === 2, c2(col("cnt")))).as("sum_b"),
+      max(when(col("gid") === 3, col("cnt"))).as("n"))
+    val e = col("sum_a").cast("double") * col("sum_b") / c2(col("n")).cast("double")
+    val denom = (col("sum_a") + col("sum_b")).cast("double") / 2.0 - e
+    s.select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
+      when(denom === 0.0, lit(1.0))
+        .otherwise((col("sum_ij").cast("double") - e) / denom).as("ari"))
+  }
 }

@@ -810,4 +810,107 @@ object TextAnalysis {
       .select(col("qid"), col("doc_id"), col("score6"), col("n_terms"),
         col("rn").cast("long").as("rn"))
   }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two categorical
+    * raters over the same rows (Cohen 1960): the standard number for
+    * "does my cheap heuristic labeler agree with the reference labels
+    * beyond what marginal frequencies alone would produce" — accuracy
+    * (q135/q141/q147's observable) rewards a rater that just predicts
+    * the majority class; kappa subtracts that chance floor.
+    * `po` = observed agreement, `pe` = Σ_c p_a(c)·p_b(c) expected under
+    * independent raters with the observed marginals,
+    * `kappa = (po − pe) / (1 − pe)`.
+    *
+    * Exactness: the confusion matrix, both marginals and the diagonal
+    * stay BIGINT end to end; kappa's closing form is computed on the
+    * exact integer numerators — `kappa = (n·agree − Σ rowM·colM) /
+    * (n² − Σ rowM·colM)` — so the single division is the only float
+    * (the q154 ROC-AUC discipline; the two products lift to
+    * decimal(38,0), which BIGINT overflows past ~3e9 rows). Degenerate
+    * pe = 1 (both raters constant and equal): kappa = 1 when agreement
+    * is total, else the division yields NaN honestly.
+    *
+    * Scale shape — the input is consumed ONCE: confusion cells and both
+    * marginals come out of a single GROUPING SETS aggregate ((la,lb),
+    * (la), (lb) — one corpus pass, partial map-side over the 3-way
+    * Expand), reduced by one label-keyed pivot and a 1-row fold. The
+    * naive restatement (conf → two marginal re-aggregations → join)
+    * plans the corpus-sized upstream THREE times — column pruning makes
+    * the three exchanges differ, so exchange reuse never kicks in (this
+    * operator's plan-dump postmortem; the q168 ARI lesson applied).
+    * n = Σ row-marginals, so even the global count needs no extra set.
+    * Inputs: `rated` with categorical columns `ra`, `rb` (NULLs are a
+    * rating category only if pre-coalesced by the caller; NULL keys
+    * group together in both engines). Returns ONE row
+    * (n, agree, pe_num, kappa). */
+  def cohensKappa(rated: DataFrame, ra: Column, rb: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = rated.select(ra.as("la"), rb.as("lb"))
+      .groupingSets(
+        Seq(Seq(col("la"), col("lb")), Seq(col("la")), Seq(col("lb"))),
+        col("la"), col("lb"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+    // gid 0 = (la,lb) cell, 1 = la marginal (lb aggregated), 2 = lb
+    // marginal; pivot by label so Σ am·bm needs no marginal-vs-marginal
+    // join — a NULL rating category coalesces consistently on both axes
+    val byLabel = g.groupBy(coalesce(col("la"), col("lb")).as("lbl")).agg(
+      coalesce(sum(when(col("gid") === 1, col("cnt"))), lit(0L)).as("am"),
+      coalesce(sum(when(col("gid") === 2, col("cnt"))), lit(0L)).as("bm"),
+      coalesce(sum(when(col("gid") === 0 && col("la") === col("lb"),
+        col("cnt"))), lit(0L)).as("diag"))
+    byLabel.agg(
+        sum(col("am")).as("n"),
+        sum(col("diag")).as("agree"),
+        coalesce(sum(col("am").cast(dec) * col("bm")), lit(0L).cast(dec))
+          .as("pe_num"))
+      .select(col("n"), col("agree"), col("pe_num").cast("long").as("pe_num"),
+        ((col("n").cast(dec) * col("agree") - col("pe_num")).cast("double") /
+          (col("n").cast(dec) * col("n") - col("pe_num")).cast("double")).as("kappa"))
+  }
+
+  /** ROBUST per-group DISTRIBUTION STATS — median / quartiles / MAD /
+    * trimmed mean / Tukey-fence outlier count: the outlier-resistant
+    * profile a corpus audit wants where q115/q120's Gopher gates use
+    * fixed thresholds (a handful of 100 MB documents moves a group MEAN
+    * arbitrarily; it cannot move the median or MAD at all). Quantiles
+    * are EXACT with linear interpolation (`percentile` ≡ DuckDB
+    * `quantile_cont` ≡ numpy `linear`): p25/p50/p75, IQR,
+    * MAD = median(|x − median|) via one join-back pass,
+    * trimmed mean = mean of x ∈ [p10, p90] (inclusive), and
+    * n_outliers = |{x outside p25 − 1.5·IQR, p75 + 1.5·IQR}| (Tukey's
+    * fences). Scale shape: exact `percentile` sort-aggregates each
+    * group — EXACTLY two corpus passes: quantiles, then one combined
+    * deviation/trim/fence aggregate against the broadcast per-group
+    * quantile row, which also carries n and the quantiles through (as
+    * per-group-constant max()) so no closing join re-plans the quantile
+    * pass a third time. At 100 TB swap `percentile` for
+    * `approx_percentile` (Greenwald–Khanna, mergeable, one pass,
+    * bounded rank error) — the spec pins the approx form within its
+    * rank-error bound on this exact form. Returns per group
+    * (g, n, p25, med, p75, iqr, mad, trimmed_mean, n_outliers)
+    * unrounded. */
+  def robustStats(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = df.select(group.as("g"), value.cast("double").as("x"))
+    val q = v.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      percentile(col("x"), lit(0.10)).as("p10"),
+      percentile(col("x"), lit(0.25)).as("p25"),
+      percentile(col("x"), lit(0.50)).as("med"),
+      percentile(col("x"), lit(0.75)).as("p75"),
+      percentile(col("x"), lit(0.90)).as("p90"))
+    v.join(broadcast(q), "g")
+      .groupBy("g").agg(
+        max(col("n")).as("n"), max(col("p25")).as("p25"),
+        max(col("med")).as("med"), max(col("p75")).as("p75"),
+        percentile(abs(col("x") - col("med")), lit(0.50)).as("mad"),
+        avg(when(col("x") >= col("p10") && col("x") <= col("p90"), col("x")))
+          .as("trimmed_mean"),
+        coalesce(sum(when(
+          col("x") < col("p25") - lit(1.5) * (col("p75") - col("p25")) ||
+          col("x") > col("p75") + lit(1.5) * (col("p75") - col("p25")), 1L)), lit(0L))
+          .as("n_outliers"))
+      .select(col("g"), col("n"), col("p25"), col("med"), col("p75"),
+        (col("p75") - col("p25")).as("iqr"), col("mad"),
+        col("trimmed_mean"), col("n_outliers"))
+  }
 }

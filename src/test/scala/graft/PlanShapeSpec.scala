@@ -450,4 +450,67 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"no shuffled or cartesian join in the rotated-PQ search:\n$p")
   }
+
+  test("q165: silhouette — k-row centroid broadcast, ONE vec_id exchange shared by " +
+      "window and pivot, rn<=2 pushes WindowGroupLimit") {
+    // the trained centroids enter as a local relation under a broadcast
+    // NLJ (the ivfAssign shape); the top-2 window hash-partitions on
+    // vec_id and the per-point pivot aggregate REUSES that exchange —
+    // so the whole per-point stage costs one shuffle, plus the k-group
+    // mean: exactly two hashpartitioning exchanges in the plan
+    val p = q("q165_silhouette")
+    assert(p.contains("LocalTableScan") && p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must ride in as a broadcast k-row relation:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= 2 must push the limit below the window sort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"exactly two exchanges (vec_id, then cid) — the pivot must reuse " +
+      s"the window's partitioning:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join:\n$p")
+  }
+
+  test("q166: kappa consumes the corpus ONCE — grouping-sets Expand, linear " +
+      "aggregate chain, zero joins") {
+    // the defining property: confusion cells AND both marginals come out
+    // of one Expand[3 sets] aggregate — the naive conf→marginals→join
+    // restatement planned the corpus-sized token pipeline THREE times
+    // (column pruning differentiates the exchanges, so reuse never
+    // fires; this gate is the regression pin for that postmortem)
+    val p = q("q166_cohens_kappa")
+    assert(p.contains("Expand"),
+      s"marginals must come from a grouping-sets Expand, not re-aggregation:\n$p")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"the token pipeline must be planned exactly once:\n$p")
+    assert(!p.contains("Join"), s"zero joins — the label pivot replaces the " +
+      s"marginal-vs-marginal join:\n$p")
+  }
+
+  test("q167: robust stats is exactly two percentile passes — quantile row " +
+      "broadcasts back, no third join") {
+    val p = q("q167_robust_stats")
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 4,
+      s"two partial+final percentile passes expected (4 nodes):\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"the per-group quantile row must broadcast back exactly once — " +
+      s"carrying n/quantiles through the second pass kills the third join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no shuffled join or window:\n$p")
+  }
+
+  test("q168: ARI — contingency, both marginals and n out of ONE grouping-sets " +
+      "aggregate; label side broadcasts") {
+    val p = q("q168_adjusted_rand")
+    assert(p.contains("Expand"),
+      s"pair counting must run through one grouping-sets Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the generator-label side must broadcast into the id join:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the assignment argmax must push its limit below the window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join:\n$p")
+    // the C(n,2) halving must stay integer (shiftright), never double
+    assert(p.contains("shiftright"),
+      s"pair combinatorics must use exact integer shiftright:\n$p")
+  }
 }

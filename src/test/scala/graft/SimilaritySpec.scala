@@ -667,4 +667,80 @@ class SimilaritySpec extends SparkSpec {
       Similarity.scalableInit(df, k = 50, rounds = 1, l = 1)
     }
   }
+
+  test("silhouetteSimplified: closed-form s on a hand fixture; bounds; k=1 raises") {
+    // centroids at the two axes; one point ON its centroid (a = 0 →
+    // s = 1), one point midway between both (a = b → s = 0), and the
+    // cluster members of the shared fixture in (0, 1)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "e")
+    val pts = Seq(
+      (100L, Seq(1.0, 0.0)),   // exactly centroid 0: a = 0, s = 1
+      (101L, Seq(1.0, 1.0)),   // equidistant: a = b (ties to cid 0), s = 0
+      (102L, Seq(0.9, 0.1))    // clearly cluster 0, 0 < s < 1
+    ).toDF("vec_id", "e")
+    val out = Similarity.silhouetteSimplified(pts, cents)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (cid, n, ms, mins) => cid -> ((n, ms, mins)) }.toMap
+    // all three land in cluster 0 (101 ties to the lower cid)
+    val (n0, mean0, min0) = out(0L)
+    assert(n0 == 3L)
+    // closed forms: s(100) = 1 (b = 1 − cos45° > 0, a = 0);
+    // s(101) = 0 (a = b = 1 − cos45°);
+    // s(102): a = 1 − cos(e,c0), b = 1 − cos(e,c1)
+    val cos = (x: Seq[Double], y: Seq[Double]) => {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val a102 = 1.0 - cos(Seq(0.9, 0.1), Seq(1.0, 0.0))
+    val b102 = 1.0 - cos(Seq(0.9, 0.1), Seq(0.0, 1.0))
+    val s102 = (b102 - a102) / math.max(a102, b102)
+    val expMean = (1.0 + 0.0 + s102) / 3.0
+    assert(math.abs(mean0 - expMean) < 1e-12, s"mean_s $mean0 != $expMean")
+    assert(math.abs(min0 - 0.0) < 1e-12, s"min_s $min0 != 0 (the midway point)")
+    // cosine form: own centroid is the argmax, so s ∈ [0, 1] always
+    val shared = Similarity.silhouetteSimplified(vecs, vecs.filter(col("vec_id") < 2))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(shared.forall { case (_, _, ms, mins) =>
+      ms >= 0.0 && ms <= 1.0 && mins >= 0.0 && mins <= 1.0 })
+    // a lone centroid has no "nearest other" — loud failure, not NULL-avg
+    val err = intercept[Exception] {
+      Similarity.silhouetteSimplified(pts, cents.filter(col("vec_id") === 0L))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("adjustedRandIndex: identity, permutation invariance, closed form, degenerate") {
+    def part(rows: Seq[(Long, Long)]) = rows.toDF("id", "cid")
+    // identical partitions → ARI = 1 regardless of labels
+    val a = part(Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    val relabeled = part(Seq(1L -> 7L, 2L -> 7L, 3L -> 3L, 4L -> 3L, 5L -> 9L))
+    val id1 = Similarity.adjustedRandIndex(a, a)
+      .select("ari").as[Double].head()
+    val id2 = Similarity.adjustedRandIndex(a, relabeled)
+      .select("ari").as[Double].head()
+    assert(math.abs(id1 - 1.0) < 1e-12 && math.abs(id2 - 1.0) < 1e-12)
+    // closed form (Hubert & Arabie): n=6, A = {1,2,3|4,5,6},
+    // B = {1,2|3,4,5,6} → contingency rows (2,1),(0,3):
+    // sum_ij = C(2,2)+C(1,2)+C(3,2) = 1+0+3 = 4
+    // sum_a = 2·C(3,2) = 6 ; sum_b = C(2,2)+C(4,2) = 7 ; C(6,2) = 15
+    // E = 6·7/15 = 2.8 ; ARI = (4 − 2.8)/((6+7)/2 − 2.8) = 1.2/3.7
+    val pa = part(Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+    val pb = part(Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+    val row = Similarity.adjustedRandIndex(pa, pb)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(row == ((6L, 4L, 6L, 7L, row._5)))
+    assert(math.abs(row._5 - 1.2 / 3.7) < 1e-12, s"ari ${row._5} != ${1.2 / 3.7}")
+    // degenerate: both all-singletons → denominator 0 → 1.0 (sklearn)
+    val singles = part(Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val deg = Similarity.adjustedRandIndex(singles, singles)
+      .select("ari").as[Double].head()
+    assert(deg == 1.0)
+    // ids present on one side only are dropped by the inner join → n
+    // reflects the intersection (the audit observable)
+    val wider = part(Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 99L -> 5L))
+    val nOnly = Similarity.adjustedRandIndex(a, wider)
+      .select("n").as[Long].head()
+    assert(nOnly == 5L)
+  }
 }

@@ -507,4 +507,70 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), probes, k = 0)
     }
   }
+
+  test("cohensKappa: textbook 2x2 closed form, identity, chance floor") {
+    // the classic confusion: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes
+    // po = 35/50 = 0.7; pe = (25·30 + 25·20)/50² = 1250/2500 = 0.5
+    // kappa = (0.7 − 0.5)/(1 − 0.5) = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val df = rows.toDF("ra", "rb")
+    val (n, agree, peNum, kappa) = TextAnalysis.cohensKappa(df, col("ra"), col("rb"))
+      .as[(Long, Long, Long, Double)].head()
+    assert((n, agree, peNum) == ((50L, 35L, 1250L)))
+    assert(math.abs(kappa - 0.4) < 1e-12, s"kappa $kappa != 0.4")
+    // identical raters → kappa = 1 (unless pe = 1)
+    val same = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    val k1 = TextAnalysis.cohensKappa(same, col("ra"), col("rb"))
+      .select("kappa").as[Double].head()
+    assert(math.abs(k1 - 1.0) < 1e-12)
+    // a rater that always answers the majority class: high accuracy
+    // (po = 0.75), kappa exactly 0 — the chance floor accuracy hides
+    val majority = (Seq.fill(3)(("yes", "yes")) :+ (("yes", "no")))
+      .toDF("ra", "rb")
+    val k0 = TextAnalysis.cohensKappa(majority, col("ra"), col("rb"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(k0._2 == 3L, "po must read 0.75 (high accuracy)")
+    assert(k0._4 == 0.0, s"constant rater must score kappa 0, got ${k0._4}")
+    // disjoint label sets: agreement impossible, pe_num = 0, kappa < 0
+    val disjoint = Seq(("x", "y"), ("x", "z")).toDF("ra", "rb")
+    val kd = TextAnalysis.cohensKappa(disjoint, col("ra"), col("rb"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(kd._3 == 0L && kd._2 == 0L && kd._4 == 0.0,
+      s"disjoint labels: agree = pe_num = 0 so kappa = 0/1·n² → 0, got $kd")
+  }
+
+  test("robustStats: hand quantiles, MAD, trim bounds, Tukey outliers; approx swap") {
+    // group g1: x = 1..9 plus a 1000 outlier (n = 10)
+    //   sorted: 1,2,...,9,1000; p25 at pos 0.25·9 = 2.25 → 3.25
+    //   med at pos 4.5 → 5.5 ; p75 at 6.75 → 7.75 ; IQR = 4.5
+    //   fences: [3.25 − 6.75, 7.75 + 6.75] = [−3.5, 14.5] → one outlier
+    //   MAD: |x − 5.5| sorted = 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5
+    //     → median = 2.5
+    //   p10 at 0.9 → 1.9 ; p90 at 8.1 → 9 + 0.1·991 = 108.1
+    //     → trim keeps 2..9 → mean 5.5
+    val g1 = (1 to 9).map(i => ("g1", i.toDouble)) :+ (("g1", 1000.0))
+    val df = g1.toDF("g", "x")
+    val row = TextAnalysis.robustStats(df, col("g"), col("x"))
+      .as[(String, Long, Double, Double, Double, Double, Double, Double, Long)]
+      .head()
+    val (_, n, p25, med, p75, iqr, mad, trimmed, outliers) = row
+    assert(n == 10L)
+    assert(math.abs(p25 - 3.25) < 1e-12 && math.abs(med - 5.5) < 1e-12 &&
+      math.abs(p75 - 7.75) < 1e-12 && math.abs(iqr - 4.5) < 1e-12)
+    assert(math.abs(mad - 2.5) < 1e-12, s"mad $mad != 2.5")
+    assert(math.abs(trimmed - 5.5) < 1e-12, s"trimmed_mean $trimmed != 5.5")
+    assert(outliers == 1L, s"exactly the 1000 must sit outside Tukey's fences")
+    // the 100 TB swap: approx_percentile (Greenwald–Khanna, mergeable,
+    // one pass) within its rank-error bound of the exact form — at
+    // accuracy 10000 over n = 10 rows the permitted rank error is < 1
+    // rank, so the approx median must land on an adjacent ORDER
+    // STATISTIC of the exact interpolated median
+    val approxMed = df.groupBy("g")
+      .agg(percentile_approx(col("x"), lit(0.5), lit(10000)).as("amed"))
+      .select("amed").as[Double].head()
+    assert(approxMed == 5.0 || approxMed == 6.0,
+      s"approx median $approxMed not an adjacent order statistic of 5.5")
+  }
 }
