@@ -506,6 +506,51 @@ object ExtensionQueries {
         Rounding.portable(col("ari"), 6).as("ari6"))
   }
 
+  /** q169: NORMALIZED MUTUAL INFORMATION
+    * ([[Similarity.normalizedMutualInfo]]) — q168's information-
+    * theoretic sibling over the SAME clustering pair (trained IVF
+    * assignment vs generator label): ARI counts pairs, NMI weighs
+    * splits by information content, and the two disagree exactly when
+    * the disagreement is interesting (a class shattered into many
+    * small pieces). The operator's hinge: ln(nij·n/(ai·bj)) seems to
+    * need every cell joined to both marginals, but the log factors and
+    * marginal sums collapse — ONE grouping-sets aggregate + ONE global
+    * fold, zero joins (see the operator scaladoc for the identity).
+    * The oracle recomputes the same closed forms from plain GROUP BYs. */
+  def q169(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
+    val ours = Similarity.ivfAssign(e, cents)
+      .select(col("vec_id").as("id"), col("cid"))
+    val ref = t.embeddings.select(col("vec_id").as("id"),
+      col("label").cast("long").as("cid"))
+    Similarity.normalizedMutualInfo(ours, ref)
+      .select(col("n"), Rounding.portable(col("mi"), 6).as("mi6"),
+        Rounding.portable(col("h_a"), 6).as("h_a6"),
+        Rounding.portable(col("h_b"), 6).as("h_b6"),
+        Rounding.portable(col("nmi"), 6).as("nmi6"))
+  }
+
+  /** q170: COVARIANCE MATRIX ([[graft.operators.Pca.covarianceMatrix]])
+    * — the gated corpus pass under the PCA family: the full
+    * second-moment state (population covariance, upper triangle, means
+    * and n per row) over the first 16 embedding dimensions, exactly the
+    * numbers the driver-side eigensolver consumes — so the gate pins
+    * the distributed 99% of PCA and `PcaSpec` pins the local eigen 1%
+    * (orthonormality, eigenvalue order, rank recovery, projection
+    * variance — not SQL-expressible). ONE fixed-state aggregate
+    * (16.9 KB partials at dim 64, constant in the corpus), matrix
+    * assembly driver-side at dim² scale. */
+  def q170(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    graft.operators.Pca.covarianceMatrix(e, dim = 16)
+      .select(col("i"), col("j"), col("n"),
+        Rounding.portable(col("mean_i"), 6).as("mean_i6"),
+        Rounding.portable(col("mean_j"), 6).as("mean_j6"),
+        Rounding.portable(col("cov"), 6).as("cov6"))
+      .transform(sortedSmall(_, col("i"), col("j")))
+  }
+
   /** q159: SIGNED-PERMUTATION ROTATED PQ — OPQ-lite
     * ([[Similarity.sprRotation]]/`rotateSigned`): q89's PQ chain run in
     * a rotated space that scatters dimensions across subspaces
@@ -737,6 +782,8 @@ object ExtensionQueries {
     "q166_cohens_kappa"      -> q166 _,
     "q167_robust_stats"      -> q167 _,
     "q168_adjusted_rand"     -> q168 _,
+    "q169_nmi"               -> q169 _,
+    "q170_covariance"        -> q170 _,
     "q142_kmeans_train"      -> q142 _,
     "q144_bitext_margin"     -> q144 _,
   )
@@ -1672,6 +1719,50 @@ object ExtensionQueries {
         round(CASE WHEN (sum_a + sum_b) / 2.0 - e_exp = 0 THEN 1.0
               ELSE (sum_ij - e_exp) / ((sum_a + sum_b) / 2.0 - e_exp) END, 6) AS ari6
       FROM f""",
+
+    // q169: the Lloyd ladder + assignment vs the generator label (q168's
+    // pair), then NMI from plain GROUP BYs: the x·ln x marginal sums,
+    // MI/entropies via ln n + (sums)/n, arithmetic-mean normalization
+    "q169_nmi" -> s"""
+      WITH $lloyd8x2Cte,
+      cf AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+             SELECT cid, i, avg(x) AS m FROM x2 GROUP BY cid, i) GROUP BY cid),
+      af AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
+          FROM e, cf c) t WHERE rn = 1),
+      pr AS (SELECT a.cid AS ca, CAST(l.label AS BIGINT) AS cb
+             FROM af a JOIN embeddings l ON l.vec_id = a.vec_id),
+      cont AS (SELECT ca, cb, count(*) AS nij FROM pr GROUP BY ca, cb),
+      tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n, sum(nij * ln(nij)) AS sc FROM cont),
+      ma AS (SELECT sum(ai * ln(ai)) AS sa FROM (
+             SELECT sum(nij) AS ai FROM cont GROUP BY ca) t),
+      mb AS (SELECT sum(bj * ln(bj)) AS sb FROM (
+             SELECT sum(nij) AS bj FROM cont GROUP BY cb) t),
+      f AS (SELECT n, ln(n) + (sc - sa - sb) / n AS mi,
+              ln(n) - sa / n AS h_a, ln(n) - sb / n AS h_b
+            FROM tot, ma, mb)
+      SELECT n, round(mi, 6) AS mi6, round(h_a, 6) AS h_a6,
+        round(h_b, 6) AS h_b6,
+        round(CASE WHEN h_a + h_b = 0 THEN 1.0
+              ELSE mi / ((h_a + h_b) / 2.0) END, 6) AS nmi6
+      FROM f""",
+
+    // q170: population covariance of the first 16 dims — double-unnest
+    // upper-triangle pairs, per-pair sums/means, cov = Sxy/n − mx·my
+    "q170_covariance" -> """
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      x AS (SELECT i, j, e.e[i] AS xi, e.e[j] AS xj
+            FROM e, unnest(range(1, 17)) s(i), unnest(range(1, 17)) t(j)
+            WHERE i <= j),
+      c AS (SELECT i, j, count(*) AS n, avg(xi) AS mi, avg(xj) AS mj,
+              sum(xi * xj) AS sij
+            FROM x GROUP BY i, j)
+      SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        CAST(n AS BIGINT) AS n, round(mi, 6) AS mean_i6,
+        round(mj, 6) AS mean_j6, round(sij / n - mi * mj, 6) AS cov6
+      FROM c ORDER BY i, j""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
     // rank), q35's proven cosine-argmax assignment idiom per round,

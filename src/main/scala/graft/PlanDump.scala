@@ -109,6 +109,8 @@ object PlanDump {
     "q166_cohens_kappa",     // category-keyed count agg; confusion-sized tail, 1-row scalar join
     "q167_robust_stats",     // two grouped percentile passes; quantile row broadcast back
     "q168_adjusted_rand",    // ONE grouping-sets aggregate: contingency + marginals + n together
+    "q169_nmi",              // same single Expand pass; x·ln x sums replace the cell-marginal join
+    "q170_covariance",       // fixed-state moment aggregate ran eagerly; plan = 136-row local relation
   )
 
   def main(args: Array[String]): Unit = {

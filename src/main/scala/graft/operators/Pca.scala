@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed PCA over an embedding column — the dimensionality-
+  * reduction member of the vector family ([[Similarity.prefixRerankTopK]]
+  * slices dimensions a Matryoshka-trained model already ordered; PCA
+  * ORDERS them for models that didn't): one corpus pass accumulates the
+  * fixed-size second-moment state
+  * ([[graft.functions.CovarianceAggregator]]), the dim×dim covariance is
+  * assembled and eigensolved ON THE DRIVER (the matrix is O(dim²) —
+  * 32 KB at dim 64 — the k-row-centroid driver-traffic discipline, and
+  * exactly how production distributed PCA works: moments distributed,
+  * eigen local), and the resulting components broadcast back for an
+  * in-row projection. Nothing corpus-sized shuffles at any step.
+  *
+  * Determinism: the eigensolver is CYCLIC JACOBI with a fixed sweep
+  * order and threshold — no randomness, no iteration-order freedom — and
+  * each component's sign is canonicalized (largest-|coordinate| entry
+  * positive, lowest index on ties), so the same data yields the same
+  * components on any run. Cross-partitioning float-Σ association in the
+  * moment sums is the one freedom (~1e-12 relative) — consumers round,
+  * exactly the q142 centroid discipline.
+  */
+object Pca {
+
+  /** Population covariance matrix of the first `dim` components of
+    * vector column `e` (rows `(i, j, n, mean_i, mean_j, cov)`, upper
+    * triangle i ≤ j — the matrix is symmetric): ONE pass via the
+    * fixed-state aggregator, centered at finish
+    * (`cov = Σxy/n − μx·μy`). The long form IS the gate surface — every
+    * moment the eigensolver consumes, hash-compared (q170). */
+  def covarianceMatrix(vectors: DataFrame, dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val buf = momentState(vectors, dim)
+    val n = buf(0)
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val mi = buf(1 + i) / n
+      val mj = buf(1 + j) / n
+      val cov = buf(graft.functions.CovarianceAggregator.triIndex(i, j, dim)) / n - mi * mj
+      Row(i.toLong, j.toLong, n.toLong, mi, mj, cov)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.toList.asJava,
+      StructType(Seq(
+        StructField("i", LongType, nullable = false),
+        StructField("j", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("mean_i", DoubleType, nullable = false),
+        StructField("mean_j", DoubleType, nullable = false),
+        StructField("cov", DoubleType, nullable = false))))
+  }
+
+  /** Top-`k` principal components: (eigenvalue DESC, orthonormal rows).
+    * Returns (mean, components, eigenvalues) — mean for centering at
+    * projection time, components as k rows of length dim. */
+  def pcaComponents(vectors: DataFrame, dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val buf = momentState(vectors, dim)
+    val n = buf(0)
+    require(n >= 2, s"PCA needs >= 2 rows, got ${n.toLong}")
+    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      buf(graft.functions.CovarianceAggregator.triIndex(a, b, dim)) / n -
+        mean(i) * mean(j)
+    }
+    val (values, vecs) = jacobiEigen(cov)
+    // sort by eigenvalue desc (tie → lower original index), canonical sign
+    val order = values.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
+    val top = order.take(k).map { c =>
+      val comp = Array.tabulate(dim)(r => vecs(r)(c))
+      val pivot = comp.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
+      if (pivot < 0) comp.map(x => -x) else comp
+    }
+    (mean, top, order.take(k).map(values))
+  }
+
+  /** Project vectors onto precomputed components: centered dot products,
+    * all in-row against array literals (k·dim doubles — tiny). The
+    * projection of a corpus is a map-only stage. Expressed as
+    * higher-order-function LOOPS (`zip_with`/`aggregate`), not unrolled
+    * scalar arithmetic: the first draft inlined k·dim (element_at −
+    * mean)·w terms, and at 64×64 the 4096-node expression blew janino's
+    * method-size limit — Spark fell back to interpreted for the whole
+    * stage (the q158 plan-size failure class, caught by running the
+    * opq_ab soak). The HOF form is a handful of loop nodes regardless
+    * of dim. Returns (vec_id, proj: array<double> of length k). */
+  def pcaProject(vectors: DataFrame, mean: Array[Double],
+      components: Array[Array[Double]]): DataFrame = {
+    val centered = vectors.select(col("vec_id"),
+      zip_with(col("e"), typedlit(mean.toSeq), (x, m) => x - m).as("__c"))
+    val proj = array(components.map { comp =>
+      aggregate(
+        zip_with(col("__c"), typedlit(comp.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+    }.toIndexedSeq: _*)
+    centered.select(col("vec_id"), proj.as("proj"))
+  }
+
+  /** The one corpus pass: fixed-size moment state to the driver. */
+  private def momentState(vectors: DataFrame, dim: Int): Array[Double] = {
+    val agg = udaf(new graft.functions.CovarianceAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    vectors
+      .select(slice(col("e").cast("array<double>"), 1, dim).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) >= dim)
+      .agg(agg(col("v")).as("state"))
+      .head().getSeq[Double](0).toArray
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: sweeps the fixed
+    * (p < q) order rotating each off-diagonal element to zero until the
+    * off-diagonal Frobenius mass drops below 1e-24 (eigenvalue error is
+    * bounded by the off-norm, so the tight threshold buys ~1e-12
+    * eigenvalues; quadratic convergence makes the last sweep nearly
+    * free — a 64×64 covariance converges in ~10 sweeps, capped at 64).
+    * Returns (eigenvalues, eigenvector COLUMNS). Textbook Golub & Van
+    * Loan 8.4; O(dim³) per sweep, driver-side only, deterministic by
+    * construction. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) s += a(p)(q) * a(p)(q)
+      s
+    }
+    while (off() > 1e-24 && sweep < 64) {
+      for (p <- 0 until n; q <- p + 1 until n if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until n) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+}

@@ -1073,15 +1073,64 @@ object Similarity {
         min(col("s")).as("min_s"))
   }
 
+  /** NORMALIZED MUTUAL INFORMATION — [[adjustedRandIndex]]'s
+    * information-theoretic sibling (the standard pair to report):
+    * NMI = I(A;B) / ((H(A)+H(B))/2) (arithmetic-mean normalization),
+    * 1 = identical partitions, 0 = independent. ARI counts pairs and is
+    * chance-corrected; NMI weighs splits by information content — a
+    * clustering that shatters one reference class into many small
+    * pieces loses more NMI than ARI, so the two disagree exactly when
+    * the disagreement is interesting.
+    *
+    * Scale shape — ONE corpus-sized aggregate, ZERO joins: the naive
+    * form needs each contingency cell joined to BOTH its marginals
+    * (ln(nij·n/(ai·bj)) couples them), but the log factors, and the
+    * marginal sums collapse (Σj nij = ai):
+    *   I = ln n + (1/n)·[Σij nij·ln nij − Σi ai·ln ai − Σj bj·ln bj]
+    *   H(A) = ln n − (1/n)·Σi ai·ln ai      (H(B) symmetric)
+    * so cells, both marginals and n come out of one GROUPING SETS
+    * aggregate ((ca,cb),(ca),(cb),()) and ONE global fold finishes —
+    * the q166 single-consumption discipline. Counts stay exact BIGINT;
+    * the x·ln x sums are the only floats. Degenerate H(A)+H(B) = 0
+    * (both partitions single-cluster, necessarily identical on the
+    * joined ids): NMI = 1 (the [[adjustedRandIndex]] convention for
+    * identical trivial partitions). Inputs as ARI: (id, cid) tables,
+    * inner-joined on id. Returns ONE row (n, mi, h_a, h_b, nmi)
+    * unrounded. */
+  def normalizedMutualInfo(a: DataFrame, b: DataFrame): DataFrame = {
+    def xlnx(c: Column): Column = c.cast("double") * log(c.cast("double"))
+    val pairs = a.select(col("id"), col("cid").as("ca"))
+      .join(b.select(col("id"), col("cid").as("cb")), "id")
+    val g = pairs
+      .groupingSets(
+        Seq(Seq(col("ca"), col("cb")), Seq(col("ca")), Seq(col("cb")), Seq()),
+        col("ca"), col("cb"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+    val s = g.agg(
+      max(when(col("gid") === 3, col("cnt"))).as("n"),
+      coalesce(sum(when(col("gid") === 0, xlnx(col("cnt")))), lit(0.0)).as("sc"),
+      coalesce(sum(when(col("gid") === 1, xlnx(col("cnt")))), lit(0.0)).as("sa"),
+      coalesce(sum(when(col("gid") === 2, xlnx(col("cnt")))), lit(0.0)).as("sb"))
+    val n = col("n").cast("double")
+    val ha = log(n) - col("sa") / n
+    val hb = log(n) - col("sb") / n
+    val mi = log(n) + (col("sc") - col("sa") - col("sb")) / n
+    s.select(col("n"), mi.as("mi"), ha.as("h_a"), hb.as("h_b"),
+      when(ha + hb === 0.0, lit(1.0))
+        .otherwise(mi / ((ha + hb) / 2.0)).as("nmi"))
+  }
+
   /** ADJUSTED RAND INDEX — EXTERNAL cluster validity: chance-corrected
     * pair-counting agreement between two clusterings of the same id set
     * (Hubert & Arabie 1985). [[silhouetteSimplified]] asks "is the
     * geometry internally coherent"; ARI asks "does the clustering
     * recover a reference partition" (generator labels, yesterday's
     * index, a rerun with different init — the label-permutation-
-    * invariant answer). ARI = (Σij C(nij,2) − E) / ((Σi C(ai,2) +
-    * Σj C(bj,2))/2 − E) with E = Σi C(ai,2)·Σj C(bj,2) / C(n,2);
-    * 1 = identical partitions, ~0 = chance, < 0 = worse than chance.
+    * invariant answer); [[normalizedMutualInfo]] is the
+    * information-theoretic member of the same pair. ARI =
+    * (Σij C(nij,2) − E) / ((Σi C(ai,2) + Σj C(bj,2))/2 − E) with
+    * E = Σi C(ai,2)·Σj C(bj,2) / C(n,2); 1 = identical partitions,
+    * ~0 = chance, < 0 = worse than chance.
     *
     * Scale shape: the contingency table AND both marginals AND n come
     * out of ONE GROUPING SETS aggregate over the joined pair table —

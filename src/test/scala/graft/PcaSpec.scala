@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pca
+
+/** Pins for the PCA family: q170 hash-gates the distributed covariance
+  * pass against DuckDB; these pin the driver-side eigensolver and the
+  * projection — the parts no SQL oracle can restate. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def close(a: Double, b: Double, tol: Double = 1e-9) =
+    math.abs(a - b) < tol
+
+  test("covarianceMatrix: closed form on a hand fixture; symmetric storage") {
+    // x = (1,2,3,4), y = (1,3,5,7): population var(x) = 1.25,
+    // var(y) = 5, cov(x,y) = 2.5, means 2.5 and 4
+    val df = Seq(
+      (1L, Seq(1.0, 1.0)), (2L, Seq(2.0, 3.0)),
+      (3L, Seq(3.0, 5.0)), (4L, Seq(4.0, 7.0))).toDF("vec_id", "e")
+    val rows = Pca.covarianceMatrix(df, dim = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows.size == 3, "upper triangle of a 2x2 has 3 entries")
+    val (_, _, n, m0, _, v00) = rows((0L, 0L))
+    assert(n == 4L && close(m0, 2.5) && close(v00, 1.25))
+    assert(close(rows((1L, 1L))._6, 5.0) && close(rows((1L, 1L))._4, 4.0))
+    assert(close(rows((0L, 1L))._6, 2.5))
+  }
+
+  test("jacobiEigen: 2x2 closed form") {
+    // [[2,1],[1,2]] has eigenvalues 3 (along (1,1)/√2) and 1
+    val (values, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = values.sorted
+    assert(close(sorted(0), 1.0) && close(sorted(1), 3.0))
+    val c3 = values.indexWhere(v => close(v, 3.0))
+    val ev = Array(vecs(0)(c3), vecs(1)(c3))
+    assert(close(math.abs(ev(0)), 1.0 / math.sqrt(2)) &&
+      close(math.abs(ev(1)), 1.0 / math.sqrt(2)) && close(ev(0) / ev(1), 1.0))
+  }
+
+  test("pcaComponents: recovers a planted low-rank structure; orthonormal, ordered, " +
+      "deterministic across partitionings") {
+    // data = strong direction d1 + weak orthogonal d2, emitted in ALL
+    // FOUR sign combinations per coefficient pair so the two
+    // coefficients have exactly zero mean AND zero cross-correlation
+    // (the first draft used b = a/10 with paired signs — perfectly
+    // correlated coefficients make the data rank-1 along d1 + 0.1·d2,
+    // and PCA correctly recovered THAT; the fixture was wrong)
+    val d1 = Array(0.6, 0.8, 0.0, 0.0)
+    val d2 = Array(0.0, 0.0, 1.0, 0.0)
+    val pts = (1 to 25).flatMap { i =>
+      val a = i * 0.1; val b = i * 0.01
+      for (sa <- Seq(1.0, -1.0); sb <- Seq(1.0, -1.0)) yield
+        d1.map(_ * a * sa).zip(d2.map(_ * b * sb))
+          .map { case (p, q) => p + q }
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val df = pts.toDF("vec_id", "e")
+    val (mean, comps, eig) = Pca.pcaComponents(df, dim = 4, k = 3)
+    mean.foreach(m => assert(close(m, 0.0)))
+    // eigenvalues descending, third ~0 (rank-2 data)
+    assert(eig(0) > eig(1) && eig(1) > 0 && close(eig(2), 0.0, 1e-9))
+    // components recover the planted directions (up to canonical sign)
+    def align(c: Array[Double], d: Array[Double]): Double =
+      math.abs(c.zip(d).map { case (x, y) => x * y }.sum)
+    assert(align(comps(0), d1) > 1 - 1e-9, s"pc1 ${comps(0).toSeq} != d1")
+    assert(align(comps(1), d2) > 1 - 1e-9, s"pc2 ${comps(1).toSeq} != d2")
+    // orthonormality
+    for (a <- comps; b <- comps) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(close(dot, if (a eq b) 1.0 else 0.0))
+    }
+    // projection variance along each component = its eigenvalue
+    val proj = Pca.pcaProject(df, mean, comps)
+      .select(posexplode(col("proj"))).as[(Int, Double)].collect()
+    for (c <- 0 until 2) {
+      val xs = proj.filter(_._1 == c).map(_._2)
+      val v = xs.map(x => x * x).sum / xs.length - math.pow(xs.sum / xs.length, 2)
+      assert(close(v, eig(c), 1e-9 + 1e-9 * eig(c)),
+        s"projection variance $v along pc$c != eigenvalue ${eig(c)}")
+    }
+    // determinism: a different partitioning yields the same components
+    // to float-sum tolerance
+    val (m2, c2, e2) = Pca.pcaComponents(df.repartition(7), dim = 4, k = 3)
+    mean.zip(m2).foreach { case (x, y) => assert(close(x, y)) }
+    eig.zip(e2).foreach { case (x, y) => assert(close(x, y)) }
+    // only the non-degenerate components: pc3 spans a multiplicity-2
+    // zero eigenspace where any orthonormal basis is equally valid, so
+    // a 1e-15 moment perturbation may rotate it freely
+    comps.take(2).zip(c2.take(2)).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (x, y) => assert(close(x, y)) } }
+    // argument validation
+    intercept[IllegalArgumentException] { Pca.pcaComponents(df, dim = 4, k = 5) }
+  }
+}

@@ -513,4 +513,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("shiftright"),
       s"pair combinatorics must use exact integer shiftright:\n$p")
   }
+
+  test("q169: NMI — one grouping-sets Expand, zero joins past the id join") {
+    // the factored identity (MI from three x·ln x sums) removes the
+    // cell-vs-both-marginals join entirely: past the broadcast id join
+    // the plan is a linear aggregate chain over one Expand
+    val p = q("q169_nmi")
+    assert(p.contains("Expand"),
+      s"cells + marginals + n must come from one grouping-sets Expand:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"exactly one join (the broadcast id join) expected:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join:\n$p")
+  }
+
+  test("q170: covariance — the corpus pass ran eagerly into a driver-side matrix; " +
+      "the plan is a dim²-row local relation, no corpus scan") {
+    // the fixed-state moment aggregate executes at construction (the
+    // q142 trained-centroid discipline: only O(dim²) numbers reach the
+    // driver); what Catalyst sees afterwards must be the tiny assembled
+    // relation — a FileScan here would mean the corpus leaked into the
+    // output plan
+    val p = q("q170_covariance")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"the assembled matrix must be a local relation:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"no corpus scan, join or aggregate in the output plan:\n$p")
+  }
 }

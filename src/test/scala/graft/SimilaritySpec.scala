@@ -743,4 +743,38 @@ class SimilaritySpec extends SparkSpec {
       .select("n").as[Long].head()
     assert(nOnly == 5L)
   }
+
+  test("normalizedMutualInfo: identity, independence, closed form vs naive restatement") {
+    def part(rows: Seq[(Long, Long)]) = rows.toDF("id", "cid")
+    def nmiOf(a: Seq[(Long, Long)], b: Seq[(Long, Long)]) =
+      Similarity.normalizedMutualInfo(part(a), part(b))
+        .as[(Long, Double, Double, Double, Double)].head()
+    // identical partitions (any labels) → NMI = 1
+    val pa = Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L)
+    val rel = Seq(1L -> 9L, 2L -> 9L, 3L -> 4L, 4L -> 4L)
+    assert(math.abs(nmiOf(pa, rel)._5 - 1.0) < 1e-12)
+    // exactly independent partitions (uniform 2x2 contingency) → MI = 0
+    val ind = Seq(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L)
+    val (_, miI, haI, hbI, nmiI) = nmiOf(pa, ind)
+    assert(math.abs(miI) < 1e-12 && math.abs(nmiI) < 1e-12)
+    assert(math.abs(haI - math.log(2)) < 1e-12 && math.abs(hbI - math.log(2)) < 1e-12)
+    // closed form on an asymmetric fixture, computed here via the NAIVE
+    // cell-join formula the operator's factored identity replaces —
+    // contingency rows (2,0),(1,3): the two routes must agree exactly
+    val pb = Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
+    val qb = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
+    val cells = Seq((2.0, 2.0, 3.0), (1.0, 4.0, 3.0), (3.0, 4.0, 3.0))
+    val n = 6.0
+    val miExp = cells.map { case (nij, ai, bj) =>
+      (nij / n) * math.log(nij * n / (ai * bj)) }.sum
+    val hA = -Seq(2.0, 4.0).map(x => (x / n) * math.log(x / n)).sum
+    val hB = -Seq(3.0, 3.0).map(x => (x / n) * math.log(x / n)).sum
+    val got = nmiOf(pb, qb)
+    assert(math.abs(got._2 - miExp) < 1e-12, s"mi ${got._2} != $miExp")
+    assert(math.abs(got._3 - hA) < 1e-12 && math.abs(got._4 - hB) < 1e-12)
+    assert(math.abs(got._5 - miExp / ((hA + hB) / 2.0)) < 1e-12)
+    // degenerate: both single-cluster (necessarily identical) → 1.0
+    val one = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L)
+    assert(nmiOf(one, one.map { case (i, _) => i -> 7L })._5 == 1.0)
+  }
 }
