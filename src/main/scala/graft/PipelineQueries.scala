@@ -1507,6 +1507,29 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("event_id")))
   }
 
+  /** q171: CUSUM DRIFT DETECTION ([[TimeSeries.cusum]]) — Page's
+    * sequential change-point statistic per user over the events value
+    * series: s_t = max(0, s_{t−1} + (x_t − target − slack)), alarm at
+    * s > h. The operator hinge: the sequential-looking recursion has
+    * the closed form s_t = P_t − min(0, min_{k≤t} P_k), so the whole
+    * detector is ONE user-keyed exchange carrying two running-frame
+    * windows — and running frames evaluate in frame order on both
+    * engines, so s is engine-identical BEFORE rounding. Gate = per-user
+    * trajectory summary (event count, max excursion, alarm count,
+    * first alarm time); the streaming twin
+    * ([[graft.streaming.CusumStream]]) folds the identical recursion on
+    * watermark-retired events, parity-pinned in CusumStreamSpec. */
+  def q171(t: Tables): DataFrame =
+    TimeSeries.cusum(t.events, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("value"),
+        target = 50.0, slack = 5.0, h = 100.0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        Rounding.portable(max(col("s")), 6).as("max_s6"),
+        coalesce(sum(when(col("alarm"), 1L)), lit(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("ts"))).as("first_alarm_ts"))
+      .transform(sortedSmall(_, col("user_id")))
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -1772,6 +1795,7 @@ object PipelineQueries {
     "q154_roc_auc" -> q154 _,
     "q157_interpolate_linear" -> q157 _,
     "q158_hilbert_key" -> q158 _,
+    "q171_cusum" -> q171 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3702,6 +3726,25 @@ object PipelineQueries {
 
     // q158: the Hilbert transform as layered CTEs — see hilbertOracle
     "q158_hilbert_key" -> hilbertOracle(8),
+
+    // q171: the CUSUM closed form — per-element term written EXACTLY as
+    // the Spark side computes it ((value − target) − slack, one
+    // subtraction at a time) so the sequential running sums are
+    // bit-identical before the 6-decimal rounding
+    "q171_cusum" -> """
+      WITH p AS (SELECT user_id, ts, event_id,
+              sum((value - 50.0) - 5.0) OVER w AS p
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (SELECT user_id, ts,
+              p - least(0.0, min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+            FROM p)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(max(s), 6) AS max_s6,
+        CAST(coalesce(sum(CASE WHEN s > 100.0 THEN 1 END), 0) AS BIGINT) AS n_alarms,
+        min(CASE WHEN s > 100.0 THEN ts END) AS first_alarm_ts
+      FROM s GROUP BY user_id ORDER BY user_id""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -111,6 +111,7 @@ object PlanDump {
     "q168_adjusted_rand",    // ONE grouping-sets aggregate: contingency + marginals + n together
     "q169_nmi",              // same single Expand pass; x·ln x sums replace the cell-marginal join
     "q170_covariance",       // fixed-state moment aggregate ran eagerly; plan = 136-row local relation
+    "q171_cusum",            // closed-form CUSUM: ONE user exchange under two running windows + summary agg
   )
 
   def main(args: Array[String]): Unit = {

@@ -243,8 +243,21 @@ object Soak {
     val raw = recallOf(corpus)
     val (perm, signs) = Similarity.sprRotation(dim)
     val rot = recallOf(Similarity.rotateSigned(corpus, perm, signs))
+    // the PRINCIPLED rotation (parametric OPQ, Ge et al. 2013's
+    // eigenvalue-allocation recipe): PCA basis from the data (q170's
+    // moment pass + driver eigen), components dealt round-robin by
+    // descending eigenvalue so every subspace receives an equal share
+    // of the spectrum — the md5 permutation above balances BLINDLY,
+    // this balances by measured variance. Position s·dsub + t holds
+    // the component ranked s + t·m.
+    val (pMean, comps, _) = graft.operators.Pca.pcaComponents(corpus, dim = dim, k = dim)
+    val dsub = dim / m
+    val rr = Array.tabulate(dim) { pos => comps(pos / dsub + (pos % dsub) * m) }
+    val pca = recallOf(graft.operators.Pca.pcaProject(corpus, pMean, rr)
+      .withColumnRenamed("proj", "e"))
     println(f"[soak] opq_ab m=$m ksub=16 contiguous-signal corpus: " +
-      f"adc recall@$k raw $raw%.3f vs rotated $rot%.3f")
+      f"adc recall@$k raw $raw%.3f vs rotated(md5) $rot%.3f " +
+      f"vs rotated(pca-rr) $pca%.3f")
     corpus.unpersist(blocking = false)
     // strict lift, unless the rotated leg is already AT the 1.0 ceiling
     // (a tie at ceiling is the best possible outcome, not a regression —
@@ -252,6 +265,9 @@ object Soak {
     require(rot > raw || rot >= 1.0 - 1e-9,
       f"the signed-permutation rotation must lift PQ recall on the " +
         f"concentrated corpus: raw $raw%.3f vs rotated $rot%.3f")
+    require(pca > raw || pca >= 1.0 - 1e-9,
+      f"the eigenvalue-allocation rotation must lift PQ recall: " +
+        f"raw $raw%.3f vs pca-rr $pca%.3f")
   }
 
   /** Layout-locality a/b behind q158's claim: lay the SAME point set out

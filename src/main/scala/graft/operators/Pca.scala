@@ -61,27 +61,8 @@ object Pca {
     * Returns (mean, components, eigenvalues) — mean for centering at
     * projection time, components as k rows of length dim. */
   def pcaComponents(vectors: DataFrame, dim: Int, k: Int)
-      : (Array[Double], Array[Array[Double]], Array[Double]) = {
-    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
-    val buf = momentState(vectors, dim)
-    val n = buf(0)
-    require(n >= 2, s"PCA needs >= 2 rows, got ${n.toLong}")
-    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      buf(graft.functions.CovarianceAggregator.triIndex(a, b, dim)) / n -
-        mean(i) * mean(j)
-    }
-    val (values, vecs) = jacobiEigen(cov)
-    // sort by eigenvalue desc (tie → lower original index), canonical sign
-    val order = values.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
-    val top = order.take(k).map { c =>
-      val comp = Array.tabulate(dim)(r => vecs(r)(c))
-      val pivot = comp.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
-      if (pivot < 0) comp.map(x => -x) else comp
-    }
-    (mean, top, order.take(k).map(values))
-  }
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    pcaComponentsFromState(momentState(vectors, dim), dim, k)
 
   /** Project vectors onto precomputed components: centered dot products,
     * all in-row against array literals (k·dim doubles — tiny). The
@@ -103,6 +84,52 @@ object Pca {
         lit(0.0), (acc, v) => acc + v)
     }.toIndexedSeq: _*)
     centered.select(col("vec_id"), proj.as("proj"))
+  }
+
+  /** INCREMENTAL moment maintenance — the q152/q75 daily-batch economics
+    * applied to PCA: the moment state is raw sums, so yesterday's
+    * persisted state plus TODAY'S BATCH's state (computed without
+    * re-reading the indexed corpus) is elementwise addition — exactly
+    * the aggregator's own `merge`, exposed for cross-run use. A nightly
+    * PCA recenter is: load state, add the day's batch state, re-run the
+    * driver-side eigen — no corpus re-read, ever. Float-Σ association
+    * differs from a full recompute by ~1e-12 relative (the PcaSpec pin);
+    * the counts inside are exact. */
+  def mergeMoments(a: Array[Double], b: Array[Double]): Array[Double] = {
+    require(a.length == b.length,
+      s"moment states disagree on dim: ${a.length} vs ${b.length}")
+    Array.tabulate(a.length)(i => a(i) + b(i))
+  }
+
+  /** The moment state of a vector set — public so callers can persist it
+    * as the tiny index artifact [[mergeMoments]] consumes
+    * (1 + dim + dim·(dim+1)/2 doubles). */
+  def momentStateOf(vectors: DataFrame, dim: Int): Array[Double] =
+    momentState(vectors, dim)
+
+  /** [[pcaComponents]] from a precomputed/merged moment state — the
+    * incremental-recenter entry point. */
+  def pcaComponentsFromState(state: Array[Double], dim: Int, k: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    require(state.length == 1 + dim + dim * (dim + 1) / 2,
+      s"state length ${state.length} does not match dim $dim")
+    val n = state(0)
+    require(n >= 2, s"PCA needs >= 2 rows, got ${n.toLong}")
+    val mean = Array.tabulate(dim)(i => state(1 + i) / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      state(graft.functions.CovarianceAggregator.triIndex(a, b, dim)) / n -
+        mean(i) * mean(j)
+    }
+    val (values, vecs) = jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy { case (v, i) => (-v, i) }.map(_._2)
+    val top = order.take(k).map { c =>
+      val comp = Array.tabulate(dim)(r => vecs(r)(c))
+      val pivot = comp.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
+      if (pivot < 0) comp.map(x => -x) else comp
+    }
+    (mean, top, order.take(k).map(values))
   }
 
   /** The one corpus pass: fixed-size moment state to the driver. */

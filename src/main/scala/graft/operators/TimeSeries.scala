@@ -78,4 +78,37 @@ object TimeSeries {
       .when(pv.isNotNull, pv)
       .otherwise(nv)
   }
+
+  /** One-sided (upper) CUSUM drift detector per key — the sequential
+    * change-point statistic (Page 1954) a pipeline runs over per-source
+    * quality/volume series to catch sustained upward drift a threshold
+    * on single points misses: s_t = max(0, s_{t−1} + (x_t − target −
+    * slack)), alarm when s_t > h.
+    *
+    * The recursion LOOKS sequential-only, but has the classic closed
+    * form s_t = P_t − min(0, min_{k≤t} P_k) with P the running sum of
+    * the shifted deviations — so the whole detector is ONE key-keyed
+    * exchange carrying two running-frame windows (prefix sum, then
+    * running min of it; same partitioning AND ordering, so Catalyst
+    * plans one sort, zero extra shuffles). Running frames evaluate
+    * strictly in frame order on both engines, so even the float
+    * accumulation order is pinned and the oracle reproduces s_t
+    * bit-for-bit before rounding. Ordering must be total for
+    * determinism: `ord` should break ts ties (the house (ts, id)
+    * discipline). Returns the per-event table
+    * (k, ord cols…, x, s, alarm) — callers aggregate summaries or
+    * filter alarms; the streaming form
+    * ([[graft.streaming.CusumStream]]) folds the identical recursion
+    * per retired event and is parity-pinned against this one. */
+  def cusum(df: DataFrame, key: Column, ord: Seq[Column], value: Column,
+      target: Double, slack: Double, h: Double): DataFrame = {
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    val wk = Window.partitionBy(key).orderBy(ord: _*)
+    df
+      .withColumn("__p",
+        sum(value.cast("double") - lit(target) - lit(slack)).over(wk))
+      .withColumn("s", col("__p") - least(lit(0.0), min(col("__p")).over(wk)))
+      .withColumn("alarm", col("s") > h)
+      .drop("__p")
+  }
 }

@@ -344,4 +344,58 @@ object StreamOps {
       col(rightTs) > col(leftTs) &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
+
+  /** WINDOWED SILHOUETTE MONITOR — q165's internal-validity instrument
+    * run LIVE against the persisted centroid artifacts: per event-time
+    * window, the count / mean / min of the simplified-silhouette score
+    * of every arriving vector. This is the label-free number the
+    * index_drift soak measured (0.476 stale → 0.791 recentered) — as a
+    * stream it becomes the recenter TRIGGER: a window whose mean_s sags
+    * is drift arriving, caught before the (expensive, batch) recall
+    * audit would.
+    *
+    * The batch operator's top-2 centroid WINDOW can't stream, so — the
+    * [[indexIngestStream]] discipline — the k-row centroid table
+    * collapses to a ONE-ROW cid-sorted struct array that broadcasts,
+    * and the per-vector (own, nearest-other) pair comes from an in-row
+    * `aggregate()` fold whose strict `>` updates reproduce the batch
+    * (csim DESC, cid ASC) tie-break exactly (fold order IS cid order).
+    * Stateless per row + one standard windowed aggregate: any trigger
+    * mode, state bounded by open windows. Compose with [[withLateness]]
+    * for append emission. Requires ≥ 2 centroids (refused at build,
+    * like the ingest guard). Returns (window, n, mean_s, min_s). */
+  def silhouetteWindows(
+      vectors: DataFrame, ts: Column, duration: String,
+      centroids: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(vectors.sparkSession)
+    require(centroids.count() >= 2,
+      "silhouetteWindows needs >= 2 centroids (a lone centroid has no nearest-other)")
+    val cRow = centroids
+      .select(struct(col("vec_id").as("cid"), col("e").as("ce")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__sil_cents"))
+    val negInf = lit(Double.NegativeInfinity)
+    vectors
+      .join(broadcast(cRow)) // 1-row static side: broadcast NLJ, stateless
+      .withColumn("__sil_top2",
+        aggregate(col("__sil_cents"),
+          struct(negInf.as("s1"), negInf.as("s2")),
+          (acc, c) => {
+            val s = graft.plans.GraftFunctions
+              .cosineSimilarity(col("e"), c.getField("ce"))
+            when(s > acc.getField("s1"),
+              struct(s.as("s1"), acc.getField("s1").as("s2")))
+              .otherwise(when(s > acc.getField("s2"),
+                struct(acc.getField("s1").as("s1"), s.as("s2")))
+                .otherwise(acc))
+          }))
+      .withColumn("__sil_a", lit(1.0) - col("__sil_top2").getField("s1"))
+      .withColumn("__sil_b", lit(1.0) - col("__sil_top2").getField("s2"))
+      .withColumn("__sil_s",
+        when(greatest(col("__sil_a"), col("__sil_b")) === 0.0, lit(0.0))
+          .otherwise((col("__sil_b") - col("__sil_a")) /
+            greatest(col("__sil_a"), col("__sil_b"))))
+      .groupBy(window(ts, duration))
+      .agg(count(lit(1)).as("n"), avg(col("__sil_s")).as("mean_s"),
+        min(col("__sil_s")).as("min_s"))
+  }
 }

@@ -93,4 +93,33 @@ class PcaSpec extends SparkSpec {
     // argument validation
     intercept[IllegalArgumentException] { Pca.pcaComponents(df, dim = 4, k = 5) }
   }
+
+  test("mergeMoments: yesterday's state + today's batch ≡ full recompute (no corpus re-read)") {
+    // 80 deterministic pseudo-random vectors split into "yesterday" and
+    // "today's batch"; the merged states must agree with the full pass
+    val pts = (0 until 80).map { i =>
+      val r = new scala.util.Random(4242L + i)
+      (i.toLong, Seq.fill(4)(r.nextGaussian()))
+    }
+    val df = pts.toDF("vec_id", "e")
+    val full = Pca.momentStateOf(df, dim = 4)
+    val yesterday = Pca.momentStateOf(df.filter(col("vec_id") < 50), dim = 4)
+    val batch = Pca.momentStateOf(df.filter(col("vec_id") >= 50), dim = 4)
+    val merged = Pca.mergeMoments(yesterday, batch)
+    assert(merged(0) == full(0), "the count inside the state is exact")
+    full.zip(merged).foreach { case (f, m) =>
+      assert(math.abs(f - m) <= 1e-9 * math.max(1.0, math.abs(f)),
+        s"merged moment $m != full $f beyond float-association tolerance") }
+    // and the recentered components from the merged state match the
+    // full-recompute components
+    val (mMean, mComps, mEig) = Pca.pcaComponentsFromState(merged, dim = 4, k = 2)
+    val (fMean, fComps, fEig) = Pca.pcaComponents(df, dim = 4, k = 2)
+    mMean.zip(fMean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    mEig.zip(fEig).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    mComps.zip(fComps).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) } }
+    intercept[IllegalArgumentException] {
+      Pca.mergeMoments(merged, new Array[Double](3))
+    }
+  }
 }

@@ -541,4 +541,18 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("HashAggregate"),
       s"no corpus scan, join or aggregate in the output plan:\n$p")
   }
+
+  test("q171: CUSUM closed form — ONE user exchange under both running windows " +
+      "and the summary aggregate") {
+    // the recursion's closed form (prefix sum − running min) keeps the
+    // detector to two running-frame windows over one hashpartitioning
+    // exchange; the per-user summary groupBy reuses that partitioning,
+    // so the only other exchange is sortedSmall's SinglePartition
+    val p = q("q171_cusum")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one user-keyed exchange expected:\n$p")
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"two running windows (prefix sum, then its running min) expected:\n$p")
+    assert(!p.contains("Join"), s"no join in the detector:\n$p")
+  }
 }

@@ -488,4 +488,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.valuesIterator.exists(v => v._2 < v._1))
     assert(batch.valuesIterator.exists(v => v._2 > 0L))
   }
+
+  test("silhouetteWindows: streamed window ≡ batch silhouette (weighted mean, exact min)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // the q165 fixture shape: two axis centroids, points in both
+    // clusters plus one exactly-equidistant point (ties to cid 0 in
+    // batch; value-wise s = 0 either way)
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, 0.1)), (12L, Seq(0.95, 0.05)),
+      (20L, Seq(0.0, 1.0)), (21L, Seq(0.1, 0.9)),
+      (30L, Seq(1.0, 1.0))).toDF("vec_id", "e")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + vec_id)"))
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("vec_id", "e")
+    val dir = Files.createTempDirectory("sil-windows")
+    vecs.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(vecs.schema).parquet(dir.toString)
+    val q = StreamOps.silhouetteWindows(stream, col("ts"), "1 hour", cents)
+      .writeStream.format("memory").queryName("so_silw").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("so_silw").select("n", "mean_s", "min_s")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 1, s"one event-time window expected: ${got.toSeq}")
+    val (n, meanS, minS) = got.head
+    // batch reference: q165's operator, globally weighted
+    val batch = Similarity.silhouetteSimplified(vecs.drop("ts"), cents)
+      .agg(sum(col("n")).as("n"),
+        (sum(col("mean_s") * col("n")) / sum(col("n"))).as("m"),
+        min(col("min_s")).as("mn"))
+      .as[(Long, Double, Double)].head()
+    assert(n == batch._1)
+    // per-point s is the same arithmetic in both forms (identical
+    // cosine expression, identical a/b) — the mean differs only by
+    // float-sum association, the min must be EXACT
+    assert(math.abs(meanS - batch._2) < 1e-12, s"stream $meanS != batch ${batch._2}")
+    assert(minS == batch._3, s"min_s must be exact: $minS != ${batch._3}")
+    // the equidistant point pins the tie path: its s is exactly 0
+    assert(minS == 0.0)
+    intercept[IllegalArgumentException] {
+      StreamOps.silhouetteWindows(stream, col("ts"), "1 hour",
+        cents.filter(col("vec_id") === 0L))
+    }
+  }
 }

@@ -102,4 +102,38 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("seq").as[(Int, Option[Double])].collect().toSeq
     assert(got == Seq((1, Some(2.0)), (2, Some(2.0)), (3, Some(8.0))), s"got $got")
   }
+
+  test("cusum: closed form ≡ the textbook recursion; reset, boundary, tie-break") {
+    // hand series (target 10, slack 2 → shift 12): values chosen to rise,
+    // reset to 0, and rise again past h = 5
+    val xs = Seq(15.0, 14.0, 1.0, 1.0, 16.0, 17.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "t", "x")
+    val got = TimeSeries.cusum(df, col("k"), Seq(col("t")), col("x"),
+        target = 10.0, slack = 2.0, h = 5.0)
+      .orderBy("t").select("s", "alarm").as[(Double, Boolean)].collect().toSeq
+    // the recursion, computed the sequential way the closed form replaces
+    val exp = xs.scanLeft(0.0)((s, x) => math.max(0.0, s + x - 12.0)).tail
+    got.map(_._1).zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"closed form $g != recursion $e") }
+    // s: 3, 5, 0, 0, 4, 9 → only the last crosses h = 5; s == h exactly
+    // (index 1) must NOT alarm (strict >)
+    assert(exp(1) == 5.0 && !got(1)._2, "s exactly at h must not alarm")
+    assert(got.map(_._2) == Seq(false, false, false, false, false, true))
+    // duplicate timestamps: the ord tie-break pins the fold order —
+    // (20 then 0) alarms mid-pair, (0 then 20) only at the end
+    val dup = Seq((1L, 0L, 1L, 20.0), (1L, 0L, 2L, 0.0))
+      .toDF("k", "t", "id", "x")
+    val s1 = TimeSeries.cusum(dup, col("k"), Seq(col("t"), col("id")), col("x"),
+        target = 0.0, slack = 0.0, h = 10.0)
+      .orderBy("t", "id").select("alarm").as[Boolean].collect().toSeq
+    assert(s1 == Seq(true, true), s"20-first order alarms both rows: $s1")
+    val s2 = TimeSeries.cusum(dup, col("k"), Seq(col("t"), col("id").desc), col("x"),
+        target = 0.0, slack = 0.0, h = 10.0)
+      .orderBy(col("t"), col("id").desc).select("alarm").as[Boolean].collect().toSeq
+    assert(s2 == Seq(false, true), s"0-first order alarms only the second: $s2")
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(dup, col("k"), Seq(col("t")), col("x"), 0.0, 0.0, h = 0.0)
+    }
+  }
 }
