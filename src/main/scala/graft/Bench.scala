@@ -137,7 +137,11 @@ object Bench {
     // query).
     val memoConsumers = Set(
       "q57_dedup_clusters", "q72_dedup_clusters_stars", "q85_cluster_audit",
-      "q102_source_dup_matrix", "q106_keep_one_census", "q109_keep_best")
+      "q102_source_dup_matrix", "q106_keep_one_census", "q109_keep_best",
+      // the validity family shares the memoized trained-centroid table
+      // (Tables.embeddingCentroids8) — cold-timing each would multi-count
+      // the two Lloyd passes, the exact q102 misclassification replayed
+      "q165_silhouette", "q168_adjusted_rand", "q169_nmi")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
       val reps = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
@@ -159,16 +163,20 @@ object Bench {
       val t1 = System.nanoTime()
       Tables(spark, sfDir).documentNearDupComponents // one CC run, persisted
       val t2 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      Tables(spark, sfDir).embeddingCentroids8 // two Lloyd passes, persisted
+      val t3 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
     }
     val tSharedPairs = sharedReps.map(_._1).min
     val tSharedComp = sharedReps.map(_._2).min
+    val tSharedCents = sharedReps.map(_._3).min
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
       n -> (1 to 2).map(_ => runOne(n)).min
     }
     val ext = (extCold ++ extWarmMemo ++
       Seq("shared_pair_table" -> tSharedPairs,
-          "shared_component_table" -> tSharedComp)).sortBy(_._1)
+          "shared_component_table" -> tSharedComp,
+          "shared_centroid_table" -> tSharedCents)).sortBy(_._1)
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -428,8 +428,10 @@ object ExtensionQueries {
     * top-2 ranking and the silhouette fold. */
   def q165(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
-    Similarity.silhouetteSimplified(e, cents)
+    // shared memoized TRAINED-CENTROID table (Tables.embeddingCentroids8)
+    // — q165/q168/q169 audit the identical clustering, so the suite runs
+    // the two Lloyd passes once; the cache owns the persist handle
+    Similarity.silhouetteSimplified(e, t.embeddingCentroids8)
       .select(col("cid"), col("n"),
         Rounding.portable(col("mean_s"), 6).as("mean_s6"),
         Rounding.portable(col("min_s"), 6).as("min_s6"))
@@ -496,8 +498,9 @@ object ExtensionQueries {
     * pair-counting combinatorics with `//` integer division. */
   def q168(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
-    val ours = Similarity.ivfAssign(e, cents)
+    // shared memoized trained centroids (q165's comment) — the ASSIGNMENT
+    // still runs per query; only the training trajectory is shared
+    val ours = Similarity.ivfAssign(e, t.embeddingCentroids8)
       .select(col("vec_id").as("id"), col("cid"))
     val ref = t.embeddings.select(col("vec_id").as("id"),
       col("label").cast("long").as("cid"))
@@ -519,8 +522,8 @@ object ExtensionQueries {
     * The oracle recomputes the same closed forms from plain GROUP BYs. */
   def q169(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = Similarity.trainCentroids(e, k = 8, iters = 2, dim = 64)
-    val ours = Similarity.ivfAssign(e, cents)
+    // shared memoized trained centroids (q165's comment)
+    val ours = Similarity.ivfAssign(e, t.embeddingCentroids8)
       .select(col("vec_id").as("id"), col("cid"))
     val ref = t.embeddings.select(col("vec_id").as("id"),
       col("label").cast("long").as("cid"))

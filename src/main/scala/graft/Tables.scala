@@ -87,6 +87,28 @@ final case class Tables(spark: SparkSession, dir: String) {
       comp.count() // materialize: every consumer must hit warm storage
       comp
     }
+
+  /** Shared TRAINED CENTROIDS (k = 8, 2 Lloyd rounds over the embeddings)
+    * — the third suite-level memoized input: q165 (silhouette), q168
+    * (ARI) and q169 (NMI) all audit the IDENTICAL trained clustering, so
+    * a suite session runs the two broadcast-assignment Lloyd passes once
+    * instead of three times (each pass is a corpus scan + a driver
+    * k-row collect — the r16 bench sweep measured ~2 s of pure recompute
+    * per consumer at sf0.1). q142 deliberately stays OFF the memo (it IS
+    * the gate for the training computation) and so does q160 (it gates
+    * the k-means‖-seeded composition, a different trajectory). The
+    * trained table is k local rows; the persist handle exists so the
+    * memo's storage-level resilience check works unchanged. */
+  def embeddingCentroids8: DataFrame =
+    Tables.memo(spark, dir, "centroids8") { () =>
+      val c = graft.operators.Similarity.trainCentroids(
+          embeddings.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e")),
+          k = 8, iters = 2, dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
 }
 
 object Tables {
