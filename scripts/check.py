@@ -79,7 +79,19 @@ def main():
             else: print(f"FAIL {name}: 0 rows"); n_bad += 1
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:200]}"); n_bad += 1
+    # Oracle-side twin of Bench.slowCeilingSec (round 17, from the r16
+    # post-mortem): q155/q160's chained-CTE ladders ran 190 s / ~8 min at
+    # sf0.01 because DuckDB re-inlined every stage — the driver's wholesale
+    # capture timed out and CORRECTNESS_r16.json came back literally `{}`.
+    # Any SINGLE oracle over this budget is a gate FAILURE even when its
+    # answer is right: a pathological oracle must never again silently eat
+    # the round's correctness artifact. (Healthy oracles at sf0.01 run in
+    # well under 5 s; the fixed ladders run in 0.1 s with AS MATERIALIZED.)
+    oracle_budget_sec = 30.0
+    import time as _time
+    slow_oracles = []
     for name in sorted(oracle):
+        t_oracle = _time.time()
         try:
             cur = con.execute(oracle[name])
             # Dtype-hazard guard (round 12, from the q126 post-mortem): a
@@ -98,6 +110,15 @@ def main():
             exp = cur.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        dt_oracle = _time.time() - t_oracle
+        if dt_oracle > oracle_budget_sec:
+            print(f"FAIL {name}: oracle took {dt_oracle:.1f}s > "
+                  f"{oracle_budget_sec:.0f}s budget — rewrite it (AS "
+                  f"MATERIALIZED CTE hints / smaller gated slice) before "
+                  f"it times out the driver's correctness capture")
+            slow_oracles.append(name)
+            n_bad += 1
+            continue
         try:
             got = read_spark(f"{out}/{name}")
         except Exception as e:
@@ -135,7 +156,17 @@ def main():
             n_bad += 1
         else:
             print(f"ok   {name} ({rg} rows)"); n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} fail")
+    if slow_oracles:
+        print(f"SLOW ORACLES (> {oracle_budget_sec:.0f}s): {slow_oracles}")
+    # graft.Verify writes _PARTIAL when SPARK_GRAFT_ONLY filtered the run;
+    # a subset check must never read as a full verification.
+    partial = os.path.join(out, "_PARTIAL")
+    suffix = ""
+    if os.path.exists(partial):
+        flt = open(partial).read().strip()
+        print(f"\n########## PARTIAL RUN ({flt}) — NOT a full verification ##########")
+        suffix = " (PARTIAL — subset only)"
+    print(f"\n{n_ok} ok, {n_bad} fail{suffix}")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":

@@ -1316,60 +1316,60 @@ object ExtensionQueries {
     // operator's exact arithmetic), attracted-count weights, and the
     // 4-step weighted farthest-first selection unrolled
     "q155_kmeanspp_init" -> """
-      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      u0 AS (SELECT vec_id, e,
+      WITH ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      u0 AS MATERIALIZED (SELECT vec_id, e,
               CAST(concat('0x', substr(md5(concat('kmpp|0|', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS u
              FROM ev),
-      c0 AS (SELECT vec_id, e FROM (
+      c0 AS MATERIALIZED (SELECT vec_id, e FROM (
               SELECT vec_id, e, row_number() OVER (ORDER BY u, vec_id) AS rn FROM u0) t
              WHERE rn = 1),
-      r1 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+      r1 AS MATERIALIZED (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
              FROM ev x, c0 c GROUP BY x.vec_id),
-      r1i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r1),
-      p1 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r1i),
-      s1 AS (SELECT ev.vec_id, ev.e FROM ev, r1i, p1
+      r1i AS MATERIALIZED (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r1),
+      p1 AS MATERIALIZED (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r1i),
+      s1 AS MATERIALIZED (SELECT ev.vec_id, ev.e FROM ev, r1i, p1
              WHERE ev.vec_id = r1i.vec_id
                AND (CAST(concat('0x', substr(md5(concat('kmpp|1|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
                  < (CASE WHEN p1.phi = 0 THEN 0
                     ELSE least(1000000, CAST(floor((4000000 * r1i.d2i) / p1.phi) AS BIGINT)) END)),
-      c1 AS (SELECT vec_id, e FROM c0 UNION ALL SELECT vec_id, e FROM s1),
-      r2 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+      c1 AS MATERIALIZED (SELECT vec_id, e FROM c0 UNION ALL SELECT vec_id, e FROM s1),
+      r2 AS MATERIALIZED (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
              FROM ev x, c1 c GROUP BY x.vec_id),
-      r2i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r2),
-      p2 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r2i),
-      s2 AS (SELECT ev.vec_id, ev.e FROM ev, r2i, p2
+      r2i AS MATERIALIZED (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r2),
+      p2 AS MATERIALIZED (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r2i),
+      s2 AS MATERIALIZED (SELECT ev.vec_id, ev.e FROM ev, r2i, p2
              WHERE ev.vec_id = r2i.vec_id
                AND (CAST(concat('0x', substr(md5(concat('kmpp|2|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
                  < (CASE WHEN p2.phi = 0 THEN 0
                     ELSE least(1000000, CAST(floor((4000000 * r2i.d2i) / p2.phi) AS BIGINT)) END)),
-      c2 AS (SELECT vec_id, e FROM c1 UNION ALL SELECT vec_id, e FROM s2),
-      cw AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM (
+      c2 AS MATERIALIZED (SELECT vec_id, e FROM c1 UNION ALL SELECT vec_id, e FROM s2),
+      cw AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM (
               SELECT x.vec_id, c.cid, row_number() OVER (PARTITION BY x.vec_id
                 ORDER BY list_distance(x.e, c.ce) NULLS LAST, c.cid NULLS FIRST) AS rn
               FROM ev x, (SELECT vec_id AS cid, e AS ce FROM c2) c) t
              WHERE rn = 1 GROUP BY cid),
-      cand AS (SELECT c2.vec_id AS src_id, c2.e AS ce, coalesce(cw.w, 0) AS w
+      cand AS MATERIALIZED (SELECT c2.vec_id AS src_id, c2.e AS ce, coalesce(cw.w, 0) AS w
                FROM c2 LEFT JOIN cw ON cw.cid = c2.vec_id),
-      sel1 AS (SELECT src_id, ce, w FROM cand ORDER BY w DESC, src_id LIMIT 1),
-      rem1 AS (SELECT * FROM cand WHERE src_id NOT IN (SELECT src_id FROM sel1)),
-      m2 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      sel1 AS MATERIALIZED (SELECT src_id, ce, w FROM cand ORDER BY w DESC, src_id LIMIT 1),
+      rem1 AS MATERIALIZED (SELECT * FROM cand WHERE src_id NOT IN (SELECT src_id FROM sel1)),
+      m2 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem1 r, sel1 s GROUP BY r.src_id),
-      sel2 AS (SELECT r.src_id, r.ce, r.w FROM rem1 r JOIN m2 ON m2.src_id = r.src_id
+      sel2 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem1 r JOIN m2 ON m2.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m2.mind * m2.mind) DESC, r.src_id LIMIT 1),
-      rem2 AS (SELECT * FROM rem1 WHERE src_id NOT IN (SELECT src_id FROM sel2)),
-      m3 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      rem2 AS MATERIALIZED (SELECT * FROM rem1 WHERE src_id NOT IN (SELECT src_id FROM sel2)),
+      m3 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem2 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2) s
              GROUP BY r.src_id),
-      sel3 AS (SELECT r.src_id, r.ce, r.w FROM rem2 r JOIN m3 ON m3.src_id = r.src_id
+      sel3 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem2 r JOIN m3 ON m3.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m3.mind * m3.mind) DESC, r.src_id LIMIT 1),
-      rem3 AS (SELECT * FROM rem2 WHERE src_id NOT IN (SELECT src_id FROM sel3)),
-      m4 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      rem3 AS MATERIALIZED (SELECT * FROM rem2 WHERE src_id NOT IN (SELECT src_id FROM sel3)),
+      m4 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem3 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
                            UNION ALL SELECT * FROM sel3) s
              GROUP BY r.src_id),
-      sel4 AS (SELECT r.src_id, r.ce, r.w FROM rem3 r JOIN m4 ON m4.src_id = r.src_id
+      sel4 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem3 r JOIN m4 ON m4.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m4.mind * m4.mind) DESC, r.src_id LIMIT 1),
-      sel AS (SELECT src_id, 0 AS rank FROM sel1 UNION ALL SELECT src_id, 1 FROM sel2
+      sel AS MATERIALIZED (SELECT src_id, 0 AS rank FROM sel1 UNION ALL SELECT src_id, 1 FROM sel2
               UNION ALL SELECT src_id, 2 FROM sel3 UNION ALL SELECT src_id, 3 FROM sel4)
       SELECT c.src_id, c.w AS weight, CAST(s.rank AS BIGINT) AS rank
       FROM cand c LEFT JOIN sel s ON s.src_id = c.src_id
@@ -1462,87 +1462,87 @@ object ExtensionQueries {
     // text) extended by q142's two Lloyd layers seeded from the selected
     // ranks, closed by the final assignment census
     "q160_kmeans_pipeline" -> """
-      WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      u0 AS (SELECT vec_id, e,
+      WITH ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      u0 AS MATERIALIZED (SELECT vec_id, e,
               CAST(concat('0x', substr(md5(concat('kmpp|0|', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS u
              FROM ev),
-      k0 AS (SELECT vec_id, e FROM (
+      k0 AS MATERIALIZED (SELECT vec_id, e FROM (
               SELECT vec_id, e, row_number() OVER (ORDER BY u, vec_id) AS rn FROM u0) t
              WHERE rn = 1),
-      r1 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+      r1 AS MATERIALIZED (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
              FROM ev x, k0 c GROUP BY x.vec_id),
-      r1i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r1),
-      p1 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r1i),
-      s1 AS (SELECT ev.vec_id, ev.e FROM ev, r1i, p1
+      r1i AS MATERIALIZED (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r1),
+      p1 AS MATERIALIZED (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r1i),
+      s1 AS MATERIALIZED (SELECT ev.vec_id, ev.e FROM ev, r1i, p1
              WHERE ev.vec_id = r1i.vec_id
                AND (CAST(concat('0x', substr(md5(concat('kmpp|1|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
                  < (CASE WHEN p1.phi = 0 THEN 0
                     ELSE least(1000000, CAST(floor((4000000 * r1i.d2i) / p1.phi) AS BIGINT)) END)),
-      k1 AS (SELECT vec_id, e FROM k0 UNION ALL SELECT vec_id, e FROM s1),
-      r2 AS (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
+      k1 AS MATERIALIZED (SELECT vec_id, e FROM k0 UNION ALL SELECT vec_id, e FROM s1),
+      r2 AS MATERIALIZED (SELECT x.vec_id, min(list_distance(x.e, c.e)) AS ld
              FROM ev x, k1 c GROUP BY x.vec_id),
-      r2i AS (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r2),
-      p2 AS (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r2i),
-      s2 AS (SELECT ev.vec_id, ev.e FROM ev, r2i, p2
+      r2i AS MATERIALIZED (SELECT vec_id, CAST(floor(ld * ld * 1e6 + 0.5) AS BIGINT) AS d2i FROM r2),
+      p2 AS MATERIALIZED (SELECT CAST(coalesce(sum(d2i), 0) AS BIGINT) AS phi FROM r2i),
+      s2 AS MATERIALIZED (SELECT ev.vec_id, ev.e FROM ev, r2i, p2
              WHERE ev.vec_id = r2i.vec_id
                AND (CAST(concat('0x', substr(md5(concat('kmpp|2|', CAST(ev.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000)
                  < (CASE WHEN p2.phi = 0 THEN 0
                     ELSE least(1000000, CAST(floor((4000000 * r2i.d2i) / p2.phi) AS BIGINT)) END)),
-      k2 AS (SELECT vec_id, e FROM k1 UNION ALL SELECT vec_id, e FROM s2),
-      cw AS (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM (
+      k2 AS MATERIALIZED (SELECT vec_id, e FROM k1 UNION ALL SELECT vec_id, e FROM s2),
+      cw AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS w FROM (
               SELECT x.vec_id, c.cid, row_number() OVER (PARTITION BY x.vec_id
                 ORDER BY list_distance(x.e, c.ce) NULLS LAST, c.cid NULLS FIRST) AS rn
               FROM ev x, (SELECT vec_id AS cid, e AS ce FROM k2) c) t
              WHERE rn = 1 GROUP BY cid),
-      cand AS (SELECT k2.vec_id AS src_id, k2.e AS ce, coalesce(cw.w, 0) AS w
+      cand AS MATERIALIZED (SELECT k2.vec_id AS src_id, k2.e AS ce, coalesce(cw.w, 0) AS w
                FROM k2 LEFT JOIN cw ON cw.cid = k2.vec_id),
-      sel1 AS (SELECT src_id, ce, w FROM cand ORDER BY w DESC, src_id LIMIT 1),
-      rem1 AS (SELECT * FROM cand WHERE src_id NOT IN (SELECT src_id FROM sel1)),
-      m2 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      sel1 AS MATERIALIZED (SELECT src_id, ce, w FROM cand ORDER BY w DESC, src_id LIMIT 1),
+      rem1 AS MATERIALIZED (SELECT * FROM cand WHERE src_id NOT IN (SELECT src_id FROM sel1)),
+      m2 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem1 r, sel1 s GROUP BY r.src_id),
-      sel2 AS (SELECT r.src_id, r.ce, r.w FROM rem1 r JOIN m2 ON m2.src_id = r.src_id
+      sel2 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem1 r JOIN m2 ON m2.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m2.mind * m2.mind) DESC, r.src_id LIMIT 1),
-      rem2 AS (SELECT * FROM rem1 WHERE src_id NOT IN (SELECT src_id FROM sel2)),
-      m3 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      rem2 AS MATERIALIZED (SELECT * FROM rem1 WHERE src_id NOT IN (SELECT src_id FROM sel2)),
+      m3 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem2 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2) s
              GROUP BY r.src_id),
-      sel3 AS (SELECT r.src_id, r.ce, r.w FROM rem2 r JOIN m3 ON m3.src_id = r.src_id
+      sel3 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem2 r JOIN m3 ON m3.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m3.mind * m3.mind) DESC, r.src_id LIMIT 1),
-      rem3 AS (SELECT * FROM rem2 WHERE src_id NOT IN (SELECT src_id FROM sel3)),
-      m4 AS (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
+      rem3 AS MATERIALIZED (SELECT * FROM rem2 WHERE src_id NOT IN (SELECT src_id FROM sel3)),
+      m4 AS MATERIALIZED (SELECT r.src_id, min(list_distance(r.ce, s.ce)) AS mind
              FROM rem3 r, (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
                            UNION ALL SELECT * FROM sel3) s
              GROUP BY r.src_id),
-      sel4 AS (SELECT r.src_id, r.ce, r.w FROM rem3 r JOIN m4 ON m4.src_id = r.src_id
+      sel4 AS MATERIALIZED (SELECT r.src_id, r.ce, r.w FROM rem3 r JOIN m4 ON m4.src_id = r.src_id
                ORDER BY CAST(r.w AS DOUBLE) * (m4.mind * m4.mind) DESC, r.src_id LIMIT 1),
-      c0 AS (SELECT CAST(0 AS BIGINT) AS cid, ce FROM sel1
+      c0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cid, ce FROM sel1
              UNION ALL SELECT 1, ce FROM sel2
              UNION ALL SELECT 2, ce FROM sel3
              UNION ALL SELECT 3, ce FROM sel4),
-      a1 AS (SELECT vec_id, cid FROM (
+      a1 AS MATERIALIZED (SELECT vec_id, cid FROM (
           SELECT x.vec_id, c.cid,
             row_number() OVER (PARTITION BY x.vec_id
               ORDER BY list_cosine_similarity(x.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
           FROM ev x, c0 c) t WHERE rn = 1),
-      x1 AS (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
+      x1 AS MATERIALIZED (SELECT a.cid, CAST(i AS BIGINT) AS i, e.e[i] AS x
              FROM a1 a JOIN ev e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i)),
-      c1 AS (SELECT cid, list(m ORDER BY i) AS ce FROM (
+      c1 AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS ce FROM (
              SELECT cid, i, avg(x) AS m FROM x1 GROUP BY cid, i) GROUP BY cid),
-      a2 AS (SELECT vec_id, cid FROM (
+      a2 AS MATERIALIZED (SELECT vec_id, cid FROM (
           SELECT x.vec_id, c.cid,
             row_number() OVER (PARTITION BY x.vec_id
               ORDER BY list_cosine_similarity(x.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
           FROM ev x, c1 c) t WHERE rn = 1),
-      c2m AS (SELECT a.cid, CAST(i AS BIGINT) AS i, avg(e.e[i]) AS m
+      c2m AS MATERIALIZED (SELECT a.cid, CAST(i AS BIGINT) AS i, avg(e.e[i]) AS m
               FROM a2 a JOIN ev e ON e.vec_id = a.vec_id, unnest(range(1, 65)) t(i)
               GROUP BY a.cid, i),
-      c2 AS (SELECT cid, list(m ORDER BY i) AS ce FROM c2m GROUP BY cid),
-      a3 AS (SELECT vec_id, cid FROM (
+      c2 AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS ce FROM c2m GROUP BY cid),
+      a3 AS MATERIALIZED (SELECT vec_id, cid FROM (
           SELECT x.vec_id, c.cid,
             row_number() OVER (PARTITION BY x.vec_id
               ORDER BY list_cosine_similarity(x.e, c.ce) DESC NULLS LAST, c.cid NULLS FIRST) AS rn
           FROM ev x, c2 c) t WHERE rn = 1),
-      n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY cid)
+      n AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY cid)
       SELECT c2m.cid, c2m.i - 1 AS i, round(c2m.m, 6) AS v6, n.n_members
       FROM c2m JOIN n USING (cid)
       ORDER BY c2m.cid NULLS FIRST, c2m.i - 1 NULLS FIRST""",
@@ -1669,7 +1669,9 @@ object ExtensionQueries {
                CAST(coalesce(sum(CASE WHEN la = lb THEN nij END), 0) AS BIGINT) AS agree
                FROM conf)
       SELECT n, agree, pe_num,
-        round(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6) AS kappa6
+        CASE WHEN n * n = pe_num THEN 1.0
+             ELSE round(CAST(n * agree - pe_num AS DOUBLE) / (n * n - pe_num), 6)
+        END AS kappa6
       FROM base, pe""",
 
     // q167: exact linear-interpolated quantiles (quantile_cont ≡ Spark

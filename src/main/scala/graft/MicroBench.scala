@@ -51,3 +51,61 @@ object MicroBench {
     spark.stop()
   }
 }
+
+/** Headline-suite-wall experiment rig — [[Bench]]'s concurrent pass in
+  * isolation, for chasing the suite-wall metric without paying for the
+  * extension timings (the full Bench run is ~12 min; this is ~1 min).
+  * Prints EVERY pass wall plus, per pass, the slowest in-pass query —
+  * the wall's floor is max(single query) and its excess over that floor
+  * is scheduler/dispatch/planning contention, which is what this tool
+  * makes visible. Env knobs mirror Bench: SPARK_GRAFT_SCHED (FIFO/FAIR),
+  * SPARK_GRAFT_THREADS (submit threads, default 24).
+  * Usage: sbt "runMain graft.SuiteWall <sfDir> <passes>" */
+object SuiteWall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 10
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "24").toInt
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-graft-bench"
+      else System.getProperty("java.io.tmpdir")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.locality.wait", "0")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", sys.env.getOrElse("SPARK_GRAFT_SCHED", "FIFO"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = Queries.all.keys.toSeq.sorted
+    def runOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(runOne); names.foreach(runOne) // warm-up, as Bench
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val walls = (1 to passes).map { p =>
+      val t0 = System.nanoTime()
+      val perQ = Await.result(
+        Future.sequence(names.map(n => Future(n -> runOne(n)))), 30.minutes)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (slowN, slowT) = perQ.maxBy(_._2)
+      println(f"[wall] pass$p%02d wall=$wall%.3f slowest=$slowN ($slowT%.3f) " +
+        f"sumq=${perQ.map(_._2).sum}%.2f")
+      wall
+    }
+    println(f"[wall] best=${walls.min}%.3f median=${walls.sorted.apply(passes / 2)}%.3f threads=$threads")
+    pool.shutdown()
+    spark.stop()
+  }
+}

@@ -109,6 +109,25 @@ object Verify {
       case Some(re) => val p = re.r; name => p.findFirstIn(name).isDefined
       case None => _ => true
     }
+    // A filtered run must NEVER be mistakable for a full verification
+    // (ADVICE r16): bannered loudly AND marked on disk — `_PARTIAL` in
+    // the output dir names the filter, so a later check.py pass (or a
+    // human) sees the subset-ness even after the shell env is gone.
+    // A full run deletes any stale marker.
+    val partialMarker = Paths.get(s"$outDir/_PARTIAL")
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(re) =>
+        System.err.println(
+          s"""|[verify] ############################################################
+              |[verify] # PARTIAL RUN: SPARK_GRAFT_ONLY=$re
+              |[verify] # Only matching queries + oracles are emitted. This output
+              |[verify] # is NOT a full verification; $outDir/_PARTIAL marks it.
+              |[verify] ############################################################""".stripMargin)
+        new java.io.File(outDir).mkdirs()
+        Files.writeString(partialMarker, s"SPARK_GRAFT_ONLY=$re\n")
+      case None =>
+        Files.deleteIfExists(partialMarker)
+    }
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       // delete any previous output FIRST: mode(overwrite) only clears the
       // target when the new write executes, so a query that fails before

@@ -76,7 +76,21 @@ object Pca {
     * of dim. Returns (vec_id, proj: array<double> of length k). */
   def pcaProject(vectors: DataFrame, mean: Array[Double],
       components: Array[Array[Double]]): DataFrame = {
-    val centered = vectors.select(col("vec_id"),
+    // zip_with pads the shorter side with NULL, so a NULL or undersized
+    // vector would silently project to NULL rows (ADVICE r16) — while
+    // the aggregator path (momentState) REQUIRES length >= dim and
+    // slices longer vectors to the first dim. Mirror that contract
+    // loudly and exactly: a malformed corpus row fails the job with its
+    // vec_id (never a NULL projection); an oversized one is sliced the
+    // way the moments were.
+    val dim = mean.length
+    val guarded = vectors.select(col("vec_id"),
+      when(col("e").isNull || size(col("e")) < dim,
+        raise_error(concat(lit(s"pcaProject: NULL or shorter-than-dim=$dim "
+          + "embedding (vec_id="), col("vec_id"), lit(")")))
+          .cast("array<double>"))
+        .otherwise(slice(col("e").cast("array<double>"), 1, dim)).as("e"))
+    val centered = guarded.select(col("vec_id"),
       zip_with(col("e"), typedlit(mean.toSeq), (x, m) => x - m).as("__c"))
     val proj = array(components.map { comp =>
       aggregate(

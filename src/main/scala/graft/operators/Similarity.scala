@@ -1056,6 +1056,15 @@ object Similarity {
     val top2 = vectors.join(broadcast(c))
       .select(col("vec_id"), col("ccid"),
         GraftFunctions.cosineSimilarity(col("e"), col("ce")).as("csim"))
+      // A NULL/undersized/null-element embedding NULLs csim for EVERY
+      // centroid, which would surface downstream as the misleading
+      // "needs >= 2 centroids" raise (ADVICE r16) — or worse, a NULL
+      // `a` poisoning s. Malformed corpus rows fail HERE, loudly and
+      // specifically, keeping the lone-centroid raise for what it names.
+      .withColumn("csim", when(col("csim").isNull,
+        raise_error(concat(lit("silhouetteSimplified: NULL or " +
+          "size-mismatched embedding (vec_id="), col("vec_id"), lit(")")))
+          .cast("double")).otherwise(col("csim")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
     val per = top2.groupBy("vec_id").agg(

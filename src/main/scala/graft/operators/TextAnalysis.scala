@@ -827,8 +827,11 @@ object TextAnalysis {
     * (n² − Σ rowM·colM)` — so the single division is the only float
     * (the q154 ROC-AUC discipline; the two products lift to
     * decimal(38,0), which BIGINT overflows past ~3e9 rows). Degenerate
-    * pe = 1 (both raters constant and equal): kappa = 1 when agreement
-    * is total, else the division yields NaN honestly.
+    * pe = 1 (pe_num = n², which forces both raters constant AND equal,
+    * hence total agreement): the raw formula is 0/0, so the division is
+    * guarded — kappa = 1 exactly, matching the scaladoc'd limit and the
+    * q166 oracle's mirrored CASE (ADVICE r16: the NaN would otherwise
+    * flow into the gate on a single-category corpus).
     *
     * Scale shape — the input is consumed ONCE: confusion cells and both
     * marginals come out of a single GROUPING SETS aggregate ((la,lb),
@@ -864,8 +867,11 @@ object TextAnalysis {
         coalesce(sum(col("am").cast(dec) * col("bm")), lit(0L).cast(dec))
           .as("pe_num"))
       .select(col("n"), col("agree"), col("pe_num").cast("long").as("pe_num"),
-        ((col("n").cast(dec) * col("agree") - col("pe_num")).cast("double") /
-          (col("n").cast(dec) * col("n") - col("pe_num")).cast("double")).as("kappa"))
+        when(col("n").cast(dec) * col("n") === col("pe_num"), lit(1.0))
+          .otherwise(
+            (col("n").cast(dec) * col("agree") - col("pe_num")).cast("double") /
+              (col("n").cast(dec) * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
   }
 
   /** ROBUST per-group DISTRIBUTION STATS — median / quartiles / MAD /

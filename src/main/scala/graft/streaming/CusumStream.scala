@@ -18,7 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * before the watermark), then fold through the recursion in
   * (ts, event_id) order — the identical total order the batch form's
   * window uses, so the parity spec can require the streamed alarm rows
-  * row-for-row equal to the batch `alarm` filter. State per key is the
+  * row-for-row equal to the batch `alarm` filter. Events arriving
+  * LATER than the lateness bound (ts already below the watermark) are
+  * dropped and counted in `CusumState.droppedLate` — folding them on
+  * arrival would reorder the recursion; the parity boundary is
+  * enforced, not assumed. State per key is the
   * O(late-window) buffer + the two running numbers (p, min p) the
   * closed form needs — NOT the event history; a retired event is folded
   * once and dropped.
@@ -36,9 +40,10 @@ object CusumStream {
   final case class CusumAlarm(user_id: Long, ts: Timestamp, event_id: Long,
     s: Double)
 
-  /** Per-key state: unretired events + the recursion's two numbers. */
+  /** Per-key state: unretired events + the recursion's two numbers +
+    * a count of events dropped for arriving past the watermark. */
   final case class CusumState(buffer: List[(Long, Long, Double)],
-    p: Double, minP: Double)
+    p: Double, minP: Double, droppedLate: Long)
 
   import ExactSessions.{micros, toTs}
 
@@ -49,8 +54,18 @@ object CusumStream {
     def fn(uid: Long, it: Iterator[CusumEvent],
         state: GroupState[CusumState]): Iterator[CusumAlarm] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val st = state.getOption.getOrElse(CusumState(Nil, 0.0, 0.0))
-      val buffer = st.buffer ++ it.map(e => (micros(e.ts), e.event_id, e.value))
+      val st = state.getOption.getOrElse(CusumState(Nil, 0.0, 0.0, 0L))
+      // flatMapGroupsWithState does NOT pre-drop events older than the
+      // watermark (ADVICE r16): an event later than the lateness bound
+      // would land straight in `retire` and fold AFTER earlier-retired
+      // events with larger ts — silently reordering the recursion and
+      // breaking bit-parity with the batch window. Enforce the parity
+      // boundary here: too-late events are DROPPED (and counted in
+      // state.droppedLate), never folded out of order.
+      val (fresh, late) = it
+        .map(e => (micros(e.ts), e.event_id, e.value)).toList
+        .partition(_._1 >= wmUs)
+      val buffer = st.buffer ++ fresh
       // retire strictly-before-watermark events (a future event has
       // ts >= wm, so it can never sort before any retired one), fold in
       // the batch window's exact total order: (ts, event_id)
@@ -67,7 +82,7 @@ object CusumStream {
       // the statistic persists for the key's lifetime (a drift monitor
       // never forgets p/minP — only buffered events retire), so state is
       // always updated, never removed
-      state.update(CusumState(keep, p, minP))
+      state.update(CusumState(keep, p, minP, st.droppedLate + late.size))
       if (keep.nonEmpty) {
         val wakeMs = (keep.map(_._1).min / 1000L) + 1L
         state.setTimeoutTimestamp(

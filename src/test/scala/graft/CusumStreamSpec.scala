@@ -74,6 +74,28 @@ class CusumStreamSpec extends SparkSpec {
     assert(!streamed.exists(_.user_id == 2L), "on-target user never alarms")
   }
 
+  test("too-late events (past the watermark) are dropped, never folded out of order") {
+    // user 8 drifts: events at t=0,60,120 arrive on time; then an event
+    // with ts=30 arrives AFTER the watermark has passed 120+lateness —
+    // folding it would insert a fold step behind already-retired events.
+    // The streamed alarms must equal the batch form over the ON-TIME
+    // events only (the late event is dropped at the parity boundary).
+    val onTime = Seq(
+      CusumEvent(8L, at(0), 1L, 15.0), CusumEvent(8L, at(60), 2L, 14.0),
+      CusumEvent(8L, at(120), 3L, 16.0), CusumEvent(8L, at(600), 5L, 13.0))
+    val tooLate = CusumEvent(8L, at(30), 4L, 50.0) // would alarm loudly if folded
+    val streamed = runStream(Seq(
+        Seq(onTime(0), onTime(1), onTime(2)),
+        // watermark now ≥ 120s − 0s lateness; ts=30 is far behind it
+        Seq(tooLate, onTime(3))),
+      "cusum_late_drop", lateness = "0 seconds")
+      .sortBy(a => (a.ts.getTime, a.event_id))
+    val expected = batchAlarms(onTime)
+    assert(streamed.map(a => (a.user_id, a.ts, a.event_id, a.s)) == expected,
+      s"late event must be dropped, not folded: $streamed != $expected")
+    assert(!streamed.exists(_.event_id == 4L), "the late event itself never alarms")
+  }
+
   test("statistic persists across batches: drift split over many batches still alarms") {
     // each batch alone is under h; the accumulated statistic is not
     val events = (0 until 6).map(i =>

@@ -92,6 +92,25 @@ class PcaSpec extends SparkSpec {
       ca.zip(cb).foreach { case (x, y) => assert(close(x, y)) } }
     // argument validation
     intercept[IllegalArgumentException] { Pca.pcaComponents(df, dim = 4, k = 5) }
+    // a NULL/short embedding must FAIL pcaProject naming the vector —
+    // never silently pad through zip_with into NULL projections
+    // (ADVICE r16: the aggregator path requires length >= dim; the
+    // projection now mirrors it, and slices oversized rows the same way)
+    val malformed = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "e")
+    val errp = intercept[Exception] {
+      Pca.pcaProject(malformed, mean, comps).collect()
+    }
+    val pmsgs = Iterator.iterate[Throwable](errp)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(pmsgs.contains("vec_id=0"), s"must name the short vector: $pmsgs")
+    // an OVERSIZED vector projects via its first dim components (the
+    // momentState slice contract), instead of NULLing out
+    val over = Seq((9L, Seq(1.0, 0.0, 0.0, 0.0, 99.0))).toDF("vec_id", "e")
+    val pOver = Pca.pcaProject(over, mean, comps)
+      .select(col("proj")).as[Seq[Double]].head()
+    assert(pOver.length == 3 && pOver.forall(v => !v.isNaN),
+      s"oversized vector must slice-project cleanly: $pOver")
   }
 
   test("mergeMoments: yesterday's state + today's batch ≡ full recompute (no corpus re-read)") {

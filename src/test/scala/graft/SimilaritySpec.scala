@@ -708,6 +708,17 @@ class SimilaritySpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage != null)
+    // a NULL or size-mismatched embedding must fail NAMING THE VECTOR,
+    // not surface as the misleading lone-centroid raise (ADVICE r16)
+    val bad = Seq((200L, Seq(1.0, 0.0)), (201L, Seq(1.0, 0.0, 0.0)))
+      .toDF("vec_id", "e")
+    val err2 = intercept[Exception] {
+      Similarity.silhouetteSimplified(bad, cents).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err2)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("vec_id=201"),
+      s"must name the malformed vector, got: $msgs")
   }
 
   test("adjustedRandIndex: identity, permutation invariance, closed form, degenerate") {

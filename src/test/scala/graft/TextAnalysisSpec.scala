@@ -525,6 +525,14 @@ class TextAnalysisSpec extends SparkSpec {
     val k1 = TextAnalysis.cohensKappa(same, col("ra"), col("rb"))
       .select("kappa").as[Double].head()
     assert(math.abs(k1 - 1.0) < 1e-12)
+    // degenerate pe = 1 (both raters constant AND equal, pe_num = n²):
+    // the raw formula is 0/0 — the guard must return exactly 1.0, not
+    // NaN (ADVICE r16: a single-category corpus would NaN the q166 gate)
+    val constEq = Seq.fill(4)(("a", "a")).toDF("ra", "rb")
+    val kc = TextAnalysis.cohensKappa(constEq, col("ra"), col("rb"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(kc == ((4L, 4L, 16L, 1.0)),
+      s"constant-equal raters: pe_num = n² must yield kappa = 1, got $kc")
     // a rater that always answers the majority class: high accuracy
     // (po = 0.75), kappa exactly 0 — the chance floor accuracy hides
     val majority = (Seq.fill(3)(("yes", "yes")) :+ (("yes", "no")))
