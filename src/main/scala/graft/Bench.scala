@@ -106,9 +106,16 @@ object Bench {
     val threads = 24
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // longest-first submission (LPT makespan heuristic, ranked by the
+    // serial pass above): FIFO grants task slots in job-submission order,
+    // so a heavy query submitted late queues its every stage behind 29
+    // earlier jobs and its in-pass completion becomes the wall (measured:
+    // q22 at 0.4s serial ran 2-10s in-pass when submitted 23rd, and the
+    // best-of-8 wall dropped 2.05s -> 1.75s just from reordering)
+    val lptOrder = names.sortBy(n => -math.min(p1(n), p2(n)))
     def concurrentPass(): Double = {
       val t0 = System.nanoTime()
-      Await.result(Future.sequence(names.map(n => Future(runOne(n)))), 30.minutes)
+      Await.result(Future.sequence(lptOrder.map(n => Future(runOne(n)))), 30.minutes)
       (System.nanoTime() - t0) / 1e9
     }
     // best-of-10: the sandbox carries erratic background load (±50% on

@@ -71,7 +71,8 @@ object SuiteWall {
       else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUF", "8"))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.locality.wait", "0")
@@ -89,6 +90,19 @@ object SuiteWall {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(runOne); names.foreach(runOne) // warm-up, as Bench
+    // SPARK_GRAFT_ORDER=lpt submits longest-first (ranked by a serial
+    // pass) — FIFO grants task slots in submission order, so a heavy
+    // query submitted last becomes the pass's straggler (its in-pass
+    // completion IS the wall); longest-processing-time-first is the
+    // classic makespan heuristic
+    val ordered = sys.env.get("SPARK_GRAFT_ORDER") match {
+      case Some("lpt") =>
+        val ranked = names.map(n => n -> runOne(n)).sortBy(-_._2)
+        println("[wall] lpt order: " + ranked.take(5).map {
+          case (n, t) => f"$n($t%.2f)" }.mkString(", ") + " …")
+        ranked.map(_._1)
+      case _ => names
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -97,7 +111,7 @@ object SuiteWall {
     val walls = (1 to passes).map { p =>
       val t0 = System.nanoTime()
       val perQ = Await.result(
-        Future.sequence(names.map(n => Future(n -> runOne(n)))), 30.minutes)
+        Future.sequence(ordered.map(n => Future(n -> runOne(n)))), 30.minutes)
       val wall = (System.nanoTime() - t0) / 1e9
       val (slowN, slowT) = perQ.maxBy(_._2)
       println(f"[wall] pass$p%02d wall=$wall%.3f slowest=$slowN ($slowT%.3f) " +
