@@ -444,8 +444,13 @@ object PipelineQueries {
     * re-aggregating raw days. The bottom-k-of-union = union-of-bottom-k
     * semilattice identity makes the merged sketch — and therefore the
     * estimate — bit-reproducible by the oracle from raw data, so the gate
-    * pins mergeability itself, alongside the exact cumulative count for
-    * the accuracy story. */
+    * pins mergeability itself. The accuracy-vs-exact pin lives in
+    * ApproxOpsSpec at fixture scale (r17): the exact cumulative recount
+    * that used to ride along in this query was a full distinct-trigram
+    * scan × 10 broadcast days whose only purpose was gate-side context —
+    * the suite's most load-sensitive bench leg (6.0 s in the r16 driver
+    * capture for a k-row sketch query), exactly the cost profile a
+    * production incremental ingest runs sketches to AVOID paying. */
   def q111(t: Tables): DataFrame = {
     val k = 64
     val sh = t.documents.select((col("doc_id") % 10).as("slice"),
@@ -457,20 +462,14 @@ object PipelineQueries {
     val merged = graft.operators.ApproxOps.kmvMerge(
       sk.join(broadcast(days), sk("grp") <= col("day"))
         .select(col("day").as("grp"), col("h")), k)
-    val agg = merged.groupBy("grp")
+    merged.groupBy("grp")
       .agg(count(lit(1)).as("n_sketch"), max("h").as("hmax"))
       .withColumnRenamed("grp", "day")
-    val ex = sh.select(col("slice"), md5(col("w")).as("h")).distinct()
-      .groupBy("h").agg(min("slice").as("first_slice"))
-      .join(broadcast(days), col("first_slice") <= col("day"))
-      .groupBy("day").agg(count(lit(1)).as("exact_cum"))
-    agg.join(ex, "day")
       .select(col("day"), col("n_sketch"),
         when(col("n_sketch") === k, col("hmax")).otherwise(lit("")).as("kth_hash"),
         Rounding.portable(
           graft.operators.ApproxOps.kmvEstimate(col("n_sketch"), col("hmax"), k),
-          6).as("est_cum"),
-        col("exact_cum"))
+          6).as("est_cum"))
       .transform(sortedSmall(_, col("day")))
   }
 
@@ -1190,13 +1189,21 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
       .transform(sortedSmall(_, col("doc_id")))
 
-  /** q107: containment near-dup ([[graft.operators.Dedup.ngramContainment]])
-    * — subset-duplication detection at max-directional containment
-    * ≥ 0.8 over 3-shingles; reports both directions so the gate pins
-    * the asymmetry (which side is the contained one). */
+  /** q107: containment near-dup
+    * ([[graft.operators.Dedup.ngramContainmentCapped]]) — subset-
+    * duplication detection at max-directional containment ≥ 0.8 over
+    * 3-shingles; reports both directions so the gate pins the asymmetry
+    * (which side is the contained one). Gates the df-capped form (stop
+    * shingles with df > 50 anti-joined out of the candidate index, exact
+    * split-count ratios — the q145 stop-shingle discipline): the
+    * uncapped [[graft.operators.Dedup.ngramContainment]] is latently
+    * quadratic on a Zipf-head shingle and stays in-tree as the
+    * cross-check sibling (DedupSpec pins bit-equality on corpora where
+    * no shingle exceeds the cap — which includes this fixture, so the
+    * gated rows are identical to the uncapped form's). */
   def q107(t: Tables): DataFrame =
-    Dedup.ngramContainment(
-        Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3), 0.8)
+    Dedup.ngramContainmentCapped(
+        Dedup.shingleSet(t.documents, col("doc_id"), col("text"), 3), 0.8, 50L)
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         Rounding.portable(col("cab"), 6).as("cab"),
         Rounding.portable(col("cba"), 6).as("cba"))
@@ -2250,17 +2257,13 @@ object PipelineQueries {
       merged AS (SELECT DISTINCT day, h FROM d JOIN days ON d.slice <= days.day),
       rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM merged),
       agg AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hmax
-              FROM rk WHERE rn <= 64 GROUP BY day),
-      ex AS (SELECT day, CAST(count(*) AS BIGINT) AS exact_cum
-             FROM (SELECT h, min(slice) AS first_slice FROM d GROUP BY h) f
-             JOIN days ON f.first_slice <= days.day GROUP BY day)
+              FROM rk WHERE rn <= 64 GROUP BY day)
       SELECT a.day, a.n_sketch,
              CASE WHEN a.n_sketch = 64 THEN a.hmax ELSE '' END AS kth_hash,
              round(CASE WHEN a.n_sketch < 64 THEN CAST(a.n_sketch AS DOUBLE)
                    ELSE 63.0 / (CAST(concat('0x', substr(a.hmax, 1, 8)) AS BIGINT) / 4294967296.0)
-                   END, 6) AS est_cum,
-             e.exact_cum
-      FROM agg a JOIN ex e USING (day)
+                   END, 6) AS est_cum
+      FROM agg a
       ORDER BY day NULLS FIRST""",
 
     // q112: the vocab relation comes from BpeVocab.sqlValues (single
@@ -2894,14 +2897,25 @@ object PipelineQueries {
       GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
 
     // q107: q33's inverted-index chain with the asymmetric containment
-    // formula; filter on max(cab, cba) against the RAW ratios
+    // formula, df-capped candidate generation (stop shingles with df > 50
+    // nominate no pairs), split-count exact intersection i = i_rare +
+    // i_stop; filter on max(cab, cba) against the RAW ratios
     "q107_containment" -> """
       WITH doc AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
       tok AS (SELECT DISTINCT doc_id, concat(s[i], ' ', s[i+1], ' ', s[i+2]) AS w
               FROM doc, unnest(range(1, greatest(len(s) - 1, 1))) AS t(i)),
+      stop AS (SELECT w FROM tok GROUP BY w HAVING count(*) > 50),
+      rare AS (SELECT doc_id, w FROM tok WHERE w NOT IN (SELECT w FROM stop)),
       sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      ir AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i_rare
+        FROM rare a JOIN rare b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      st AS (SELECT doc_id, w FROM tok WHERE w IN (SELECT w FROM stop)),
+      isp AS (SELECT c.da, c.db, count(*) AS i_stop
+        FROM (SELECT da, db FROM ir) c
+        JOIN st a ON a.doc_id = c.da JOIN st b ON b.doc_id = c.db AND b.w = a.w
+        GROUP BY 1, 2),
+      inter AS (SELECT ir.da, ir.db, ir.i_rare + coalesce(isp.i_stop, 0) AS i
+        FROM ir LEFT JOIN isp ON isp.da = ir.da AND isp.db = ir.db)
       SELECT da, db, CAST(i AS BIGINT) AS i,
              CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
              round(i * 1.0 / sa.n, 6) AS cab,

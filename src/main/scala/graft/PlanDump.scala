@@ -23,7 +23,7 @@ object PlanDump {
     "q14_distinct_counts",   // expand-based multi-distinct
     "q16_rank_per_group",    // window below-filter pushdown
     "q20_array_explode_stats", // generator (posexplode)
-    "q22_sessionize",        // single exchange, two window fns, range sort
+    "q22_sessionize",        // single exchange, two window fns, materialized range sort
     "q23_interval_join",     // equi + range conjuncts
     "q25_cosine_topk",       // broadcast NLJ + codegen'd native expression
     "q30_asof_join",         // outer range join + max
@@ -54,6 +54,7 @@ object PlanDump {
     "q94_pmi_collocations",  // vocab-sized aggs; totals as 1-row broadcast cross joins
     "q97_quantile_gate",     // 1-row percentile aggregate broadcast into the filter
     "q105_seeded_shuffle",   // one window shuffle on the shard key, nothing else
+    "q107_containment",      // df-cap anti-join guards the candidate index (r17)
     "q108_winnowing",        // per-doc ROWS-frame window minima + distinct (sketch build)
     "q110_substring_removal", // run-table explode only; semi join shields the corpus scan
     "q111_sketch_novelty",   // k-row sketch tables; merge joins sketches, never raw data

@@ -433,6 +433,76 @@ object Dedup {
     materialized(pairs, shingles)
   }
 
+  /** [[ngramContainment]] with the stop-shingle guard the uncapped form
+    * lacks: shingles with document frequency > `dfCap` are ANTI-JOINED out
+    * of the candidate-generating inverted index (each contributes df²
+    * candidate rows — one Zipf-head trigram shared by k docs is a k²
+    * join blow-up, the exact quadratic that makes the uncapped form a
+    * scale-killer on boilerplate-heavy corpora). Containment ratios stay
+    * EXACT over the full uncapped shingle sets via a split intersection
+    * count, `i = i_rare + i_stop`:
+    *  - `i_rare` falls out of the capped index self-join directly (one
+    *    row per shared rare shingle — no distinct, no recount);
+    *  - `i_stop` recounts ONLY the stop shingles, and only for pairs the
+    *    rare join already nominated — at most |candidates| × stop-
+    *    shingles-per-doc rows, keyed end to end.
+    * On a corpus where nothing exceeds the cap the stop side is an empty
+    * relation and the plan degenerates to [[ngramContainment]] plus one
+    * map-side-combined df aggregate — the guard costs ~nothing until the
+    * Zipf head it exists for actually appears. A qualifying pair is
+    * missed only if EVERY shared shingle has df > dfCap; at containment
+    * ≥ 0.8 the contained side shares nearly ALL its shingles, so a
+    * fully-stop-shingled overlap is corpus boilerplate by construction
+    * (the [[fingerprint]] / [[boilerplateLines]] regime, not
+    * subset-duplication). DedupSpec pins bit-equality with
+    * [[ngramContainment]] when no shingle exceeds the cap. */
+  def ngramContainmentCapped(shinglesIn: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold out of (0,1]")
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val shingles = shinglesIn.persist(StorageLevel.MEMORY_AND_DISK)
+    materialized(containmentCappedPairs(shingles, threshold, dfCap), shingles)
+  }
+
+  /** The unmaterialized pair plan of [[ngramContainmentCapped]] —
+    * package-private so PlanShapeSpec can gate the anti-join candidate
+    * guard before [[materialized]] hides the dataflow behind an
+    * InMemoryRelation. */
+  private[graft] def containmentCappedPairs(
+      shingles: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    // the stop set is the Zipf HEAD — at most totalRows/dfCap distinct
+    // shingles and in practice a handful of boilerplate n-grams, so it
+    // broadcasts (the alternative SMJ anti-join would sort the whole
+    // shingle table just to subtract a dozen keys)
+    val stop = broadcast(shingles
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("w"))
+    val rareIdx = shingles.join(stop, Seq("w"), "left_anti")
+    val a = rareIdx.select(col("doc_id").as("da"), col("w"))
+    val b = rareIdx.select(col("doc_id").as("db"), col("w").as("wb"))
+    val interRare = a.join(b, col("w") === col("wb") && col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i_rare"))
+    // stop-shingle contributions, recounted for nominated pairs only
+    val stopIdx = shingles.join(stop, Seq("w"), "left_semi")
+    val sa = stopIdx.select(col("doc_id").as("da"), col("w"))
+    val sb = stopIdx.select(col("doc_id").as("db"), col("w"))
+    val interStop = interRare.select("da", "db")
+      .join(sa, "da")
+      .join(sb, Seq("db", "w"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i_stop"))
+    val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    interRare
+      .join(interStop, Seq("da", "db"), "left_outer")
+      .select(col("da"), col("db"),
+        (col("i_rare") + coalesce(col("i_stop"), lit(0L))).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        (col("i") * lit(1.0) / col("na")).as("cab"),
+        (col("i") * lit(1.0) / col("nb")).as("cba"))
+      .filter(greatest(col("cab"), col("cba")) >= threshold)
+  }
+
   /** [[ngramJaccard]] with a document-frequency cap on the inverted index
     * (the standard stop-shingle guard; Bayardo et al. §5 "Scaling Up All
     * Pairs Similarity Search" use the same high-frequency-last ordering

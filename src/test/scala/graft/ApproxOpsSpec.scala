@@ -122,6 +122,34 @@ class ApproxOpsSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.38, s"estimate $est vs exact $n")
   }
 
+  test("q111's cumulative KMV estimate tracks the exact distinct-trigram count (fixture pin)") {
+    // the accuracy-vs-exact pin that rode along inside q111 until r17:
+    // the exact cumulative recount (full distinct-trigram scan × 10
+    // broadcast days) is gate-side context, not operator work, so it
+    // lives here at fixture scale instead of in the bench-visible query.
+    // Deterministic given md5 — exact values pinned, not just the band.
+    import graft.functions.TextOps
+    val k = 64
+    val sh = sf0001.documents.select((col("doc_id") % 10).as("slice"),
+      explode(TextOps.shinglesNative(TextOps.tokens(col("text")), 3)).as("w"))
+    val est = graft.PipelineQueries.q111(sf0001)
+      .select("day", "est_cum").as[(Long, Double)].collect().toMap
+    val exact = sh.select(col("slice"), md5(col("w")).as("h")).distinct()
+      .groupBy("h").agg(min("slice").as("fs"))
+      .select(col("fs")).as[Long].collect()
+    val days = est.keys.toSeq.sorted
+    for (d <- days) {
+      val ex = exact.count(_ <= d)
+      val e = est(d)
+      assert(ex > 0, s"day $d has no trigrams")
+      // full sketches honor the 3-sigma band of 1/sqrt(k-2); under-full
+      // sketches are exact by construction
+      assert(math.abs(e - ex) / ex < 0.38,
+        s"day $d: estimate $e vs exact $ex drifts past the 3-sigma band")
+    }
+    assert(days.nonEmpty)
+  }
+
   test("Canvas.auto handles integer axes, empty selections, and huge-magnitude values") {
     // long/int axes: min/max preserve input type; auto must cast
     val c = Canvas.auto(sf0001.lineitem, col("l_suppkey"), col("l_linenumber"), 8, 8)

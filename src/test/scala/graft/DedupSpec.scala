@@ -254,6 +254,57 @@ class DedupSpec extends SparkSpec {
     assert(capped.forall { case (k, v) => full(k) == v })
   }
 
+  test("df-capped containment: bit-identical to uncapped when no shingle exceeds the cap") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame, t: Double, cap: Long) = {
+      val sh = Dedup.shingleSet(df, col("doc_id"), col("text"), 3)
+      val cols = Seq("da", "db", "i", "na", "nb", "cab", "cba").map(col)
+      val full = Dedup.withPairs(Dedup.ngramContainment(sh, t))(
+        _.select(cols: _*).as[(Long, Long, Long, Long, Long, Double, Double)]
+          .collect().toSet)
+      val capped = Dedup.withPairs(Dedup.ngramContainmentCapped(sh, t, cap))(
+        _.select(cols: _*).as[(Long, Long, Long, Long, Long, Double, Double)]
+          .collect().toSet)
+      (full, capped)
+    }
+    for (t <- Seq(0.3, 0.8)) {
+      val (full, capped) = pairsOf(corpus, t, cap = 1000L)
+      assert(capped == full, s"threshold $t diverged with a non-binding cap")
+    }
+    // q107's gated configuration on the fixture corpus: max trigram df is
+    // single-digit at sf0.001, so cap=50 is non-binding and the gated
+    // rows are exactly the uncapped form's
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (full, capped) = pairsOf(docs, 0.8, cap = 50L)
+    assert(full.nonEmpty && capped == full, "fixture divergence with non-binding cap")
+  }
+
+  test("df-capped containment: binding cap keeps exact split-count ratios, misses only all-stop pairs") {
+    // docs 1/2 share ONLY the ubiquitous "a b c" (df=4 > cap=3); docs 3/4
+    // share it AND the rare "x y z" (df=2): the rare shingle nominates
+    // the pair, and the stop shingle still counts in i via the i_stop leg
+    val skewed = Seq(
+      (1L, "a b c p q r s"),
+      (2L, "a b c t u v w"),
+      (3L, "a b c x y z"),
+      (4L, "a b c x y z")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(skewed, col("doc_id"), col("text"), 3)
+    val full = Dedup.withPairs(Dedup.ngramContainment(sh, 0.05))(
+      _.select("da", "db", "i", "cab", "cba")
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .map(p => (p._1, p._2) -> ((p._3, p._4, p._5))).toMap)
+    val capped = Dedup.withPairs(Dedup.ngramContainmentCapped(sh, 0.05, dfCap = 3L))(
+      _.select("da", "db", "i", "cab", "cba")
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .map(p => (p._1, p._2) -> ((p._3, p._4, p._5))).toMap)
+    // (3,4) survives with the EXACT intersection (i counts "a b c" too)
+    assert(capped.contains((3L, 4L)) && capped((3L, 4L)) == full((3L, 4L)))
+    assert(capped((3L, 4L))._1 == 4L, s"i must count the stop shingle: ${capped((3L, 4L))}")
+    // (1,2) is the documented miss: its only shared shingle is over-cap
+    assert(full.contains((1L, 2L)) && !capped.contains((1L, 2L)))
+    assert(capped.forall { case (k, v) => full(k) == v })
+  }
+
   test("connectedComponents: a 200-vertex chain converges well under maxIter (pointer jumping)") {
     // plain one-hop propagation needs O(diameter)=200 rounds; path halving
     // must close this chain inside the default 25-round budget

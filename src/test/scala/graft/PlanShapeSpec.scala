@@ -94,6 +94,20 @@ class PlanShapeSpec extends SparkSpec {
       s"window + island aggregate must share one hash exchange:\n$p")
   }
 
+  test("q107: the df-cap anti-join guards the candidate index (r17 gate)") {
+    // the containment scale contract: the candidate-generating inverted
+    // index must exclude stop shingles via an anti-join against the
+    // df > cap set — without it one Zipf-head shingle makes candidate
+    // generation quadratic in corpus size. The stop recount leg must
+    // stay a left-semi (stop shingles only) so the clean-corpus cost of
+    // the guard is one df aggregate over an empty stop relation.
+    val sh = graft.operators.Dedup.shingleSet(
+      sf0001.documents, col("doc_id"), col("text"), 3)
+    val p = plan(graft.operators.Dedup.containmentCappedPairs(sh, 0.8, 50L))
+    assert(p.contains("LeftAnti"), s"candidate index must anti-join the stop set:\n$p")
+    assert(p.contains("LeftSemi"), s"stop recount leg must be a semi-join:\n$p")
+  }
+
   test("q66: bigram counting partially aggregates below its exchange") {
     val p = q("q66_bigrams")
     val exchangeIdx = p.indexOf("Exchange")
