@@ -39,7 +39,10 @@ object Cli {
     "colour-by", "flag-col", "norm", "cmap", "iter", "out", "png",
     "conj", "noconj", "noflags", "sample", "sample-key", "plot", "profile",
     "jobs", "title", "dpi",
-    "ant", "ant-col", "ant1-col", "ant2-col", "baseline", "chan", "chan-col")
+    "ant", "ant-col", "ant1-col", "ant2-col", "baseline", "chan", "chan-col",
+    "field", "field-col", "field-dim", "scan", "scan-col", "scan-dim",
+    "spw", "spw-col", "spw-dim", "corr", "corr-col", "corr-dim",
+    "dynspread", "cnum", "cnum-tiebreak")
 
   /** `--key value` pairs plus bare `--key` flags; `-x`/`-y` are aliases.
     * Unknown options are rejected — a misspelled option falling back to a
@@ -52,7 +55,7 @@ object Cli {
     // (last-given wins, like any repeated option)
     val alias = Map("-x" -> "--x", "-y" -> "--y",
       "--xcanvas" -> "--width", "--ycanvas" -> "--height")
-    val flags = Set("--noconj", "--conj", "--noflags")
+    val flags = Set("--noconj", "--conj", "--noflags", "--dynspread")
     val m = scala.collection.mutable.Map[String, String]()
     val plots = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
@@ -156,13 +159,44 @@ object Cli {
     Seq(ant, bl, chan).flatten
   }
 
+  /** Named subset selectors (reference `--field/--scan/--spw/--corr`
+    * [U, `main.py` argparse; `ms_info.py :: NamedList`]): each accepts
+    * the index/range grammar of `--ant` PLUS names, resolved against a
+    * dimension named by `--<sel>-dim table:idcol:namecol` (the
+    * reference's subtable analog — `--field-dim nation:n_nationkey:
+    * n_name` plays FIELD's NAME column). Name resolution happens at
+    * parse time over the collected catalog-sized dimension, so the
+    * emitted predicate is plain membership arithmetic and pushes to the
+    * scan like every other selector; the dim option is only required
+    * when the spec actually contains names. */
+  private def namedSelectorFilters(a: Args, spark: SparkSession): Seq[Column] =
+    Seq("field", "scan", "spw", "corr").flatMap { sel =>
+      a.get(sel).map { spec =>
+        val c = expr(a.get(s"$sel-col").getOrElse(throw new IllegalArgumentException(
+          s"--$sel needs --$sel-col <expr> (the id column it selects on)")))
+        val resolve: String => Long = a.get(s"$sel-dim") match {
+          case Some(dimSpec) => dimSpec.split(':') match {
+            case Array(table, idCol, nameCol) =>
+              graft.operators.Subset.nameResolver(spark.table(table), idCol, nameCol)
+            case _ => throw new IllegalArgumentException(
+              s"--$sel-dim must be table:idcol:namecol, got '$dimSpec'")
+          }
+          case None => name => throw new IllegalArgumentException(
+            s"--$sel '$spec' contains name '$name' but no --$sel-dim " +
+              "table:idcol:namecol was given to resolve it")
+        }
+        graft.operators.Subset.namedMembership(spec, c, resolve)
+      }
+    }
+
   /** The shared source frame: table → `--where` filter → subset
     * selectors → `--sample`. */
   private def sourceFrame(a: Args, spark: SparkSession) = {
     Engine.open(spark, a.req("dir"))
     val table = spark.table(a.req("table"))
     val whered = a.get("where").fold(table)(w => table.filter(expr(w)))
-    val filtered = subsetFilters(a).foldLeft(whered)(_ filter _)
+    val filtered = (subsetFilters(a) ++ namedSelectorFilters(a, spark))
+      .foldLeft(whered)(_ filter _)
     (a.get("sample"), a.get("sample-key")) match {
       case (Some(f), Some(k)) =>
         graft.operators.Sampling.hashSample(filtered, expr(k), f.toDouble)
@@ -338,13 +372,34 @@ object Cli {
   }
 
   private def runParsed(a: Args, spark: SparkSession): Long = {
-    if (a.plots.nonEmpty) return runBatch(a, spark)
+    if (a.plots.nonEmpty) {
+      require(a.get("cnum").isEmpty, "--cnum is not supported with --plot batches")
+      require(!a.flag("dynspread"), "--dynspread is not supported with --plot batches")
+      return runBatch(a, spark)
+    }
     // --sample (inside sourceFrame): deterministic md5-bucket row subset
     // (plot a reproducible fraction of an arbitrarily large table; same
     // rows on every run and any partitioning — unlike TABLESAMPLE). The
     // key must be a stable row expression; rows sharing a key travel
     // together.
-    val df = sourceFrame(a, spark)
+    val df0 = sourceFrame(a, spark)
+    // --cnum N (reference colour-axis discretization [U, main.py]): bin a
+    // CONTINUOUS --colour-by expression into N exact ntiles and colour by
+    // the bucket — the scale-safe range-rank form (q146's shape), never
+    // the single-partition ntile window. Ties need a unique tie-break
+    // column for the assignment to be deterministic, exactly as the
+    // oracle-gated operator requires.
+    val (df, colourBy) = (a.get("cnum"), a.get("colour-by")) match {
+      case (Some(n), Some(ce)) =>
+        val tb = a.get("cnum-tiebreak").getOrElse(throw new IllegalArgumentException(
+          "--cnum needs --cnum-tiebreak <expr> (a unique column that breaks " +
+            "colour-value ties deterministically, e.g. a row id)"))
+        (graft.operators.Discretize.ntileRangeRank(df0, n.toInt, expr(ce), expr(tb)),
+          Some(col("bucket")))
+      case (Some(_), None) =>
+        throw new IllegalArgumentException("--cnum needs --colour-by <expr>")
+      case _ => (df0, a.get("colour-by").map(expr))
+    }
     val x = expr(a.req("x"))
     val y = expr(a.req("y"))
     val w = a.int("width", 256)
@@ -364,10 +419,25 @@ object Cli {
     val spec = PlotSpec(
       x = x, y = y, canvas = canvas,
       reduction = reduction(a),
-      colourBy = a.get("colour-by").map(expr),
+      colourBy = colourBy,
       flagMask = a.get("flag-col").filterNot(_ => a.flag("noflags")).map(expr),
       conjugate = a.flag("conj"),
       norm = a.get("norm").getOrElse("eq_hist"))
+    // --dynspread (reference `create_plot` applies tf.dynspread before
+    // shading [U]): density-adaptive dilation of the COUNT raster —
+    // sparse scatter dilates until dots touch, dense rasters stay sharp
+    // (Raster.dynSpreadDensity, oracle-gated as q150). Count rasters
+    // only: a reduced (--ared) or categorical raster carries value
+    // columns a sum-dilation would corrupt.
+    if (a.flag("dynspread")) {
+      require(spec.colourBy.isEmpty && spec.reduction.isEmpty,
+        "--dynspread supports plain count rasters (not --ared / --colour-by)")
+      require(a.get("iter").isEmpty, "--dynspread is not supported with --iter")
+    }
+    def spreadIfAsked(raster: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (a.flag("dynspread"))
+        graft.operators.Raster.dynSpreadDensity(raster, canvas.width, canvas.height)
+      else raster
 
     val (cells, pngNote) = a.get("iter") match {
       case Some(g) =>
@@ -389,7 +459,7 @@ object Cli {
             pngs.map(ps => s"; pngs: ${ps.size} (${ps.headOption.getOrElse("")} …)"))
         } finally if (both) { grouped.unpersist(blocking = false); () }
       case None =>
-        val raster = ShadePlot.raster(df, spec)
+        val raster = spreadIfAsked(ShadePlot.raster(df, spec))
         val shaded =
           if (spec.colourBy.isEmpty) ShadePlot.shade(raster, spec) else raster
         a.get("out").foreach(dir =>

@@ -53,6 +53,56 @@ object Subset {
       }
     }.reduceLeft(_ || _)
 
+  /** NamedList-style spec (`"ALGERIA,2:5,CANADA"`) → predicate over an id
+    * column, resolving NAME tokens through `resolve` — the reference's
+    * `--field/--scan/--spw/--corr` options accept names wherever they
+    * accept indices (`shade_ms/ms_info.py :: NamedList` resolves each
+    * name against the matching MS subtable [U]). A token is a NAME iff
+    * it is not parseable as an index or `lo:hi` index range; ranges over
+    * names are not a thing in the reference either. Resolution happens
+    * at parse time (driver side) so the emitted predicate is plain
+    * membership arithmetic — Catalyst pushes it to the scan exactly like
+    * [[membership]]. */
+  def namedMembership(spec: String, c: Column, resolve: String => Long): Column = {
+    def numeric(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
+    spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(':') match {
+        case Array(single) if numeric(single.trim) => c === single.trim.toLong
+        case Array(lo, hi) if numeric(lo.trim) && numeric(hi.trim) =>
+          c.between(lo.trim.toLong, hi.trim.toLong)
+        case Array(name) => c === resolve(name.trim)
+        case _ => throw new IllegalArgumentException(s"bad subset part: '$part'")
+      }
+    }.reduceLeft(_ || _)
+  }
+
+  /** Name → id resolver over a dimension table — the `NamedList` analog
+    * ([U, `ms_info.py`]: the reference reads the FIELD/ANTENNA/…
+    * subtable once and indexes names). The dimension is collected
+    * driver-side, which is exactly what the reference does and is
+    * bounded by construction: subtables/dimensions are catalog-sized,
+    * not data-sized. Matching is case-insensitive (MS names are
+    * conventionally upper-case; user input shouldn't have to be);
+    * ambiguous or unknown names fail loudly with the candidates. */
+  def nameResolver(
+      dim: org.apache.spark.sql.DataFrame,
+      idCol: String, nameCol: String): String => Long = {
+    val byName: Map[String, Seq[Long]] = dim
+      .select(col(idCol).cast("long").as("id"),
+        upper(trim(col(nameCol))).as("name"))
+      .collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toSeq
+      .groupBy(_._1).map { case (n, ids) => n -> ids.map(_._2).distinct }
+    name => byName.get(name.trim.toUpperCase) match {
+      case Some(Seq(id)) => id
+      case Some(ids) => throw new IllegalArgumentException(
+        s"name '$name' is ambiguous in the dimension: ids ${ids.mkString(",")}")
+      case None => throw new IllegalArgumentException(
+        s"unknown name '$name' (known: ${byName.keys.toSeq.sorted.take(20).mkString(", ")}" +
+          (if (byName.size > 20) ", …)" else ")"))
+    }
+  }
+
   /** Python-slice channel spec (`"start:stop[:step]"`, stop exclusive) →
     * predicate over a 0-based position column (e.g. posexplode's `pos`). */
   def chanSlice(spec: String, pos: Column): Column = {

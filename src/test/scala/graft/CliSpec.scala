@@ -150,6 +150,125 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](cells("--chan", "0:4"))
   }
 
+  test("--field/--scan/--spw/--corr named selectors ≡ --where, names via the dim table") {
+    def cells(table: String, x: String, y: String, extra: String*): Long = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", table,
+      "-x", x, "-y", y, "--width", "16", "--height", "16",
+      "--xmin", "0", "--xmax", "60", "--ymin", "-1000", "--ymax", "10000") ++ extra,
+      spark)
+    // pick a real (name, id) from the dimension itself, so the --where
+    // twin never hardcodes what the resolver must derive
+    val (natName, natId) = {
+      val r = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .selectExpr("n_name", "cast(n_nationkey as bigint)")
+        .orderBy("n_name").collect().head
+      (r.getString(0), r.getLong(1))
+    }
+    // mixed name + index-range spec on a fact-table key
+    val f = cells("customer", "c_custkey % 50", "c_acctbal",
+      "--field", s"$natName,7:9", "--field-col", "c_nationkey",
+      "--field-dim", "nation:n_nationkey:n_name")
+    val fWhere = cells("customer", "c_custkey % 50", "c_acctbal",
+      "--where", s"c_nationkey = $natId OR (c_nationkey >= 7 AND c_nationkey <= 9)")
+    assert(f == fWhere && f > 0, s"--field $f vs --where $fWhere")
+    // names are case-insensitive (NamedList resolves user-cased input)
+    val fLower = cells("customer", "c_custkey % 50", "c_acctbal",
+      "--field", s"${natName.toLowerCase},7:9", "--field-col", "c_nationkey",
+      "--field-dim", "nation:n_nationkey:n_name")
+    assert(fLower == f)
+    // pure index grammar needs no dim (--scan/--spw are the same machinery)
+    val s = cells("lineitem", "l_quantity", "l_extendedprice",
+      "--scan", "1,3:4", "--scan-col", "l_linenumber")
+    val sWhere = cells("lineitem", "l_quantity", "l_extendedprice",
+      "--where", "l_linenumber = 1 OR (l_linenumber >= 3 AND l_linenumber <= 4)")
+    assert(s == sWhere && s > 0)
+    // --corr resolves its names against ITS OWN dim, composing with --scan
+    val (regName, regId) = {
+      val r = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .selectExpr("r_name", "cast(r_regionkey as bigint)")
+        .orderBy("r_name").collect().head
+      (r.getString(0), r.getLong(1))
+    }
+    val c = cells("lineitem", "l_quantity", "l_extendedprice",
+      "--scan", "1,2", "--scan-col", "l_linenumber",
+      "--corr", regName, "--corr-col", "cast(l_suppkey % 5 as bigint)",
+      "--corr-dim", "region:r_regionkey:r_name")
+    val cWhere = cells("lineitem", "l_quantity", "l_extendedprice",
+      "--where", s"(l_linenumber = 1 OR l_linenumber = 2) AND l_suppkey % 5 = $regId")
+    assert(c == cWhere && c > 0)
+    // a NAME without a dim, an unknown name, and a missing col all fail loudly
+    intercept[IllegalArgumentException](cells("customer", "c_custkey", "c_acctbal",
+      "--field", natName, "--field-col", "c_nationkey"))
+    intercept[IllegalArgumentException](cells("customer", "c_custkey", "c_acctbal",
+      "--field", "ATLANTIS", "--field-col", "c_nationkey",
+      "--field-dim", "nation:n_nationkey:n_name"))
+    intercept[IllegalArgumentException](cells("customer", "c_custkey", "c_acctbal",
+      "--spw", "1"))
+  }
+
+  test("--dynspread dilates a sparse plot (pixel-level) and is rejected off count rasters") {
+    val outPlain = tmp("spread_plain")
+    val outSpread = tmp("spread_on")
+    val pngPlain = tmp("plain.png")
+    val pngSpread = tmp("spread.png")
+    def run(out: String, png: String, extra: String*): Long = Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      // a handful of points on a 64x64 canvas — sparse by construction
+      "--where", "l_orderkey <= 3",
+      "-x", "l_quantity", "-y", "l_extendedprice",
+      "--width", "64", "--height", "64",
+      "--out", out, "--png", png) ++ extra, spark)
+    val plain = run(outPlain, pngPlain)
+    val spread = run(outSpread, pngSpread, "--dynspread")
+    assert(spread > plain,
+      s"dilation must grow the sparse raster: $plain -> $spread cells")
+    val b1 = Files.readAllBytes(java.nio.file.Paths.get(pngPlain))
+    val b2 = Files.readAllBytes(java.nio.file.Paths.get(pngSpread))
+    assert(!java.util.Arrays.equals(b1, b2), "dilated PNG must differ from undilated")
+    // count mass is conserved per the operator contract (sum of c equal)
+    val sum = (dir: String) => spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("c")).collect().head.getLong(0)
+    assert(sum(outSpread) >= sum(outPlain), "dilation spreads mass, never loses cells")
+    intercept[IllegalArgumentException](run(tmp("x"), tmp("x.png"),
+      "--dynspread", "--colour-by", "l_returnflag"))
+    intercept[IllegalArgumentException](run(tmp("y"), tmp("y.png"),
+      "--dynspread", "--ared", "mean", "--aaxis", "l_tax"))
+  }
+
+  test("--cnum discretizes the colour axis into exact ntiles (q146's scale-safe shape)") {
+    import org.apache.spark.sql.functions._
+    val out = tmp("cnum_raster")
+    Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "--where", "l_orderkey % 7 = 0",
+      "-x", "l_quantity", "-y", "l_tax",
+      "--width", "16", "--height", "16",
+      "--colour-by", "l_extendedprice", "--cnum", "4",
+      "--cnum-tiebreak", "l_orderkey * 10 + l_linenumber",
+      "--out", out), spark)
+    val got = spark.read.parquet(out)
+      .groupBy("cat").agg(sum("c").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"buckets must be 1..4: $got")
+    // parity with the ntile window the operator is pinned against
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice"), expr("l_orderkey * 10 + l_linenumber"))
+    val want = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") % 7 === 0)
+      .withColumn("b", ntile(4).over(w))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(got == want, s"per-bucket row mass must match ntile: $got vs $want")
+    // --cnum without colour-by / without tie-break fails loudly
+    intercept[IllegalArgumentException](Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_tax", "--cnum", "4"), spark))
+    intercept[IllegalArgumentException](Cli.run(Seq(
+      "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+      "-x", "l_quantity", "-y", "l_tax",
+      "--colour-by", "l_extendedprice", "--cnum", "4"), spark))
+  }
+
   test("--xcanvas/--ycanvas alias --width/--height; --dpi writes a correct pHYs chunk") {
     def render(extra: String*): String = {
       val png = tmp("dpi.png")
