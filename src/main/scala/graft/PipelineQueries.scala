@@ -1537,6 +1537,82 @@ object PipelineQueries {
         min(when(col("alarm"), col("ts"))).as("first_alarm_ts"))
       .transform(sortedSmall(_, col("user_id")))
 
+  /** q172: BINARY (1-bit sign) quantized ANN
+    * ([[Similarity.binarySignEncode]] →
+    * [[Similarity.binaryHammingTopKReranked]]) — the bottom rung of the
+    * compression ladder under q153's SQ8: 1 bit/dim (32× vs float32),
+    * Hamming distance = XOR+popcount over two packed 32-bit words, then
+    * exact-cosine re-rank of the 4k survivors (the q131/q148 candidate-
+    * cut shape). The hash pins every packed word (Horner fold over sign
+    * bits), every Hamming count, the k·mult cut with its (ham, vec_id)
+    * tie-break, and the exact re-ranked top-3. */
+  def q172(t: Tables): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    Similarity.binaryHammingTopKReranked(e, queries, dim = 64, k = 3, mult = 4)
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+      .select(col("qid"), col("vec_id"), col("ham"),
+        Rounding.portable(col("sim"), 6).as("sim"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** q173: CLOSED-FORM LSH PARAMETER SELECTION ([[Dedup.lshTuning]]) —
+    * the planning table that bounds the candidate mass of every banded
+    * near-dup job in the suite: for each b·r = 24 factorization, the
+    * S-curve's false-positive and false-negative areas around t = 0.7
+    * (midpoint quadrature, 200 points), the curve midpoint s50, and the
+    * chosen argmin. Deterministic quadrature — no sampling — so the
+    * oracle re-derives every area; the gate pins the integration, the
+    * argmin tie-break, and the arithmetic of the curve itself. */
+  def q173(t: Tables): DataFrame =
+    Dedup.lshTuning(t.spark, numHashes = 24, threshold = 0.7, gridN = 200)
+      .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+        Rounding.portable(col("fp_area"), 6).as("fp_area"),
+        Rounding.portable(col("fn_area"), 6).as("fn_area"),
+        Rounding.portable(col("err"), 6).as("err"),
+        Rounding.portable(col("s50"), 6).as("s50"),
+        col("chosen"))
+      .transform(sortedSmall(_, col("b"), col("r")))
+
+  /** q174: RENDEZVOUS SHARDING STABILITY ([[Layout.rendezvousShard]]) —
+    * the resharding census that motivates highest-random-weight over
+    * `digest mod N`: assign every doc under 8 and under 9 shards, and
+    * report per old shard how many keys moved and where. The HRW
+    * theorem the gate makes visible: `n_moved == n_to_new` on every row
+    * (a key relocates IFF the NEW shard's score wins, so every mover
+    * lands on shard 8) and the moved mass is ~1/9 of each shard — mod-N
+    * would have moved ~8/9 of everything. Map-only in-row argmax; the
+    * census is one |shards|-group aggregate. */
+  def q174(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+        Layout.rendezvousShard(col("doc_id"), 8, "rdv").as("s8"),
+        Layout.rendezvousShard(col("doc_id"), 9, "rdv").as("s9"))
+      .groupBy("s8")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("s8") =!= col("s9"), 1L)), lit(0L)).as("n_moved"),
+        coalesce(sum(when(col("s8") =!= col("s9") && col("s9") === 8, 1L)), lit(0L))
+          .as("n_to_new"))
+      .withColumn("moved_frac",
+        Rounding.portable(col("n_moved").cast("double") / col("n"), 6))
+      .transform(sortedSmall(_, col("s8")))
+
+  /** q175: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT
+    * ([[TimeSeries.ksDriftByGroup]]) — each source's length distribution
+    * vs the rest of the corpus: the binning-free shape test that
+    * complements q101/q163's histogram divergences (which need a vocab)
+    * and q171's CUSUM (which watches a sequential mean). Exact sup over
+    * the value vocabulary — rational-count CDFs evaluated at every jump
+    * point of either side — plus the scaled `D·sqrt(n·m/(n+m))`
+    * statistic. The gate pins the CDF grid, the sup, and the scaling for
+    * all 20 sources. */
+  def q175(t: Tables): DataFrame =
+    TimeSeries.ksDriftByGroup(t.documents, col("source"), col("n_chars"))
+      .select(col("g").as("source"), col("n"), col("n_rest"),
+        Rounding.portable(col("d"), 6).as("d"),
+        Rounding.portable(col("ks"), 6).as("ks"))
+      .transform(sortedSmall(_, col("source")))
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -1803,6 +1879,10 @@ object PipelineQueries {
     "q157_interpolate_linear" -> q157 _,
     "q158_hilbert_key" -> q158 _,
     "q171_cusum" -> q171 _,
+    "q172_binary_hamming" -> q172 _,
+    "q173_lsh_tuning" -> q173 _,
+    "q174_rendezvous_shards" -> q174 _,
+    "q175_ks_drift" -> q175 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3759,6 +3839,103 @@ object PipelineQueries {
         CAST(coalesce(sum(CASE WHEN s > 100.0 THEN 1 END), 0) AS BIGINT) AS n_alarms,
         min(CASE WHEN s > 100.0 THEN ts END) AS first_alarm_ts
       FROM s GROUP BY user_id ORDER BY user_id""",
+
+    // q172: sign bits packed MSB-first into two 32-bit words (the shift
+    // sum is the Horner fold's closed form; 32-bit words keep every
+    // value positive-exact in a BIGINT — the q156 lesson), Hamming =
+    // bit_count(xor) summed over words, 12-candidate cut on (ham, vid),
+    // exact cosine re-rank
+    "q172_binary_hamming" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      bits AS (SELECT vec_id, (i // 32) AS j,
+                sum(CASE WHEN e[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (31 - (i % 32)))
+                    ELSE 0 END) AS w
+               FROM e, unnest(range(0, 64)) t(i) GROUP BY 1, 2),
+      ham AS (SELECT qb.vec_id AS qid, cb.vec_id AS vid,
+                CAST(sum(bit_count(xor(qb.w, cb.w))) AS BIGINT) AS ham
+              FROM bits qb JOIN bits cb ON cb.j = qb.j AND cb.vec_id <> qb.vec_id
+              WHERE qb.vec_id >= 100 AND qb.vec_id < 105
+              GROUP BY 1, 2),
+      cand AS (SELECT qid, vid, ham FROM (
+                SELECT qid, vid, ham,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ham NULLS LAST, vid NULLS FIRST) AS hrn
+                FROM ham) t WHERE hrn <= 12),
+      q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id >= 100 AND vec_id < 105)
+      SELECT qid, vid AS vec_id, ham, round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
+      FROM (
+        SELECT c.qid, c.vid, c.ham, list_cosine_similarity(q.qe, e.e) AS sim,
+          row_number() OVER (PARTITION BY c.qid
+            ORDER BY list_cosine_similarity(q.qe, e.e) DESC NULLS LAST,
+                     c.vid NULLS FIRST) AS rn
+        FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vid) t
+      WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q173: the S-curve 1-(1-s^r)^b integrated by the same 200-point
+    // midpoint rule; chosen = argmin(err) with (fn, r DESC) tie-break
+    "q173_lsh_tuning" -> """
+      WITH f AS (SELECT CAST(24 // r AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+                 FROM (SELECT unnest(range(1, 25)) AS r) t WHERE 24 % r = 0),
+      g AS (SELECT (i + 0.5) / 200.0 AS s FROM (SELECT unnest(range(0, 200)) AS i) t),
+      c AS (SELECT b, r, s, 1.0 - pow(1.0 - pow(s, r), b) AS p FROM f, g),
+      a AS (SELECT b, r,
+              sum(CASE WHEN s < 0.7 THEN p ELSE 0.0 END) / 200.0 AS fp,
+              sum(CASE WHEN s >= 0.7 THEN 1.0 - p ELSE 0.0 END) / 200.0 AS fn
+            FROM c GROUP BY 1, 2)
+      SELECT b, r, round(fp, 6) AS fp_area, round(fn, 6) AS fn_area,
+        round(fp + fn, 6) AS err, round(pow(1.0 / b, 1.0 / r), 6) AS s50,
+        (row_number() OVER (ORDER BY fp + fn NULLS LAST, fn NULLS LAST, r DESC) = 1) AS chosen
+      FROM a ORDER BY b NULLS FIRST, r NULLS FIRST""",
+
+    // q174: HRW argmax re-derived per (doc, shard-count) as the max
+    // md5(seed|key|shard) (shard DESC breaks the theoretical digest tie,
+    // matching the struct-max's (h, s) order); census per old shard
+    "q174_rendezvous_shards" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      s8 AS (SELECT doc_id, s FROM (
+              SELECT d.doc_id, t.s,
+                row_number() OVER (PARTITION BY d.doc_id
+                  ORDER BY md5(concat('rdv|', CAST(d.doc_id AS VARCHAR), '|',
+                                      CAST(t.s AS VARCHAR))) DESC, t.s DESC) AS rn
+              FROM d, (SELECT unnest(range(0, 8)) AS s) t) x WHERE rn = 1),
+      s9 AS (SELECT doc_id, s FROM (
+              SELECT d.doc_id, t.s,
+                row_number() OVER (PARTITION BY d.doc_id
+                  ORDER BY md5(concat('rdv|', CAST(d.doc_id AS VARCHAR), '|',
+                                      CAST(t.s AS VARCHAR))) DESC, t.s DESC) AS rn
+              FROM d, (SELECT unnest(range(0, 9)) AS s) t) x WHERE rn = 1)
+      SELECT s8.s AS s8, CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(CASE WHEN s9.s <> s8.s THEN 1 END), 0) AS BIGINT) AS n_moved,
+        CAST(coalesce(sum(CASE WHEN s9.s <> s8.s AND s9.s = 8 THEN 1 END), 0) AS BIGINT) AS n_to_new,
+        round(coalesce(sum(CASE WHEN s9.s <> s8.s THEN 1 END), 0) / count(*), 6) AS moved_frac
+      FROM s8 JOIN s9 USING (doc_id) GROUP BY 1 ORDER BY 1""",
+
+    // q175: per-source KS vs rest — group×value CDF grid (every jump
+    // point of either CDF), exact rational cumulative counts, sup of
+    // |F_g - F_rest|, then the sqrt(n·m/(n+m)) scaling
+    "q175_ks_drift" -> """
+      WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+                 FROM documents WHERE n_chars IS NOT NULL),
+      c AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM b),
+      vs AS (SELECT DISTINCT v FROM b),
+      ns AS (SELECT g, count(*) AS n FROM b GROUP BY 1),
+      na AS (SELECT count(*) AS n_all FROM b),
+      tot AS (SELECT v, sum(ct) OVER (ORDER BY v) AS cum_t FROM (
+               SELECT v, count(*) AS ct FROM b GROUP BY 1) t),
+      grid AS (SELECT gs.g, vs.v, coalesce(c.c, 0) AS c
+               FROM gs CROSS JOIN vs
+               LEFT JOIN c ON c.g = gs.g AND c.v = vs.v),
+      cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum_g FROM grid),
+      dd AS (SELECT cum.g, ns.n, na.n_all - ns.n AS n_rest,
+              max(abs(CAST(cum.cum_g AS DOUBLE) / ns.n -
+                      CAST(tot.cum_t - cum.cum_g AS DOUBLE) / (na.n_all - ns.n))) AS d
+             FROM cum JOIN tot USING (v) JOIN ns ON ns.g = cum.g CROSS JOIN na
+             GROUP BY 1, 2, 3)
+      SELECT g AS source, CAST(n AS BIGINT) AS n, CAST(n_rest AS BIGINT) AS n_rest,
+        round(d, 6) AS d,
+        round(d * sqrt(CAST(n AS DOUBLE) * n_rest / (n + n_rest)), 6) AS ks
+      FROM dd ORDER BY source NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -55,6 +55,9 @@ object PlanDump {
     "q97_quantile_gate",     // 1-row percentile aggregate broadcast into the filter
     "q105_seeded_shuffle",   // one window shuffle on the shard key, nothing else
     "q107_containment",      // df-cap anti-join guards the candidate index (r17)
+    "q172_binary_hamming",   // map-only sign packing; broadcast query codes; XOR+popcount scan
+    "q174_rendezvous_shards", // in-row HRW argmax (array_max over struct literals), one census agg
+    "q175_ks_drift",         // group-keyed CDF window + vocab-sized global window, bounded grid
     "q108_winnowing",        // per-doc ROWS-frame window minima + distinct (sketch build)
     "q110_substring_removal", // run-table explode only; semi join shields the corpus scan
     "q111_sketch_novelty",   // k-row sketch tables; merge joins sketches, never raw data

@@ -119,6 +119,62 @@ object Dedup {
   def lshCollisionProb(sim: Double, bands: Int, rows: Int): Double =
     1.0 - math.pow(1.0 - math.pow(sim, rows), bands)
 
+  /** CLOSED-FORM LSH PARAMETER SELECTION — turns [[lshCollisionProb]]'s
+    * audit into the planning operator a pipeline runs BEFORE paying for
+    * a corpus-wide band join: for every factorization `b·r = numHashes`,
+    * integrate the S-curve's deviation from the ideal step at
+    * `threshold` (midpoint rule over `gridN` similarity points) into a
+    * false-positive area (`∫_{s<t} p(s) ds` — expected candidate mass
+    * from sub-threshold pairs, the shuffle cost of a too-aggressive
+    * banding) and a false-negative area (`∫_{s≥t} 1−p(s) ds` — missed
+    * near-dup mass, the recall cost of a too-conservative one), and
+    * flag the total-error argmin (fn tie-break toward fewer misses,
+    * then larger r). `s50 = (1/b)^(1/r)` is the S-curve's threshold —
+    * the similarity where `s^r = 1/b`, i.e. collision probability
+    * `1 − (1 − 1/b)^b → 1 − 1/e`, the curve's rise point — reported so
+    * the chosen banding's effective threshold is visible next to the
+    * requested one (Leskovec–Rajaraman–Ullman, MMDS §3.4.3).
+    *
+    * Scale: the whole computation is `d(numHashes)·gridN` rows of pure
+    * arithmetic (a few hundred) — a planning table, not a data job; the
+    * value at 100 TB is that the b/r choice this emits bounds the
+    * candidate-join mass of the REAL job. Deterministic (no sampling:
+    * the integral is a fixed midpoint quadrature), so the oracle
+    * re-derives every area bit-for-bit at 6 decimals.
+    *
+    * Relationship to [[lshParamsFor]] (r11): that is the driver-side
+    * scalar chooser with ASYMMETRIC error weights (recall-favoring
+    * default, for calling inside pipeline code); this is its
+    * equal-weight declarative restatement as a gated TABLE — the full
+    * error landscape, not just the argmin, auditable next to the jobs
+    * it tunes. DedupSpec pins that the two agree on the argmin at equal
+    * weights. */
+  def lshTuning(
+      spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      threshold: Double, gridN: Int = 200): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(gridN >= 10, s"gridN must be >= 10, got $gridN")
+    import spark.implicits._
+    val factorizations = (1 to numHashes)
+      .filter(numHashes % _ == 0).map(r => (numHashes / r, r))
+    val f = factorizations.toDF("b", "r")
+    val grid = spark.range(gridN.toLong)
+      .select(((col("id") + 0.5) / gridN).as("s"))
+    val curves = f.crossJoin(grid)
+      .select(col("b"), col("r"), col("s"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b"))).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("err"), col("fn_area"), col("r").desc)
+    curves.groupBy("b", "r")
+      .agg(
+        (sum(when(col("s") < threshold, col("p")).otherwise(0.0)) / gridN).as("fp_area"),
+        (sum(when(col("s") >= threshold, lit(1.0) - col("p")).otherwise(0.0)) / gridN).as("fn_area"))
+      .withColumn("err", col("fp_area") + col("fn_area"))
+      .withColumn("s50", pow(lit(1.0) / col("b"), lit(1.0) / col("r")))
+      .withColumn("chosen", (row_number().over(w) === 1))
+  }
+
   /** Choose `(bands, rows)` for a Jaccard `threshold` given `numHashes`
     * signature positions — the datasketch-style optimizer restated over
     * exact divisor pairs (lshBands requires bands × rows = numHashes):

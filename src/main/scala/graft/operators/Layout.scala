@@ -172,6 +172,29 @@ object Layout {
       .drop("__seeded_shuffle_h")
   }
 
+  /** RENDEZVOUS (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998, the stable-assignment alternative to [[seededShuffle]]'s
+    * `digest mod N`: each key scores every shard with
+    * `md5(seed|key|shard)` and lands on the lexicographic-max score.
+    * The property mod-N cannot offer: when the shard count grows N→N+1,
+    * a key moves IFF the new shard's score beats its current max — so
+    * exactly the ~1/(N+1) of keys whose new score wins relocate, and
+    * every mover lands ON the new shard (mod-N reshuffles ~N/(N+1) of
+    * ALL keys — at 100 TB that is re-writing the whole layout versus
+    * topping up one shard). Evaluation is map-only in-row arithmetic:
+    * the shard list is a literal array of (score, shard) structs and
+    * `array_max` picks the winner by struct comparison (score first,
+    * shard id as the theoretical-collision tie-break) — no shuffle, no
+    * join, no state. Returns a Column, composable into any projection. */
+  def rendezvousShard(key: Column, nShards: Int, seed: String): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    array_max(array((0 until nShards).map { s =>
+      struct(
+        md5(concat(lit(seed), lit("|"), key.cast("string"), lit(s"|$s"))).as("h"),
+        lit(s.toLong).as("s"))
+    }: _*)).getField("s")
+  }
+
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], saltBuckets: Int): DataFrame = {

@@ -993,6 +993,81 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ── Binary (1-bit sign) quantization + Hamming search ─────────────────
+
+  /** BINARY sign quantization — the 1-bit rung UNDER [[sqEncode]] on the
+    * compression ladder (SQ8's 8 bits/dim → 1 bit/dim, 32× smaller than
+    * float32): bit i is `e[i] > 0`, the sign pattern, packed MSB-first
+    * into `dim/32` words of 32 bits each. Charikar 2002's hyperplane
+    * argument gives the retrieval story: for zero-centered embeddings
+    * the sign pattern IS the SRP signature with axis-aligned planes, and
+    * Hamming distance between patterns estimates angular distance — the
+    * standard cheap prefilter for billion-vector search (memory-resident
+    * codes, register-width XOR+popcount per comparison).
+    *
+    * Implementation notes pinned by the oracle: 32-bit words (not 64) so
+    * every packed value is positive and exact in a BIGINT on both
+    * engines (bit 63 would need unsigned semantics — the q156 dHash
+    * lesson); packing is the Horner fold `acc·2 + bit` over dims
+    * `[32j, 32j+32)`, bit-equal to `Σ bit·2^(31−i)`. Map-only: no
+    * stats pass (sign needs no corpus statistics — the zero threshold
+    * is the definition, not a fitted parameter), no shuffle, no join.
+    * Returns `(vec_id, w: array<bigint>[dim/32])`. */
+  def binarySignEncode(vectors: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0 && dim % 32 == 0, s"dim must be a positive multiple of 32, got $dim")
+    val words = dim / 32
+    vectors.select(
+      col("vec_id") +:
+      Seq(array((0 until words).map { j =>
+        aggregate(
+          sequence(lit(j * 32), lit(j * 32 + 31)),
+          lit(0L),
+          (acc, i) => acc * 2 +
+            when(element_at(col("e"), i + 1) > 0.0, 1L).otherwise(0L))
+      }: _*).as("w")): _*)
+  }
+
+  /** Hamming-prefiltered exact top-k over binary sign codes — the
+    * [[pqTopKReranked]] candidate-cut shape with [[binarySignEncode]] as
+    * the compressor: encode corpus + queries (map-only), rank candidates
+    * by packed-word Hamming distance (`Σ_j bit_count(q_j XOR c_j)` —
+    * XOR+popcount over `dim/32` words, the cheapest distance on the
+    * ladder), keep `k·mult` per query, then re-rank the survivors by
+    * EXACT cosine at full width. The Hamming stage is a broadcast of the
+    * (tiny) query codes against the corpus code scan — codes are
+    * dim/32·8 bytes/vector, so the scan side is 32× lighter than the
+    * raw-vector brute force and nothing corpus-sized shuffles; the
+    * re-rank join touches queries × k·mult rows. Returns
+    * `(qid, vec_id, ham, sim, rn ≤ k)` — `sim` EXACT cosine, `ham` the
+    * prefilter distance the candidate survived on. */
+  def binaryHammingTopKReranked(
+      vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      mult: Int = 4): DataFrame = {
+    require(k >= 1 && mult >= 1, s"need k >= 1 and mult >= 1 (got $k, $mult)")
+    GraftFunctions.ensureRegistered(vectors.sparkSession)
+    val codes = binarySignEncode(vectors, dim)
+    val qCodes = binarySignEncode(queries, dim)
+      .select(col("vec_id").as("qid"), col("w").as("qw"))
+    val wh = Window.partitionBy("qid").orderBy(col("ham"), col("vec_id"))
+    val cand = codes
+      .join(broadcast(qCodes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(col("w"), col("qw"), (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("ham"))
+      .withColumn("hrn", row_number().over(wh))
+      .filter(col("hrn") <= k * mult)
+      .select("qid", "vec_id", "ham")
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.join(vectors, "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"), col("ham"),
+        GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Embedding cluster-quality audit — the ANN-side sibling of the q85
     * dedup-cluster audit and the standard k-means diagnostics table. Per
     * non-empty cluster (a centroid no vector chose has no row): member

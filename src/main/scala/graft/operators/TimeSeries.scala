@@ -111,4 +111,54 @@ object TimeSeries {
       .withColumn("alarm", col("s") > h)
       .drop("__p")
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV drift, each group vs the rest — the
+    * distribution-level sibling of [[cusum]] (which watches a MEAN drift
+    * in sequence order, blind to shape changes) and of the q101/q163
+    * divergences (which need a binned/vocab histogram; KS is binning-free
+    * on an ordinal value): per group `g`,
+    * `D_g = sup_x |F_g(x) − F_rest(x)|` over the empirical CDFs, plus
+    * the scaled statistic `ks = D·sqrt(n_g·n_rest/(n_g+n_rest))` that
+    * feeds the standard Kolmogorov significance lookup.
+    *
+    * Exact sup via the value VOCABULARY (the q154 ROC discipline): per
+    * distinct value, per-group counts aggregate keyed; the group×value
+    * CDF grid is `|groups| · |values|` rows (cross join the two bounded
+    * dimensions, left-join the counts) so a group's CDF is evaluated at
+    * EVERY jump point of either CDF — miss one and the sup is wrong.
+    * Cumulative sums are a group-keyed window over the grid plus one
+    * vocabulary-sized global window (the same bounded single-partition
+    * window q154 documents); nothing data-sized funnels anywhere. The
+    * statistic is exact — rational counts, no quadrature — so the
+    * oracle re-derives it to the rounding digit. */
+  def ksDriftByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val groups = counts.select("g").distinct()
+    val values = counts.select("v").distinct()
+    val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    val grid = groups.crossJoin(values)
+      .join(counts, Seq("g", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val wg = Window.partitionBy("g").orderBy("v")
+    val wv = Window.orderBy("v")
+    val tot = base.groupBy("v").agg(count(lit(1)).as("ct"))
+      .withColumn("cum_t", sum("ct").over(wv))
+      .select("v", "cum_t")
+    grid
+      .withColumn("cum_g", sum("c").over(wg))
+      .join(tot, "v")
+      .join(ns, "g")
+      .crossJoin(broadcast(nAll))
+      .withColumn("__d_at_v", abs(
+        col("cum_g").cast("double") / col("n") -
+        (col("cum_t") - col("cum_g")).cast("double") / (col("n_all") - col("n"))))
+      .groupBy(col("g"), col("n"), (col("n_all") - col("n")).as("n_rest"))
+      .agg(max(col("__d_at_v")).as("d"))
+      .withColumn("ks", col("d") * sqrt(
+        col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
+      .select("g", "n", "n_rest", "d", "ks")
+  }
 }

@@ -305,6 +305,52 @@ class DedupSpec extends SparkSpec {
     assert(capped.forall { case (k, v) => full(k) == v })
   }
 
+  test("lshTuning: areas match scalar quadrature over lshCollisionProb; argmin is sane") {
+    val n = 24
+    val t = 0.7
+    val grid = 200
+    val rows = Dedup.lshTuning(spark, n, t, grid)
+      .orderBy("b", "r").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq((1, 24), (2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2), (24, 1)),
+      "one row per b·r = 24 factorization")
+    // each area equals the driver-side midpoint quadrature of the same
+    // closed-form curve (lshCollisionProb is the audited scalar)
+    rows.foreach { case (b, r, fp, fn, err, s50, _) =>
+      val ss = (0 until grid).map(i => (i + 0.5) / grid)
+      val fpExp = ss.filter(_ < t).map(s => Dedup.lshCollisionProb(s, b, r)).sum / grid
+      val fnExp = ss.filter(_ >= t).map(s => 1.0 - Dedup.lshCollisionProb(s, b, r)).sum / grid
+      assert(math.abs(fp - fpExp) < 1e-9, s"($b,$r) fp $fp vs $fpExp")
+      assert(math.abs(fn - fnExp) < 1e-9, s"($b,$r) fn $fn vs $fnExp")
+      assert(math.abs(err - (fp + fn)) < 1e-12)
+      assert(math.abs(s50 - math.pow(1.0 / b, 1.0 / r)) < 1e-12)
+      // the threshold identity: at s50, s^r = 1/b exactly, so the
+      // collision probability is 1 - (1 - 1/b)^b (→ 1 - 1/e as b grows)
+      val pAtS50 = 1.0 - math.pow(1.0 - 1.0 / b, b)
+      assert(math.abs(Dedup.lshCollisionProb(s50, b, r) - pAtS50) < 1e-9,
+        s"($b,$r): p(s50) = ${Dedup.lshCollisionProb(s50, b, r)} vs $pAtS50")
+    }
+    // exactly one chosen; it beats both degenerate bandings, and its
+    // S-curve midpoint lands near the requested threshold
+    val chosen = rows.filter(_._7)
+    assert(chosen.length == 1)
+    val (cb, cr, _, _, cerr, cs50, _) = chosen.head
+    val errOf = rows.map(x => (x._1, x._2) -> x._5).toMap
+    assert(cerr <= errOf((1, n)) && cerr <= errOf((n, 1)),
+      s"chosen ($cb,$cr) must beat one-band and one-row banding")
+    assert(math.abs(cs50 - t) < 0.2,
+      s"chosen midpoint $cs50 should sit near the threshold $t")
+    // cross-implementation pin: the r11 driver-side chooser at EQUAL
+    // weights lands on the same factorization (different grid size,
+    // same landscape — a disagreement means one integral is wrong)
+    assert((cb, cr) == Dedup.lshParamsFor(n, t, 1.0, 1.0),
+      s"lshTuning chose ($cb,$cr) but lshParamsFor says ${Dedup.lshParamsFor(n, t, 1.0, 1.0)}")
+    intercept[IllegalArgumentException](Dedup.lshTuning(spark, 0, t))
+    intercept[IllegalArgumentException](Dedup.lshTuning(spark, n, 1.5))
+  }
+
   test("connectedComponents: a 200-vertex chain converges well under maxIter (pointer jumping)") {
     // plain one-hop propagation needs O(diameter)=200 rounds; path halving
     // must close this chain inside the default 25-round budget

@@ -211,4 +211,33 @@ class LayoutSpec extends SparkSpec {
     assert(all.length == 4)
     assert(all.map(_.getAs[String]("key")).toSeq == Seq("a", "b", "NULL", "c"))
   }
+
+  test("rendezvousShard: matches the brute-force HRW argmax and moves only onto the new shard") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def brute(key: Long, n: Int, seed: String): Long =
+      (0 until n).map(s => (md5hex(s"$seed|$key|$s"), s.toLong)).max._2
+    val keys = (0L until 400L).toDF("k")
+    val assigned = keys.select(col("k"),
+        graft.operators.Layout.rendezvousShard(col("k"), 8, "t").as("s8"),
+        graft.operators.Layout.rendezvousShard(col("k"), 9, "t").as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact agreement with a driver-side reimplementation, every key
+    assigned.foreach { case (k, s8, s9) =>
+      assert(s8 == brute(k, 8, "t"), s"key $k: $s8 vs ${brute(k, 8, "t")}")
+      assert(s9 == brute(k, 9, "t"), s"key $k: $s9 vs ${brute(k, 9, "t")}")
+    }
+    // HRW theorem: a key moves IFF the new shard wins, so every mover
+    // lands on shard 8 and nothing else changes
+    val movers = assigned.filter { case (_, s8, s9) => s8 != s9 }
+    assert(movers.nonEmpty && movers.forall(_._3 == 8L),
+      s"every mover must land on the new shard: ${movers.take(5).toSeq}")
+    // moved mass ~ 1/9 of keys (binomial: mean 44.4, generous 3x band)
+    val frac = movers.length.toDouble / assigned.length
+    assert(frac > 0.03 && frac < 0.30, s"moved fraction $frac should be near 1/9")
+    intercept[IllegalArgumentException](
+      graft.operators.Layout.rendezvousShard(col("k"), 0, "t"))
+  }
 }

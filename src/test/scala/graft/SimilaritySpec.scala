@@ -788,4 +788,49 @@ class SimilaritySpec extends SparkSpec {
     val one = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L)
     assert(nmiOf(one, one.map { case (i, _) => i -> 7L })._5 == 1.0)
   }
+
+  test("binarySignEncode: known sign patterns pack MSB-first into positive 32-bit words") {
+    // dim 64: first vector has dims {0, 33} positive → word0 = 2^31,
+    // word1 = 2^30; second is all-negative → both words 0; third
+    // all-positive → both words 2^32 − 1 (packed values stay positive)
+    val v1 = (0 until 64).map(i => if (i == 0 || i == 33) 1.0 else -1.0)
+    val v2 = Seq.fill(64)(-0.5)
+    val v3 = Seq.fill(64)(0.5)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "e")
+    val got = Similarity.binarySignEncode(df, 64)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(got(0) == ((1L, Seq(1L << 31, 1L << 30))), s"got ${got(0)}")
+    assert(got(1) == ((2L, Seq(0L, 0L))), s"got ${got(1)}")
+    assert(got(2) == ((3L, Seq((1L << 32) - 1, (1L << 32) - 1))), s"got ${got(2)}")
+    assert(got.forall(_._2.forall(w => w >= 0 && w < (1L << 32))),
+      "every packed word must stay positive-exact in a long")
+    intercept[IllegalArgumentException](Similarity.binarySignEncode(df, 48))
+  }
+
+  test("binaryHammingTopKReranked: mult covering the corpus equals exact cosine top-k") {
+    import graft.plans.GraftFunctions
+    // deterministic pseudo-random 64-dim corpus (zero-centered)
+    def vec(id: Long): Seq[Double] =
+      (0 until 64).map(i => math.sin(id * 37.0 + i * 13.0))
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "e")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val k = 4
+    // candidate cut spanning the whole corpus → the Hamming prefilter
+    // cannot drop the true neighbors, so the re-rank IS brute force
+    val got = Similarity.binaryHammingTopKReranked(corpus, queries, 64, k, mult = 10)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val brute = corpus.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, "full-coverage prefilter must reproduce exact top-k")
+    // at a tight cut the prefilter really cuts: ham of survivors bounded
+    val tight = Similarity.binaryHammingTopKReranked(corpus, queries, 64, k, mult = 1)
+    assert(tight.groupBy("qid").count().select("count").as[Long].collect().forall(_ == k))
+  }
 }

@@ -136,4 +136,32 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.cusum(dup, col("k"), Seq(col("t")), col("x"), 0.0, 0.0, h = 0.0)
     }
   }
+
+  test("ksDriftByGroup: hand-computed D on a two-group fixture; zero on identical groups") {
+    // g1 = {1,2,3,4}, g2 = {3,4,5,6}: the CDFs separate maximally at
+    // v=2 (F1=0.5, F2=0) and stay 0.5 apart through v=4 → D = 0.5 for
+    // both directions; ks = 0.5·sqrt(4·4/8) = 0.5·sqrt(2)
+    val two = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4),
+      ("b", 3), ("b", 4), ("b", 5), ("b", 6)).toDF("g", "v")
+    val got = TimeSeries.ksDriftByGroup(two, col("g"), col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 2)
+    got.foreach { case (g, n, nRest, d, ks) =>
+      assert(n == 4L && nRest == 4L, s"$g sizes")
+      assert(math.abs(d - 0.5) < 1e-12, s"$g: D = $d, want 0.5")
+      assert(math.abs(ks - 0.5 * math.sqrt(2.0)) < 1e-12, s"$g: ks = $ks")
+    }
+    // identical distributions → D = 0 exactly (rational counts, no fuzz)
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("g", "v")
+    val zs = TimeSeries.ksDriftByGroup(same, col("g"), col("v"))
+      .select("d").as[Double].collect()
+    assert(zs.forall(_ == 0.0), s"identical groups must score 0: ${zs.toSeq}")
+    // null values are excluded, not scored
+    val withNull = Seq(("a", Some(1)), ("a", None), ("b", Some(1)))
+      .toDF("g", "v")
+    val n = TimeSeries.ksDriftByGroup(withNull, col("g"), col("v"))
+      .filter(col("g") === "a").select("n").as[Long].head()
+    assert(n == 1L, "the NULL row must not count toward a's sample size")
+  }
 }
