@@ -1613,6 +1613,87 @@ object PipelineQueries {
         Rounding.portable(col("ks"), 6).as("ks"))
       .transform(sortedSmall(_, col("source")))
 
+  /** q176: AUDIO DSP FEATURES ([[graft.operators.Multimodal
+    * .audioFeatures]]) — the analysis pass after q73's decode
+    * validation: RMS energy, zero-crossing rate (strict `s·s' < 0`
+    * rule) and peak per clip, over real WAVs decoded by
+    * javax.sound.sampled. Integer accumulators cross the codec
+    * boundary; the float ratios are derived columnar and rounded here.
+    * The oracle re-derives every sample arithmetically from the
+    * synthWavBytes closed form (the q73/q40 no-codec-oracle
+    * discipline) — a kernel that drops a sample, miscounts a crossing
+    * at a zero, or mis-squares one value hash-mismatches. */
+  def q176(t: Tables): DataFrame = {
+    val blobs = graft.operators.Multimodal.synthAudio(
+      t.documents.select(col("doc_id")).filter(col("doc_id") % 10 === 3), "doc_id")
+    graft.operators.Multimodal.audioFeatures(blobs, "doc_id", "blob").toDF()
+      .select(col("doc_id"), col("n_samples"), col("sumsq"), col("n_cross"), col("peak"),
+        Rounding.portable(
+          sqrt(col("sumsq").cast("double") / col("n_samples")), 6).as("rms"),
+        Rounding.portable(
+          col("n_cross").cast("double") / (col("n_samples") - 1), 6).as("zcr"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q177: HYBRID RETRIEVAL VIA RECIPROCAL RANK FUSION
+    * ([[TextAnalysis.rrfFuse]]) — the standard lexical+dense combiner:
+    * q161's BM25 top-10 (probe terms over documents) fused with the
+    * brute-force cosine top-10 over the SAME query ids' embeddings,
+    * score `Σ 1/(60+rank)` (Cormack et al. 2009's k=60), fused top-5.
+    * Rank-only fusion needs no cross-retriever score normalization,
+    * and the two retrievers' id universes need not coincide (at larger
+    * SFs documents outnumber embeddings — lexical-only hits simply
+    * collect one term). The gate pins both input rankings' tie-breaks
+    * transitively plus the fusion arithmetic and its own (rrf, id)
+    * tie-break. */
+  def q177(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val probes = Seq((0L, "scan"), (0L, "merge"), (1L, "vector"),
+      (1L, "window"), (1L, "slow"), (2L, "the"), (2L, "data"))
+      .toDF("qid", "term")
+    val bm = TextAnalysis.bm25TopK(t.documents, col("doc_id"), col("text"), probes, k = 10)
+      .select(col("qid"), col("doc_id").as("id"), col("rn"))
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val e = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wc = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    val cos = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        graft.plans.GraftFunctions.cosineSimilarity(col("qe"), col("e")).as("sim"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= 10)
+      .select("qid", "id", "rn")
+    TextAnalysis.rrfFuse(Seq(bm, cos), kRrf = 60, topK = 5)
+      .select(col("qid"), col("id"), Rounding.portable(col("rrf"), 6).as("rrf"),
+        col("n_lists"), col("rn"))
+      .transform(sortedSmall(_, col("qid"), col("rn")))
+  }
+
+  /** q178: ISOTONIC CALIBRATION (pool-adjacent-violators)
+    * ([[TextAnalysis.isotonicCalibration]]) — q143's diagnostic
+    * calibration curve upgraded to the actual monotone recalibrator
+    * (Zadrozny–Elkan 2002): the q135 model's scores binned at
+    * floor(p6·100) with exact integer (n, pos) per bin, PAV pooled
+    * driver-side over the ≤100-row grid (the PCA driver-eigen
+    * precedent), every bin reporting its block's pooled pos/n. The
+    * oracle reaches the identical fit through the minimax
+    * characterization `f(k) = max_{i≤k} min_{j≥k} avg(i..j)` over
+    * prefix sums — two independent algorithms meeting at the same
+    * exact rational, so a single mis-pooled block hash-mismatches. */
+  def q178(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.isotonicCalibration(scored, col("y") === 1.0, col("p6"), bins = 100)
+      .select(col("bin"), col("n"), col("pos"),
+        Rounding.portable(col("fitted"), 6).as("fitted"))
+      .transform(sortedSmall(_, col("bin")))
+  }
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -1883,6 +1964,9 @@ object PipelineQueries {
     "q173_lsh_tuning" -> q173 _,
     "q174_rendezvous_shards" -> q174 _,
     "q175_ks_drift" -> q175 _,
+    "q176_audio_features" -> q176 _,
+    "q177_hybrid_rrf" -> q177 _,
+    "q178_isotonic_calibration" -> q178 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -3936,6 +4020,103 @@ object PipelineQueries {
         round(d, 6) AS d,
         round(d * sqrt(CAST(n AS DOUBLE) * n_rest / (n + n_rest)), 6) AS ks
       FROM dd ORDER BY source NULLS FIRST""",
+
+    // q176: every sample re-derived from the synthWavBytes closed form
+    // (no codec in the oracle — the q73 discipline); crossings by the
+    // strict lag-product rule, energy as the exact integer square sum
+    "q176_audio_features" -> """
+      WITH n AS (SELECT doc_id, 100 + doc_id % 400 AS ns FROM documents
+                 WHERE doc_id % 10 = 3),
+      s AS (SELECT doc_id, i, ((doc_id*31 + i*17) % 2001) - 1000 AS v
+            FROM n, unnest(range(0, ns)) AS t(i)),
+      x AS (SELECT doc_id, v,
+              lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+            FROM s)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_samples,
+        CAST(sum(v*v) AS BIGINT) AS sumsq,
+        CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0) AS BIGINT) AS n_cross,
+        CAST(max(abs(v)) AS INTEGER) AS peak,
+        round(sqrt(sum(v*v) / count(*)), 6) AS rms,
+        round(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0) / (count(*) - 1), 6) AS zcr
+      FROM x GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+
+    // q177: q161's BM25 chain at k=10, the cosine top-10 over the same
+    // qids' embeddings, then RRF = sum(1/(60+rn)) with the (rrf DESC,
+    // id) tie-break — both input rankings' tie-breaks pinned transitively
+    "q177_hybrid_rrf" -> """
+      WITH tok AS (SELECT doc_id, w AS term FROM (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+            WHERE w <> ''),
+      q AS (SELECT * FROM (VALUES (0, 'scan'), (0, 'merge'), (1, 'vector'),
+              (1, 'window'), (1, 'slow'), (2, 'the'), (2, 'data')) AS v(qid, term)),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+             WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      wt AS (SELECT tf.term, tf.doc_id,
+               ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 tf.tf * 2.2 /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS wt
+             FROM tf JOIN df ON df.term = tf.term
+             JOIN dl ON dl.doc_id = tf.doc_id, st),
+      s AS (SELECT q.qid, wt.doc_id, round(sum(wt.wt), 6) AS score6
+            FROM q JOIN wt ON wt.term = q.term GROUP BY q.qid, wt.doc_id),
+      bm AS (SELECT CAST(qid AS BIGINT) AS qid, doc_id AS id, rn FROM (
+              SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY score6 DESC NULLS LAST, doc_id NULLS FIRST) AS rn
+              FROM s) t WHERE rn <= 10),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      eq AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 3),
+      cos AS (SELECT qid, vec_id AS id, rn FROM (
+              SELECT eq.qid, e.vec_id,
+                row_number() OVER (PARTITION BY eq.qid
+                  ORDER BY list_cosine_similarity(eq.qe, e.e) DESC NULLS LAST,
+                           e.vec_id NULLS FIRST) AS rn
+              FROM eq JOIN e ON e.vec_id <> eq.qid) t WHERE rn <= 10),
+      u AS (SELECT qid, id, rn FROM bm UNION ALL SELECT qid, id, rn FROM cos),
+      fused AS (SELECT qid, id, sum(1.0 / (60.0 + rn)) AS rrf,
+                 CAST(count(*) AS BIGINT) AS n_lists
+                FROM u GROUP BY qid, id)
+      SELECT qid, id, round(rrf, 6) AS rrf, n_lists, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT qid, id, rrf, n_lists,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY rrf DESC NULLS LAST, id NULLS FIRST) AS rn
+        FROM fused) t
+      WHERE rn <= 5 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
+
+    // q178: the q135 training chain + the binned (n, pos) grid, then the
+    // isotonic fit through the MINIMAX characterization f(k) =
+    // max_{i<=k} min_{j>=k} avg(i..j) over prefix sums — an independent
+    // algorithm from the Spark side's PAV stack, meeting at the same
+    // exact pooled rationals (<= 100 bins -> the triple join is tiny)
+    "q178_isotonic_calibration" -> s"""
+      WITH ${logisticCtes(4)},
+      sc AS (SELECT y, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w4),
+      bb AS (SELECT CAST(least(floor(p6 * 100.0), 99.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             FROM sc GROUP BY 1),
+      cum AS (SELECT bin, n, pos,
+               row_number() OVER (ORDER BY bin) AS k,
+               sum(n) OVER (ORDER BY bin) AS cn,
+               sum(pos) OVER (ORDER BY bin) AS cp
+              FROM bb),
+      pairs AS (SELECT i.k AS ik, j.k AS jk,
+                 CAST(j.cp - coalesce(ip.cp, 0) AS DOUBLE) /
+                   (j.cn - coalesce(ip.cn, 0)) AS a
+                FROM cum i JOIN cum j ON j.k >= i.k
+                LEFT JOIN cum ip ON ip.k = i.k - 1),
+      innermin AS (SELECT c.k, p.ik, min(p.a) AS mn
+                   FROM cum c JOIN pairs p ON p.ik <= c.k AND p.jk >= c.k
+                   GROUP BY c.k, p.ik),
+      fit AS (SELECT k, max(mn) AS fitted FROM innermin GROUP BY k)
+      SELECT cum.bin, cum.n, cum.pos, round(fit.fitted, 6) AS fitted
+      FROM cum JOIN fit USING (k)
+      ORDER BY cum.bin NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

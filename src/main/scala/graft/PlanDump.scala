@@ -58,6 +58,7 @@ object PlanDump {
     "q172_binary_hamming",   // map-only sign packing; broadcast query codes; XOR+popcount scan
     "q174_rendezvous_shards", // in-row HRW argmax (array_max over struct literals), one census agg
     "q175_ks_drift",         // group-keyed CDF window + vocab-sized global window, bounded grid
+    "q177_hybrid_rrf",       // bounded top-k tables union + (qid,id) agg — no corpus-sized stage
     "q108_winnowing",        // per-doc ROWS-frame window minima + distinct (sketch build)
     "q110_substring_removal", // run-table explode only; semi join shields the corpus scan
     "q111_sketch_novelty",   // k-row sketch tables; merge joins sketches, never raw data

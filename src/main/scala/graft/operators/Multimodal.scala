@@ -467,6 +467,61 @@ object Multimodal {
       })
   }
 
+  /** Per-clip audio features: exact integer accumulators so every value
+    * stays bit-comparable across engines ([[AudioMeta]]'s discipline) —
+    * the float RMS/ZCR ratios are derived downstream from these and
+    * rounded there. `n_cross` counts STRICT sign changes
+    * (`s_{i−1}·s_i < 0` — a zero sample breaks a run without counting,
+    * the unambiguous integer rule), `sumsq` is the exact energy sum
+    * (≤ peak²·n, far inside a long), `peak = max |s|`. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      sumsq: Long,
+      n_cross: Long,
+      peak: Int)
+
+  /** DSP feature extraction at the codec boundary — the analysis pass a
+    * speech-corpus pipeline runs right after [[decodeAudio]]'s
+    * validation: RMS energy (loudness/silence gate), zero-crossing rate
+    * (the classic cheap voiced/unvoiced and noise discriminator,
+    * Rabiner & Schafer 1978), and peak (clipping detection). One pass
+    * over the PCM frames per clip inside the same typed
+    * `mapPartitions` kernel as [[decodeAudio]] (javax.sound needs JVM
+    * objects — the documented codec-boundary exception); everything
+    * after the kernel is plain columnar arithmetic. */
+  def audioFeatures(df: DataFrame, idCol: String, blobCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"doc $id: expected PCM_SIGNED, got ${fmt.getEncoding}")
+          require(fmt.getSampleSizeInBits == 16, s"doc $id: expected 16-bit samples")
+          val data = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L; var sumsq = 0L; var crossings = 0L; var peak = 0
+          var prev = 0
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            sumsq += s.toLong * s
+            if (n > 0 && prev.toLong * s < 0) crossings += 1
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            prev = s; n += 1
+          }
+          AudioFeatures(id, n, sumsq, crossings, peak)
+        } finally ais.close()
+      })
+  }
+
   /** The deterministic COMPRESSED-audio synthesis contract (shared with
     * the q81 SQL oracle): G.711 µ-law mono at 8000 Hz — a real companding
     * codec the JDK ships a decoder for — with n = 80 + id%320 code bytes,

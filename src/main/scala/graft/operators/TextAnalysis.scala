@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star
@@ -694,6 +695,88 @@ object TextAnalysis {
         avg(col("__cal_p")).as("mean_p"),
         (sum(when(col("__cal_y"), 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("frac_pos"))
+  }
+
+  /** ISOTONIC CALIBRATION by pool-adjacent-violators over the binned
+    * calibration curve — the principled monotone upgrade of
+    * [[calibrationCurve]] (which only DIAGNOSES miscalibration):
+    * Zadrozny & Elkan 2002's isotonic recalibration, fit on the same
+    * `floor(p·bins)` grid so the corpus-side cost is ONE bounded-bin
+    * aggregate with exact integer `(n, pos)` accumulators (map-side
+    * combined; the grid is `bins` rows regardless of corpus size —
+    * 100 TB changes nothing). PAV itself runs driver-side over the
+    * ≤`bins` collected rows (the PCA driver-eigen precedent: a
+    * fixed-size reduction, not data): blocks pool while a block mean
+    * exceeds its successor's, and every bin reports its block's pooled
+    * `pos/n` — a single division of exact longs, so the fitted value is
+    * engine-identical (the oracle reaches the same number through the
+    * minimax characterization `f(k) = max_{i≤k} min_{j≥k} avg(i..j)`:
+    * any attaining pair is the same real quotient, and IEEE division
+    * correctly rounds equal reals equally). Returns one row per
+    * NON-EMPTY bin: `(bin, n, pos, fitted)`, fitted nondecreasing. */
+  def isotonicCalibration(df: DataFrame, label: Column, score: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    val bin = least(floor(score * lit(bins.toDouble)), lit(bins - 1.0)).cast("long")
+    val curve = df.select(bin.as("bin"), label.cast("boolean").as("__iso_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__iso_y"), 1L).otherwise(0L)).as("pos"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV: pool while the previous block's mean exceeds the next's
+    final case class Block(var lo: Int, var n: Long, var pos: Long) {
+      def mean: Double = pos.toDouble / n
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    curve.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      stack += Block(i, n, pos)
+      while (stack.length > 1 &&
+          stack(stack.length - 2).mean > stack.last.mean) {
+        val top = stack.remove(stack.length - 1)
+        stack.last.n += top.n
+        stack.last.pos += top.pos
+      }
+    }
+    val fitted = new Array[Double](curve.length)
+    for (bi <- stack.indices) {
+      val hi = if (bi + 1 < stack.length) stack(bi + 1).lo else curve.length
+      for (k <- stack(bi).lo until hi) fitted(k) = stack(bi).mean
+    }
+    import spark.implicits._
+    curve.zipWithIndex.map { case ((b, n, pos), i) => (b, n, pos, fitted(i)) }
+      .toSeq.toDF("bin", "n", "pos", "fitted")
+  }
+
+  /** RECIPROCAL RANK FUSION — Cormack, Clarke & Buettcher 2009's
+    * rank-only hybrid-retrieval combiner: given per-query rankings from
+    * heterogeneous retrievers (lexical BM25, dense ANN, …), each item
+    * scores `Σ_lists 1/(kRrf + rank)` and the fused top-k re-ranks on
+    * that. Rank-only fusion needs no score normalization across
+    * retrievers — the reason RRF is the default hybrid combiner — and
+    * items present in only some lists simply collect fewer terms.
+    * Inputs are `(qid, id, rn)` frames (any extra columns ignored);
+    * output `(qid, id, rrf, n_lists, rn)` with the (rrf DESC, id)
+    * house tie-break. Shuffle shape: one union of the (bounded,
+    * already-top-k) ranking tables + one (qid, id)-keyed aggregate + a
+    * per-qid window over ≤ Σk rows — nothing corpus-sized appears
+    * anywhere (the corpus work happened inside the retrievers). */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int, topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val unioned = rankings
+      .map(_.select(col("qid"), col("id"), col("rn").cast("long").as("rn")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+    unioned
+      .groupBy("qid", "id")
+      .agg(sum(lit(1.0) / (lit(kRrf.toDouble) + col("rn"))).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
   }
 
   /** Score rows under a trained logistic model: adds `z` (the linear

@@ -123,6 +123,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFeatures: contract-recomputed RMS/ZCR/peak; zero samples break runs uncounted") {
+    val ids = Seq(0L, 3L, 13L, 403L).toDF("doc_id")
+    val got = Multimodal.audioFeatures(Multimodal.synthAudio(ids, "doc_id"), "doc_id", "blob")
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(0L, 3L, 13L, 403L)) {
+      val samples = (0L until (100 + id % 400))
+        .map(i => (((id * 31 + i * 17) % 2001) - 1000).toInt)
+      val m = got(id)
+      assert(m.n_samples == samples.length.toLong)
+      assert(m.sumsq == samples.map(s => s.toLong * s).sum, s"doc $id energy")
+      assert(m.n_cross ==
+        samples.sliding(2).count(p => p.head.toLong * p(1) < 0), s"doc $id crossings")
+      assert(m.peak == samples.map(math.abs).max, s"doc $id peak")
+    }
+    // the strict product rule on a hand-built WAV: [5, -3, 0, -2, 4] has
+    // crossings only at 5→-3 and -2→4 — the zero sample breaks the run
+    // without counting as a crossing in either direction
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val hand = Seq((9L, wav(Seq(5, -3, 0, -2, 4)))).toDF("doc_id", "blob")
+    val f = Multimodal.audioFeatures(hand, "doc_id", "blob").collect().head
+    assert(f.n_samples == 5L && f.sumsq == 54L && f.n_cross == 2L && f.peak == 5,
+      s"hand fixture: $f")
+  }
+
   test("real multi-frame codec roundtrip: synth GIF decodes frame-by-frame to the contract") {
     val ids = Seq(0L, 1L, 3L, 9L, 255L, 1000L)
     val got = Multimodal.decodeFrames(

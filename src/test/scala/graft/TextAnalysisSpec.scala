@@ -581,4 +581,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(approxMed == 5.0 || approxMed == 6.0,
       s"approx median $approxMed not an adjacent order statistic of 5.5")
   }
+
+  test("isotonicCalibration: PAV pools exactly the violating bins; mass preserved") {
+    // bins 1..4 with means [0.2, 0.5, 0.4, 0.8] — only (2,3) violate
+    // monotonicity, pooling to (5+4)/20 = 0.45; the ends stay untouched
+    val rows = Seq((1, 2), (2, 5), (3, 4), (4, 8)).flatMap { case (b, pos) =>
+      (0 until 10).map(i => (b / 10.0 + 0.05, i < pos))
+    }.toDF("p", "y")
+    val got = TextAnalysis.isotonicCalibration(rows, col("y"), col("p"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "one row per NON-EMPTY bin only")
+    assert(got.map(_._4).toSeq == Seq(0.2, 0.45, 0.45, 0.8), s"fit: ${got.toSeq}")
+    // the fit is nondecreasing and preserves total positive mass
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    val mass = got.map { case (_, n, _, f) => n * f }.sum
+    assert(math.abs(mass - got.map(_._3).sum) < 1e-9, s"mass $mass")
+    // a fully decreasing curve pools to one global block
+    val dec = Seq((0, 9), (5, 5), (9, 1)).flatMap { case (b, pos) =>
+      (0 until 10).map(i => (b / 10.0 + 0.05, i < pos))
+    }.toDF("p", "y")
+    val flat = TextAnalysis.isotonicCalibration(dec, col("y"), col("p"), bins = 10)
+      .select("fitted").as[Double].collect().toSet
+    assert(flat == Set(0.5), s"anti-monotone input must pool globally: $flat")
+    intercept[IllegalArgumentException](
+      TextAnalysis.isotonicCalibration(rows, col("y"), col("p"), bins = 1))
+  }
+
+  test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-breaks") {
+    val listA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("qid", "id", "rn")
+    val listB = Seq((1L, 20L, 1L), (1L, 40L, 2L)).toDF("qid", "id", "rn")
+    val got = TextAnalysis.rrfFuse(Seq(listA, listB), kRrf = 0, topK = 10)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    // id 20 collects 1/2 + 1/1 = 1.5 and overtakes list A's rank-1 item
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L), s"order: ${got.toSeq}")
+    assert(got(0)._2 == 1.5 && got(0)._3 == 2L)
+    assert(got(1)._2 == 1.0 && got(1)._3 == 1L)
+    assert(got(2)._2 == 0.5 && got(3)._2 == 1.0 / 3)
+    // equal-score items fall back to the id tie-break
+    val tie = Seq((7L, 5L, 1L), (7L, 3L, 1L)).toDF("qid", "id", "rn")
+    val t = TextAnalysis.rrfFuse(Seq(tie), kRrf = 60, topK = 2)
+      .orderBy("rn").select("id").as[Long].collect().toSeq
+    assert(t == Seq(3L, 5L), "rrf ties break by id ascending")
+    intercept[IllegalArgumentException](TextAnalysis.rrfFuse(Nil, 60, 5))
+    intercept[IllegalArgumentException](TextAnalysis.rrfFuse(Seq(tie), -1, 5))
+  }
 }
