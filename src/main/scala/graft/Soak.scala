@@ -828,9 +828,31 @@ object Soak {
         require(mrlCurve.toMap.apply(16) >= 0.9 && mrlCurve.toMap.apply(32) >= 0.95,
           s"$label: prefix rerank must hold the clustered floors: $mrlCurve")
       }
+      // Binary sign-quantized Hamming prefilter (q172's operator at
+      // operating scale): 1 bit/dim codes, exact-cosine rerank of the
+      // k·mult survivors — how much recall does the 32×-compressed
+      // prefilter keep, and how fast does rerank width buy it back?
+      val binCurve = Seq(2, 4, 8).map { mult =>
+        mult -> recallVs(exactCos,
+          topSet(Similarity.binaryHammingTopKReranked(e, queries, dim, k, mult)
+            .select(col("qid"), col("vec_id"), col("rn"))))
+      }
+      binCurve.foreach { case (m, r) =>
+        println(f"[soak] ann_recall $label binary-hamming mult=$m%2d rerank: recall@$k $r%.3f") }
+      binCurve.map(_._2).sliding(2).foreach {
+        case Seq(a, b) => require(b >= a - 0.02,
+          s"$label: binary recall should not degrade with rerank width: $binCurve")
+        case _ => ()
+      }
+      if (gateOperatingPoint) {
+        require(binCurve.toMap.apply(8) >= 0.85,
+          s"$label: binary prefilter at mult=8 must hold the clustered floor: $binCurve")
+      }
       val json =
         s"""{"leg":"$label","n_vectors":${e.count()},"n_queries":$nq,"k":$k,""" +
         s""""kmeanspp_composed_nprobe4_recall":$kppR,""" +
+        s""""binary_hamming_rerank":{""" +
+        binCurve.map { case (m, r) => s""""$m":$r""" }.mkString(",") + "}," +
         s""""matryoshka_mult8":{""" +
         mrlCurve.map { case (dp, r) => s""""$dp":$r""" }.mkString(",") + "}," +
         s""""sq8_adc_recall":$sqR,""" +
