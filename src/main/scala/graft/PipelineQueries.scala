@@ -1694,6 +1694,48 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("bin")))
   }
 
+  /** q179: GROUPED CLOSED-FORM OLS ([[TextAnalysis.groupedOls]]) — the
+    * per-source linear diagnostic (token count vs character count):
+    * slope ≈ 1/(avg word length + 1), intercept ≈ 0, R² near 1 on
+    * clean text — a source whose fit drifts has structurally different
+    * tokenization (code, CJK, boilerplate). One map-side-combined
+    * aggregate; all five moments are EXACT integer sums, so both
+    * engines compute the identical doubles from the identical longs
+    * (the closed-form formulas are single divisions). */
+  def q179(t: Tables): DataFrame =
+    TextAnalysis.groupedOls(t.documents, col("source"),
+        col("n_chars"), size(split(col("text"), " ")).cast("long"))
+      .select(col("g").as("source"), col("n"),
+        Rounding.portable(col("slope"), 6).as("slope"),
+        Rounding.portable(col("intercept"), 6).as("intercept"),
+        Rounding.portable(col("r2"), 6).as("r2"))
+      .transform(sortedSmall(_, col("source")))
+
+  /** q180: IMAGE LUMINANCE HISTOGRAM + ENTROPY
+    * ([[graft.operators.Multimodal.imageHistogram]]) — the image-side
+    * quality signal (blank/constant images collapse to one bin, natural
+    * texture spreads): 16 exact-count bins per real-decoded textured
+    * PNG, plus the Shannon entropy of the bin distribution derived
+    * columnar (HOF fold over the fixed bin order — the engine-identical
+    * form) and the joined histogram string pinning every count. The
+    * oracle re-derives every pixel from the synthTexturedBytes closed
+    * form (the q156/q40 no-codec-oracle discipline). */
+  def q180(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id")).filter(col("doc_id") % 10 === 6)
+    val blobs = graft.operators.Multimodal.synthTexturedImages(d, "doc_id")
+    graft.operators.Multimodal.imageHistogram(blobs, "doc_id", "blob", bins = 16)
+      .withColumn("n_px", aggregate(col("hist"), lit(0L), _ + _))
+      .select(col("doc_id"), col("n_px"),
+        size(filter(col("hist"), _ > 0L)).cast("long").as("nz_bins"),
+        array_join(transform(col("hist"), _.cast("string")), ",").as("hist"),
+        Rounding.portable(
+          -aggregate(filter(col("hist"), _ > 0L), lit(0.0),
+            (acc, c) => acc +
+              (c.cast("double") / col("n_px")) * log(c.cast("double") / col("n_px"))),
+          6).as("entropy6"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -1967,6 +2009,8 @@ object PipelineQueries {
     "q176_audio_features" -> q176 _,
     "q177_hybrid_rrf" -> q177 _,
     "q178_isotonic_calibration" -> q178 _,
+    "q179_grouped_ols" -> q179 _,
+    "q180_image_histogram" -> q180 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -4117,6 +4161,58 @@ object PipelineQueries {
       SELECT cum.bin, cum.n, cum.pos, round(fit.fitted, 6) AS fitted
       FROM cum JOIN fit USING (k)
       ORDER BY cum.bin NULLS FIRST""",
+
+    // q179: the five moments as exact BIGINT sums, then the closed-form
+    // slope/intercept/r2 as the same fixed dag of double ops over the
+    // same exact integers (nullif guards the degenerate constant-x case)
+    "q179_grouped_ols" -> """
+      WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+                 FROM documents
+                 WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+              sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM b GROUP BY g),
+      f AS (SELECT g, n, sx, sy,
+              CAST(n*sxy - sx*sy AS DOUBLE) /
+                CAST(nullif(n*sxx - sx*sx, 0) AS DOUBLE) AS slope,
+              (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+                nullif(CAST(n*sxx - sx*sx AS DOUBLE) *
+                       CAST(n*syy - sy*sy AS DOUBLE), 0.0) AS r2
+            FROM a)
+      SELECT g AS source, n, round(slope, 6) AS slope,
+        round((sy - slope * sx) / n, 6) AS intercept,
+        round(r2, 6) AS r2
+      FROM f ORDER BY source NULLS FIRST""",
+
+    // q180: every pixel re-derived from the synthTexturedBytes closed
+    // form (the q156 pixel CTE), binned v // 16, a 16-bin grid so empty
+    // bins report 0 in the joined string; entropy over nonzero bins
+    "q180_image_histogram" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
+      pix AS (SELECT d.doc_id, xx.x, yy.y,
+               CASE WHEN ((d.doc_id % 40) // 10) > 0
+                     AND xx.x = 2 * ((d.doc_id % 40) // 10)
+                     AND yy.y = 2 * ((d.doc_id % 40) // 10) + 1
+                    THEN (((d.doc_id // 40) * 37 + xx.x * 13 + yy.y * 29) % 251 + 96) % 256
+                    ELSE ((d.doc_id // 40) * 37 + xx.x * 13 + yy.y * 29) % 251 END AS v
+              FROM d,
+                   (SELECT unnest(range(0, 18)) AS x) xx,
+                   (SELECT unnest(range(0, 16)) AS y) yy),
+      hb AS (SELECT doc_id, v // 16 AS b, CAST(count(*) AS BIGINT) AS c
+             FROM pix GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, bb.b, coalesce(hb.c, 0) AS c
+               FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
+               LEFT JOIN hb ON hb.doc_id = d.doc_id AND hb.b = bb.b)
+      SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_px,
+        CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_bins,
+        string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS hist,
+        round(-sum(CASE WHEN c > 0
+                   THEN (CAST(c AS DOUBLE) / 288) * ln(CAST(c AS DOUBLE) / 288)
+                   ELSE 0.0 END), 6) AS entropy6
+      FROM grid GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -310,6 +310,47 @@ object Multimodal {
       .toDF(idCol, "blob")
   }
 
+  /** Per-image LUMINANCE HISTOGRAM from a REAL decode — the image-side
+    * quality/near-uniformity signal (an all-black scan, a blank page, a
+    * constant-color placeholder all collapse to one or two bins; a
+    * natural image spreads): `bins` equal-width cells over the 0–255
+    * range, counts exact integers so the histogram is bit-comparable
+    * across engines (entropy and ratios derive columnar downstream and
+    * round there). Grayscale contract: luminance = the green channel
+    * (identical to r/b on the gray fixtures; a production variant would
+    * take the BT.601 weighted sum — the plumbing is the point here).
+    * Same codec-boundary `mapPartitions` + in-kernel pixel reduction as
+    * [[decodeImages]]. Returns `(doc_id, hist: array<bigint>[bins])`. */
+  def imageHistogram(df: DataFrame, idCol: String, blobCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && 256 % bins == 0,
+      s"bins must divide 256 evenly and be >= 2, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: no ImageIO reader for payload")
+          val counts = new Array[Long](bins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) >> 8) & 0xff // green channel
+              counts(v / width) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, counts.toSeq)
+        }
+      }.toDF(idCol, "hist")
+  }
+
   /** Per-image downscale-cell GRAY sums from a REAL decode — the
     * perceptual-hash front half: the image is box-partitioned into
     * (w/cw)×(h/ch) cells and each cell's green-channel sum is emitted

@@ -750,6 +750,49 @@ object TextAnalysis {
       .toSeq.toDF("bin", "n", "pos", "fitted")
   }
 
+  /** GROUPED CLOSED-FORM SIMPLE LINEAR REGRESSION — the per-slice
+    * diagnostic fit (does token count scale linearly with characters?
+    * does quality drift with length per source?) as ONE aggregate:
+    * slope, intercept and R² from the five moment sums
+    * `(n, Σx, Σy, Σxy, Σx², Σy²)`.
+    *
+    * Engine-identical by construction: x and y are required INTEGRAL
+    * (cast to long — the moments are then EXACT BIGINT sums, immune to
+    * float-summation order, the same trick as [[graft.operators
+    * .Multimodal.AudioMeta]]'s integer stats), and each reported value
+    * is a fixed dag of double ops over those exact integers —
+    * `slope = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²)` as one division,
+    * `r² = num² / (den_x·den_y)` with the squares taken in DOUBLE
+    * (num ~ n·Σxy would overflow a long squared). A degenerate group
+    * (constant x or n < 2) reports NULL slope/intercept/r2 via
+    * `nullif` rather than a divide-by-zero artifact. Shuffle shape:
+    * one map-side-combined group aggregate; nothing else. Overflow
+    * contract: moments must fit a long (ANSI mode throws loudly
+    * otherwise); a >2⁶³-moment corpus slice would move to DECIMAL
+    * sums, same shape. Returns `(g, n, slope, intercept, r2)`
+    * unrounded. */
+  def groupedOls(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val base = df.select(group.as("g"),
+        x.cast("long").as("__ols_x"), y.cast("long").as("__ols_y"))
+      .filter(col("__ols_x").isNotNull && col("__ols_y").isNotNull)
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__ols_x")).as("sx"),
+      sum(col("__ols_y")).as("sy"),
+      sum(col("__ols_x") * col("__ols_y")).as("sxy"),
+      sum(col("__ols_x") * col("__ols_x")).as("sxx"),
+      sum(col("__ols_y") * col("__ols_y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("g"), col("n"),
+      (num.cast("double") / nullif(denX, lit(0L)).cast("double")).as("slope"),
+      (((col("sy") - (num.cast("double") / nullif(denX, lit(0L)).cast("double")) * col("sx")))
+        / col("n")).as("intercept"),
+      ((num.cast("double") * num.cast("double")) /
+        nullif(denX.cast("double") * denY.cast("double"), lit(0.0))).as("r2"))
+  }
+
   /** RECIPROCAL RANK FUSION — Cormack, Clarke & Buettcher 2009's
     * rank-only hybrid-retrieval combiner: given per-query rankings from
     * heterogeneous retrievers (lexical BM25, dense ANN, …), each item
@@ -769,7 +812,7 @@ object TextAnalysis {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val unioned = rankings
       .map(_.select(col("qid"), col("id"), col("rn").cast("long").as("rn")))
-      .reduce(_ unionAll _)
+      .reduce(_ union _)
     val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
     unioned
       .groupBy("qid", "id")

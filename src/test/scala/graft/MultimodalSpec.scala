@@ -158,6 +158,30 @@ class MultimodalSpec extends SparkSpec {
       s"hand fixture: $f")
   }
 
+  test("imageHistogram: bin counts match the textured pixel contract exactly") {
+    val ids = Seq(0L, 13L, 41L)
+    val got = Multimodal.imageHistogram(
+        Multimodal.synthTexturedImages(ids.toDF("doc_id"), "doc_id"),
+        "doc_id", "blob", bins = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- ids) {
+      val g = id / 40
+      val m = (id % 40) / 10
+      val expected = new Array[Long](16)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val v0 = ((g * 37 + x * 13 + y * 29) % 251).toInt
+        val v = if (m > 0 && x == 2 * m && y == 2 * m + 1) (v0 + 96) % 256 else v0
+        expected(v / 16) += 1
+      }
+      assert(got(id) == expected.toSeq, s"doc $id histogram")
+      assert(got(id).sum == 18L * 16, s"doc $id pixel count")
+    }
+    // bins must divide the 256-level range evenly
+    intercept[IllegalArgumentException](Multimodal.imageHistogram(
+      Multimodal.synthTexturedImages(Seq(1L).toDF("doc_id"), "doc_id"),
+      "doc_id", "blob", bins = 12))
+  }
+
   test("real multi-frame codec roundtrip: synth GIF decodes frame-by-frame to the contract") {
     val ids = Seq(0L, 1L, 3L, 9L, 255L, 1000L)
     val got = Multimodal.decodeFrames(

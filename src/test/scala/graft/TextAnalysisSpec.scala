@@ -608,6 +608,35 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.isotonicCalibration(rows, col("y"), col("p"), bins = 1))
   }
 
+  test("groupedOls: hand-computed closed form; degenerate groups report NULL not div0") {
+    // perfect line y = 2x: slope 2, intercept 0, r2 = 1 exactly
+    val line = Seq(("a", 1, 2), ("a", 2, 4), ("a", 3, 6)).toDF("g", "x", "y")
+    val l = TextAnalysis.groupedOls(line, col("g"), col("x"), col("y"))
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(l == ((3L, 2.0, 0.0, 1.0)), s"perfect line: $l")
+    // hand-worked noisy fixture: moments (n=4, sx=6, sy=8, sxy=16,
+    // sxx=14, syy=20) → slope 16/20 = 0.8, intercept 0.8, r2 = 0.8
+    val noisy = Seq(("b", 0, 1), ("b", 1, 1), ("b", 2, 3), ("b", 3, 3)).toDF("g", "x", "y")
+    val m = TextAnalysis.groupedOls(noisy, col("g"), col("x"), col("y"))
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(m._1 == 0.8 && m._3 == 0.8, s"noisy fixture: $m")
+    // intercept = (8 − 0.8·6)/4 carries one IEEE rounding (0.8·6 is not
+    // exact); the VALUE is fixed and engine-identical, just not 0.8
+    assert(math.abs(m._2 - 0.8) < 1e-12, s"noisy intercept: ${m._2}")
+    // constant x cannot be fit: NULLs, never a divide-by-zero artifact
+    val const = Seq(("c", 5, 1), ("c", 5, 9)).toDF("g", "x", "y")
+    val r = TextAnalysis.groupedOls(const, col("g"), col("x"), col("y"))
+      .select("slope", "intercept", "r2").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), s"degenerate: $r")
+    // NULL x/y rows are excluded from the moments, not zero-counted
+    val withNull = Seq(("d", Some(1), Some(2)), ("d", None, Some(9)),
+      ("d", Some(2), Some(4))).toDF("g", "x", "y")
+    val d = TextAnalysis.groupedOls(withNull, col("g"), col("x"), col("y"))
+      .select("n", "slope").as[(Long, Double)].head()
+    assert(d == ((2L, 2.0)), s"null exclusion: $d")
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-breaks") {
     val listA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("qid", "id", "rn")
     val listB = Seq((1L, 20L, 1L), (1L, 40L, 2L)).toDF("qid", "id", "rn")
