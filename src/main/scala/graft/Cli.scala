@@ -174,7 +174,9 @@ object Cli {
       a.get(sel).map { spec =>
         val c = expr(a.get(s"$sel-col").getOrElse(throw new IllegalArgumentException(
           s"--$sel needs --$sel-col <expr> (the id column it selects on)")))
-        val resolve: String => Long = a.get(s"$sel-dim") match {
+        // the dimension collect is LAZY: a pure-index spec with a --dim
+        // given never reads (or pays for) the dimension table
+        lazy val resolver: String => Long = a.get(s"$sel-dim") match {
           case Some(dimSpec) => dimSpec.split(':') match {
             case Array(table, idCol, nameCol) =>
               graft.operators.Subset.nameResolver(spark.table(table), idCol, nameCol)
@@ -185,7 +187,7 @@ object Cli {
             s"--$sel '$spec' contains name '$name' but no --$sel-dim " +
               "table:idcol:namecol was given to resolve it")
         }
-        graft.operators.Subset.namedMembership(spec, c, resolve)
+        graft.operators.Subset.namedMembership(spec, c, name => resolver(name))
       }
     }
 
@@ -388,13 +390,20 @@ object Cli {
     // the bucket — the scale-safe range-rank form (q146's shape), never
     // the single-partition ntile window. Ties need a unique tie-break
     // column for the assignment to be deterministic, exactly as the
-    // oracle-gated operator requires.
+    // oracle-gated operator requires. The ntile boundaries are computed
+    // over the FLAG-FILTERED rows (the reference discretizes the data it
+    // plots): a flagged row never appears in the raster, so letting it
+    // shift every bucket boundary would discretize a population the plot
+    // doesn't show. The raster's own mask re-applies downstream —
+    // idempotent on the already-filtered frame.
     val (df, colourBy) = (a.get("cnum"), a.get("colour-by")) match {
       case (Some(n), Some(ce)) =>
         val tb = a.get("cnum-tiebreak").getOrElse(throw new IllegalArgumentException(
           "--cnum needs --cnum-tiebreak <expr> (a unique column that breaks " +
             "colour-value ties deterministically, e.g. a row id)"))
-        (graft.operators.Discretize.ntileRangeRank(df0, n.toInt, expr(ce), expr(tb)),
+        val unflagged = a.get("flag-col").filterNot(_ => a.flag("noflags"))
+          .map(expr).map(m => df0.filter(!m)).getOrElse(df0)
+        (graft.operators.Discretize.ntileRangeRank(unflagged, n.toInt, expr(ce), expr(tb)),
           Some(col("bucket")))
       case (Some(_), None) =>
         throw new IllegalArgumentException("--cnum needs --colour-by <expr>")

@@ -4012,7 +4012,8 @@ object PipelineQueries {
             FROM c GROUP BY 1, 2)
       SELECT b, r, round(fp, 6) AS fp_area, round(fn, 6) AS fn_area,
         round(fp + fn, 6) AS err, round(pow(1.0 / b, 1.0 / r), 6) AS s50,
-        (row_number() OVER (ORDER BY fp + fn NULLS LAST, fn NULLS LAST, r DESC) = 1) AS chosen
+        (row_number() OVER (ORDER BY round(fp + fn, 6) NULLS LAST,
+                                     round(fn, 6) NULLS LAST, r DESC) = 1) AS chosen
       FROM a ORDER BY b NULLS FIRST, r NULLS FIRST""",
 
     // q174: HRW argmax re-derived per (doc, shard-count) as the max

@@ -40,25 +40,31 @@ object Queries {
     * outputs (rasters, fixed group sets) -> sortedSmall; O(N) outputs ->
     * sortedLarge.
     *
-    * Why persist-then-sort instead of a bare `orderBy`: the range
+    * Why materialize-then-sort instead of a bare `orderBy`: the range
     * exchange's sampling job executes the sort's CHILD plan, then the
     * shuffle-write executes it AGAIN — a bare global sort runs its whole
     * upstream twice (scan, shuffles, windows and all). Materializing the
     * result first means the upstream runs once and both the sampler and
     * the sort read the stored rows — the manual form of the materialized
     * query stage AQE inserts in production, kept explicit here so the
-    * plan is double-execution-free in any session mode. The storage cost
-    * is bounded by the result a presentation sort must shuffle anyway
-    * (MEMORY_AND_DISK — spills, never OOMs). Measured on the
-    * 30-query concurrent suite: the four sortedLarge queries stop being
-    * the stragglers (suite wall 2.2-2.9s -> 1.67-1.76s) because the
-    * straggler cost was precisely the doubled upstream executing while
-    * 29 other queries held the task slots. */
-  private def sortedLarge(df: DataFrame, cols: Column*): DataFrame = {
-    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    mat.count()
-    mat.orderBy(cols: _*)
-  }
+    * plan is double-execution-free in any session mode.
+    *
+    * `localCheckpoint`, NOT `persist`: a persist registers the logical
+    * plan with the session CacheManager, and every LATER invocation that
+    * builds the same plan silently reads the first invocation's cached
+    * result — a benchmark rep would measure a cache scan, not the query
+    * (caught by the r17 self-review; the RDD-level checkpoint is
+    * per-invocation by construction, so repeated executions each pay
+    * their own upstream exactly once). Storage is bounded by the result
+    * a presentation sort must shuffle anyway, spilled via the block
+    * manager, and freed by the ContextCleaner when the frame goes out of
+    * scope; on a multi-executor cluster localCheckpoint trades executor-
+    * loss recoverability for speed — acceptable for a terminal
+    * presentation sort whose driver would simply rerun the query. */
+  private def sortedLarge(df: DataFrame, cols: Column*): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_SORT_MODE").contains("plain"))
+      df.orderBy(cols: _*) // A/B escape hatch for harness sweeps
+    else df.localCheckpoint(eager = true).orderBy(cols: _*)
 
   // ── §2.2 projections / scalar expressions ─────────────────────────────
 

@@ -164,8 +164,14 @@ object Dedup {
     val curves = f.crossJoin(grid)
       .select(col("b"), col("r"), col("s"),
         (lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b"))).as("p"))
+    // rank on the 6-decimal-rounded areas, not the raw sums: the raw
+    // doubles are partial-aggregate sums whose merge order is task-
+    // dependent (and the oracle sums in yet another order), so two
+    // factorizations ulps apart could flip `chosen` between engines —
+    // the bm25TopK round-before-rank discipline
+    val round6 = (c: Column) => graft.functions.Rounding.portable(c, 6)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("err"), col("fn_area"), col("r").desc)
+      .orderBy(round6(col("err")), round6(col("fn_area")), col("r").desc)
     curves.groupBy("b", "r")
       .agg(
         (sum(when(col("s") < threshold, col("p")).otherwise(0.0)) / gridN).as("fp_area"),

@@ -21,15 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Subset {
 
-  /** List+range spec (`"0,2:5,9"`) → predicate over an id column. */
+  /** List+range spec (`"0,2:5,9"`) → predicate over an id column. The
+    * index-only instance of [[namedMembership]] (ONE grammar, shared —
+    * two copies had already drifted on error behavior by r17): a
+    * non-index token fails loudly here instead of resolving. */
   def membership(spec: String, c: Column): Column =
-    spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
-      part.split(':') match {
-        case Array(single) => c === single.trim.toLong
-        case Array(lo, hi) => c.between(lo.trim.toLong, hi.trim.toLong)
-        case _ => throw new IllegalArgumentException(s"bad subset part: '$part'")
-      }
-    }.reduceLeft(_ || _)
+    namedMembership(spec, c, name => throw new IllegalArgumentException(
+      s"bad subset part: '$name' (not an index or lo:hi range; name " +
+        "resolution needs the named-selector form with a dimension)"))
 
   /** Baseline-pair spec (`"0-1,2-3"`) → predicate over an antenna-pair
     * column pair — the reference's `--baseline` selector (`shade_ms/
@@ -65,13 +64,19 @@ object Subset {
     * [[membership]]. */
   def namedMembership(spec: String, c: Column, resolve: String => Long): Column = {
     def numeric(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
-    spec.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
-      part.split(':') match {
-        case Array(single) if numeric(single.trim) => c === single.trim.toLong
-        case Array(lo, hi) if numeric(lo.trim) && numeric(hi.trim) =>
-          c.between(lo.trim.toLong, hi.trim.toLong)
-        case Array(name) => c === resolve(name.trim)
-        case _ => throw new IllegalArgumentException(s"bad subset part: '$part'")
+    val parts = spec.split(',').map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty subset spec: '$spec'")
+    parts.map { part =>
+      // split with -1 so a trailing-empty range ("2:") is a loud error,
+      // not a silent single-index parse
+      part.split(":", -1).map(_.trim) match {
+        case Array(single) if numeric(single) => c === single.toLong
+        case Array(lo, hi) if numeric(lo) && numeric(hi) =>
+          c.between(lo.toLong, hi.toLong)
+        case Array(name) if name.nonEmpty =>
+          c === resolve(name)
+        case _ => throw new IllegalArgumentException(
+          s"bad subset part: '$part' (want an index, lo:hi range, or name)")
       }
     }.reduceLeft(_ || _)
   }

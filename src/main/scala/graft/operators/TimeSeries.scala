@@ -136,6 +136,12 @@ object TimeSeries {
       .filter(col("v").isNotNull)
     val counts = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
     val groups = counts.select("g").distinct()
+    // a lone group has no "rest" to drift from: fail loudly at the API
+    // boundary instead of an opaque ANSI DIVIDE_BY_ZERO at execution
+    // (the bounded-dimension count is a 2-row limit probe, not a scan)
+    require(groups.limit(2).count() >= 2,
+      "ksDriftByGroup needs at least 2 distinct groups (with non-NULL values) " +
+        "— a lone group has no rest-of-corpus to compare against")
     val values = counts.select("v").distinct()
     val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
     val nAll = base.agg(count(lit(1)).as("n_all"))

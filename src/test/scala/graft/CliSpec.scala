@@ -259,6 +259,27 @@ class CliSpec extends SparkSpec {
       .groupBy("b").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     assert(got == want, s"per-bucket row mass must match ntile: $got vs $want")
+    // with a flag mask, the ntile boundaries come from the UNFLAGGED
+    // rows (the population the plot shows) — ≡ pre-filtering by --where
+    val outFlag = tmp("cnum_flagged")
+    val outWhere = tmp("cnum_where")
+    def histOf(out: String, extra: String*): Map[Long, Long] = {
+      Cli.run(Seq(
+        "--dir", "/root/testdata/sf0.001", "--table", "lineitem",
+        "--where", "l_orderkey % 7 = 0",
+        "-x", "l_quantity", "-y", "l_tax",
+        "--width", "16", "--height", "16",
+        "--colour-by", "l_extendedprice", "--cnum", "4",
+        "--cnum-tiebreak", "l_orderkey * 10 + l_linenumber",
+        "--out", out) ++ extra, spark)
+      spark.read.parquet(out).groupBy("cat").agg(sum("c").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaFlag = histOf(outFlag, "--flag-col", "l_returnflag = 'R'")
+    val viaWhere = histOf(outWhere, "--where",
+      "l_orderkey % 7 = 0 AND NOT (l_returnflag = 'R')")
+    assert(viaFlag == viaWhere && viaFlag.keySet == Set(1L, 2L, 3L, 4L),
+      s"flag-masked cnum must discretize the plotted population: $viaFlag vs $viaWhere")
     // --cnum without colour-by / without tie-break fails loudly
     intercept[IllegalArgumentException](Cli.run(Seq(
       "--dir", "/root/testdata/sf0.001", "--table", "lineitem",

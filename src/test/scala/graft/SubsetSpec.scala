@@ -12,6 +12,20 @@ class SubsetSpec extends SparkSpec {
       .filter(Subset.membership("0,2:5,9", col("id")))
       .as[Long].collect().toSet
     assert(got == Set(0L, 2L, 3L, 4L, 5L, 9L))
+    // malformed parts fail loudly in the SHARED grammar (r17: membership
+    // delegates to namedMembership with a throwing resolver): a trailing-
+    // empty range used to silently parse as its lone index, and a name
+    // token in the index-only form used to escape as NumberFormatException
+    intercept[IllegalArgumentException](Subset.membership("2:", col("id")))
+    intercept[IllegalArgumentException](Subset.membership(":5", col("id")))
+    intercept[IllegalArgumentException](Subset.membership("FOO", col("id")))
+    intercept[IllegalArgumentException](Subset.membership("", col("id")))
+    // namedMembership shares the exact index grammar and adds names only
+    val named = (0L to 10L).toDF("id")
+      .filter(Subset.namedMembership("ALPHA,2:5", col("id"),
+        name => { assert(name == "ALPHA"); 9L }))
+      .as[Long].collect().toSet
+    assert(named == Set(2L, 3L, 4L, 5L, 9L))
   }
 
   test("chanSlice python semantics: exclusive stop, stride, open ends") {

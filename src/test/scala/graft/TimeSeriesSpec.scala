@@ -163,5 +163,10 @@ class TimeSeriesSpec extends SparkSpec {
     val n = TimeSeries.ksDriftByGroup(withNull, col("g"), col("v"))
       .filter(col("g") === "a").select("n").as[Long].head()
     assert(n == 1L, "the NULL row must not count toward a's sample size")
+    // a lone group (after NULL exclusion) fails loudly at the API
+    // boundary, never as an ANSI DIVIDE_BY_ZERO mid-plan
+    val lone = Seq(("a", Some(1)), ("a", Some(2)), ("b", None)).toDF("g", "v")
+    intercept[IllegalArgumentException](
+      TimeSeries.ksDriftByGroup(lone, col("g"), col("v")))
   }
 }
