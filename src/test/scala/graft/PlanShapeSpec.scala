@@ -108,6 +108,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"stop recount leg must be a semi-join:\n$p")
   }
 
+  test("q179: one map-side-combined moment aggregate — partial+final around a single exchange") {
+    // the grouped-OLS scale contract: the corpus meets ONE hash exchange
+    // (the group key); the closed form lives in the projection above it.
+    // The only other exchange is the 1-partition output sort.
+    val p = q("q179_grouped_ols")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial and final moment aggregates expected:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"exactly one group-key exchange expected:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in the moments plan:\n$p")
+  }
+
+  test("q174: rendezvous sharding is in-row argmax — one census exchange, no join, no window") {
+    val p = q("q174_rendezvous_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the census aggregate may shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"HRW assignment must be in-row arithmetic:\n$p")
+  }
+
+  test("q172: query codes broadcast into the Hamming scan — no shuffled corpus join") {
+    // the binary-ANN scale contract: the corpus-side code scan meets the
+    // (tiny) query codes through a broadcast, never a SortMergeJoin —
+    // shuffling the corpus on a join key would defeat the 32×-lighter
+    // scan the codes exist for.
+    val p = q("q172_binary_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query codes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle on a join key:\n$p")
+  }
+
   test("q66: bigram counting partially aggregates below its exchange") {
     val p = q("q66_bigrams")
     val exchangeIdx = p.indexOf("Exchange")
