@@ -1736,6 +1736,47 @@ object PipelineQueries {
       .transform(sortedSmall(_, col("doc_id")))
   }
 
+  /** q181: EMPIRICAL QUANTILE TRANSFORM
+    * ([[TextAnalysis.quantileTransform]]) — rank normalization of the
+    * q135 model's scores: every doc's p6 is replaced by its mid-rank
+    * ECDF position (ties share their average rank, outputs in (0,1)) —
+    * the distribution-free feature map that makes score thresholds
+    * transferable across corpora. One vocabulary-sized window + a
+    * score-keyed join back; every position is a rational of exact
+    * longs, re-derived by the oracle over the same training chain. The
+    * gated slice pins doc_id, the raw score AND the position, so a
+    * single mis-ranked tie group hash-mismatches. */
+  def q181(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(col("doc_id"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.quantileTransform(scored, col("p6"), "qpos")
+      .filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), col("p6"), Rounding.portable(col("qpos"), 6).as("qpos"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q182: POPULATION STABILITY INDEX ([[TimeSeries.psiDrift]]) — the
+    * model-governance drift number between the even- and odd-doc_id
+    * halves of the corpus over n_chars: reference-decile bins (the
+    * q45/q137 percentile identity), add-one-smoothed fractions, per-bin
+    * `(p_cur − p_ref)·ln(p_cur/p_ref)` terms. The gate pins every bin's
+    * raw counts, both smoothed fractions and the term — the PSI total
+    * is their sum. Completes the drift family: q171 CUSUM (sequential
+    * mean), q175 KS (distribution shape), q101/q163 (vocab
+    * divergences), q182 PSI (the binned industry report). */
+  def q182(t: Tables): DataFrame =
+    TimeSeries.psiDrift(
+        t.documents.filter(col("doc_id") % 2 === 0),
+        t.documents.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), bins = 10)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        Rounding.portable(col("ref_frac"), 6).as("ref_frac"),
+        Rounding.portable(col("cur_frac"), 6).as("cur_frac"),
+        Rounding.portable(col("term"), 6).as("term"))
+      .transform(sortedSmall(_, col("bin")))
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -2011,6 +2052,8 @@ object PipelineQueries {
     "q178_isotonic_calibration" -> q178 _,
     "q179_grouped_ols" -> q179 _,
     "q180_image_histogram" -> q180 _,
+    "q181_quantile_transform" -> q181 _,
+    "q182_psi_drift" -> q182 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -4214,6 +4257,55 @@ object PipelineQueries {
                    THEN (CAST(c AS DOUBLE) / 288) * ln(CAST(c AS DOUBLE) / 288)
                    ELSE 0.0 END), 6) AS entropy6
       FROM grid GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
+
+    // q181: the q135 training chain, then the mid-rank ECDF over the p6
+    // vocabulary — (cum_before + (c+1)/2)/n as the same rationals of the
+    // same exact counts
+    "q181_quantile_transform" -> s"""
+      WITH ${logisticCtes(4)},
+      sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w4),
+      cnt AS (SELECT p6, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY p6),
+      cum AS (SELECT p6, c, sum(c) OVER (ORDER BY p6) AS cumc FROM cnt),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+      pos AS (SELECT p6,
+               (CAST(cumc - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2) / nn.n AS qpos
+              FROM cum, nn)
+      SELECT sc.doc_id, sc.p6, round(pos.qpos, 6) AS qpos
+      FROM sc JOIN pos USING (p6)
+      WHERE sc.doc_id % 10 = 4
+      ORDER BY sc.doc_id NULLS FIRST""",
+
+    // q182: reference-decile edges via quantile_cont on the even half
+    // (the q45/q137 percentile identity; k/10 as the same IEEE double),
+    // bin = count of strictly-exceeded edges, add-one-smoothed fractions
+    "q182_psi_drift" -> """
+      WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+                 WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+            WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+      e AS (SELECT quantile_cont(v, [CAST(1 AS DOUBLE)/10, CAST(2 AS DOUBLE)/10,
+             CAST(3 AS DOUBLE)/10, CAST(4 AS DOUBLE)/10, CAST(5 AS DOUBLE)/10,
+             CAST(6 AS DOUBLE)/10, CAST(7 AS DOUBLE)/10, CAST(8 AS DOUBLE)/10,
+             CAST(9 AS DOUBLE)/10]) AS edges FROM r),
+      rb AS (SELECT len(list_filter(e.edges, x -> r.v > x)) AS bin,
+               CAST(count(*) AS BIGINT) AS n_ref
+             FROM r, e GROUP BY 1),
+      cb AS (SELECT len(list_filter(e.edges, x -> c.v > x)) AS bin,
+               CAST(count(*) AS BIGINT) AS n_cur
+             FROM c, e GROUP BY 1),
+      nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+      fr AS (SELECT spine.bin,
+               coalesce(rb.n_ref, 0) AS n_ref, coalesce(cb.n_cur, 0) AS n_cur,
+               CAST(coalesce(rb.n_ref, 0) + 1 AS DOUBLE) / (nr.n + 10) AS ref_frac,
+               CAST(coalesce(cb.n_cur, 0) + 1 AS DOUBLE) / (nc.n + 10) AS cur_frac
+             FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin), nr, nc)
+      SELECT bin, n_ref, n_cur,
+        round(ref_frac, 6) AS ref_frac, round(cur_frac, 6) AS cur_frac,
+        round((cur_frac - ref_frac) * ln(cur_frac / ref_frac), 6) AS term
+      FROM fr ORDER BY bin NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -697,6 +697,38 @@ object TextAnalysis {
           count(lit(1))).as("frac_pos"))
   }
 
+  /** EMPIRICAL QUANTILE TRANSFORM (rank normalization) — the
+    * distribution-free feature map every tabular/ranking stack ships
+    * (sklearn's QuantileTransformer, rank-gauss without the probit):
+    * each row's score is replaced by its mid-rank ECDF position
+    * `F(s) = (count_below + (count_eq + 1)/2) / n` — ties share their
+    * average rank, outputs land in (0, 1] (a unique maximum maps to
+    * exactly 1), and monotone transformations
+    * of the input change nothing (the property that makes downstream
+    * thresholds transferable across corpora).
+    *
+    * Shape (the q154 value-vocabulary discipline): one map-side-combined
+    * count per DISTINCT score, a cumulative window over that
+    * vocabulary-sized table (bounded, never data-sized), and a
+    * vocab-keyed join back onto the rows — the corpus shuffles once on
+    * the score key it already grouped on. All positions are rationals
+    * of exact longs (single division), so the oracle re-derives them
+    * bit-for-bit. Appends `out` (double in (0, 1]); NULL scores pass
+    * through with NULL position. */
+  def quantileTransform(df: DataFrame, score: Column, out: String): DataFrame = {
+    val counts = df.select(score.as("__qt_s")).filter(col("__qt_s").isNotNull)
+      .groupBy("__qt_s").agg(count(lit(1)).as("__qt_c"))
+    val w = Window.orderBy("__qt_s")
+    val pos = counts
+      .withColumn("__qt_cum", sum("__qt_c").over(w))
+      .crossJoin(broadcast(
+        counts.agg(sum("__qt_c").as("__qt_n"))))
+      .select(col("__qt_s"),
+        (((col("__qt_cum") - col("__qt_c")).cast("double") +
+          (col("__qt_c") + 1).cast("double") / 2) / col("__qt_n")).as(out))
+    df.join(pos, score <=> col("__qt_s"), "left_outer").drop("__qt_s")
+  }
+
   /** ISOTONIC CALIBRATION by pool-adjacent-violators over the binned
     * calibration curve — the principled monotone upgrade of
     * [[calibrationCurve]] (which only DIAGNOSES miscalibration):

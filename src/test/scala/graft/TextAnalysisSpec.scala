@@ -637,6 +637,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d == ((2L, 2.0)), s"null exclusion: $d")
   }
 
+  test("quantileTransform: mid-rank ECDF exact on ties, NULL passthrough, monotone-invariant") {
+    // scores [10, 20, 20, 30]: F(10) = (0+1)/4, F(20) = (1+1.5)/4,
+    // F(30) = (3+1)/4 — the tie group shares its average rank and the
+    // unique max maps to exactly 1
+    val df = Seq((1L, Some(10)), (2L, Some(20)), (3L, Some(20)),
+      (4L, Some(30)), (5L, None)).toDF("id", "s")
+    val got = TextAnalysis.quantileTransform(df, col("s"), "q")
+      .orderBy("id").select("q").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(0.25), Some(0.625), Some(0.625), Some(1.0), None),
+      s"positions: ${got.toSeq}")
+    // a monotone transformation of the score changes nothing (the
+    // property rank normalization exists for)
+    val viaSquare = TextAnalysis.quantileTransform(
+        df.withColumn("s2", col("s") * col("s")), col("s2"), "q")
+      .orderBy("id").select("q").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(viaSquare.toSeq == got.toSeq, "monotone transform must preserve positions")
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-breaks") {
     val listA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("qid", "id", "rn")
     val listB = Seq((1L, 20L, 1L), (1L, 40L, 2L)).toDF("qid", "id", "rn")

@@ -169,4 +169,24 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.ksDriftByGroup(lone, col("g"), col("v")))
   }
+
+  test("psiDrift: zero on identical slices, large on a shift, mass conserved, bins smoothed") {
+    val ref = (1 to 200).map(i => i % 100).toDF("v")
+    // identical populations → every bin's fractions equal → PSI exactly 0
+    val same = TimeSeries.psiDrift(ref, ref, col("v"), bins = 10)
+      .select("term").as[Double].collect()
+    assert(same.length == 10 && same.forall(_ == 0.0), s"identical: ${same.toSeq}")
+    // a shifted current slice concentrates in the top bins → PSI blows
+    // past the industry 0.25 'investigate' line
+    val shifted = (1 to 200).map(i => i % 100 + 90).toDF("v")
+    val drift = TimeSeries.psiDrift(ref, shifted, col("v"), bins = 10)
+    val rows = drift.select("bin", "n_ref", "n_cur", "term")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 10L).toSeq, "one row per bin, empty included")
+    assert(rows.map(_._2).sum == 200L && rows.map(_._3).sum == 200L, "mass conserved")
+    assert(rows.map(_._4).sum > 0.25, s"shift must alarm: PSI = ${rows.map(_._4).sum}")
+    // add-one smoothing keeps empty bins finite (no NaN/Inf terms)
+    assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite), s"terms: ${rows.toSeq}")
+    intercept[IllegalArgumentException](TimeSeries.psiDrift(ref, ref, col("v"), bins = 1))
+  }
 }
