@@ -1739,7 +1739,7 @@ object PipelineQueries {
   /** q181: EMPIRICAL QUANTILE TRANSFORM
     * ([[TextAnalysis.quantileTransform]]) — rank normalization of the
     * q135 model's scores: every doc's p6 is replaced by its mid-rank
-    * ECDF position (ties share their average rank, outputs in (0,1)) —
+    * ECDF position (ties share their average rank, outputs in (0,1]) —
     * the distribution-free feature map that makes score thresholds
     * transferable across corpora. One vocabulary-sized window + a
     * score-keyed join back; every position is a rational of exact
@@ -4265,14 +4265,15 @@ object PipelineQueries {
       WITH ${logisticCtes(4)},
       sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
              FROM f, w4),
-      cnt AS (SELECT p6, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY p6),
+      cnt AS (SELECT p6, CAST(count(*) AS BIGINT) AS c FROM sc
+              WHERE p6 IS NOT NULL GROUP BY p6),
       cum AS (SELECT p6, c, sum(c) OVER (ORDER BY p6) AS cumc FROM cnt),
       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
       pos AS (SELECT p6,
                (CAST(cumc - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2) / nn.n AS qpos
               FROM cum, nn)
       SELECT sc.doc_id, sc.p6, round(pos.qpos, 6) AS qpos
-      FROM sc JOIN pos USING (p6)
+      FROM sc LEFT JOIN pos USING (p6)
       WHERE sc.doc_id % 10 = 4
       ORDER BY sc.doc_id NULLS FIRST""",
 

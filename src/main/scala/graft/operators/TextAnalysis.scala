@@ -719,10 +719,13 @@ object TextAnalysis {
     val counts = df.select(score.as("__qt_s")).filter(col("__qt_s").isNotNull)
       .groupBy("__qt_s").agg(count(lit(1)).as("__qt_c"))
     val w = Window.orderBy("__qt_s")
+    // the grand total is an unbounded window over the SAME vocab-sized
+    // table the cumulative window already holds — a second aggregate on
+    // `counts` would rescan the corpus unless exchange reuse saves it
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val pos = counts
       .withColumn("__qt_cum", sum("__qt_c").over(w))
-      .crossJoin(broadcast(
-        counts.agg(sum("__qt_c").as("__qt_n"))))
+      .withColumn("__qt_n", sum("__qt_c").over(wAll))
       .select(col("__qt_s"),
         (((col("__qt_cum") - col("__qt_c")).cast("double") +
           (col("__qt_c") + 1).cast("double") / 2) / col("__qt_n")).as(out))

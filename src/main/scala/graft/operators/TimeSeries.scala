@@ -131,57 +131,6 @@ object TimeSeries {
     * window q154 documents); nothing data-sized funnels anywhere. The
     * statistic is exact — rational counts, no quadrature — so the
     * oracle re-derives it to the rounding digit. */
-  /** POPULATION STABILITY INDEX — the industry-standard binned drift
-    * number (credit-risk monitoring's PSI, the metric model-governance
-    * dashboards actually alarm on; rule of thumb: < 0.1 stable, > 0.25
-    * investigate): bin edges are the REFERENCE slice's quantiles (equal
-    * -population by construction, so every bin carries signal — the fix
-    * for equal-WIDTH bins collapsing onto the data's head), both slices
-    * histogram against those fixed edges, and each bin contributes
-    * `(p_cur − p_ref) · ln(p_cur / p_ref)`.
-    *
-    * Cross-engine determinism: the edges come from the exact
-    * interpolated percentile (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`, the q45/q137 identity) with `k/bins` computed as
-    * the same IEEE double; bin membership is a count of strictly-
-    * exceeded edges (an in-row fold over the broadcast edge array);
-    * and the fractions are add-one-smoothed RATIONALS of exact counts
-    * (`(c + 1)/(n + bins)` — empty bins stay finite, the standard
-    * Laplace guard), so both engines divide the same integers. One
-    * aggregate for the edges (1-row broadcast), one bin-keyed count per
-    * slice, a `bins`-row join — the corpus scans twice and shuffles
-    * only bin keys. Returns one row per bin:
-    * `(bin, n_ref, n_cur, ref_frac, cur_frac, term)`, terms unrounded;
-    * `PSI = Σ term`. */
-  def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
-    val spark = ref.sparkSession
-    val fracs = (1 until bins).map(k =>
-      s"CAST($k AS DOUBLE) / $bins").mkString(", ")
-    val refV = ref.select(value.cast("double").as("v")).filter(col("v").isNotNull)
-    val curV = cur.select(value.cast("double").as("v")).filter(col("v").isNotNull)
-    val edges = refV.agg(
-      expr(s"percentile(v, array($fracs))").as("__psi_e"))
-    def binned(slice: DataFrame, n: String): DataFrame =
-      slice.crossJoin(broadcast(edges))
-        .select(aggregate(col("__psi_e"), lit(0L),
-          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(n))
-    val spine = spark.range(bins.toLong).select(col("id").as("bin"))
-    spine
-      .join(binned(refV, "n_ref"), Seq("bin"), "left_outer")
-      .join(binned(curV, "n_cur"), Seq("bin"), "left_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
-      .crossJoin(broadcast(refV.agg(count(lit(1)).as("__psi_nr"))))
-      .crossJoin(broadcast(curV.agg(count(lit(1)).as("__psi_nc"))))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
-        ((col("n_ref") + 1).cast("double") / (col("__psi_nr") + bins)).as("ref_frac"),
-        ((col("n_cur") + 1).cast("double") / (col("__psi_nc") + bins)).as("cur_frac"))
-      .withColumn("term",
-        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
-  }
-
   def ksDriftByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
@@ -217,5 +166,70 @@ object TimeSeries {
       .withColumn("ks", col("d") * sqrt(
         col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
       .select("g", "n", "n_rest", "d", "ks")
+  }
+
+  /** POPULATION STABILITY INDEX — the industry-standard binned drift
+    * number (credit-risk monitoring's PSI, the metric model-governance
+    * dashboards actually alarm on; rule of thumb: < 0.1 stable, > 0.25
+    * investigate): bin edges are the REFERENCE slice's quantiles (equal
+    * -population by construction, so every bin carries signal — the fix
+    * for equal-WIDTH bins collapsing onto the data's head), both slices
+    * histogram against those fixed edges, and each bin contributes
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)`.
+    *
+    * Cross-engine determinism: the edges come from the exact
+    * interpolated percentile (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the q45/q137 identity) with `k/bins` computed as
+    * the same IEEE double; bin membership is a count of strictly-
+    * exceeded edges (an in-row fold over the broadcast edge array);
+    * and the fractions are add-one-smoothed RATIONALS of exact counts
+    * (`(c + 1)/(n + bins)` — empty bins stay finite, the standard
+    * Laplace guard), so both engines divide the same integers. The
+    * reference scans twice (edge percentiles + its histogram), the
+    * current slice once; the slice totals come from summing the
+    * bins-row spine (bin membership is total by construction, so mass
+    * is conserved — no third scan). Both slices must be non-empty: an
+    * empty current would smooth every bin to the SAME near-zero
+    * fraction and report "no drift" for a vanished population, and an
+    * empty reference has no quantiles — both fail loudly instead (the
+    * [[ksDriftByGroup]] degenerate-input discipline). Returns one row
+    * per bin: `(bin, n_ref, n_cur, ref_frac, cur_frac, term)`, terms
+    * unrounded; `PSI = Σ term`. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = ref.sparkSession
+    val fracs = (1 until bins).map(k =>
+      s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+    val refV = ref.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    val curV = cur.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    require(refV.limit(1).count() == 1,
+      "psiDrift: the reference slice has no non-NULL values — no quantile edges exist")
+    require(curV.limit(1).count() == 1,
+      "psiDrift: the current slice has no non-NULL values — a vanished population " +
+        "is an incident, not zero drift")
+    val edges = refV.agg(
+      expr(s"percentile(v, array($fracs))").as("__psi_e"))
+    def binned(slice: DataFrame, n: String): DataFrame =
+      slice.crossJoin(broadcast(edges))
+        .select(aggregate(col("__psi_e"), lit(0L),
+          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val spine = spark.range(bins.toLong).select(col("id").as("bin"))
+    // slice totals = sums over the bins-row spine (bin membership is
+    // total: 0 <= bin < bins always), via an unbounded window on the
+    // tiny joined table — no extra corpus scan
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spine
+      .join(binned(refV, "n_ref"), Seq("bin"), "left_outer")
+      .join(binned(curV, "n_cur"), Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__psi_nr", sum("n_ref").over(wAll))
+      .withColumn("__psi_nc", sum("n_cur").over(wAll))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 1).cast("double") / (col("__psi_nr") + bins)).as("ref_frac"),
+        ((col("n_cur") + 1).cast("double") / (col("__psi_nc") + bins)).as("cur_frac"))
+      .withColumn("term",
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
   }
 }
