@@ -1777,6 +1777,38 @@ object PipelineQueries {
         Rounding.portable(col("term"), 6).as("term"))
       .transform(sortedSmall(_, col("bin")))
 
+  /** q183: GROUPED GINI CONCENTRATION ([[TextAnalysis.giniByGroup]]) —
+    * the mixture-balance inequality audit: per source, how concentrated
+    * is the token mass across that source's documents (a source whose
+    * mass lives in a few giant docs shrinks dramatically under any
+    * per-doc cap — the number a mixture planner reads next to q114's
+    * temperature weights). Exact rank form over ascending (tokens,
+    * doc_id); `Σ i·x_i` and `Σ x` are exact BIGINT sums (the q179
+    * integral-moment trick) so both engines compute the identical
+    * divisions. */
+  def q183(t: Tables): DataFrame =
+    TextAnalysis.giniByGroup(t.documents, col("source"),
+        size(split(col("text"), " ")).cast("long"), col("doc_id"))
+      .select(col("g").as("source"), col("n"), col("total"),
+        Rounding.portable(col("gini"), 6).as("gini"))
+      .transform(sortedSmall(_, col("source")))
+
+  /** q184: BENFORD FIRST-DIGIT AUDIT ([[graft.operators.Cleaning
+    * .benfordAudit]]) — the numeric data-quality screen over a derived
+    * magnitude column (doc_id·n_chars — a product of two ranges spreads
+    * leading digits across the Benford support; n_chars alone is
+    * range-bounded and legitimately non-Benford, which is exactly the
+    * distinction the screen exists to surface): per digit 1–9 the
+    * observed count, the log10(1+1/d) expectation and the Pearson χ²
+    * term. All 9 spine rows pinned, empty digits included. */
+  def q184(t: Tables): DataFrame =
+    graft.operators.Cleaning.benfordAudit(
+        t.documents, col("doc_id") * col("n_chars"))
+      .select(col("digit"), col("obs"),
+        Rounding.portable(col("exp_frac"), 6).as("exp_frac"),
+        Rounding.portable(col("term"), 6).as("term"))
+      .transform(sortedSmall(_, col("digit")))
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -2054,6 +2086,8 @@ object PipelineQueries {
     "q180_image_histogram" -> q180 _,
     "q181_quantile_transform" -> q181 _,
     "q182_psi_drift" -> q182 _,
+    "q183_gini_concentration" -> q183 _,
+    "q184_benford_audit" -> q184 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -4307,6 +4341,41 @@ object PipelineQueries {
         round(ref_frac, 6) AS ref_frac, round(cur_frac, 6) AS cur_frac,
         round((cur_frac - ref_frac) * ln(cur_frac / ref_frac), 6) AS term
       FROM fr ORDER BY bin NULLS FIRST""",
+
+    // q183: per-source rank-form Gini over ascending (tokens, doc_id) —
+    // the i*x and x sums as exact BIGINTs, the same two divisions
+    "q183_gini_concentration" -> """
+      WITH b AS (SELECT source AS g, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+                 FROM documents WHERE text IS NOT NULL),
+      r AS (SELECT g, x,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY x, doc_id) AS BIGINT) AS i
+            FROM b),
+      a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              sum(x) AS total, sum(i * x) AS ix
+            FROM r GROUP BY g)
+      SELECT g AS source, n, total,
+        round(CAST(ix * 2 AS DOUBLE) / CAST(nullif(n * total, 0) AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      FROM a ORDER BY source NULLS FIRST""",
+
+    // q184: leading digit of doc_id*n_chars as the first character of
+    // the decimal string; Benford expectation log10(1+1/d); chi-square
+    // terms over the exact counts; 9-row spine so empty digits pin 0
+    "q184_benford_audit" -> """
+      WITH v AS (SELECT CAST(doc_id * n_chars AS BIGINT) AS x FROM documents
+                 WHERE doc_id * n_chars IS NOT NULL AND doc_id * n_chars > 0),
+      c AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              CAST(count(*) AS BIGINT) AS obs
+            FROM v GROUP BY 1),
+      spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      f AS (SELECT spine.digit, coalesce(c.obs, 0) AS obs,
+              log10(1.0 + 1.0 / spine.digit) AS ef
+            FROM spine LEFT JOIN c USING (digit))
+      SELECT digit, obs, round(ef, 6) AS exp_frac,
+        round((obs - ef * nn.n) * (obs - ef * nn.n) / (ef * nn.n), 6) AS term
+      FROM f, nn ORDER BY digit NULLS FIRST""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

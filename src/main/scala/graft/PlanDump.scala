@@ -61,6 +61,7 @@ object PlanDump {
     "q177_hybrid_rrf",       // bounded top-k tables union + (qid,id) agg — no corpus-sized stage
     "q179_grouped_ols",      // ONE map-side-combined moment aggregate; closed form in the projection
     "q182_psi_drift",        // 1-row percentile-edge broadcast; bin-keyed counts; bins-row join
+    "q183_gini_concentration", // group-keyed rank window + one moment aggregate, no global sort
     "q108_winnowing",        // per-doc ROWS-frame window minima + distinct (sketch build)
     "q110_substring_removal", // run-table explode only; semi join shields the corpus scan
     "q111_sketch_novelty",   // k-row sketch tables; merge joins sketches, never raw data

@@ -785,6 +785,39 @@ object TextAnalysis {
       .toSeq.toDF("bin", "n", "pos", "fitted")
   }
 
+  /** GROUPED GINI COEFFICIENT — the corpus-balance inequality number
+    * (the mixture-audit sibling of [[graft.operators.Sampling]]'s
+    * temperature reweighting: a source whose token mass concentrates in
+    * a handful of giant documents behaves like a much smaller source
+    * after any per-doc cap, and Gini is the standard single number for
+    * that concentration; 0 = perfectly even, → 1 = one doc owns
+    * everything). Exact rank form over ascending `(value, tieBreak)`:
+    * `G = (2·Σ i·x_i) / (n·Σ x) − (n + 1)/n` with `i` the 1-based rank.
+    *
+    * Engine-identity: `value` is required INTEGRAL (the q179 moment
+    * trick — `Σ i·x_i` and `Σ x` are then EXACT BIGINT sums, immune to
+    * float order), the rank window is group-keyed (one exchange, no
+    * global sort), and G is a fixed dag of two divisions over exact
+    * integers. Degenerate all-zero-mass groups report NULL via nullif.
+    * Returns `(g, n, total, gini)` unrounded. */
+  def giniByGroup(df: DataFrame, group: Column, value: Column,
+      tieBreak: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("long").as("__gini_x"),
+        tieBreak.as("__gini_t"))
+      .filter(col("__gini_x").isNotNull)
+    val w = Window.partitionBy("g").orderBy(col("__gini_x"), col("__gini_t"))
+    base
+      .withColumn("__gini_i", row_number().over(w).cast("long"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__gini_x")).as("total"),
+        sum(col("__gini_i") * col("__gini_x")).as("__gini_ix"))
+      .select(col("g"), col("n"), col("total"),
+        ((col("__gini_ix") * 2).cast("double") /
+            nullif(col("n") * col("total"), lit(0L)).cast("double") -
+          (col("n") + 1).cast("double") / col("n")).as("gini"))
+  }
+
   /** GROUPED CLOSED-FORM SIMPLE LINEAR REGRESSION — the per-slice
     * diagnostic fit (does token count scale linearly with characters?
     * does quality drift with length per source?) as ONE aggregate:

@@ -461,4 +461,28 @@ class CleaningSpec extends SparkSpec {
     assert(got(1L) == ((Some("head"), true)) && got(3L) == ((Some("tail"), false)),
       s"non-null group disturbed: $got")
   }
+
+  test("benfordAudit: exact digit census, chi-square recomputed, guards on empty/non-positive") {
+    // digits: 1 (from 1, 19), 2 (from 23, 2), 9 (from 911); 0/-5/NULL excluded
+    val df = Seq(Some(1L), Some(19L), Some(23L), Some(2L), Some(911L),
+      Some(0L), Some(-5L), None).toDF("x")
+    val got = Cleaning.benfordAudit(df, col("x"))
+      .orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 9L), "all 9 spine digits present")
+    val obs = got.map(g => g._1 -> g._2).toMap
+    assert(obs == Map(1L -> 2L, 2L -> 2L, 9L -> 1L) ++
+      Seq(3L, 4L, 5L, 6L, 7L, 8L).map(_ -> 0L).toMap, s"census: $obs")
+    // expectation and term recomputed independently (n = 5 positives)
+    got.foreach { case (d, o, ef, term) =>
+      val expF = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(ef - expF) < 1e-12, s"digit $d expectation")
+      val e = expF * 5
+      assert(math.abs(term - (o - e) * (o - e) / e) < 1e-9, s"digit $d term")
+    }
+    // the observed column sums back to the positive count (mass check)
+    assert(got.map(_._2).sum == 5L)
+    intercept[IllegalArgumentException](
+      Cleaning.benfordAudit(Seq(0L, -1L).toDF("x"), col("x")))
+  }
 }

@@ -637,6 +637,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d == ((2L, 2.0)), s"null exclusion: $d")
   }
 
+  test("giniByGroup: closed-form extremes and a hand-worked middle; zero-mass NULLs") {
+    val df = Seq(
+      ("even", 1L, 1), ("even", 2L, 1), ("even", 3L, 1), ("even", 4L, 1),
+      ("max", 11L, 0), ("max", 12L, 0), ("max", 13L, 0), ("max", 14L, 10),
+      ("mid", 21L, 1), ("mid", 22L, 2), ("mid", 23L, 3), ("mid", 24L, 4),
+      ("zero", 31L, 0), ("zero", 32L, 0)
+    ).toDF("g", "id", "x")
+    val got = TextAnalysis.giniByGroup(df, col("g"), col("x"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("even") == ((4L, 4L, Some(0.0))), s"uniform mass: ${got("even")}")
+    // one doc owns everything: G = (n-1)/n = 0.75 exactly
+    assert(got("max") == ((4L, 10L, Some(0.75))), s"max concentration: ${got("max")}")
+    // [1,2,3,4]: 2*30/(4*10) - 5/4 = 0.25 exactly
+    assert(got("mid") == ((4L, 10L, Some(0.25))), s"hand-worked: ${got("mid")}")
+    // all-zero mass cannot be ranked into shares: NULL, not a div0
+    assert(got("zero")._3.isEmpty, s"zero mass: ${got("zero")}")
+  }
+
   test("quantileTransform: mid-rank ECDF exact on ties, NULL passthrough, monotone-invariant") {
     // scores [10, 20, 20, 30]: F(10) = (0+1)/4, F(20) = (1+1.5)/4,
     // F(30) = (3+1)/4 — the tie group shares its average rank and the
