@@ -4352,7 +4352,7 @@ object PipelineQueries {
              CAST(row_number() OVER (PARTITION BY g ORDER BY x, doc_id) AS BIGINT) AS i
             FROM b),
       a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-              sum(x) AS total, sum(i * x) AS ix
+              CAST(sum(x) AS BIGINT) AS total, sum(i * x) AS ix
             FROM r GROUP BY g)
       SELECT g AS source, n, total,
         round(CAST(ix * 2 AS DOUBLE) / CAST(nullif(n * total, 0) AS DOUBLE)

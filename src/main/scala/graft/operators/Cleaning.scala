@@ -135,45 +135,6 @@ object Cleaning {
     * lexicographic order and only a STRICTLY longer run replaces the
     * best. The rule thresholds are data-set parameters, not constants
     * of nature. */
-  /** BENFORD FIRST-DIGIT AUDIT — the numeric-column data-quality screen
-    * (auditing/fraud tooling's standard anomaly flag; naturally-grown
-    * magnitudes follow `P(d) = log10(1 + 1/d)`, fabricated or truncated
-    * ones don't): per leading digit 1–9 of the positive values, the
-    * observed count, the Benford expectation, and the Pearson χ² term
-    * `(obs − exp)² / exp` — `Σ term` against χ²(8) is the test.
-    *
-    * A screen, not a verdict: uniform or range-bounded columns
-    * legitimately fail Benford; the operator's job is to make the
-    * distribution VISIBLE next to its expectation. Shape: one map-side
-    * `substring(cast(x as string), 1, 1)` digit extraction + one 9-key
-    * aggregate + a 9-row spine join; counts exact, the expectation the
-    * same `log10` double on both engines, the χ² term a fixed dag over
-    * them. Non-positive and NULL values are excluded (they have no
-    * Benford digit). Returns `(digit, obs, exp_frac, term)` per digit,
-    * all 9 rows present. */
-  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
-    val spark = df.sparkSession
-    val v = df.select(value.cast("long").as("__bf_v"))
-      .filter(col("__bf_v").isNotNull && col("__bf_v") > 0)
-    require(v.limit(1).count() == 1,
-      "benfordAudit: no positive values to audit — the χ² terms would divide by zero")
-    val counts = v
-      .select(substring(col("__bf_v").cast("string"), 1, 1).cast("long").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("obs"))
-    val spine = spark.range(1, 10).select(col("id").as("digit"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    spine.join(counts, Seq("digit"), "left_outer")
-      .na.fill(0L, Seq("obs"))
-      .withColumn("__bf_n", sum("obs").over(wAll))
-      .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit")))
-      .withColumn("term",
-        (col("obs") - col("exp_frac") * col("__bf_n")) *
-          (col("obs") - col("exp_frac") * col("__bf_n")) /
-          (col("exp_frac") * col("__bf_n")))
-      .select("digit", "obs", "exp_frac", "term")
-  }
 
   def gopherRules(df: DataFrame, id: Column, text: Column,
       stops: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
@@ -275,6 +236,59 @@ object Cleaning {
         col("top4_frac") <= maxTop4Frac &&
         col("dup_line_frac") <= maxDupLineFrac &&
         col("dup_para_frac") <= maxDupParaFrac)
+  }
+
+
+  /** BENFORD FIRST-DIGIT AUDIT — the numeric-column data-quality screen
+    * (auditing/fraud tooling's standard anomaly flag; naturally-grown
+    * magnitudes follow `P(d) = log10(1 + 1/d)`, fabricated or truncated
+    * ones don't): per leading digit 1–9 of the positive values, the
+    * observed count, the Benford expectation, and the Pearson χ² term
+    * `(obs − exp)² / exp` — `Σ term` against χ²(8) is the test.
+    *
+    * A screen, not a verdict: uniform or range-bounded columns
+    * legitimately fail Benford; the operator's job is to make the
+    * distribution VISIBLE next to its expectation. Shape: one map-side
+    * `substring(cast(x as string), 1, 1)` digit extraction + one 9-key
+    * aggregate + a 9-row spine join; counts exact, the expectation the
+    * same `log10` double on both engines, the χ² term a fixed dag over
+    * them.
+    *
+    * Domain contract: the audited digit is the leading digit of the
+    * value's INTEGER PART — NULL, non-positive, and sub-unit values
+    * (integer part 0) are excluded, because they have no integer
+    * leading digit. True first-SIGNIFICANT-digit auditing of
+    * fractional data (0.005 → digit 5) needs a mantissa normalization
+    * this operator deliberately does not do — pre-scale such columns
+    * upstream. An input with no qualifying values fails AT EXECUTION
+    * via an in-plan raise_error (the χ² terms would divide by zero; a
+    * silent all-zero census would read as "perfectly absent") — the
+    * operator itself stays lazy and single-scan. Returns
+    * `(digit, obs, exp_frac, term)` per digit, all 9 rows present. */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(value.cast("long").as("__bf_v"))
+      .filter(col("__bf_v").isNotNull && col("__bf_v") > 0)
+    val counts = v
+      .select(substring(col("__bf_v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val spine = spark.range(1, 10).select(col("id").as("digit"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    spine.join(counts, Seq("digit"), "left_outer")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("__bf_n",
+        when(sum("obs").over(wAll) === 0, raise_error(lit(
+          "benfordAudit: no positive integer magnitudes to audit — " +
+            "the χ² terms would divide by zero")))
+          .otherwise(sum("obs").over(wAll)))
+      .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("term",
+        (col("obs") - col("exp_frac") * col("__bf_n")) *
+          (col("obs") - col("exp_frac") * col("__bf_n")) /
+          (col("exp_frac") * col("__bf_n")))
+      .select("digit", "obs", "exp_frac", "term")
   }
 
   /** Strip markup tags (`<...>`) to spaces and collapse whitespace — the

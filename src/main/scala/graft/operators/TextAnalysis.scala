@@ -799,10 +799,19 @@ object TextAnalysis {
     * float order), the rank window is group-keyed (one exchange, no
     * global sort), and G is a fixed dag of two divisions over exact
     * integers. Degenerate all-zero-mass groups report NULL via nullif.
+    * Domain: values must be NON-NEGATIVE (Gini is a share-of-mass
+    * statistic; a negative mass makes G overshoot its (n−1)/n ceiling
+    * and a mixed-sign group summing to zero would masquerade as the
+    * zero-mass NULL case) — a negative value fails AT EXECUTION via an
+    * in-plan raise_error naming its group, keeping the operator lazy.
     * Returns `(g, n, total, gini)` unrounded. */
   def giniByGroup(df: DataFrame, group: Column, value: Column,
       tieBreak: Column): DataFrame = {
-    val base = df.select(group.as("g"), value.cast("long").as("__gini_x"),
+    val base = df.select(group.as("g"),
+        when(value.cast("long") < 0, raise_error(concat(
+            lit("giniByGroup: negative value in group "), group.cast("string"),
+            lit(" — Gini is a share-of-mass statistic over non-negative values"))))
+          .otherwise(value.cast("long")).as("__gini_x"),
         tieBreak.as("__gini_t"))
       .filter(col("__gini_x").isNotNull)
     val w = Window.partitionBy("g").orderBy(col("__gini_x"), col("__gini_t"))

@@ -482,7 +482,12 @@ class CleaningSpec extends SparkSpec {
     }
     // the observed column sums back to the positive count (mass check)
     assert(got.map(_._2).sum == 5L)
-    intercept[IllegalArgumentException](
-      Cleaning.benfordAudit(Seq(0L, -1L).toDF("x"), col("x")))
+    // empty positive set fails AT EXECUTION (the operator stays lazy:
+    // building the frame launches no job), with the named reason
+    val empty = Cleaning.benfordAudit(Seq(0L, -1L).toDF("x"), col("x"))
+    val ex = intercept[Exception](empty.collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${msgs(t.getCause)}"
+    assert(msgs(ex).contains("no positive integer magnitudes"), msgs(ex).take(300))
   }
 }

@@ -655,6 +655,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("mid") == ((4L, 10L, Some(0.25))), s"hand-worked: ${got("mid")}")
     // all-zero mass cannot be ranked into shares: NULL, not a div0
     assert(got("zero")._3.isEmpty, s"zero mass: ${got("zero")}")
+    // a negative mass fails at execution with the group named (out-of-
+    // range G and the mixed-sign-sums-to-zero masquerade are both
+    // rejected at the source)
+    val neg = TextAnalysis.giniByGroup(
+      Seq(("bad", 1L, -1), ("bad", 2L, 3)).toDF("g", "id", "x"),
+      col("g"), col("x"), col("id"))
+    val ex = intercept[Exception](neg.collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${msgs(t.getCause)}"
+    assert(msgs(ex).contains("negative value in group"), msgs(ex).take(300))
   }
 
   test("quantileTransform: mid-rank ECDF exact on ties, NULL passthrough, monotone-invariant") {
