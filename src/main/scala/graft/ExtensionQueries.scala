@@ -543,10 +543,18 @@ object ExtensionQueries {
     * (orthonormality, eigenvalue order, rank recovery, projection
     * variance — not SQL-expressible). ONE fixed-state aggregate
     * (16.9 KB partials at dim 64, constant in the corpus), matrix
-    * assembly driver-side at dim² scale. */
+    * assembly driver-side at dim² scale.
+    *
+    * r18: the gate runs the ORDER-EXACT sibling
+    * ([[graft.operators.Pca.covarianceMatrixExact]], integer moments on
+    * a 1e-6 grid — the q179/q183 discipline) after r17's driver capture
+    * caught the float form's merge-order jitter flipping a `round(·,6)`
+    * boundary under load. `PcaSpec` pins exact ≡ float within the
+    * jitter bound, and `CanonSpec` pins one identical canon md5 across
+    * partition counts and input shuffles. */
   def q170(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    graft.operators.Pca.covarianceMatrix(e, dim = 16)
+    graft.operators.Pca.covarianceMatrixExact(e, dim = 16)
       .select(col("i"), col("j"), col("n"),
         Rounding.portable(col("mean_i"), 6).as("mean_i6"),
         Rounding.portable(col("mean_j"), 6).as("mean_j6"),
@@ -1754,19 +1762,29 @@ object ExtensionQueries {
               ELSE mi / ((h_a + h_b) / 2.0) END, 6) AS nmi6
       FROM f""",
 
-    // q170: population covariance of the first 16 dims — double-unnest
-    // upper-triangle pairs, per-pair sums/means, cov = Sxy/n − mx·my
+    // q170: population covariance of the first 16 dims, ORDER-EXACT —
+    // dims snapped to a 1e-6 integer grid, EXACT integer moment sums
+    // (commutative, merge-order-immune), then one fixed double dag
+    // mirroring the Spark side op-for-op: mean = sx/(n·1e6),
+    // cov = sxy/(n·1e6·1e6) − mean_i·mean_j
     "q170_covariance" -> """
       WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      x AS (SELECT i, j, e.e[i] AS xi, e.e[j] AS xj
+      x AS (SELECT i, j,
+              CAST(round(e.e[i] * 1000000.0) AS BIGINT) AS xi,
+              CAST(round(e.e[j] * 1000000.0) AS BIGINT) AS xj
             FROM e, unnest(range(1, 17)) s(i), unnest(range(1, 17)) t(j)
             WHERE i <= j),
-      c AS (SELECT i, j, count(*) AS n, avg(xi) AS mi, avg(xj) AS mj,
-              sum(xi * xj) AS sij
+      c AS (SELECT i, j, count(*) AS n,
+              CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xj) AS BIGINT) AS sy,
+              CAST(sum(xi * xj) AS BIGINT) AS sxy
             FROM x GROUP BY i, j)
       SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
-        CAST(n AS BIGINT) AS n, round(mi, 6) AS mean_i6,
-        round(mj, 6) AS mean_j6, round(sij / n - mi * mj, 6) AS cov6
+        CAST(n AS BIGINT) AS n,
+        round(CAST(sx AS DOUBLE) / (n * 1000000.0), 6) AS mean_i6,
+        round(CAST(sy AS DOUBLE) / (n * 1000000.0), 6) AS mean_j6,
+        round(CAST(sxy AS DOUBLE) / (n * 1000000.0 * 1000000.0)
+            - (CAST(sx AS DOUBLE) / (n * 1000000.0))
+            * (CAST(sy AS DOUBLE) / (n * 1000000.0)), 6) AS cov6
       FROM c ORDER BY i, j""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =

@@ -57,6 +57,63 @@ object Pca {
         StructField("cov", DoubleType, nullable = false))))
   }
 
+  /** ORDER-EXACT covariance matrix — the GATE-grade sibling of
+    * [[covarianceMatrix]] (same output shape, same semantics on
+    * grid-snapped input). Motivation: r17's one driver-red row was
+    * q170's hash flipping under load — the float64 moment sums are
+    * merge-order-dependent (~1e-13 relative jitter), and a covariance
+    * sitting on a `round(·, 6)` boundary flips the rounded value with
+    * the task completion order. The q179/q183 discipline fixes the
+    * class: snap each dimension to an integer grid (`round(x·scale)` as
+    * long — the snap is the portable integer-scale rounding both
+    * engines agree on, see [[graft.functions.Rounding]]), accumulate
+    * EXACT long moments `(n, Σx, Σxy)` — addition of longs commutes, so
+    * the sums are identical under ANY partitioning or merge order — and
+    * divide once at the end in a fixed double dag. The emitted doubles
+    * are then a pure function of the data, bit-identical across runs,
+    * partition counts and engines.
+    *
+    * Shuffle shape: ONE group-less aggregate with fixed state
+    * (1 + dim + dim·(dim+1)/2 long sums — 1.2 KB at dim 16), map-side
+    * combined; the triangle unfolds from the single result row via an
+    * in-row explode. Nothing corpus-sized moves.
+    *
+    * Overflow contract (ANSI mode throws loudly): Σxy terms are
+    * ≤ (max|x|·scale)² per row; at unit-normalized embeddings and
+    * scale 1e6 that is ≤ 1e12/row, so the long sum holds ~9·10⁶ rows
+    * per full corpus at worst-case magnitude — far beyond any gate
+    * fixture. The float [[covarianceMatrix]] stays the 100 TB
+    * production path; THIS is the determinism-critical form (gates,
+    * cross-run artifact diffs). */
+  def covarianceMatrixExact(vectors: DataFrame, dim: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    require(scale >= 1, s"need scale >= 1, got $scale")
+    val snapped = vectors
+      .select(slice(col("e").cast("array<double>"), 1, dim).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) >= dim)
+      .select((0 until dim).map(i =>
+        round(element_at(col("v"), i + 1) * lit(scale.toDouble))
+          .cast("long").as(s"__x$i")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      (0 until dim).map(i => sum(col(s"__x$i")).as(s"__s$i")) ++
+      (for { i <- 0 until dim; j <- i until dim }
+        yield sum(col(s"__x$i") * col(s"__x$j")).as(s"__p${i}_$j"))
+    val st = snapped.agg(aggs.head, aggs.tail: _*)
+    val triangle = array((for { i <- 0 until dim; j <- i until dim } yield
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        col(s"__s$i").as("sx"), col(s"__s$j").as("sy"),
+        col(s"__p${i}_$j").as("sxy"))): _*)
+    val sD = lit(scale.toDouble)
+    st.select(col("n"), explode(triangle).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("n"),
+        (col("t.sx").cast("double") / (col("n") * sD)).as("mean_i"),
+        (col("t.sy").cast("double") / (col("n") * sD)).as("mean_j"),
+        (col("t.sxy").cast("double") / (col("n") * sD * sD) -
+          (col("t.sx").cast("double") / (col("n") * sD)) *
+          (col("t.sy").cast("double") / (col("n") * sD))).as("cov"))
+  }
+
   /** Top-`k` principal components: (eigenvalue DESC, orthonormal rows).
     * Returns (mean, components, eigenvalues) — mean for centering at
     * projection time, components as k rows of length dim. */

@@ -113,6 +113,71 @@ class PcaSpec extends SparkSpec {
       s"oversized vector must slice-project cleanly: $pOver")
   }
 
+  test("covarianceMatrixExact: closed form on an on-grid fixture; ≡ float form within snap tolerance") {
+    // the float fixture's values are integers — on the 1e-6 grid the
+    // snap is lossless, so the exact form must reproduce the closed
+    // forms EXACTLY (not approximately)
+    val df = Seq(
+      (1L, Seq(1.0, 1.0)), (2L, Seq(2.0, 3.0)),
+      (3L, Seq(3.0, 5.0)), (4L, Seq(4.0, 7.0))).toDF("vec_id", "e")
+    val rows = Pca.covarianceMatrixExact(df, dim = 2)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows.size == 3)
+    assert(rows((0L, 0L))._3 == 4L && rows((0L, 0L))._4 == 2.5
+      && rows((0L, 0L))._6 == 1.25)
+    assert(rows((1L, 1L))._6 == 5.0 && rows((1L, 1L))._4 == 4.0)
+    assert(rows((0L, 1L))._6 == 2.5)
+    // on real (off-grid) embeddings the exact form tracks the float
+    // form to the snap bound: |Δmean| ≤ 5e-7, |Δcov| ≲ 1e-6
+    val e = sf0001.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val ex = Pca.covarianceMatrixExact(e, dim = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val fl = Pca.covarianceMatrix(e, dim = 8)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(ex.keySet == fl.keySet && ex.nonEmpty)
+    ex.foreach { case (k, (_, _, n, mi, mj, cv)) =>
+      val (_, _, nf, mif, mjf, cvf) = fl(k)
+      assert(n == nf)
+      assert(math.abs(mi - mif) <= 6e-7, s"mean_i drift at $k: $mi vs $mif")
+      assert(math.abs(mj - mjf) <= 6e-7, s"mean_j drift at $k: $mj vs $mjf")
+      assert(math.abs(cv - cvf) <= 2e-6, s"cov drift at $k: $cv vs $cvf")
+    }
+  }
+
+  test("q170 gate is order-exact: one identical canon md5 across partition counts and input shuffles") {
+    // r17's driver-red row: the float gate's hash flipped with task
+    // completion order. The rewritten gate must produce ONE canonical
+    // md5 under any merge topology — vary the final-agg fan-in via
+    // shuffle.partitions AND the partial grouping via explicit input
+    // repartition/reorder seeds, and require bit-identical output.
+    val ref = Canon.md5(ExtensionQueries.q170(sf0001))
+    for (p <- Seq("1", "3", "13")) {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      try assert(Canon.md5(ExtensionQueries.q170(sf0001)) == ref,
+        s"q170 canon drifted at shuffle.partitions=$p")
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val e = sf0001.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    def bits(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Seq[Long])] =
+      d.orderBy("i", "j").as[(Long, Long, Long, Double, Double, Double)]
+        .collect().toSeq.map(r => (r._1, r._2, r._3, Seq(
+          java.lang.Double.doubleToLongBits(r._4),
+          java.lang.Double.doubleToLongBits(r._5),
+          java.lang.Double.doubleToLongBits(r._6))))
+    val refBits = bits(Pca.covarianceMatrixExact(e, dim = 16))
+    for (seed <- Seq(11, 42, 99)) {
+      val shuffled = e.orderBy(md5(concat(col("vec_id").cast("string"),
+        lit(seed.toString)))).repartition(seed % 7 + 2)
+      assert(bits(Pca.covarianceMatrixExact(shuffled, dim = 16)) == refBits,
+        s"exact covariance not bit-identical under input shuffle seed=$seed")
+    }
+  }
+
   test("mergeMoments: yesterday's state + today's batch ≡ full recompute (no corpus re-read)") {
     // 80 deterministic pseudo-random vectors split into "yesterday" and
     // "today's batch"; the merged states must agree with the full pass
