@@ -1728,10 +1728,17 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_px"),
         size(filter(col("hist"), _ > 0L)).cast("long").as("nz_bins"),
         array_join(transform(col("hist"), _.cast("string")), ",").as("hist"),
+        // ORDER-EXACT entropy (r18 ADVICE): the Spark fold runs in bin
+        // order but the oracle's SUM is unordered — snap each
+        // (c/n)·ln(c/n) term to a 1e-12 integer grid and sum exact
+        // longs so both engines reach the identical total regardless of
+        // summation order (and sub-1e-12 ln() ulp skew rounds away)
         Rounding.portable(
-          -aggregate(filter(col("hist"), _ > 0L), lit(0.0),
+          -(aggregate(filter(col("hist"), _ > 0L), lit(0L),
             (acc, c) => acc +
-              (c.cast("double") / col("n_px")) * log(c.cast("double") / col("n_px"))),
+              round((c.cast("double") / col("n_px")) *
+                log(c.cast("double") / col("n_px")) * lit(1e12)).cast("long"))
+            .cast("double") / lit(1e12)),
           6).as("entropy6"))
       .transform(sortedSmall(_, col("doc_id")))
   }
@@ -1804,6 +1811,61 @@ object PipelineQueries {
   def q184(t: Tables): DataFrame =
     graft.operators.Cleaning.benfordAudit(
         t.documents, col("doc_id") * col("n_chars"))
+      .select(col("digit"), col("obs"),
+        Rounding.portable(col("exp_frac"), 6).as("exp_frac"),
+        Rounding.portable(col("term"), 6).as("term"))
+      .transform(sortedSmall(_, col("digit")))
+
+  /** q185: BINNED KS DRIFT ([[TimeSeries.ksDriftBinned]]) — the 100 TB
+    * sibling of q175's exact KS, on the input class the exact form must
+    * REFUSE (its grid is groups × distinct-values): a continuous value
+    * column — l_extendedprice per returnflag over the corpus's largest
+    * table. CDFs are evaluated on 32 equal-population quantile edges
+    * (the q182 edge discipline); binning is an in-row fold over the
+    * broadcast edge array (map-only), the grid is groups × 32 by
+    * construction, and the statistic is exact rationals of exact binned
+    * counts. The gate pins the edges (the percentile ≡ quantile_cont
+    * identity), the fold, the CDF grid and the sup. */
+  def q185(t: Tables): DataFrame =
+    TimeSeries.ksDriftBinned(t.lineitem, col("l_returnflag"),
+        col("l_extendedprice"), bins = 32)
+      .select(col("g").as("flag"), col("n"), col("n_rest"),
+        Rounding.portable(col("d"), 6).as("d"),
+        Rounding.portable(col("ks"), 6).as("ks"))
+      .transform(sortedSmall(_, col("flag")))
+
+  /** q186: BINNED QUANTILE TRANSFORM
+    * ([[TextAnalysis.quantileTransformBinned]]) — q181's rank
+    * normalization in the form that survives a continuous score at
+    * corpus scale: the q135 training chain's p6 scores mapped to their
+    * 16-bin equal-population ECDF midpoints. No distinct-score table,
+    * no single-partition cumulative window — one exact-percentile edge
+    * pass, then a MAP-ONLY in-row fold (the plan-shape gate's point).
+    * Same gated slice and columns as q181 so the two transforms are
+    * directly comparable row-for-row. */
+  def q186(t: Tables): DataFrame = {
+    val (feats, y) = classifierFeatures
+    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val scored = TextAnalysis.logisticScore(t.documents, feats, w)
+      .select(col("doc_id"), Rounding.portable(col("p"), 6).as("p6"))
+    TextAnalysis.quantileTransformBinned(scored, col("p6"), "qpos", bins = 16)
+      .filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), col("p6"), Rounding.portable(col("qpos"), 6).as("qpos"))
+      .transform(sortedSmall(_, col("doc_id")))
+  }
+
+  /** q187: BENFORD FIRST-SIGNIFICANT-DIGIT AUDIT
+    * ([[graft.operators.Cleaning.benfordSignificant]]) — q184's screen
+    * completed for fractional data: the audited column is the computed
+    * rebate `l_extendedprice · l_discount`, whose mass spans sub-unit
+    * to thousands — exactly the column class the integer-part variant
+    * would silently truncate (every sub-unit rebate excluded). The gate
+    * pins the mantissa normalization (log10/pow with the off-by-one
+    * exponent correction), the 1e-9 grid snap that makes the digit
+    * engine-exact, and the χ² census on all 9 spine rows. */
+  def q187(t: Tables): DataFrame =
+    graft.operators.Cleaning.benfordSignificant(
+        t.lineitem, col("l_extendedprice") * col("l_discount"))
       .select(col("digit"), col("obs"),
         Rounding.portable(col("exp_frac"), 6).as("exp_frac"),
         Rounding.portable(col("term"), 6).as("term"))
@@ -2088,6 +2150,9 @@ object PipelineQueries {
     "q182_psi_drift" -> q182 _,
     "q183_gini_concentration" -> q183 _,
     "q184_benford_audit" -> q184 _,
+    "q185_ks_binned" -> q185 _,
+    "q186_quantile_binned" -> q186 _,
+    "q187_benford_significant" -> q187 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -4077,15 +4142,21 @@ object PipelineQueries {
       WHERE rn <= 3 ORDER BY qid NULLS FIRST, rn NULLS FIRST""",
 
     // q173: the S-curve 1-(1-s^r)^b integrated by the same 200-point
-    // midpoint rule; chosen = argmin(err) with (fn, r DESC) tie-break
+    // midpoint rule, ORDER-EXACT: terms snapped to a 1e-12 integer grid
+    // and summed as exact integers (mirrors Dedup.lshTuning op-for-op);
+    // chosen = argmin(err) with (fn, r DESC) tie-break
     "q173_lsh_tuning" -> """
       WITH f AS (SELECT CAST(24 // r AS BIGINT) AS b, CAST(r AS BIGINT) AS r
                  FROM (SELECT unnest(range(1, 25)) AS r) t WHERE 24 % r = 0),
       g AS (SELECT (i + 0.5) / 200.0 AS s FROM (SELECT unnest(range(0, 200)) AS i) t),
       c AS (SELECT b, r, s, 1.0 - pow(1.0 - pow(s, r), b) AS p FROM f, g),
       a AS (SELECT b, r,
-              sum(CASE WHEN s < 0.7 THEN p ELSE 0.0 END) / 200.0 AS fp,
-              sum(CASE WHEN s >= 0.7 THEN 1.0 - p ELSE 0.0 END) / 200.0 AS fn
+              CAST(sum(CAST(round((CASE WHEN s < 0.7 THEN p ELSE 0.0 END)
+                  * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                / 200000000000000.0 AS fp,
+              CAST(sum(CAST(round((CASE WHEN s >= 0.7 THEN 1.0 - p ELSE 0.0 END)
+                  * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+                / 200000000000000.0 AS fn
             FROM c GROUP BY 1, 2)
       SELECT b, r, round(fp, 6) AS fp_area, round(fn, 6) AS fn_area,
         round(fp + fn, 6) AS err, round(pow(1.0 / b, 1.0 / r), 6) AS s50,
@@ -4287,9 +4358,11 @@ object PipelineQueries {
         CAST(sum(c) AS BIGINT) AS n_px,
         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz_bins,
         string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS hist,
-        round(-sum(CASE WHEN c > 0
-                   THEN (CAST(c AS DOUBLE) / 288) * ln(CAST(c AS DOUBLE) / 288)
-                   ELSE 0.0 END), 6) AS entropy6
+        round(-(CAST(sum(CASE WHEN c > 0
+                   THEN CAST(round(((CAST(c AS DOUBLE) / 288)
+                        * ln(CAST(c AS DOUBLE) / 288))
+                        * 1000000000000.0) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1000000000000.0), 6) AS entropy6
       FROM grid GROUP BY doc_id ORDER BY doc_id NULLS FIRST""",
 
     // q181: the q135 training chain, then the mid-rank ECDF over the p6
@@ -4368,6 +4441,78 @@ object PipelineQueries {
       c AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit,
               CAST(count(*) AS BIGINT) AS obs
             FROM v GROUP BY 1),
+      spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      f AS (SELECT spine.digit, coalesce(c.obs, 0) AS obs,
+              log10(1.0 + 1.0 / spine.digit) AS ef
+            FROM spine LEFT JOIN c USING (digit))
+      SELECT digit, obs, round(ef, 6) AS exp_frac,
+        round((obs - ef * nn.n) * (obs - ef * nn.n) / (ef * nn.n), 6) AS term
+      FROM f, nn ORDER BY digit NULLS FIRST""",
+
+    // q185: 32 equal-population quantile_cont edges over ALL values (the
+    // q182 percentile identity), bin = count of strictly-exceeded edges,
+    // then q175's CDF-grid/sup machinery on the bounded bin spine
+    "q185_ks_binned" -> s"""
+      WITH b AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      e AS (SELECT quantile_cont(v, [${(1 until 32).map(k =>
+        s"CAST($k AS DOUBLE)/32").mkString(", ")}]) AS edges FROM b),
+      bb AS (SELECT g, len(list_filter(e.edges, x -> b.v > x)) AS bin FROM b, e),
+      c AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM b),
+      spine AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS bin),
+      grid AS (SELECT gs.g, spine.bin, coalesce(c.c, 0) AS c
+               FROM gs CROSS JOIN spine
+               LEFT JOIN c ON c.g = gs.g AND c.bin = spine.bin),
+      ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM b),
+      tot AS (SELECT bin, sum(ct) OVER (ORDER BY bin) AS cum_t FROM (
+               SELECT bin, count(*) AS ct FROM bb GROUP BY 1) t),
+      cum AS (SELECT g, bin, sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum_g
+              FROM grid),
+      dd AS (SELECT cum.g, ns.n, na.n_all - ns.n AS n_rest,
+              max(abs(CAST(cum.cum_g AS DOUBLE) / ns.n -
+                      CAST(tot.cum_t - cum.cum_g AS DOUBLE) / (na.n_all - ns.n))) AS d
+             FROM cum JOIN tot USING (bin) JOIN ns ON ns.g = cum.g CROSS JOIN na
+             GROUP BY 1, 2, 3)
+      SELECT g AS flag, CAST(n AS BIGINT) AS n, CAST(n_rest AS BIGINT) AS n_rest,
+        round(d, 6) AS d,
+        round(d * sqrt(CAST(n AS DOUBLE) * n_rest / (n + n_rest)), 6) AS ks
+      FROM dd ORDER BY flag NULLS FIRST""",
+
+    // q186: the q135 training chain, then 16 equal-population edges over
+    // the p6 scores and each row's bin MIDPOINT (bin + 0.5)/16 — the
+    // map-only binned ECDF, mirrored op-for-op
+    "q186_quantile_binned" -> s"""
+      WITH ${logisticCtes(4)},
+      sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-$logisticZ)), 6) AS p6
+             FROM f, w4),
+      e AS (SELECT quantile_cont(p6, [${(1 until 16).map(k =>
+        s"CAST($k AS DOUBLE)/16").mkString(", ")}]) AS edges
+            FROM sc WHERE p6 IS NOT NULL)
+      SELECT sc.doc_id, sc.p6,
+        CASE WHEN sc.p6 IS NULL THEN NULL ELSE
+          round((CAST(len(list_filter(e.edges, x -> sc.p6 > x)) AS DOUBLE) + 0.5)
+                / 16.0, 6) END AS qpos
+      FROM sc, e WHERE sc.doc_id % 10 = 4
+      ORDER BY sc.doc_id NULLS FIRST""",
+
+    // q187: mantissa normalization v/10^floor(log10 v) with the one-step
+    // off-by-one correction, digit = floor of the 1e-9-snapped mantissa
+    // (engine-exact by the integer-scale rounding identity), then q184's
+    // chi-square census
+    "q187_benford_significant" -> """
+      WITH v AS (SELECT CAST(l_extendedprice * l_discount AS DOUBLE) AS v
+                 FROM lineitem
+                 WHERE l_extendedprice * l_discount IS NOT NULL
+                   AND l_extendedprice * l_discount > 0),
+      m AS (SELECT v / pow(10.0, floor(log10(v))) AS m0 FROM v),
+      d AS (SELECT CAST(least(floor(round((CASE WHEN m0 >= 10 THEN m0 / 10
+                    WHEN m0 < 1 THEN m0 * 10 ELSE m0 END)
+                  * 1000000000.0) / 1000000000.0), 9) AS BIGINT) AS digit
+            FROM m),
+      c AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
       spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
       f AS (SELECT spine.digit, coalesce(c.obs, 0) AS obs,

@@ -118,13 +118,18 @@ object PlanDump {
     "q167_robust_stats",     // two grouped percentile passes; quantile row broadcast back
     "q168_adjusted_rand",    // ONE grouping-sets aggregate: contingency + marginals + n together
     "q169_nmi",              // same single Expand pass; x·ln x sums replace the cell-marginal join
-    "q170_covariance",       // fixed-state moment aggregate ran eagerly; plan = 136-row local relation
+    "q170_covariance",       // order-exact integer-moment aggregate + in-row triangle explode (r18)
     "q171_cusum",            // closed-form CUSUM: ONE user exchange under two running windows + summary agg
   )
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = args.drop(1).headOption.getOrElse("docs/PLANS.txt")
+    // plan-inspection mode: sortedLarge's eager localCheckpoint would
+    // EXECUTE each O(N)-sorted query during the dump and truncate its
+    // plan to an RDD scan, hiding exactly the upstream operators this
+    // file exists to exhibit — dump the plain lazy form instead
+    sys.props("spark.graft.sortMode") = "plain"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

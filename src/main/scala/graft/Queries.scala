@@ -62,8 +62,15 @@ object Queries {
     * loss recoverability for speed — acceptable for a terminal
     * presentation sort whose driver would simply rerun the query. */
   private def sortedLarge(df: DataFrame, cols: Column*): DataFrame =
-    if (sys.env.get("SPARK_GRAFT_SORT_MODE").contains("plain"))
-      df.orderBy(cols: _*) // A/B escape hatch for harness sweeps
+    // "plain" = bare range sort, no checkpoint: the A/B escape hatch for
+    // harness sweeps AND the plan-inspection mode (an eager localCheckpoint
+    // executes the upstream at CONSTRUCTION time and truncates the dumped
+    // plan to an RDD scan — PlanDump sets the property so plans stay lazy
+    // and show the full upstream, ADVICE r17). The system property is the
+    // in-JVM override; the env var serves forked harness runs.
+    if (sys.props.get("spark.graft.sortMode")
+        .orElse(sys.env.get("SPARK_GRAFT_SORT_MODE")).contains("plain"))
+      df.orderBy(cols: _*)
     else df.localCheckpoint(eager = true).orderBy(cols: _*)
 
   // ── §2.2 projections / scalar expressions ─────────────────────────────

@@ -259,19 +259,60 @@ object Cleaning {
     * (integer part 0) are excluded, because they have no integer
     * leading digit. True first-SIGNIFICANT-digit auditing of
     * fractional data (0.005 → digit 5) needs a mantissa normalization
-    * this operator deliberately does not do — pre-scale such columns
-    * upstream. An input with no qualifying values fails AT EXECUTION
+    * this operator deliberately does not do — that is
+    * [[benfordSignificant]]. An input with no qualifying values fails AT EXECUTION
     * via an in-plan raise_error (the χ² terms would divide by zero; a
     * silent all-zero census would read as "perfectly absent") — the
     * operator itself stays lazy and single-scan. Returns
     * `(digit, obs, exp_frac, term)` per digit, all 9 rows present. */
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
-    val spark = df.sparkSession
     val v = df.select(value.cast("long").as("__bf_v"))
       .filter(col("__bf_v").isNotNull && col("__bf_v") > 0)
     val counts = v
       .select(substring(col("__bf_v").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("obs"))
+    benfordCensus(df.sparkSession, counts,
+      "benfordAudit: no positive integer magnitudes to audit")
+  }
+
+  /** BENFORD FIRST-SIGNIFICANT-DIGIT AUDIT — [[benfordAudit]]'s sibling
+    * for FRACTIONAL data: the audited digit is the first significant
+    * digit after mantissa normalization (0.005 → 5, 0.04 → 4,
+    * 901.37 → 9), which is the form Benford's law actually states —
+    * the integer-part variant excludes every sub-unit value by
+    * contract; this one admits all positive values.
+    *
+    * Mantissa normalization, engine-portably: `e = floor(log10(v))`,
+    * `m0 = v / 10^e`, then a one-step correction (`m0 ≥ 10 → /10`,
+    * `m0 < 1 → ·10`) makes the result exact even when an engine's
+    * `log10` lands an ulp across a power-of-10 boundary — the
+    * correction absorbs any off-by-one exponent. The digit is then
+    * `floor` of the 1e-9-GRID-SNAPPED mantissa (`round(m·1e9)/1e9`,
+    * integer-scale rounding — the [[graft.functions.Rounding]]
+    * identity both engines agree on): the snap absorbs the few-ulp
+    * freedom the engines' `pow`/`log10` retain, so a value like 0.04
+    * whose computed mantissa is 3.999999999999999x audits as digit 4
+    * on BOTH engines by construction. A mantissa within 1e-9 below 10
+    * snaps up and clamps to digit 9 (the documented grid contract).
+    * Same shape and return as [[benfordAudit]]: map-only digit
+    * extraction, one 9-key aggregate, 9-row spine. */
+  def benfordSignificant(df: DataFrame, value: Column): DataFrame = {
+    val v = df.select(value.cast("double").as("__bf_v"))
+      .filter(col("__bf_v").isNotNull && col("__bf_v") > 0)
+    val m0 = col("__bf_v") / pow(lit(10.0), floor(log10(col("__bf_v"))))
+    val m = when(m0 >= 10.0, m0 / 10.0).when(m0 < 1.0, m0 * 10.0).otherwise(m0)
+    val digit = least(floor(round(m * lit(1e9)) / lit(1e9)), lit(9.0)).cast("long")
+    val counts = v.select(digit.as("digit")).groupBy("digit").agg(count(lit(1)).as("obs"))
+    benfordCensus(df.sparkSession, counts,
+      "benfordSignificant: no positive magnitudes to audit")
+  }
+
+  /** Shared Benford census: 9-row digit spine, observed counts, the
+    * `log10(1 + 1/d)` expectation, and the Pearson χ² term — with the
+    * loud empty-input guard (a silent all-zero census would read as
+    * "perfectly absent"). */
+  private def benfordCensus(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, emptyMsg: String): DataFrame = {
     val spine = spark.range(1, 10).select(col("id").as("digit"))
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -280,8 +321,7 @@ object Cleaning {
       .na.fill(0L, Seq("obs"))
       .withColumn("__bf_n",
         when(sum("obs").over(wAll) === 0, raise_error(lit(
-          "benfordAudit: no positive integer magnitudes to audit — " +
-            "the χ² terms would divide by zero")))
+          s"$emptyMsg — the χ² terms would divide by zero")))
           .otherwise(sum("obs").over(wAll)))
       .withColumn("exp_frac", log10(lit(1.0) + lit(1.0) / col("digit")))
       .withColumn("term",

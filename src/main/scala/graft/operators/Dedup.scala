@@ -172,10 +172,20 @@ object Dedup {
     val round6 = (c: Column) => graft.functions.Rounding.portable(c, 6)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(round6(col("err")), round6(col("fn_area")), col("r").desc)
+    // ORDER-EXACT quadrature (r18, the q170 integer-moment discipline):
+    // each midpoint term is snapped to a 1e-12 integer grid and summed
+    // as an exact long — addition commutes, so the area is identical
+    // under any partial-aggregate merge order and engine, not just the
+    // rank. ≤ gridN·1e12 ≈ 2e14 fits a long with 4 decades to spare;
+    // the 1e-12 snap perturbs a ~1e-1 area by ≤ gridN·5e-13/gridN,
+    // invisible at the gate's 6 decimals.
+    val quadScale = 1e12
+    val term = (c: Column) => round(c * lit(quadScale)).cast("long")
+    val area = (c: Column) => c.cast("double") / lit(gridN * quadScale)
     curves.groupBy("b", "r")
       .agg(
-        (sum(when(col("s") < threshold, col("p")).otherwise(0.0)) / gridN).as("fp_area"),
-        (sum(when(col("s") >= threshold, lit(1.0) - col("p")).otherwise(0.0)) / gridN).as("fn_area"))
+        area(sum(term(when(col("s") < threshold, col("p")).otherwise(0.0)))).as("fp_area"),
+        area(sum(term(when(col("s") >= threshold, lit(1.0) - col("p")).otherwise(0.0)))).as("fn_area"))
       .withColumn("err", col("fp_area") + col("fn_area"))
       .withColumn("s50", pow(lit(1.0) / col("b"), lit(1.0) / col("r")))
       .withColumn("chosen", (row_number().over(w) === 1))

@@ -544,6 +544,11 @@ object Multimodal {
           require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             s"doc $id: expected PCM_SIGNED, got ${fmt.getEncoding}")
           require(fmt.getSampleSizeInBits == 16, s"doc $id: expected 16-bit samples")
+          // a stereo payload would silently interleave L/R samples —
+          // meaningless zero-crossing count, n_samples = frames×channels
+          // — so fail loudly like the other format guards (ADVICE r17)
+          require(fmt.getChannels == 1,
+            s"doc $id: expected mono audio, got ${fmt.getChannels} channels")
           val data = ais.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(data).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN

@@ -732,6 +732,43 @@ object TextAnalysis {
     df.join(pos, score <=> col("__qt_s"), "left_outer").drop("__qt_s")
   }
 
+  /** BINNED QUANTILE TRANSFORM — the 100 TB form of
+    * [[quantileTransform]] for CONTINUOUS scores, where the exact form's
+    * distinct-score table and single-partition cumulative window become
+    * data-sized: rank positions are evaluated against a FIXED grid of
+    * `bins` equal-population quantile edges (the q182/[[graft.operators
+    * .TimeSeries.ksDriftBinned]] edge discipline), and every row maps to
+    * its bin's ECDF midpoint `(bin + 0.5) / bins`. Approximation error
+    * vs the exact mid-rank position is ≤ 1/(2·bins) plus within-bin tie
+    * displacement — at bins = 1000, below any downstream threshold's
+    * resolution.
+    *
+    * Shuffle shape: ONE exact-percentile pass for the edges (swap in
+    * `percentile_approx` upstream for a sketch pass at extreme scale —
+    * the transform is identical), then the transform itself is an
+    * in-row fold over the broadcast edge array: MAP-ONLY, no
+    * vocabulary window, no join back — the properties the exact form
+    * cannot promise on continuous input. Positions are a fixed rational
+    * dag over exact longs — order-immune and engine-identical. Appends
+    * `out` (double in (0, 1)); NULL scores pass through NULL. */
+  def quantileTransformBinned(df: DataFrame, score: Column, out: String,
+      bins: Int = 1000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val vals = df.select(score.cast("double").as("__qtb_s"))
+      .filter(col("__qtb_s").isNotNull)
+    require(vals.limit(1).count() == 1,
+      "quantileTransformBinned: no non-NULL scores — no quantile edges exist")
+    val fracs = (1 until bins).map(k =>
+      s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+    val edges = vals.agg(expr(s"percentile(__qtb_s, array($fracs))").as("__qtb_e"))
+    df.crossJoin(broadcast(edges))
+      .withColumn(out, when(score.isNull, lit(null).cast("double"))
+        .otherwise((aggregate(col("__qtb_e"), lit(0L),
+            (acc, e) => acc + when(score.cast("double") > e, 1L).otherwise(0L))
+          .cast("double") + lit(0.5)) / lit(bins.toDouble)))
+      .drop("__qtb_e")
+  }
+
   /** ISOTONIC CALIBRATION by pool-adjacent-violators over the binned
     * calibration curve — the principled monotone upgrade of
     * [[calibrationCurve]] (which only DIAGNOSES miscalibration):

@@ -130,8 +130,18 @@ object TimeSeries {
     * vocabulary-sized global window (the same bounded single-partition
     * window q154 documents); nothing data-sized funnels anywhere. The
     * statistic is exact — rational counts, no quadrature — so the
-    * oracle re-derives it to the rounding digit. */
-  def ksDriftByGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    * oracle re-derives it to the rounding digit.
+    *
+    * BOUNDED-VOCABULARY CONTRACT (enforced, ADVICE r17): the grid is
+    * `|groups| × |distinct values|` rows, so a continuous
+    * high-cardinality value column would silently explode it to
+    * O(G·N). `maxValues` caps the vocabulary and FAILS LOUDLY past it
+    * (the operator's own loud-degenerate-input discipline), naming
+    * [[ksDriftBinned]] — the fixed-grid sibling that is the correct
+    * form for continuous values at corpus scale. */
+  def ksDriftByGroup(df: DataFrame, group: Column, value: Column,
+      maxValues: Int = 100000): DataFrame = {
+    require(maxValues >= 2, s"maxValues must be >= 2, got $maxValues")
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
     val counts = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
@@ -143,6 +153,11 @@ object TimeSeries {
       "ksDriftByGroup needs at least 2 distinct groups (with non-NULL values) " +
         "— a lone group has no rest-of-corpus to compare against")
     val values = counts.select("v").distinct()
+    require(values.limit(maxValues + 1).count() <= maxValues,
+      s"ksDriftByGroup: value vocabulary exceeds maxValues=$maxValues — the " +
+        "exact sup grid is groups × distinct-values and would be data-sized " +
+        "on a continuous column; use ksDriftBinned (quantile-edge grid) at " +
+        "scale, or raise maxValues deliberately for a known-bounded vocabulary")
     val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
     val nAll = base.agg(count(lit(1)).as("n_all"))
     val grid = groups.crossJoin(values)
@@ -163,6 +178,74 @@ object TimeSeries {
         (col("cum_t") - col("cum_g")).cast("double") / (col("n_all") - col("n"))))
       .groupBy(col("g"), col("n"), (col("n_all") - col("n")).as("n_rest"))
       .agg(max(col("__d_at_v")).as("d"))
+      .withColumn("ks", col("d") * sqrt(
+        col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
+      .select("g", "n", "n_rest", "d", "ks")
+  }
+
+  /** BINNED two-sample KS — the 100 TB form of [[ksDriftByGroup]] for
+    * CONTINUOUS values, where the exact sup's `groups × distinct-values`
+    * grid would be data-sized: evaluate both CDFs on a FIXED grid of
+    * `bins` global quantile edges (equal-population by construction, the
+    * q182/[[psiDrift]] edge discipline — equal-width bins would collapse
+    * onto the data's head) instead of at every jump point. The reported
+    * `d` is the sup over the edge set, a LOWER bound on the exact D with
+    * error ≤ the largest CDF mass inside one bin (≈ 1/bins for the
+    * pooled distribution); at bins = 1000 the bound is below any
+    * decision threshold drift monitoring uses.
+    *
+    * Shuffle shape: one exact-percentile pass for the edges (swap in
+    * `percentile_approx` upstream of this operator for a sketch-pass at
+    * extreme scale — the grid logic is identical), then bin membership
+    * is an in-row fold over the broadcast edge array (map-only), one
+    * (g, bin)-keyed count aggregate, and windows over the
+    * `groups × bins` grid — BOUNDED by construction, never data-sized,
+    * which is exactly what the exact form cannot promise. Counts are
+    * exact longs, the statistic a fixed rational dag — order-immune.
+    * Returns `(g, n, n_rest, d, ks)`, the exact form's schema. */
+  def ksDriftBinned(df: DataFrame, group: Column, value: Column,
+      bins: Int = 1000): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val groups = base.select("g").distinct()
+    require(groups.limit(2).count() >= 2,
+      "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
+        "— a lone group has no rest-of-corpus to compare against")
+    val fracs = (1 until bins).map(k =>
+      s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+    val edges = base.agg(expr(s"percentile(v, array($fracs))").as("__ks_e"))
+    val counts = base.crossJoin(broadcast(edges))
+      .select(col("g"), aggregate(col("__ks_e"), lit(0L),
+        (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val spine = spark.range(bins.toLong).select(col("id").as("bin"))
+    val grid = groups.crossJoin(spine)
+      .join(counts, Seq("g", "bin"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val ns = counts.groupBy("g").agg(sum("c").as("n"))
+    val nAll = counts.agg(sum("c").as("n_all"))
+    val wg = Window.partitionBy("g").orderBy("bin")
+    val wb = Window.orderBy("bin")
+    val tot = counts.groupBy("bin").agg(sum("c").as("ct"))
+      .withColumn("cum_t", sum("ct").over(wb))
+      .select("bin", "cum_t")
+    // inner join: a bin NO group populated (possible only under heavy
+    // ties collapsing quantile edges) never appears in tot — at such a
+    // bin both CDFs equal their previous populated bin's values, so the
+    // candidate D duplicates one already evaluated and the sup is
+    // unchanged by dropping it
+    grid
+      .withColumn("cum_g", sum("c").over(wg))
+      .join(tot, Seq("bin"))
+      .join(ns, "g")
+      .crossJoin(broadcast(nAll))
+      .withColumn("__d_at_b", abs(
+        col("cum_g").cast("double") / col("n") -
+        (col("cum_t") - col("cum_g")).cast("double") / (col("n_all") - col("n"))))
+      .groupBy(col("g"), col("n"), (col("n_all") - col("n")).as("n_rest"))
+      .agg(max(col("__d_at_b")).as("d"))
       .withColumn("ks", col("d") * sqrt(
         col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
       .select("g", "n", "n_rest", "d", "ks")

@@ -490,4 +490,55 @@ class CleaningSpec extends SparkSpec {
       if (t == null) "" else s"${t.getMessage}|${msgs(t.getCause)}"
     assert(msgs(ex).contains("no positive integer magnitudes"), msgs(ex).take(300))
   }
+
+  test("benfordSignificant: mantissa digits across magnitudes, incl. the sub-unit and ulp-boundary cases") {
+    // the cases the integer-part variant gets wrong or excludes:
+    // 0.005 → 5 (sub-unit), 0.04 → 4 (computed mantissa is
+    // 3.99999999999999x — the 1e-9 grid snap must rescue it),
+    // 901.37 → 9, 1000 → 1 (log10(1000) can land an ulp below 3 —
+    // the correction step must absorb it), 0.1 → 1, 7 → 7;
+    // 0, -3.2 and NULL excluded
+    val df = Seq(Some(0.005), Some(0.04), Some(901.37), Some(1000.0),
+      Some(0.1), Some(7.0), Some(0.0), Some(-3.2), None).toDF("x")
+    val got = Cleaning.benfordSignificant(df, col("x"))
+      .orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 9L), "all 9 spine digits present")
+    val obs = got.map(g => g._1 -> g._2).toMap
+    assert(obs == Map(1L -> 2L, 4L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L) ++
+      Seq(2L, 3L, 6L, 8L).map(_ -> 0L).toMap, s"census: $obs")
+    // the chi-square machinery is shared with benfordAudit; re-pin one term
+    val n = got.map(_._2).sum
+    assert(n == 6L)
+    got.foreach { case (d, o, ef, term) =>
+      val e = math.log10(1.0 + 1.0 / d) * n
+      assert(math.abs(term - (o - e) * (o - e) / e) < 1e-9, s"digit $d term")
+    }
+    // wide-magnitude sweep: the normalized digit always equals the first
+    // significant digit of the exact decimal value under the SAME 1e-9
+    // grid contract — i.e. after rounding the exact mantissa to 10
+    // significant digits (round(m·1e9) ≡ a 10-sig-digit HALF_UP round
+    // for m in [1,10)). The snap is the point: 6e-11 stores as
+    // 5.9999999999999997e-11 and must audit as the digit 6 the decimal
+    // author wrote, not the representation artifact 5.
+    val sweep = (1 to 300).map(i => math.pow(1.7, i % 60) * 1e-12 * i)
+    val sdf = sweep.toDF("x")
+    val census = Cleaning.benfordSignificant(sdf, col("x"))
+      .select("digit", "obs").as[(Long, Long)].collect().toMap
+    val mc10 = new java.math.MathContext(10, java.math.RoundingMode.HALF_UP)
+    val expected = sweep
+      .map(v => new java.math.BigDecimal(v).round(mc10)
+        .unscaledValue.toString.dropWhile(_ == '0').head.toString.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (1L to 9L).foreach { d =>
+      assert(census.getOrElse(d, 0L) == expected.getOrElse(d, 0L),
+        s"digit $d: ${census.getOrElse(d, 0L)} vs BigDecimal ${expected.getOrElse(d, 0L)}")
+    }
+    // all-nonpositive input fails loudly at execution
+    val empty = Cleaning.benfordSignificant(Seq(0.0, -1.5).toDF("x"), col("x"))
+    val ex = intercept[Exception](empty.collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}|${msgs(t.getCause)}"
+    assert(msgs(ex).contains("no positive magnitudes"), msgs(ex).take(300))
+  }
 }

@@ -156,6 +156,28 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.audioFeatures(hand, "doc_id", "blob").collect().head
     assert(f.n_samples == 5L && f.sumsq == 54L && f.n_cross == 2L && f.peak == 5,
       s"hand fixture: $f")
+    // a stereo payload must fail loudly naming the doc, never silently
+    // interleave L/R into a meaningless ZCR (ADVICE r17)
+    def stereoWav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 4)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(2)
+        .putInt(8000).putInt(32000).putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 4)
+      samples.foreach { s => bb.putShort(s.toShort); bb.putShort((-s).toShort) }
+      bb.array()
+    }
+    val stereo = Seq((7L, stereoWav(Seq(5, -3, 4)))).toDF("doc_id", "blob")
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(stereo, "doc_id", "blob").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("doc 7") && msgs.contains("mono"),
+      s"stereo must fail naming the doc: $msgs")
   }
 
   test("imageHistogram: bin counts match the textured pixel contract exactly") {

@@ -120,6 +120,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join anywhere in the moments plan:\n$p")
   }
 
+  test("q185: binned KS — corpus meets only the edge aggregate and the bin-count aggregate, never a values grid") {
+    // the scale contract vs q175's exact form: binning is an in-row fold
+    // against BROADCAST edges (no corpus-sized join input), and every
+    // window/grid operator downstream runs on the groups × 32 bin table.
+    // The exact form's groups × distinct-values cross join must NOT
+    // appear anywhere between the scan and the first aggregate.
+    val p = q("q185_ks_binned")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"quantile edges must broadcast into the fold:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle on a join key:\n$p")
+    // the corpus-side scan feeds an aggregate (edges or bin counts)
+    // before any cross join: the only CartesianProduct-free proof the
+    // string plan offers is that no non-broadcast cartesian exists
+    assert(!p.contains("CartesianProduct"),
+      s"no corpus-sized cartesian grid allowed:\n$p")
+  }
+
+  test("q186: binned quantile transform is MAP-ONLY after the edge pass — no vocab window, no join back") {
+    // the scale contract vs q181's exact form: no single-partition
+    // cumulative window over a distinct-score table, no score-keyed
+    // join back onto the corpus — one broadcast of the 1-row edge
+    // array, then in-row arithmetic.
+    val p = q("q186_quantile_binned")
+    assert(!p.contains("Window"),
+      s"no cumulative window anywhere in the binned transform:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no score-keyed shuffle join back:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the edge array must ride in as a broadcast:\n$p")
+  }
+
+  test("q187: significant-digit Benford is map-only digit extraction + one 9-key aggregate") {
+    val p = q("q187_benford_significant")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"census must stay broadcast/bounded:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial and final digit aggregates expected:\n$p")
+  }
+
   test("q174: rendezvous sharding is in-row argmax — one census exchange, no join, no window") {
     val p = q("q174_rendezvous_shards")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
@@ -573,19 +613,24 @@ class PlanShapeSpec extends SparkSpec {
       s"no shuffled or cartesian join:\n$p")
   }
 
-  test("q170: covariance — the corpus pass ran eagerly into a driver-side matrix; " +
-      "the plan is a dim²-row local relation, no corpus scan") {
-    // the fixed-state moment aggregate executes at construction (the
-    // q142 trained-centroid discipline: only O(dim²) numbers reach the
-    // driver); what Catalyst sees afterwards must be the tiny assembled
-    // relation — a FileScan here would mean the corpus leaked into the
-    // output plan
+  test("q170: order-exact covariance — ONE fixed-state integer-moment aggregate, " +
+      "triangle unfolds in-row, no join") {
+    // r18 shape: the corpus meets one group-less partial+final aggregate
+    // over the grid-snapped longs (map-side combined, fixed 153-sum
+    // state); the dim² triangle comes out of the single result row via
+    // Generate (in-row explode), never a join or second scan. Exactly
+    // one FileScan (embeddings), and the scan reads ONLY the embedding
+    // column.
     val p = q("q170_covariance")
-    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
-      s"the assembled matrix must be a local relation:\n$p")
-    assert(!p.contains("FileScan") && !p.contains("Join") &&
-      !p.contains("HashAggregate"),
-      s"no corpus scan, join or aggregate in the output plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"partial and final moment aggregates expected:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the triangle must unfold in-row from the aggregate row:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in the moments plan:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"exactly one corpus scan expected:\n$p")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"the scan must prune to the embedding column:\n$p")
   }
 
   test("q171: CUSUM closed form — ONE user exchange under both running windows " +

@@ -687,6 +687,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaSquare.toSeq == got.toSeq, "monotone transform must preserve positions")
   }
 
+  test("quantileTransformBinned: bin midpoints track the exact ECDF within 1/(2·bins); NULL passthrough") {
+    // 128 distinct uniform scores: the exact mid-rank position of score
+    // i is (i + 0.5)/128; with bins = 16 the binned position is its
+    // bin's midpoint — within 1/(2·16) of exact for every row
+    val df = (0 until 128).map(i => (i.toLong, Option(i * 3.0 + 1))).toDF("id", "s")
+    val exact = TextAnalysis.quantileTransform(df, col("s"), "q")
+      .select("id", "q").as[(Long, Double)].collect().toMap
+    val binned = TextAnalysis.quantileTransformBinned(df, col("s"), "q", bins = 16)
+      .select("id", "q").as[(Long, Double)].collect().toMap
+    assert(binned.size == 128)
+    binned.foreach { case (id, b) =>
+      assert(math.abs(b - exact(id)) <= 1.0 / 32 + 1e-12,
+        s"id $id: binned $b vs exact ${exact(id)}")
+      assert(b > 0.0 && b < 1.0, s"id $id: position $b out of (0,1)")
+    }
+    // positions take exactly the 16 midpoint values, 8 rows each
+    // (equal-population edges by construction)
+    val hist = binned.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(hist.keySet == (0 until 16).map(b => (b + 0.5) / 16).toSet, s"$hist")
+    assert(hist.values.forall(_ == 8), s"equal population expected: $hist")
+    // monotone: binned position never decreases with the score
+    val sorted = binned.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted, "binned transform must be monotone")
+    // NULL scores pass through NULL
+    val withNull = df.union(Seq((999L, Option.empty[Double])).toDF("id", "s"))
+    val n = TextAnalysis.quantileTransformBinned(withNull, col("s"), "q", bins = 4)
+      .filter(col("id") === 999L).select("q").collect().head
+    assert(n.isNullAt(0), "NULL score must map to NULL position")
+    // empty input fails loudly (no edges exist)
+    intercept[IllegalArgumentException](
+      TextAnalysis.quantileTransformBinned(
+        df.filter(col("id") < 0), col("s"), "q"))
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, cross-list boost, tie-breaks") {
     val listA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("qid", "id", "rn")
     val listB = Seq((1L, 20L, 1L), (1L, 40L, 2L)).toDF("qid", "id", "rn")

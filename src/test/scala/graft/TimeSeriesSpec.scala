@@ -170,6 +170,41 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ksDriftByGroup(lone, col("g"), col("v")))
   }
 
+  test("ksDriftBinned: converges to the exact D with fine bins; vocabulary guard trips the exact form") {
+    // two overlapping uniform-ish groups: with bins ≥ the value count,
+    // every distinct value gets its own bin boundary region, so the
+    // binned sup must equal the exact sup; with coarse bins it is a
+    // lower bound
+    val rows = (1 to 64).map(i => ("a", i.toDouble)) ++
+      (1 to 64).map(i => ("b", i + 16.0))
+    val df = rows.toDF("g", "v")
+    val exact = TimeSeries.ksDriftByGroup(df, col("g"), col("v"))
+      .select("g", "d").as[(String, Double)].collect().toMap
+    val fine = TimeSeries.ksDriftBinned(df, col("g"), col("v"), bins = 128)
+      .select("g", "d").as[(String, Double)].collect().toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(fine(g) - d) < 1e-12,
+        s"$g: fine-binned D ${fine(g)} != exact $d") }
+    val coarse = TimeSeries.ksDriftBinned(df, col("g"), col("v"), bins = 4)
+      .select("g", "d").as[(String, Double)].collect().toMap
+    coarse.foreach { case (g, d) =>
+      assert(d <= exact(g) + 1e-12 && d > 0.0,
+        s"$g: coarse D $d must lower-bound exact ${exact(g)}") }
+    // ks scaling shares the exact form's formula
+    val row = TimeSeries.ksDriftBinned(df, col("g"), col("v"), bins = 128)
+      .filter(col("g") === "a")
+      .select("n", "n_rest", "d", "ks").as[(Long, Long, Double, Double)].head()
+    assert(row._1 == 64L && row._2 == 64L)
+    assert(math.abs(row._4 - row._3 * math.sqrt(64.0 * 64 / 128)) < 1e-12)
+    // the exact form REFUSES a vocabulary past maxValues, naming the sibling
+    val ex = intercept[IllegalArgumentException](
+      TimeSeries.ksDriftByGroup(df, col("g"), col("v"), maxValues = 50))
+    assert(ex.getMessage.contains("ksDriftBinned"), ex.getMessage)
+    // a lone group fails loudly in the binned form too
+    intercept[IllegalArgumentException](
+      TimeSeries.ksDriftBinned(df.filter(col("g") === "a"), col("g"), col("v")))
+  }
+
   test("psiDrift: zero on identical slices, large on a shift, mass conserved, bins smoothed") {
     val ref = (1 to 200).map(i => i % 100).toDF("v")
     // identical populations → every bin's fractions equal → PSI exactly 0
