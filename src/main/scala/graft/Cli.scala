@@ -433,20 +433,23 @@ object Cli {
       conjugate = a.flag("conj"),
       norm = a.get("norm").getOrElse("eq_hist"))
     // --dynspread (reference `create_plot` applies tf.dynspread before
-    // shading [U]): density-adaptive dilation of the COUNT raster —
-    // sparse scatter dilates until dots touch, dense rasters stay sharp
-    // (Raster.dynSpreadDensity, oracle-gated as q150). Count rasters
-    // only: a reduced (--ared) or categorical raster carries value
-    // columns a sum-dilation would corrupt.
-    if (a.flag("dynspread")) {
-      require(spec.colourBy.isEmpty && spec.reduction.isEmpty,
-        "--dynspread supports plain count rasters (not --ared / --colour-by)")
+    // shading [U]): density-adaptive dilation, for EVERY raster kind
+    // like the reference (r18, closing the r17 restriction) —
+    // count rasters dilate by sum (Raster.dynSpreadDensity, oracle-
+    // gated as q150); --ared rasters dilate counts by sum and composite
+    // the value DENSITY-WEIGHTED (dynSpreadValue); --colour-by rasters
+    // dilate per category with the radius chosen from occupied cells
+    // (dynSpreadCat).
+    if (a.flag("dynspread"))
       require(a.get("iter").isEmpty, "--dynspread is not supported with --iter")
-    }
     def spreadIfAsked(raster: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      if (a.flag("dynspread"))
+      if (!a.flag("dynspread")) raster
+      else if (spec.colourBy.nonEmpty)
+        graft.operators.Raster.dynSpreadCat(raster, canvas.width, canvas.height)
+      else if (spec.reduction.nonEmpty)
+        graft.operators.Raster.dynSpreadValue(raster, canvas.width, canvas.height, "ared")
+      else
         graft.operators.Raster.dynSpreadDensity(raster, canvas.width, canvas.height)
-      else raster
 
     val (cells, pngNote) = a.get("iter") match {
       case Some(g) =>

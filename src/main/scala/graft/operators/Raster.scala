@@ -133,40 +133,98 @@ object Raster {
   def dynSpreadDensity(
       raster: DataFrame, width: Int, height: Int,
       threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
+    val base = raster.select(col("xb"), col("yb"), col("c"))
+    val chosen = chosenRadius(base.select("xb", "yb"), threshold, maxRadius)
+    dilate(base, chosen, width, height, maxRadius)
+      .groupBy("xb", "yb")
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** The adaptive radius of [[dynSpreadDensity]], factored for the value
+    * and categorical spreads: given the DISTINCT non-empty cells, the
+    * 1-row frame carrying the smallest qualifying radius `__ds_r`. */
+  private def chosenRadius(cells: DataFrame, threshold: Double,
+      maxRadius: Int): DataFrame = {
     require(maxRadius >= 0, s"maxRadius must be >= 0, got $maxRadius")
     require(threshold >= 0 && threshold <= 1, s"threshold in [0,1], got $threshold")
-    val base = raster.select(col("xb"), col("yb"), col("c"))
     // nearest OTHER non-empty cell per cell, probed within the farthest
     // distance any candidate radius can care about (2·maxRadius + 1)
     val reach = 2 * maxRadius + 1
     val probe = for { dx <- -reach to reach; dy <- -reach to reach
                       if dx != 0 || dy != 0 }
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-    val minDist = base
+    val minDist = cells
       .select(col("xb").as("ox"), col("yb").as("oy"), explode(array(probe: _*)).as("o"))
       .select((col("ox") + col("o.dx")).as("xb"), (col("oy") + col("o.dy")).as("yb"),
         greatest(abs(col("o.dx")), abs(col("o.dy"))).as("d"))
-      .join(base.select("xb", "yb"), Seq("xb", "yb"))
+      .join(cells.select("xb", "yb"), Seq("xb", "yb"))
       .groupBy("xb", "yb").agg(min(col("d")).as("__ds_d"))
-    val rs = raster.sparkSession.range(0, maxRadius + 1L)
+    val rs = cells.sparkSession.range(0, maxRadius + 1L)
       .select(col("id").cast("int").as("__ds_r"))
     val qualifying = minDist.crossJoin(broadcast(rs))
       .filter(col("__ds_d") <= col("__ds_r") * 2 + 1)
       .groupBy("__ds_r").agg(count(lit(1)).as("__ds_k"))
-    val chosen = broadcast(rs).join(qualifying, Seq("__ds_r"), "left")
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("__ds_n"))))
+    broadcast(rs).join(qualifying, Seq("__ds_r"), "left")
+      .crossJoin(broadcast(cells.agg(count(lit(1)).as("__ds_n"))))
       .filter(coalesce(col("__ds_k"), lit(0L)).cast("double") / col("__ds_n") > threshold)
       .agg(coalesce(min(col("__ds_r")), lit(maxRadius)).as("__ds_r"))
+  }
+
+  /** Shared dilation kernel: every row replicated into its Chebyshev
+    * `__ds_r`-ball, clipped to the canvas — callers re-aggregate by
+    * their own composite rule. */
+  private def dilate(rows: DataFrame, chosen: DataFrame, width: Int,
+      height: Int, maxRadius: Int): DataFrame = {
     val offsets = for { dx <- -maxRadius to maxRadius; dy <- -maxRadius to maxRadius }
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-    base
+    val carried = rows.columns.filter(c => c != "xb" && c != "yb").map(col).toIndexedSeq
+    rows
       .crossJoin(broadcast(chosen))
-      .select(col("xb"), col("yb"), col("c"), col("__ds_r"),
-        explode(array(offsets: _*)).as("o"))
+      .select(col("xb") +: col("yb") +: col("__ds_r") +:
+        explode(array(offsets: _*)).as("o") +: carried: _*)
       .filter(greatest(abs(col("o.dx")), abs(col("o.dy"))) <= col("__ds_r"))
-      .select((col("xb") + col("o.dx")).as("xb"), (col("yb") + col("o.dy")).as("yb"), col("c"))
+      .select((col("xb") + col("o.dx")).as("xb") +:
+        (col("yb") + col("o.dy")).as("yb") +: carried: _*)
       .filter(col("xb") >= 0 && col("xb") < width && col("yb") >= 0 && col("yb") < height)
+  }
+
+  /** [[dynSpreadDensity]] for VALUE (`--ared`) rasters (ADVICE/VERDICT
+    * r17 — the reference dilates every raster kind): counts dilate by
+    * sum exactly as the plain form, and the aggregated value composites
+    * DENSITY-WEIGHTED — each output cell's value is the
+    * count-weighted mean of the source cells reaching it
+    * (`Σ v·c / Σ c` over non-NULL-value sources), so a dense source
+    * dominates the halo it shares with a sparse one and an untouched
+    * cell keeps exactly its own value (one source, weight cancels). A
+    * visualization composite: mean-like reductions dilate faithfully;
+    * min/max dilate as weighted blends (documented — dynspread feeds a
+    * shader, not downstream math). NULL values (e.g. a 1-row stddev
+    * cell) carry no weight. Same bounded shape: canvas-sized explode,
+    * one re-aggregate. */
+  def dynSpreadValue(raster: DataFrame, width: Int, height: Int,
+      valueCol: String, threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
+    val base = raster.select(col("xb"), col("yb"), col("c"),
+      col(valueCol).as("__ds_v"))
+    val chosen = chosenRadius(base.select("xb", "yb"), threshold, maxRadius)
+    dilate(base, chosen, width, height, maxRadius)
       .groupBy("xb", "yb")
+      .agg(sum(col("c")).as("c"),
+        (sum(col("__ds_v") * col("c")) /
+          sum(when(col("__ds_v").isNotNull, col("c")))).as(valueCol))
+  }
+
+  /** [[dynSpreadDensity]] for CATEGORICAL (`--colour-by`) rasters: the
+    * radius is chosen from the DISTINCT occupied cells (a cell shared
+    * by three categories is one dot on screen), then each category's
+    * counts dilate independently (sum within the category) — the
+    * compositor blends the spread categories exactly as it blends the
+    * unspread ones. Bounded by canvas × ncat. */
+  def dynSpreadCat(raster: DataFrame, width: Int, height: Int,
+      threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
+    val base = raster.select(col("xb"), col("yb"), col("cat"), col("c"))
+    val chosen = chosenRadius(base.select("xb", "yb").distinct(), threshold, maxRadius)
+    dilate(base, chosen, width, height, maxRadius)
+      .groupBy("xb", "yb", "cat")
       .agg(sum(col("c")).as("c"))
   }
 

@@ -278,6 +278,33 @@ object TimeSeries {
     * [[ksDriftByGroup]] degenerate-input discipline). Returns one row
     * per bin: `(bin, n_ref, n_cur, ref_frac, cur_frac, term)`, terms
     * unrounded; `PSI = Σ term`. */
+  /** The PSI REFERENCE ARTIFACT — [[psiDrift]]'s reference leg
+    * materialized once for reuse (the streaming form's input, and the
+    * thing a nightly job persists so every later comparison skips the
+    * reference scans): the `bins − 1` quantile edges and the reference
+    * histogram against them, computed with exactly the expressions
+    * [[psiDrift]] uses internally, so a PSI built from this artifact is
+    * value-identical to the batch call. Two reference scans (edges +
+    * histogram), `bins`-sized driver traffic — the k-row-centroid
+    * discipline. */
+  def psiReference(ref: DataFrame, value: Column,
+      bins: Int = 10): (Seq[Double], Seq[Long]) = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val refV = ref.select(value.cast("double").as("v")).filter(col("v").isNotNull)
+    require(refV.limit(1).count() == 1,
+      "psiReference: the reference slice has no non-NULL values — no quantile edges exist")
+    val fracs = (1 until bins).map(k =>
+      s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+    val edges = refV.agg(expr(s"percentile(v, array($fracs))"))
+      .head().getSeq[Double](0)
+    val counts = refV
+      .select(aggregate(typedlit(edges), lit(0L),
+        (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (edges, (0 until bins).map(b => counts.getOrElse(b.toLong, 0L)))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")

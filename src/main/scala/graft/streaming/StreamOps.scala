@@ -345,6 +345,60 @@ object StreamOps {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** WINDOWED POPULATION STABILITY INDEX — the live form of
+    * [[graft.operators.TimeSeries.psiDrift]] (q182), completing the
+    * drift family's batch/stream parity story (CUSUM already has it):
+    * per event-time window, every arriving value bins against the
+    * BROADCAST reference-edge artifact
+    * ([[graft.operators.TimeSeries.psiReference]] — persist it nightly,
+    * monitor against it live) and the window closes into the same
+    * `(bin, n_ref, n_cur, ref_frac, cur_frac, term)` rows the batch
+    * operator emits for that slice, add-one smoothing and all —
+    * `StreamingParitySpec` pins row-for-row equality against
+    * `psiDrift(ref, windowSlice)` per window.
+    *
+    * Shape: binning is an in-row fold over the edge LITERALS (map-only,
+    * stateless), each window's state is the fixed `bins` conditional
+    * counters of ONE grouped aggregate (never the values), and the
+    * bins-row spine + slice totals come out of the closed window's
+    * single row via in-row `aggregate` + `posexplode` — no stream-side
+    * join, no second aggregate, so it runs in any output mode and
+    * composes with [[withLateness]] for append. State per open window
+    * is O(bins) regardless of arrival volume — the 100 TB/day monitor
+    * costs what a count(*) costs. */
+  def psiWindowed(events: DataFrame, ts: Column, duration: String,
+      value: Column, refEdges: Seq[Double], refBinCounts: Seq[Long]): DataFrame = {
+    val bins = refBinCounts.length
+    require(bins >= 2, s"need >= 2 reference bins, got $bins")
+    require(refEdges.length == bins - 1,
+      s"edge/bin mismatch: ${refEdges.length} edges for $bins bins (want bins - 1)")
+    val nRef = refBinCounts.sum
+    require(nRef > 0, "psiWindowed: the reference histogram is empty — " +
+      "a vanished reference population has no stable fractions")
+    val bin = aggregate(typedlit(refEdges), lit(0L),
+      (acc, e) => acc + when(value.cast("double") > e, 1L).otherwise(0L))
+    val perBin = (0 until bins).map(b =>
+      sum(when(col("__psi_bin") === b, 1L).otherwise(0L)).as(s"__psi_n$b"))
+    val closed = events
+      .filter(value.isNotNull)
+      .select(ts.as("__psi_ts"), bin.as("__psi_bin"))
+      .groupBy(window(col("__psi_ts"), duration))
+      .agg(perBin.head, perBin.tail: _*)
+    val binArr = array((0 until bins).map(b => col(s"__psi_n$b")): _*)
+    val refArr = typedlit(refBinCounts)
+    closed
+      .withColumn("__psi_nc", aggregate(binArr, lit(0L), (a, x) => a + x))
+      .select(col("window"), col("__psi_nc"),
+        posexplode(binArr).as(Seq("bin", "n_cur")))
+      .select(col("window"), col("bin").cast("long").as("bin"),
+        element_at(refArr, col("bin").cast("int") + 1).as("n_ref"), col("n_cur"),
+        ((element_at(refArr, col("bin").cast("int") + 1) + 1).cast("double") /
+          (lit(nRef) + bins)).as("ref_frac"),
+        ((col("n_cur") + 1).cast("double") / (col("__psi_nc") + bins)).as("cur_frac"))
+      .withColumn("term",
+        (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
+  }
+
   /** WINDOWED SILHOUETTE MONITOR — q165's internal-validity instrument
     * run LIVE against the persisted centroid artifacts: per event-time
     * window, the count / mean / min of the simplified-silhouette score

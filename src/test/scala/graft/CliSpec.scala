@@ -229,10 +229,49 @@ class CliSpec extends SparkSpec {
     val sum = (dir: String) => spark.read.parquet(dir)
       .agg(org.apache.spark.sql.functions.sum("c")).collect().head.getLong(0)
     assert(sum(outSpread) >= sum(outPlain), "dilation spreads mass, never loses cells")
-    intercept[IllegalArgumentException](run(tmp("x"), tmp("x.png"),
-      "--dynspread", "--colour-by", "l_returnflag"))
-    intercept[IllegalArgumentException](run(tmp("y"), tmp("y.png"),
-      "--dynspread", "--ared", "mean", "--aaxis", "l_tax"))
+
+    // --ared rasters dilate too (r18): counts grow, and every dilated
+    // value is a density-weighted blend — hence inside the plain
+    // raster's [min, max] value envelope (convex combination)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    val outAredPlain = tmp("ared_plain")
+    val outAredSpread = tmp("ared_on")
+    val aredPlain = run(outAredPlain, tmp("ap.png"),
+      "--ared", "mean", "--aaxis", "l_tax")
+    val aredSpread = run(outAredSpread, tmp("as.png"),
+      "--ared", "mean", "--aaxis", "l_tax", "--dynspread")
+    assert(aredSpread > aredPlain,
+      s"ared dilation must grow the sparse raster: $aredPlain -> $aredSpread")
+    val env = spark.read.parquet(outAredPlain)
+      .agg(fmin("ared"), fmax("ared")).collect().head
+    val offEnvelope = spark.read.parquet(outAredSpread)
+      .filter(col("ared") < env.getDouble(0) - 1e-12 ||
+        col("ared") > env.getDouble(1) + 1e-12).count()
+    assert(offEnvelope == 0L,
+      "density-weighted values must stay inside the source envelope")
+
+    // --colour-by rasters dilate per category: cells grow, the category
+    // set is unchanged, per-category mass never shrinks, PNG differs
+    val outCatPlain = tmp("cat_plain")
+    val outCatSpread = tmp("cat_on")
+    val pngCatPlain = tmp("cp.png")
+    val pngCatSpread = tmp("cs.png")
+    val catPlain = run(outCatPlain, pngCatPlain, "--colour-by", "l_returnflag")
+    val catSpread = run(outCatSpread, pngCatSpread,
+      "--colour-by", "l_returnflag", "--dynspread")
+    assert(catSpread > catPlain,
+      s"categorical dilation must grow the sparse raster: $catPlain -> $catSpread")
+    def catMass(dir: String) = spark.read.parquet(dir).groupBy("cat")
+      .agg(org.apache.spark.sql.functions.sum("c").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (mp, ms) = (catMass(outCatPlain), catMass(outCatSpread))
+    assert(mp.keySet == ms.keySet, s"category set must survive: $mp vs $ms")
+    mp.foreach { case (k, m) =>
+      assert(ms(k) >= m, s"category $k mass shrank: $m -> ${ms(k)}") }
+    assert(!java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(pngCatPlain)),
+      Files.readAllBytes(java.nio.file.Paths.get(pngCatSpread))),
+      "dilated categorical PNG must differ from undilated")
   }
 
   test("--cnum discretizes the colour axis into exact ntiles (q146's scale-safe shape)") {

@@ -226,6 +226,48 @@ class StreamingParitySpec extends SparkSpec {
       "a late row must be dropped from its already-closed sliding windows")
   }
 
+  test("windowed PSI: streamed per-window rows equal batch psiDrift against the same reference") {
+    import graft.operators.TimeSeries
+    import graft.streaming.StreamOps
+    // reference = the whole batch value column; the stream monitors
+    // 7-day windows against the persisted edge artifact. Parity is
+    // ROW-FOR-ROW equality with the batch operator run per window slice
+    // — same edges, same smoothing rationals, same term dag.
+    val bins = 8
+    val ref = sf0001.events.select(col("value"))
+    val (edges, refCounts) = TimeSeries.psiReference(ref, col("value"), bins)
+    assert(edges.length == bins - 1 && refCounts.sum ==
+      sf0001.events.filter(col("value").isNotNull).count())
+    val streamed = runToCompletion(
+      StreamOps.psiWindowed(eventsStream, col("ts"), "7 days",
+        col("value"), edges, refCounts), "tpsi")
+      .select(col("window.start").as("ws"), col("bin"), col("n_ref"),
+        col("n_cur"), col("ref_frac"), col("cur_frac"), col("term"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    val windows = sf0001.events
+      .select(window(col("ts"), "7 days").as("w")).distinct()
+      .select(col("w.start").as("s"), col("w.end").as("e"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    assert(windows.length >= 4, s"fixture should span several windows: ${windows.length}")
+    val batch = windows.flatMap { case (s, e) =>
+      val slice = sf0001.events.filter(col("ts") >= lit(s) && col("ts") < lit(e))
+      TimeSeries.psiDrift(ref, slice, col("value"), bins)
+        .collect().map(r => (s, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    }.toSet
+    assert(streamed == batch,
+      s"stream/batch PSI divergence: only-stream=${(streamed diff batch).take(3)} " +
+        s"only-batch=${(batch diff streamed).take(3)}")
+    // artifact validation is loud
+    intercept[IllegalArgumentException](
+      StreamOps.psiWindowed(eventsStream, col("ts"), "7 days",
+        col("value"), edges.tail, refCounts))
+    intercept[IllegalArgumentException](
+      StreamOps.psiWindowed(eventsStream, col("ts"), "7 days",
+        col("value"), Seq(0.5), Seq(0L, 0L)))
+  }
+
   test("watermarked windowed stream (1h watermark) still converges to batch Q21 counts") {
     val streamed = runToCompletion(
       eventsStream

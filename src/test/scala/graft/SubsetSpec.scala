@@ -107,6 +107,56 @@ class SubsetSpec extends SparkSpec {
       "a lone point must dilate by maxRadius (7x7 block)")
   }
 
+  test("dynSpreadValue: counts dilate by sum, values composite density-weighted; untouched cells keep theirs") {
+    import graft.operators.Raster
+    // the q150 pair fixture with values: radius 1 is chosen (Chebyshev
+    // distance 3 merges at 2r+1 = 3). Cell (0,0) c=1 v=10; (3,0) c=3
+    // v=20. Overlap column x∈{} — r=1 blocks are x∈[0,1] and x∈[2,4]:
+    // disjoint, so every output cell is single-source and must keep its
+    // source's exact value; counts replicate
+    val pair = Seq((0, 0, 1L, 10.0), (3, 0, 3L, 20.0)).toDF("xb", "yb", "c", "ared")
+    val p = Raster.dynSpreadValue(pair, 16, 16, "ared", threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(p.size == 10, s"$p")
+    assert(p((0, 0)) == (1L, 10.0) && p((1, 1)) == (1L, 10.0), s"$p")
+    assert(p((3, 0)) == (3L, 20.0) && p((4, 1)) == (3L, 20.0), s"$p")
+    // adjacent sources at distance 1 also choose r... = 0? distance 1
+    // merges at r=0 (2·0+1 = 1): identity — then force overlap with a
+    // distance-2 pair, which merges at r=1 too (2 ≤ 3): the shared
+    // column x=1 blends 10 and 20 weighted by counts 1 and 3 → 17.5
+    val near = Seq((0, 0, 1L, 10.0), (2, 0, 3L, 20.0)).toDF("xb", "yb", "c", "ared")
+    val n = Raster.dynSpreadValue(near, 16, 16, "ared", threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(n((1, 0)) == (4L, 17.5), s"shared cell must blend density-weighted: $n")
+    assert(n((0, 0)) == (1L, 10.0) && n((3, 0)) == (3L, 20.0), s"$n")
+    // a NULL value carries no weight: blending NULL with 20 yields 20
+    val withNull = Seq((0, 0, 1L, Option.empty[Double]), (2, 0, 3L, Some(20.0)))
+      .toDF("xb", "yb", "c", "ared")
+    val w = Raster.dynSpreadValue(withNull, 16, 16, "ared", threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(w((1, 0)) == (4L, Some(20.0)), s"NULL source must carry no weight: $w")
+    assert(w((0, 0)) == (1L, None), s"an all-NULL cell stays NULL: $w")
+  }
+
+  test("dynSpreadCat: radius from occupied cells, per-category sum dilation") {
+    import graft.operators.Raster
+    // two categories sharing cell (0,0) plus a lone 'b' at (3,0):
+    // occupied cells are {(0,0), (3,0)} — distance 3, radius 1. Each
+    // category dilates independently
+    val cat = Seq((0, 0, "a", 2L), (0, 0, "b", 1L), (3, 0, "b", 5L))
+      .toDF("xb", "yb", "cat", "c")
+    val out = Raster.dynSpreadCat(cat, 16, 16, threshold = 0.5, maxRadius = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    // 'a' spreads its 2x2 clipped block from (0,0); 'b' has both sources
+    assert(out((0, 0, "a")) == 2L && out((1, 1, "a")) == 2L)
+    assert(!out.contains((2, 0, "a")), s"'a' must not reach x=2: $out")
+    assert(out((0, 0, "b")) == 1L && out((3, 0, "b")) == 5L && out((4, 1, "b")) == 5L)
+    // per-category mass = original × block size (4 for clipped, 6 for inner)
+    val mass = out.toSeq.groupBy(_._1._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(mass("a") == 8L && mass("b") == 4L + 30L, s"$mass")
+  }
+
   test("Engine.open registers the catalog for free-form SQL (TaQL passthrough)") {
     Engine.open(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
