@@ -51,6 +51,18 @@ object Bench {
     timings.collect { case (n, t) if t > ceiling => n }
       .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** LOAD CANARY (VERDICT r17 #4): a leg whose reps ran while the machine
+    * was loaded reads as a phantom regression — r17's driver capture
+    * reported q120 at 24.8 s (26×) that reproduced at 0.90 s idle, and a
+    * round's diagnosis budget went to chasing it. The bench now times a
+    * fixed trivial job (the canary) next to every timed leg; a leg whose
+    * canary reading exceeds `factor` × the calibrated idle base is
+    * annotated in the JSON, so a contaminated capture names itself.
+    * Factored for `BenchSpec`: returns the flagged leg names. */
+  def canaryFlags(samples: Seq[(String, Double)], base: Double,
+      factor: Double = 2.0): Seq[String] =
+    samples.collect { case (n, c) if c > factor * base => n }.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,11 +104,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // the canary job: fixed CPU-bound work through the same scheduler the
+    // timed legs use; ~tens of ms idle, scales with contention
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySamples = scala.collection.mutable.Map[String, Double]()
+    def sampleCanary(leg: String): Unit = {
+      val c = canary()
+      canarySamples(leg) = math.max(canarySamples.getOrElse(leg, 0.0), c)
+    }
+
     names.foreach(runOne)                        // warm-up passes
     names.foreach(runOne)
+    // calibrate the canary base AFTER warm-up (codegen paid), best of 5
+    canary()
+    val canaryBase = (1 to 5).map(_ => canary()).min
     // serial timed: best of 2 per query (oracle methodology is best-of-3)
-    val p1 = names.map(n => n -> runOne(n)).toMap
-    val p2 = names.map(n => n -> runOne(n)).toMap
+    val p1 = names.map { n => sampleCanary(n); n -> runOne(n) }.toMap
+    val p2 = names.map { n => sampleCanary(n); n -> runOne(n) }.toMap
     val serial = names.map(n => n -> math.min(p1(n), p2(n)))
     val serialTotal = serial.map(_._2).sum
 
@@ -150,6 +179,7 @@ object Bench {
       // the two Lloyd passes, the exact q102 misclassification replayed
       "q165_silhouette", "q168_adjusted_rand", "q169_nmi")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
+      sampleCanary(n)
       val reps = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         runOne(n)
@@ -163,6 +193,7 @@ object Bench {
     // actually run — and the LAST rep leaves the memos warm for the
     // consumer timings below, exactly as before.
     val sharedReps = (1 to 2).map { _ =>
+      sampleCanary("shared_tables")
       spark.sharedState.cacheManager.clearCache()
       Tables.clearPairCache()
       val t0 = System.nanoTime()
@@ -178,6 +209,7 @@ object Bench {
     val tSharedComp = sharedReps.map(_._2).min
     val tSharedCents = sharedReps.map(_._3).min
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
+      sampleCanary(n)
       n -> (1 to 2).map(_ => runOne(n)).min
     }
     val ext = (extCold ++ extWarmMemo ++
@@ -242,9 +274,23 @@ object Bench {
     // shared builds) — see slowCeilingSec: new pathological queries have
     // no drift baseline, this names them anyway
     val slow = slowJson(serial ++ ext)
+    // load-canary annotation: legs whose neighborhood canary ran > 2× the
+    // calibrated idle base — read any drift/slow flag on these legs as
+    // "machine was loaded", not "plan regressed"
+    val canaryJson = {
+      val samples = canarySamples.toSeq
+      val flagged = canaryFlags(samples, canaryBase)
+      val flaggedReadings = flagged.map(n =>
+        "\"" + n + "\":" + canarySamples(n)).mkString("{", ",", "}")
+      val maxS = if (samples.isEmpty) 0.0 else samples.map(_._2).max
+      s"""{"base":$canaryBase,"max_sample":$maxS,""" +
+        s""""flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""flagged_readings":$flaggedReadings}"""
+    }
     val json =
       s"""{"queries":$qs,"serial_total":$serialTotal,"concurrency":$threads,""" +
       s""""extensions":$exts,"drift":$drift,"failed":$failedJson,"slow":$slow,""" +
+      s""""canary":$canaryJson,""" +
       s""""sf":"$sfDir","unit":"sec","metric":"suite_wall_concurrent","value":$wall}"""
     val outFile = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(outFile.getParent)

@@ -21,7 +21,9 @@ object OracleSql {
       ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""",
 
     "q02_filter_flagmask" -> """
-      SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS s
+      SELECT l_returnflag, count(*) AS n,
+        round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+              / 100.0, 2) AS s
       FROM lineitem
       WHERE NOT (l_returnflag = 'R') AND l_shipdate >= TIMESTAMP '1997-01-01'
       GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
@@ -42,9 +44,12 @@ object OracleSql {
 
     "q05_group_stats" -> """
       SELECT l_returnflag, l_linestatus, count(*) AS n,
-             round(sum(l_quantity), 2) AS sq,
-             round(avg(l_extendedprice), 4) AS ap,
-             round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS charge
+             round(CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+                   / 100.0, 2) AS sq,
+             round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+                   / (count(l_extendedprice) * 100.0), 4) AS ap,
+             round(CAST(sum(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax))
+                   * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS charge
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
@@ -57,7 +62,10 @@ object OracleSql {
     "q07_raster2d_mean" -> """
       SELECT CAST(least(31, greatest(0, floor((l_discount - 0.0)/(0.1 - 0.0)*32))) AS INT) AS xb,
              CAST(least(31, greatest(0, floor((l_tax - 0.0)/(0.08 - 0.0)*32))) AS INT) AS yb,
-             count(*) AS c, round(avg(l_extendedprice), 4) AS m, round(max(l_extendedprice), 2) AS mx
+             count(*) AS c,
+             round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+                   / (count(l_extendedprice) * 100.0), 4) AS m,
+             round(max(l_extendedprice), 2) AS mx
       FROM lineitem GROUP BY xb, yb ORDER BY xb NULLS FIRST, yb NULLS FIRST""",
 
     "q08_raster2d_count_cat" -> """

@@ -1449,9 +1449,11 @@ object PipelineQueries {
     t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        Rounding.portable(sum("l_quantity"), 2).as("qty"),
-        Rounding.portable(sum("l_extendedprice"), 2).as("price"),
-        Rounding.portable(sum("l_discount"), 2).as("disc"))
+        // order-exact integer-grid sums (r18): all three are exact
+        // 2-decimal columns, so the long sums are merge-order-immune
+        Rounding.portable(Rounding.sumExact(col("l_quantity"), 2), 2).as("qty"),
+        Rounding.portable(Rounding.sumExact(col("l_extendedprice"), 2), 2).as("price"),
+        Rounding.portable(Rounding.sumExact(col("l_discount"), 2), 2).as("disc"))
       .unpivot(
         Array(col("l_returnflag")),
         Array(col("qty"), col("price"), col("disc")),
@@ -3753,9 +3755,12 @@ object PipelineQueries {
 
     "q58_unpivot" -> """
       WITH wide AS (SELECT l_returnflag,
-          round(sum(l_quantity), 2) AS qty,
-          round(sum(l_extendedprice), 2) AS price,
-          round(sum(l_discount), 2) AS disc
+          round(CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0, 2) AS qty,
+          round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0, 2) AS price,
+          round(CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0, 2) AS disc
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, measure, value FROM (
         SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide

@@ -119,6 +119,9 @@ object PlanDump {
     "q168_adjusted_rand",    // ONE grouping-sets aggregate: contingency + marginals + n together
     "q169_nmi",              // same single Expand pass; x·ln x sums replace the cell-marginal join
     "q170_covariance",       // order-exact integer-moment aggregate + in-row triangle explode (r18)
+    "q185_ks_binned",        // broadcast quantile edges into an in-row fold; groups×bins grid only (r18)
+    "q186_quantile_binned",  // map-only binned ECDF: edge broadcast, no vocab window, no join back (r18)
+    "q187_benford_significant", // mantissa-normalized digit map stage + one 9-key aggregate (r18)
     "q171_cusum",            // closed-form CUSUM: ONE user exchange under two running windows + summary agg
   )
 

@@ -86,13 +86,18 @@ object Queries {
         Rounding.portable(Axes.phase(col("l_discount") + 0.001, col("l_tax")), 4).as("phase"))
       .transform(sortedLarge(_, col("l_orderkey"), col("l_linenumber")))
 
-  /** Q02 flag-mask filter + aggregate (`--noflags` masking analog [U]). */
+  /** Q02 flag-mask filter + aggregate (`--noflags` masking analog [U]).
+    * The price sum is the ORDER-EXACT integer-cent form
+    * ([[Rounding.sumExact]], r18): prices are exact 2-decimal
+    * quantities, so the cent sum is an exact long — merge-order-immune
+    * where the float sum's jitter grows with the aggregate magnitude. */
   def q02(t: Tables): DataFrame =
     t.lineitem
       .filter(!(col("l_returnflag") === "R") &&
         col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), Rounding.portable(sum("l_extendedprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        Rounding.portable(Rounding.sumExact(col("l_extendedprice"), 2), 2).as("s"))
       .transform(sortedSmall(_, col("l_returnflag")))
 
   /** Q03 subset selection: IN-list + range (`--field/--scan` style [U]). */
@@ -122,9 +127,15 @@ object Queries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n"),
-        Rounding.portable(sum("l_quantity"), 2).as("sq"),
-        Rounding.portable(avg("l_extendedprice"), 4).as("ap"),
-        Rounding.portable(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+        // ORDER-EXACT moments (r18, the q170 discipline for currency):
+        // quantities/prices are exact 2-decimal; the charge term
+        // price·(1−disc)·(1+tax) is exactly 6-decimal (2+2+2), so each
+        // snaps losslessly to its integer grid and the sums are exact
+        // longs — immune to partial-aggregate merge order
+        Rounding.portable(Rounding.sumExact(col("l_quantity"), 2), 2).as("sq"),
+        Rounding.portable(Rounding.avgExact(col("l_extendedprice"), 2), 4).as("ap"),
+        Rounding.portable(Rounding.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6), 2)
           .as("charge"))
       .transform(sortedSmall(_, col("l_returnflag"), col("l_linestatus")))
 
@@ -143,7 +154,9 @@ object Queries {
     Canvas(32, 32, (0.0, 0.1), (0.0, 0.08))
       .aggPoints(t.lineitem, col("l_discount"), col("l_tax"), Seq(
         count(lit(1)).as("c"),
-        Rounding.portable(avg("l_extendedprice"), 4).as("m"),
+        // order-exact mean (r18): Σcents/(n·100), exact longs; max is
+        // order-immune already
+        Rounding.portable(Rounding.avgExact(col("l_extendedprice"), 2), 4).as("m"),
         Rounding.portable(max("l_extendedprice"), 2).as("mx")))
       .transform(sortedSmall(_, col("xb"), col("yb")))
 

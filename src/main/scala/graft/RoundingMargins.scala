@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** ROUNDING-BOUNDARY FRAGILITY SWEEP (VERDICT r17 #2, systemic follow-up
+  * to the q170 hash flip): every gated query hashes `%.6g`/`round(·,k)`
+  * values computed from float aggregates whose unrounded result can
+  * jitter with partial-aggregate merge order (~n·ε relative). A value
+  * sitting closer to a rounding boundary than that jitter is a latent
+  * driver-red coin flip. This harness turns "hope" into a checked
+  * invariant, two ways per query:
+  *
+  *  1. ANALYTIC margin, PER SCALE: for each portable-rounding scale k
+  *     the registry uses, re-runs the query with
+  *     `graft.rounding.bypass=k` (Rounding.portable passes scale-k
+  *     calls through unrounded; other scales round normally), and for
+  *     every finite double reports the distance to the nearest scale-k
+  *     flip boundary (half-grid points of 10^-k) against a merge-jitter
+  *     bound `N·ε·max(1,|u|)` (N = 10⁵ — a generous per-group
+  *     accumulation length at sf0.01, where the largest gated groups
+  *     fold ~6·10⁴ rows; ε = 2⁻⁵²). A column is only judged against
+  *     the grid it actually rounds to — a scale-2 currency sum is not
+  *     compared to a 1e-6 grid it never meets. Caveat documented here
+  *     and adjudicated in ROUND_NOTES: an EXACT value (integer moments,
+  *     bin midpoints, rationals of counts) that legitimately sits near
+  *     a boundary shows a small margin without being fragile — which is
+  *     why the second leg exists.
+  *  2. EMPIRICAL stability: runs the REAL gated query (rounding on)
+  *     under two different shuffle-partition settings — different
+  *     partial counts, different merge topology — and requires one
+  *     identical canonical md5. An order-sensitive gate fails HERE
+  *     regardless of where its values sit.
+  *
+  * Output: docs/ROUNDING_MARGINS.json — per query the min margin, the
+  * worst margin/bound ratio, double count, and hash stability; summary
+  * lists any unstable or sub-bound queries. Exit 1 if any query is
+  * hash-unstable (the definitive signal). Usage:
+  *   sbt "runMain graft.RoundingMargins [sfDir] [outPath]"
+  */
+object RoundingMargins {
+
+  private val Eps = math.ulp(1.0) // 2^-52
+  private val JitterRows = 100000L
+
+  /** ADJUDICATED GATES: queries whose pre-round doubles are NOT
+    * float-aggregated — they are fixed dags over exact integers/counts
+    * (merge-order-immune by construction), so the generic `N·ε` jitter
+    * bound does not apply; their effective merge length is the value
+    * given here (0 = fully exact). Every entry carries its
+    * justification and is re-checked by the empirical stability leg
+    * like everything else. Keep this list TIGHT: an entry is a reviewed
+    * claim, not an exemption. */
+  val adjudicated: Map[String, (Long, String)] = Map(
+    "q02_filter_flagmask" -> (0L,
+      "exact integer-cent sum (Rounding.sumExact, r18 conversion)"),
+    "q05_group_stats" -> (0L,
+      "exact integer-grid sum/avg/charge moments (r18 conversion)"),
+    "q07_raster2d_mean" -> (0L,
+      "exact integer-cent mean; max is order-immune (r18 conversion)"),
+    "q58_unpivot" -> (0L,
+      "exact integer-cent sums for all three measures (r18 conversion)"),
+    "q10_eqhist_cumedist" -> (0L,
+      "cume_dist emits exact rank/total rationals; no float aggregation"),
+    "q55_array_hof" -> (0L,
+      "in-row HOF fold in fixed per-row order; no cross-row float sum"),
+    "q111_sketch_novelty" -> (0L,
+      "KMV estimate is a fixed dag of the order-immune max/bottom-k hashes"),
+    "q115_gopher_gate" -> (0L,
+      "in-row integer counts and their rationals; no float aggregation"),
+    "q176_audio_features" -> (0L,
+      "rms/zcr are fixed dags of exact integer codec accumulators"),
+    "q114_temperature_mixture" -> (64L,
+      "only float merge is the <= #strata-term pow-weight sum; 64 >> strata"))
+
+  /** Distance from `u` to the nearest value where a portable round at
+    * scale k changes output (half-grid points of 10^-k). */
+  private[graft] def boundaryDistance(u: Double, k: Int): Double = {
+    val p = math.pow(10.0, k.toDouble)
+    val scaled = u * p
+    val frac = scaled - math.rint(scaled) // in [-0.5, 0.5]
+    (0.5 - math.abs(frac)) / p
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.drop(1).headOption.getOrElse("docs/ROUNDING_MARGINS.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(re) => val r = re.r; s => r.findFirstIn(s).isDefined
+      case None => _ => true
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(only)
+    val results = names.map { name =>
+      val q = SparkEntry.queries(name)
+      // empirical leg: same query, two merge topologies, one md5 —
+      // rows SORTED before hashing (the driver's canon protocol sorts
+      // rows, so a tie in a presentation order must not read as
+      // instability)
+      def md5At(parts: String): String = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          val body = q(spark, sfDir).collect().map(Canon.row).sorted.mkString("\n")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      }
+      val (h1, h2) = (md5At("3"), md5At("31"))
+      val stable = h1 == h2
+      // analytic leg: per rounding scale, the unrounded doubles of the
+      // columns rounded AT that scale; per-value jitter bound
+      // N·ε·max(1,|u|), tracked as the worst margin/bound RATIO
+      // discover which scales this query rounds at (construction only,
+      // nothing executes)
+      graft.functions.Rounding.observed.clear()
+      sys.props("graft.rounding.record") = "1"
+      try q(spark, sfDir) finally sys.props.remove("graft.rounding.record")
+      val scales = {
+        import scala.jdk.CollectionConverters._
+        graft.functions.Rounding.observed.asScala.map(_.intValue).toSeq.sorted
+      }
+      val jitterN = adjudicated.get(name).map(_._1)
+        .getOrElse(JitterRows).toDouble
+      var minMargin = Double.MaxValue
+      var minRatio = Double.MaxValue
+      var nDoubles = 0L
+      scales.foreach { k =>
+        sys.props("graft.rounding.bypass") = k.toString
+        try {
+          q(spark, sfDir).collect().foreach { r =>
+            (0 until r.length).foreach { i =>
+              r.get(i) match {
+                case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+                  nDoubles += 1
+                  val dist = boundaryDistance(d, k)
+                  val boundU = jitterN * Eps * math.max(1.0, math.abs(d))
+                  val ratio = if (boundU == 0.0) Double.MaxValue else dist / boundU
+                  if (dist < minMargin) minMargin = dist
+                  if (ratio < minRatio) minRatio = ratio
+                case _ =>
+              }
+            }
+          }
+        } finally sys.props.remove("graft.rounding.bypass")
+      }
+      if (nDoubles == 0) { minMargin = Double.MaxValue; minRatio = Double.MaxValue }
+      val subBound = minRatio < 1.0
+      println(f"[margins] $name%-32s stable=$stable%-5s doubles=$nDoubles%-6d " +
+        f"min_margin=$minMargin%.3e ratio=$minRatio%.3e")
+      (name, stable, minMargin, nDoubles, minRatio, subBound)
+    }
+    val unstable = results.filter(!_._2).map(_._1)
+    val sub = results.filter(_._6).map(_._1)
+    val json = new StringBuilder
+    json.append("{\n  \"jitter_rows\": ").append(JitterRows)
+      .append(", \"epsilon\": ").append(Eps)
+      .append(", \"sf\": \"").append(sfDir).append("\",\n")
+    json.append("  \"unstable_across_partitionings\": [")
+      .append(unstable.map("\"" + _ + "\"").mkString(", ")).append("],\n")
+    json.append("  \"sub_bound_margins\": [")
+      .append(sub.map("\"" + _ + "\"").mkString(", ")).append("],\n")
+    json.append("  \"adjudicated\": {\n")
+    json.append(adjudicated.toSeq.sortBy(_._1).map { case (n, (k, why)) =>
+      s"""    "$n": {"n_terms": $k, "why": "$why"}"""
+    }.mkString(",\n"))
+    json.append("\n  },\n")
+    json.append("  \"queries\": {\n")
+    json.append(results.map { case (n, st, m, nd, ratio, _) =>
+      f"""    "$n": {"hash_stable": $st, "n_doubles": $nd, """ +
+        f""""min_margin": $m%.6e, "margin_over_bound": $ratio%.6e}"""
+    }.mkString(",\n"))
+    json.append("\n  }\n}\n")
+    Files.writeString(Paths.get(out), json.toString)
+    println(s"[margins] wrote ${results.size} queries to $out; " +
+      s"unstable=${unstable.size} sub_bound=${sub.size}")
+    spark.stop()
+    if (unstable.nonEmpty) sys.exit(1)
+  }
+}

@@ -27,4 +27,22 @@ class BenchSpec extends AnyFunSuite {
   test("ceiling is an explicit constant with sf0.1 headroom (every healthy query <= ~8s)") {
     assert(Bench.slowCeilingSec == 30.0)
   }
+
+  test("load canary: the synthetic-load A/B — loaded legs flagged, idle legs clear") {
+    // A: idle capture — every canary sample near the calibrated base
+    val base = 0.030
+    val idle = Seq("q120_gopher_full" -> 0.031, "q72_dedup_clusters_stars" -> 0.028,
+      "q57_dedup_clusters" -> 0.055) // < 2x base: noisy but not loaded
+    assert(Bench.canaryFlags(idle, base) == Nil)
+    // B: the r17 driver profile — background load inflates the canary
+    // next to exactly the legs whose timings came back 5-26x; those legs
+    // must name themselves so the drift flags read as load, not plans
+    val loaded = Seq("q120_gopher_full" -> 0.41, "q72_dedup_clusters_stars" -> 0.19,
+      "q57_dedup_clusters" -> 0.02, "q169_nmi" -> 0.061)
+    assert(Bench.canaryFlags(loaded, base) ==
+      Seq("q120_gopher_full", "q169_nmi", "q72_dedup_clusters_stars"))
+    // threshold is a strict multiple: AT 2x is not flagged
+    assert(Bench.canaryFlags(Seq("x" -> 0.060), base) == Nil)
+    assert(Bench.canaryFlags(Seq("x" -> 0.0601), base) == Seq("x"))
+  }
 }
