@@ -69,3 +69,57 @@ object CovarianceAggregator {
     1 + dim + i * dim - i * (i - 1) / 2 + (j - i)
   }
 }
+
+/** ORDER-EXACT sibling of [[CovarianceAggregator]] over GRID-SNAPPED
+  * integer components (the q170 gate's engine,
+  * [[graft.operators.Pca.covarianceMatrixExact]]): same fixed-size state
+  * layout `[n, Σx, Σxy(i ≤ j)]` but as EXACT longs — long addition
+  * commutes, so the moments are bit-identical under any partitioning or
+  * merge order, which is the whole point of the exact form. Input rows
+  * are the already-snapped integer components (`round(x·scale)` as
+  * long, done in the plan so the snap is the portable expression both
+  * engines share). ONE aggregator expression regardless of dim — the
+  * first draft unrolled 1 + dim + dim·(dim+1)/2 separate `sum()`
+  * columns, which planned fine at dim 16 (153 aggregates) but is the
+  * q158 plan-size failure class at dim 64 (2 145 aggregates). Overflow
+  * throws loudly via `Math.addExact`/`multiplyHigh`-free exact ops (the
+  * ANSI-mode contract of the column form). */
+class CovarianceLongAggregator(dim: Int)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+  require(dim >= 1, s"covariance needs dim >= 1, got $dim")
+  private val tri = dim * (dim + 1) / 2
+
+  override def zero: Array[Long] = new Array[Long](1 + dim + tri)
+
+  override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    require(v != null && v.length >= dim,
+      s"vector of length ${if (v == null) -1 else v.length} < dim $dim")
+    val x = v.toArray
+    buf(0) += 1L
+    var i = 0
+    var t = 1 + dim
+    while (i < dim) {
+      buf(1 + i) = Math.addExact(buf(1 + i), x(i))
+      var j = i
+      while (j < dim) {
+        buf(t) = Math.addExact(buf(t), Math.multiplyExact(x(i), x(j)))
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,23 +89,27 @@ object Pca {
       scale: Long = 1000000L): DataFrame = {
     require(dim >= 1, s"need dim >= 1, got $dim")
     require(scale >= 1, s"need scale >= 1, got $scale")
+    // the snap stays a PLAN expression (round at integer scale — the
+    // portable rounding both engines share); the exact moments accumulate
+    // in ONE aggregator expression (long state) — the unrolled
+    // 1+dim+dim(dim+1)/2 sum() columns planned fine at dim 16 but are
+    // the q158 plan-size failure class at dim 64, and the per-query
+    // planning cost showed up as a bench drift flag at dim 16 already
     val snapped = vectors
       .select(slice(col("e").cast("array<double>"), 1, dim).as("v"))
       .filter(col("v").isNotNull && size(col("v")) >= dim)
-      .select((0 until dim).map(i =>
-        round(element_at(col("v"), i + 1) * lit(scale.toDouble))
-          .cast("long").as(s"__x$i")): _*)
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      (0 until dim).map(i => sum(col(s"__x$i")).as(s"__s$i")) ++
-      (for { i <- 0 until dim; j <- i until dim }
-        yield sum(col(s"__x$i") * col(s"__x$j")).as(s"__p${i}_$j"))
-    val st = snapped.agg(aggs.head, aggs.tail: _*)
+      .select(transform(col("v"),
+        x => round(x * lit(scale.toDouble)).cast("long")).as("xs"))
+    val agg = udaf(new graft.functions.CovarianceLongAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val st = snapped.agg(agg(col("xs")).as("state"))
+    def cell(idx: Int): Column = element_at(col("state"), idx + 1)
     val triangle = array((for { i <- 0 until dim; j <- i until dim } yield
       struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
-        col(s"__s$i").as("sx"), col(s"__s$j").as("sy"),
-        col(s"__p${i}_$j").as("sxy"))): _*)
+        cell(1 + i).as("sx"), cell(1 + j).as("sy"),
+        cell(graft.functions.CovarianceAggregator.triIndex(i, j, dim)).as("sxy"))): _*)
     val sD = lit(scale.toDouble)
-    st.select(col("n"), explode(triangle).as("t"))
+    st.select(cell(0).as("n"), explode(triangle).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("n"),
         (col("t.sx").cast("double") / (col("n") * sD)).as("mean_i"),
         (col("t.sy").cast("double") / (col("n") * sD)).as("mean_j"),
