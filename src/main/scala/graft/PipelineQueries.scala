@@ -1873,6 +1873,28 @@ object PipelineQueries {
         Rounding.portable(col("term"), 6).as("term"))
       .transform(sortedSmall(_, col("digit")))
 
+  /** q188: TWO-SAMPLE KS VS A PERSISTED REFERENCE
+    * ([[TimeSeries.ksBinnedVsReference]] over
+    * [[TimeSeries.psiReference]]'s artifact) — the "has this slice
+    * drifted from the reference corpus?" form the streaming monitor
+    * ([[graft.streaming.StreamOps.ksWindowed]]) asks per window, gated
+    * batch-side: the events value distribution of the month's SECOND
+    * half against edges + histogram built from the FIRST half. One
+    * artifact pass (two bounded reference scans), then a map-only
+    * binned scan of the current slice, one fixed-state aggregate, and
+    * the CDF sup folded in-row. The gate pins the edge identity, the
+    * histogram, the sup fold and the sqrt scaling in one row. */
+  def q188(t: Tables): DataFrame = {
+    val split = to_timestamp(lit("2024-01-16"))
+    val (edges, counts) = TimeSeries.psiReference(
+      t.events.filter(col("ts") < split), col("value"), bins = 16)
+    TimeSeries.ksBinnedVsReference(
+        t.events.filter(col("ts") >= split), col("value"), edges, counts)
+      .select(col("n_cur"), col("n_ref"),
+        Rounding.portable(col("d"), 6).as("d"),
+        Rounding.portable(col("ks"), 6).as("ks"))
+  }
+
   /** q61: array set operations — per-document stopword/content split via
     * `array_intersect` / `array_except` / `array_distinct` (set semantics:
     * distinct element counts), the no-explode form of vocabulary
@@ -2155,6 +2177,7 @@ object PipelineQueries {
     "q185_ks_binned" -> q185 _,
     "q186_quantile_binned" -> q186 _,
     "q187_benford_significant" -> q187 _,
+    "q188_ks_vs_reference" -> q188 _,
   )
 
   /** q57/q72 shared oracle: the dedup-cluster resolution is
@@ -4526,6 +4549,36 @@ object PipelineQueries {
       SELECT digit, obs, round(ef, 6) AS exp_frac,
         round((obs - ef * nn.n) * (obs - ef * nn.n) / (ef * nn.n), 6) AS term
       FROM f, nn ORDER BY digit NULLS FIRST""",
+
+    // q188: reference = first-half events (16 equal-population edges +
+    // histogram), current = second half; both binned by the strict-edge
+    // fold, CDFs cumulated over the 16-bin spine, D = sup |F_c - F_r|,
+    // ks = D*sqrt(n*m/(n+m)) — exact rationals of exact counts
+    "q188_ks_vs_reference" -> s"""
+      WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      c AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      e AS (SELECT quantile_cont(v, [${(1 until 16).map(k =>
+        s"CAST($k AS DOUBLE)/16").mkString(", ")}]) AS edges FROM r),
+      rb AS (SELECT len(list_filter(e.edges, x -> r.v > x)) AS bin,
+               count(*) AS n FROM r, e GROUP BY 1),
+      cb AS (SELECT len(list_filter(e.edges, x -> c.v > x)) AS bin,
+               count(*) AS n FROM c, e GROUP BY 1),
+      spine AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bin),
+      g AS (SELECT spine.bin, coalesce(rb.n, 0) AS nr, coalesce(cb.n, 0) AS nc
+            FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+      cum AS (SELECT bin, sum(nc) OVER (ORDER BY bin) AS cc,
+                sum(nr) OVER (ORDER BY bin) AS cr FROM g),
+      nn AS (SELECT CAST(sum(nc) AS BIGINT) AS n_cur,
+               CAST(sum(nr) AS BIGINT) AS n_ref FROM g),
+      dd AS (SELECT max(abs(CAST(cum.cc AS DOUBLE) / nn.n_cur
+                        - CAST(cum.cr AS DOUBLE) / nn.n_ref)) AS d
+             FROM cum, nn)
+      SELECT nn.n_cur, nn.n_ref, round(dd.d, 6) AS d,
+        round(dd.d * sqrt(CAST(nn.n_cur AS DOUBLE) * nn.n_ref
+              / (nn.n_cur + nn.n_ref)), 6) AS ks
+      FROM nn, dd""",
   )
 
   // q128: the hotKeySafe associative form's contract is answer IDENTITY

@@ -122,6 +122,7 @@ object PlanDump {
     "q185_ks_binned",        // broadcast quantile edges into an in-row fold; groups×bins grid only (r18)
     "q186_quantile_binned",  // map-only binned ECDF: edge broadcast, no vocab window, no join back (r18)
     "q187_benford_significant", // mantissa-normalized digit map stage + one 9-key aggregate (r18)
+    "q188_ks_vs_reference",  // map-only bin vs broadcast artifact; CDF sup folds in-row from one agg row (r18)
     "q171_cusum",            // closed-form CUSUM: ONE user exchange under two running windows + summary agg
   )
 

@@ -251,6 +251,71 @@ object TimeSeries {
       .select("g", "n", "n_rest", "d", "ks")
   }
 
+  /** Shared KS-vs-reference dag: given a row's per-bin current counts
+    * (`binArr`, array<long> of length bins) and the reference histogram
+    * literals, the `(n_cur, d)` expressions — cumulative CDFs and the
+    * sup folded IN-ROW over the bin indices (bounded, deterministic; all
+    * rationals of exact longs). ONE definition consumed by both the
+    * batch [[ksBinnedVsReference]] and the streaming
+    * [[graft.streaming.StreamOps.ksWindowed]], so stream and batch
+    * cannot drift (the heavyHittersWindowed delegation discipline). */
+  private[graft] def ksVsRefDag(binArr: Column,
+      refBinCounts: Seq[Long]): (Column, Column) = {
+    val bins = refBinCounts.length
+    val nRef = refBinCounts.sum
+    val refArr = typedlit(refBinCounts)
+    val nCur = aggregate(binArr, lit(0L), (a, x) => a + x)
+    val acc0 = struct(lit(0L).as("cc"), lit(0L).as("cr"), lit(0.0).as("d"))
+    val folded = aggregate(sequence(lit(1), lit(bins)), acc0, (acc, i) => {
+      val cc = acc.getField("cc") + element_at(binArr, i)
+      val cr = acc.getField("cr") + element_at(refArr, i)
+      val dAt = abs(cc.cast("double") / nCur -
+        cr.cast("double") / lit(nRef.toDouble))
+      struct(cc.as("cc"), cr.as("cr"),
+        greatest(acc.getField("d"), dAt).as("d"))
+    })
+    (nCur, folded.getField("d"))
+  }
+
+  /** Per-bin conditional counters for a value column against reference
+    * edges — the shared binning front of the vs-reference drift pair. */
+  private[graft] def binCounters(bins: Int): Seq[Column] =
+    (0 until bins).map(b =>
+      sum(when(col("__ks_bin") === b, 1L).otherwise(0L)).as(s"__ks_n$b"))
+
+  private[graft] def binOf(value: Column, refEdges: Seq[Double]): Column =
+    aggregate(typedlit(refEdges), lit(0L),
+      (acc, e) => acc + when(value.cast("double") > e, 1L).otherwise(0L))
+
+  /** TWO-SAMPLE KS AGAINST A PERSISTED REFERENCE — the vs-artifact form
+    * of [[ksDriftBinned]] (which compares groups WITHIN one frame):
+    * "has this slice drifted from the reference corpus?", the question
+    * the streaming monitor asks per window and a batch job asks per
+    * ingest batch. Input is [[psiReference]]'s artifact (edges + ref
+    * histogram), so one nightly reference pass serves both PSI and KS.
+    * Returns ONE row `(n_cur, n_ref, d, ks)`; `d` is the CDF sup over
+    * the edge grid (a lower bound on the exact D, error ≤ the largest
+    * in-bin mass ≈ 1/bins). Map-only binning against edge literals +
+    * one fixed-state aggregate; the sup folds in-row — nothing
+    * data-sized anywhere. */
+  def ksBinnedVsReference(cur: DataFrame, value: Column,
+      refEdges: Seq[Double], refBinCounts: Seq[Long]): DataFrame = {
+    val bins = refBinCounts.length
+    require(bins >= 2, s"need >= 2 reference bins, got $bins")
+    require(refEdges.length == bins - 1,
+      s"edge/bin mismatch: ${refEdges.length} edges for $bins bins (want bins - 1)")
+    require(refBinCounts.sum > 0, "ksBinnedVsReference: empty reference histogram")
+    val st = cur.filter(value.isNotNull)
+      .select(binOf(value, refEdges).as("__ks_bin"))
+      .agg(binCounters(bins).head, binCounters(bins).tail: _*)
+    val binArr = array((0 until bins).map(b => col(s"__ks_n$b")): _*)
+    val (nCur, d) = ksVsRefDag(binArr, refBinCounts)
+    val nRef = refBinCounts.sum
+    st.select(nCur.as("n_cur"), lit(nRef).as("n_ref"), d.as("d"))
+      .withColumn("ks", col("d") * sqrt(
+        col("n_cur").cast("double") * col("n_ref") / (col("n_cur") + col("n_ref"))))
+  }
+
   /** POPULATION STABILITY INDEX — the industry-standard binned drift
     * number (credit-risk monitoring's PSI, the metric model-governance
     * dashboards actually alarm on; rule of thumb: < 0.1 stable, > 0.25

@@ -399,6 +399,42 @@ object StreamOps {
         (col("cur_frac") - col("ref_frac")) * log(col("cur_frac") / col("ref_frac")))
   }
 
+  /** WINDOWED TWO-SAMPLE KS — [[psiWindowed]]'s shape-sensitive twin,
+    * completing the vs-reference drift pair on streams: per event-time
+    * window, the KS statistic of the arriving values against the
+    * persisted reference artifact
+    * ([[graft.operators.TimeSeries.psiReference]] — the SAME artifact
+    * serves PSI and KS). Identical state economics: binning is an
+    * in-row fold over edge literals, each open window holds the fixed
+    * `bins` conditional counters, and the CDF sup folds IN-ROW from the
+    * closed window's one row via the SHARED dag
+    * ([[graft.operators.TimeSeries.ksVsRefDag]] — one definition, so
+    * stream ≡ batch [[graft.operators.TimeSeries.ksBinnedVsReference]]
+    * row-for-row, pinned in StreamingParitySpec). Returns
+    * `(window, n_cur, n_ref, d, ks)` per closed window. */
+  def ksWindowed(events: DataFrame, ts: Column, duration: String,
+      value: Column, refEdges: Seq[Double], refBinCounts: Seq[Long]): DataFrame = {
+    import graft.operators.TimeSeries
+    val bins = refBinCounts.length
+    require(bins >= 2, s"need >= 2 reference bins, got $bins")
+    require(refEdges.length == bins - 1,
+      s"edge/bin mismatch: ${refEdges.length} edges for $bins bins (want bins - 1)")
+    require(refBinCounts.sum > 0, "ksWindowed: empty reference histogram")
+    val counters = TimeSeries.binCounters(bins)
+    val closed = events
+      .filter(value.isNotNull)
+      .select(ts.as("__ks_ts"), TimeSeries.binOf(value, refEdges).as("__ks_bin"))
+      .groupBy(window(col("__ks_ts"), duration))
+      .agg(counters.head, counters.tail: _*)
+    val binArr = array((0 until bins).map(b => col(s"__ks_n$b")): _*)
+    val (nCur, d) = TimeSeries.ksVsRefDag(binArr, refBinCounts)
+    closed
+      .select(col("window"), nCur.as("n_cur"),
+        lit(refBinCounts.sum).as("n_ref"), d.as("d"))
+      .withColumn("ks", col("d") * sqrt(
+        col("n_cur").cast("double") * col("n_ref") / (col("n_cur") + col("n_ref"))))
+  }
+
   /** WINDOWED SILHOUETTE MONITOR — q165's internal-validity instrument
     * run LIVE against the persisted centroid artifacts: per event-time
     * window, the count / mean / min of the simplified-silhouette score

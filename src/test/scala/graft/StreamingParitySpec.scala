@@ -268,6 +268,40 @@ class StreamingParitySpec extends SparkSpec {
         col("value"), Seq(0.5), Seq(0L, 0L)))
   }
 
+  test("windowed KS: streamed per-window rows equal batch ksBinnedVsReference") {
+    import graft.operators.TimeSeries
+    import graft.streaming.StreamOps
+    // the SAME artifact serves PSI and KS; parity is row-for-row
+    // equality with the batch vs-reference form per window slice (the
+    // two share one dag by construction — this pins the window plumbing)
+    val bins = 8
+    val (edges, counts) = TimeSeries.psiReference(
+      sf0001.events, col("value"), bins)
+    val streamed = runToCompletion(
+      StreamOps.ksWindowed(eventsStream, col("ts"), "7 days",
+        col("value"), edges, counts), "tks")
+      .select(col("window.start").as("ws"), col("n_cur"), col("n_ref"),
+        col("d"), col("ks"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val windows = sf0001.events
+      .select(window(col("ts"), "7 days").as("w")).distinct()
+      .select(col("w.start").as("s"), col("w.end").as("e"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    val batch = windows.map { case (s, e) =>
+      val slice = sf0001.events.filter(col("ts") >= lit(s) && col("ts") < lit(e))
+      val r = TimeSeries.ksBinnedVsReference(slice, col("value"), edges, counts)
+        .select("n_cur", "n_ref", "d", "ks").collect().head
+      (s, r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }.toSet
+    assert(streamed == batch,
+      s"stream/batch KS divergence: only-stream=${(streamed diff batch).take(3)} " +
+        s"only-batch=${(batch diff streamed).take(3)}")
+    intercept[IllegalArgumentException](
+      StreamOps.ksWindowed(eventsStream, col("ts"), "7 days",
+        col("value"), edges.tail, counts))
+  }
+
   test("watermarked windowed stream (1h watermark) still converges to batch Q21 counts") {
     val streamed = runToCompletion(
       eventsStream

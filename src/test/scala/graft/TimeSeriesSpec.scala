@@ -205,6 +205,31 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ksDriftBinned(df.filter(col("g") === "a"), col("g"), col("v")))
   }
 
+  test("ksBinnedVsReference: zero on the reference itself, large on a shift, loud artifact validation") {
+    val ref = (1 to 64).map(_.toDouble).toDF("v")
+    val (edges, counts) = TimeSeries.psiReference(ref, col("v"), bins = 8)
+    assert(edges.length == 7 && counts.sum == 64L && counts.forall(_ == 8L),
+      s"equal-population artifact expected: $counts")
+    // the reference slice against its own artifact: CDFs identical at
+    // every edge → D exactly 0 (rationals of equal counts, no fuzz)
+    val same = TimeSeries.ksBinnedVsReference(ref, col("v"), edges, counts)
+      .select("n_cur", "n_ref", "d", "ks")
+      .as[(Long, Long, Double, Double)].head()
+    assert(same == ((64L, 64L, 0.0, 0.0)), s"self-KS must be zero: $same")
+    // a half-range shift: at the median edge F_ref = 0.5, F_cur = 0 →
+    // the sup is at least 0.5 minus in-bin resolution
+    val shifted = (33 to 96).map(_.toDouble).toDF("v")
+    val drift = TimeSeries.ksBinnedVsReference(shifted, col("v"), edges, counts)
+      .select("n_cur", "d", "ks").as[(Long, Double, Double)].head()
+    assert(drift._1 == 64L && drift._2 >= 0.45, s"shift must be visible: $drift")
+    assert(math.abs(drift._3 - drift._2 * math.sqrt(64.0 * 64 / 128)) < 1e-12)
+    // artifact validation is loud
+    intercept[IllegalArgumentException](
+      TimeSeries.ksBinnedVsReference(ref, col("v"), edges.tail, counts))
+    intercept[IllegalArgumentException](
+      TimeSeries.ksBinnedVsReference(ref, col("v"), Seq(0.5), Seq(0L, 0L)))
+  }
+
   test("psiDrift: zero on identical slices, large on a shift, mass conserved, bins smoothed") {
     val ref = (1 to 200).map(i => i % 100).toDF("v")
     // identical populations → every bin's fractions equal → PSI exactly 0
