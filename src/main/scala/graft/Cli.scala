@@ -445,7 +445,8 @@ object Cli {
     def spreadIfAsked(raster: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (!a.flag("dynspread")) raster
       else if (spec.colourBy.nonEmpty)
-        graft.operators.Raster.dynSpreadCat(raster, canvas.width, canvas.height)
+        graft.operators.Raster.dynSpreadCat(raster, canvas.width, canvas.height,
+          valueCol = if (spec.reduction.nonEmpty) Some("ared") else None)
       else if (spec.reduction.nonEmpty)
         graft.operators.Raster.dynSpreadValue(raster, canvas.width, canvas.height, "ared")
       else

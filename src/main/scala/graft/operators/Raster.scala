@@ -218,14 +218,25 @@ object Raster {
     * by three categories is one dot on screen), then each category's
     * counts dilate independently (sum within the category) — the
     * compositor blends the spread categories exactly as it blends the
-    * unspread ones. Bounded by canvas × ncat. */
+    * unspread ones. A `--colour-by --ared` raster carries a value
+    * column too: pass it as `valueCol` and it composites
+    * density-weighted WITHIN the category (the [[dynSpreadValue]]
+    * rule), instead of being silently dropped. Bounded by
+    * canvas × ncat. */
   def dynSpreadCat(raster: DataFrame, width: Int, height: Int,
+      valueCol: Option[String] = None,
       threshold: Double = 0.5, maxRadius: Int = 3): DataFrame = {
-    val base = raster.select(col("xb"), col("yb"), col("cat"), col("c"))
+    val base = raster.select(Seq(col("xb"), col("yb"), col("cat"), col("c")) ++
+      valueCol.map(v => col(v).as("__ds_v")): _*)
     val chosen = chosenRadius(base.select("xb", "yb").distinct(), threshold, maxRadius)
-    dilate(base, chosen, width, height, maxRadius)
+    val dilated = dilate(base, chosen, width, height, maxRadius)
       .groupBy("xb", "yb", "cat")
-      .agg(sum(col("c")).as("c"))
+    valueCol match {
+      case None => dilated.agg(sum(col("c")).as("c"))
+      case Some(v) => dilated.agg(sum(col("c")).as("c"),
+        (sum(col("__ds_v") * col("c")) /
+          sum(when(col("__ds_v").isNotNull, col("c")))).as(v))
+    }
   }
 
   /** Sparse-pixel spreading (datashader `tf.dynspread` [U], simplified to a

@@ -841,6 +841,14 @@ object TextAnalysis {
     * and a mixed-sign group summing to zero would masquerade as the
     * zero-mass NULL case) — a negative value fails AT EXECUTION via an
     * in-plan raise_error naming its group, keeping the operator lazy.
+    * Overflow contract (DELIBERATE, r18): `Σ i·x` and `n·total` are
+    * long products that overflow around 10¹⁹ aggregate token mass per
+    * group — ANSI mode fails loudly there, and the fix at that scale is
+    * to re-cast the two sums to DECIMAL(38,0) (same plan shape, ~2×
+    * aggregate cost). That fallback is intentionally NOT pre-paid in
+    * code: no realistic per-group token mass approaches 2⁶³ (10¹⁹
+    * tokens ≈ 10⁷ × the largest public crawl), and an unused decimal
+    * path would just be untested weight.
     * Returns `(g, n, total, gini)` unrounded. */
   def giniByGroup(df: DataFrame, group: Column, value: Column,
       tieBreak: Column): DataFrame = {

@@ -155,6 +155,23 @@ class SubsetSpec extends SparkSpec {
     // per-category mass = original × block size (4 for clipped, 6 for inner)
     val mass = out.toSeq.groupBy(_._1._3).view.mapValues(_.map(_._2).sum).toMap
     assert(mass("a") == 8L && mass("b") == 4L + 30L, s"$mass")
+    // a --colour-by --ared raster carries a value column: it composites
+    // density-weighted WITHIN the category instead of being dropped
+    val catV = Seq((0, 0, "a", 2L, 10.0), (2, 0, "a", 2L, 30.0), (3, 0, "b", 5L, 7.0))
+      .toDF("xb", "yb", "cat", "c", "ared")
+    val outV = Raster.dynSpreadCat(catV, 16, 16, valueCol = Some("ared"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // occupied cells (0,0),(2,0),(3,0): min distance 1 -> radius 0?
+    // distance 1 merges at 2r+1 >= 1 -> r = 0 -> identity; values intact
+    assert(outV((0, 0, "a")) == (2L, 10.0) && outV((3, 0, "b")) == (5L, 7.0), s"$outV")
+    // force a blend: two same-category sources at distance 2 (r = 1)
+    val blend = Seq((0, 0, "a", 1L, 10.0), (2, 0, "a", 3L, 20.0))
+      .toDF("xb", "yb", "cat", "c", "ared")
+    val outB = Raster.dynSpreadCat(blend, 16, 16, valueCol = Some("ared"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(outB((1, 0, "a")) == (4L, 17.5), s"within-category blend: $outB")
   }
 
   test("Engine.open registers the catalog for free-form SQL (TaQL passthrough)") {
