@@ -179,11 +179,14 @@ object Bench {
       // the two Lloyd passes, the exact q102 misclassification replayed
       "q165_silhouette", "q168_adjusted_rand", "q169_nmi")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
+      // canary BOTH sides of the reps: load arriving mid-leg (after a
+      // leading-only sample) produced an unflagged phantom drift
       sampleCanary(n)
       val reps = (1 to 2).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         runOne(n)
       }
+      sampleCanary(n)
       n -> reps.min
     }
     // Best-of-2 for the shared builds too (round 11 post-mortem: the one
@@ -203,14 +206,18 @@ object Bench {
       val t2 = System.nanoTime()
       Tables(spark, sfDir).embeddingCentroids8 // two Lloyd passes, persisted
       val t3 = System.nanoTime()
-      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      val r = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      sampleCanary("shared_tables")
+      r
     }
     val tSharedPairs = sharedReps.map(_._1).min
     val tSharedComp = sharedReps.map(_._2).min
     val tSharedCents = sharedReps.map(_._3).min
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
       sampleCanary(n)
-      n -> (1 to 2).map(_ => runOne(n)).min
+      val best = (1 to 2).map(_ => runOne(n)).min
+      sampleCanary(n)
+      n -> best
     }
     val ext = (extCold ++ extWarmMemo ++
       Seq("shared_pair_table" -> tSharedPairs,
