@@ -123,9 +123,14 @@ object Bench {
     // calibrate the canary base AFTER warm-up (codegen paid), best of 5
     canary()
     val canaryBase = (1 to 5).map(_ => canary()).min
-    // serial timed: best of 2 per query (oracle methodology is best-of-3)
-    val p1 = names.map { n => sampleCanary(n); n -> runOne(n) }.toMap
-    val p2 = names.map { n => sampleCanary(n); n -> runOne(n) }.toMap
+    // serial timed: best of 2 per query (oracle methodology is best-of-3);
+    // canary BOTH sides of each run — a leading-only sample misses load
+    // arriving mid-leg and misattributes the flag to the NEXT leg
+    def timedSerial(n: String): (String, Double) = {
+      sampleCanary(n); val r = runOne(n); sampleCanary(n); n -> r
+    }
+    val p1 = names.map(timedSerial).toMap
+    val p2 = names.map(timedSerial).toMap
     val serial = names.map(n => n -> math.min(p1(n), p2(n)))
     val serialTotal = serial.map(_._2).sum
 
@@ -196,7 +201,11 @@ object Bench {
     // actually run — and the LAST rep leaves the memos warm for the
     // consumer timings below, exactly as before.
     val sharedReps = (1 to 2).map { _ =>
-      sampleCanary("shared_tables")
+      // record under the three EMITTED leg names so a flag matches the
+      // drift/slow entries it de-noises (review r18: "shared_tables"
+      // matched nothing)
+      Seq("shared_pair_table", "shared_component_table",
+        "shared_centroid_table").foreach(sampleCanary)
       spark.sharedState.cacheManager.clearCache()
       Tables.clearPairCache()
       val t0 = System.nanoTime()
@@ -207,7 +216,8 @@ object Bench {
       Tables(spark, sfDir).embeddingCentroids8 // two Lloyd passes, persisted
       val t3 = System.nanoTime()
       val r = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
-      sampleCanary("shared_tables")
+      Seq("shared_pair_table", "shared_component_table",
+        "shared_centroid_table").foreach(sampleCanary)
       r
     }
     val tSharedPairs = sharedReps.map(_._1).min

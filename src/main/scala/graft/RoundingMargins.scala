@@ -107,9 +107,15 @@ object RoundingMargins {
       // empirical leg: same query, two merge topologies, one md5 —
       // rows SORTED before hashing (the driver's canon protocol sorts
       // rows, so a tie in a presentation order must not read as
-      // instability)
+      // instability). Cache + memo handles are dropped per run: a
+      // memo-consuming gate compared against its own FIRST run's cached
+      // pair/component/centroid tables would never vary the merge
+      // topology of the floats inside the memo — exactly the
+      // instability this leg exists to catch (review r18).
       def md5At(parts: String): String = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.sharedState.cacheManager.clearCache()
+        Tables.clearPairCache()
         try {
           val body = q(spark, sfDir).collect().map(Canon.row).sorted.mkString("\n")
           java.security.MessageDigest.getInstance("MD5")
@@ -121,8 +127,11 @@ object RoundingMargins {
       // analytic leg: per rounding scale, the unrounded doubles of the
       // columns rounded AT that scale; per-value jitter bound
       // N·ε·max(1,|u|), tracked as the worst margin/bound RATIO
-      // discover which scales this query rounds at (construction only,
-      // nothing executes)
+      // discover which scales this query rounds at. Construction-time
+      // for most queries — but NOT free for eager-construction ones
+      // (checkpointed presentation sorts, trained-model chains,
+      // reference-artifact collects run IN FULL here), so the discovery
+      // pass costs up to one extra execution for that minority
       graft.functions.Rounding.observed.clear()
       sys.props("graft.rounding.record") = "1"
       try q(spark, sfDir) finally sys.props.remove("graft.rounding.record")

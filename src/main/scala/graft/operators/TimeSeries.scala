@@ -145,19 +145,26 @@ object TimeSeries {
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
     val counts = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val groups = counts.select("g").distinct()
+    // ONE probe job validates both dimensional contracts before the grid
+    // is built (review r18: the first draft ran two separate eager
+    // probes). Eager by necessity: the guard must fire BEFORE the
+    // groups × values cross join can materialize a data-sized grid — an
+    // in-plan raise_error could land after the explosion already ran.
+    val probe = counts.agg(
+      countDistinct(col("g")).as("ng"), countDistinct(col("v")).as("nv")).head()
     // a lone group has no "rest" to drift from: fail loudly at the API
     // boundary instead of an opaque ANSI DIVIDE_BY_ZERO at execution
-    // (the bounded-dimension count is a 2-row limit probe, not a scan)
-    require(groups.limit(2).count() >= 2,
+    require(probe.getLong(0) >= 2,
       "ksDriftByGroup needs at least 2 distinct groups (with non-NULL values) " +
         "— a lone group has no rest-of-corpus to compare against")
+    require(probe.getLong(1) <= maxValues,
+      s"ksDriftByGroup: value vocabulary (${probe.getLong(1)}) exceeds " +
+        s"maxValues=$maxValues — the exact sup grid is groups × distinct-values " +
+        "and would be data-sized on a continuous column; use ksDriftBinned " +
+        "(quantile-edge grid) at scale, or raise maxValues deliberately for a " +
+        "known-bounded vocabulary")
+    val groups = counts.select("g").distinct()
     val values = counts.select("v").distinct()
-    require(values.limit(maxValues + 1).count() <= maxValues,
-      s"ksDriftByGroup: value vocabulary exceeds maxValues=$maxValues — the " +
-        "exact sup grid is groups × distinct-values and would be data-sized " +
-        "on a continuous column; use ksDriftBinned (quantile-edge grid) at " +
-        "scale, or raise maxValues deliberately for a known-bounded vocabulary")
     val ns = base.groupBy("g").agg(count(lit(1)).as("n"))
     val nAll = base.agg(count(lit(1)).as("n_all"))
     val grid = groups.crossJoin(values)
@@ -311,7 +318,14 @@ object TimeSeries {
     val binArr = array((0 until bins).map(b => col(s"__ks_n$b")): _*)
     val (nCur, d) = ksVsRefDag(binArr, refBinCounts)
     val nRef = refBinCounts.sum
-    st.select(nCur.as("n_cur"), lit(nRef).as("n_ref"), d.as("d"))
+    // an empty/all-NULL current slice must FAIL LOUDLY in-plan (the
+    // psiDrift vanished-population discipline), never emit the NaN row
+    // 0/0 division would produce — a NaN would hash as a normal result
+    st.select(when(nCur === 0, raise_error(lit(
+          "ksBinnedVsReference: the current slice has no non-NULL values — " +
+            "a vanished population is an incident, not zero drift")))
+        .otherwise(nCur).as("n_cur"),
+        lit(nRef).as("n_ref"), d.as("d"))
       .withColumn("ks", col("d") * sqrt(
         col("n_cur").cast("double") * col("n_ref") / (col("n_cur") + col("n_ref"))))
   }

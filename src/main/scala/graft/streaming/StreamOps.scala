@@ -375,16 +375,18 @@ object StreamOps {
     val nRef = refBinCounts.sum
     require(nRef > 0, "psiWindowed: the reference histogram is empty — " +
       "a vanished reference population has no stable fractions")
-    val bin = aggregate(typedlit(refEdges), lit(0L),
-      (acc, e) => acc + when(value.cast("double") > e, 1L).otherwise(0L))
-    val perBin = (0 until bins).map(b =>
-      sum(when(col("__psi_bin") === b, 1L).otherwise(0L)).as(s"__psi_n$b"))
+    // binning delegates to the ONE shared definition the KS twin uses
+    // (TimeSeries.binOf/binCounters) — a future edge-semantics change
+    // must move PSI and KS together, never silently diverge them on the
+    // same artifact (review r18)
+    val counters = graft.operators.TimeSeries.binCounters(bins)
     val closed = events
       .filter(value.isNotNull)
-      .select(ts.as("__psi_ts"), bin.as("__psi_bin"))
+      .select(ts.as("__psi_ts"),
+        graft.operators.TimeSeries.binOf(value, refEdges).as("__ks_bin"))
       .groupBy(window(col("__psi_ts"), duration))
-      .agg(perBin.head, perBin.tail: _*)
-    val binArr = array((0 until bins).map(b => col(s"__psi_n$b")): _*)
+      .agg(counters.head, counters.tail: _*)
+    val binArr = array((0 until bins).map(b => col(s"__ks_n$b")): _*)
     val refArr = typedlit(refBinCounts)
     closed
       .withColumn("__psi_nc", aggregate(binArr, lit(0L), (a, x) => a + x))
