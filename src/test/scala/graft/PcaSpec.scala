@@ -148,6 +148,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("covarianceMatrixExact at dim 64: the full 2145-moment aggregator state (the unrolled form's failure point)") {
+    // the aggregator exists BECAUSE dim 64 needs 1 + 64 + 64·65/2 = 2145
+    // moments — as unrolled sum() columns that is the q158 plan-size
+    // failure class; as one long-state aggregator it must just work and
+    // track the float form to the snap bound
+    val e = sf0001.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val ex = Pca.covarianceMatrixExact(e, dim = 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(ex.size == 64 * 65 / 2, s"full upper triangle expected: ${ex.size}")
+    val fl = Pca.covarianceMatrix(e, dim = 64)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    ex.foreach { case (k, (_, _, n, mi, mj, cv)) =>
+      val (_, _, nf, mif, mjf, cvf) = fl(k)
+      assert(n == nf && n > 0)
+      assert(math.abs(mi - mif) <= 6e-7 && math.abs(mj - mjf) <= 6e-7, s"mean at $k")
+      assert(math.abs(cv - cvf) <= 2e-6, s"cov at $k: $cv vs $cvf")
+    }
+  }
+
   test("q170 gate is order-exact: one identical canon md5 across partition counts and input shuffles") {
     // r17's driver-red row: the float gate's hash flipped with task
     // completion order. The rewritten gate must produce ONE canonical
