@@ -92,7 +92,15 @@ object Soak {
         }),
         "dedup_full_recompute" -> ((t: Tables) =>
           graft.operators.Dedup.minHashNearDups(
-            t.documents, col("doc_id"), col("text")))))
+            t.documents, col("doc_id"), col("text"))),
+        // q185's sketch-edge scale path: at ×30 the exact percentile
+        // buffers the whole 18M-row value column (~29 s); the
+        // approx_percentile edges make the edge pass a fixed-size
+        // sketch — the form a 100 TB run uses
+        "ks_binned_approx" -> ((t: Tables) =>
+          graft.operators.TimeSeries.ksDriftBinned(t.lineitem,
+            col("l_returnflag"), col("l_extendedprice"),
+            bins = 32, approxEdges = true))))
     val filterTerms = nameFilter.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     def selected[A](qs: Seq[(String, A)]) =
       qs.filter { case (n, _) =>

@@ -743,16 +743,18 @@ object TextAnalysis {
     * displacement — at bins = 1000, below any downstream threshold's
     * resolution.
     *
-    * Shuffle shape: ONE exact-percentile pass for the edges (swap in
-    * `percentile_approx` upstream for a sketch pass at extreme scale —
-    * the transform is identical), then the transform itself is an
-    * in-row fold over the broadcast edge array: MAP-ONLY, no
+    * Shuffle shape: ONE percentile pass for the edges — exact by
+    * default (the gate-grade form), or a fixed-size
+    * `approx_percentile` sketch with `approxEdges = true` (the 100 TB
+    * default; a shifted edge moves a row's midpoint by at most one bin
+    * — spec-pinned against the exact form). Then the transform itself
+    * is an in-row fold over the broadcast edge array: MAP-ONLY, no
     * vocabulary window, no join back — the properties the exact form
     * cannot promise on continuous input. Positions are a fixed rational
     * dag over exact longs — order-immune and engine-identical. Appends
     * `out` (double in (0, 1)); NULL scores pass through NULL. */
   def quantileTransformBinned(df: DataFrame, score: Column, out: String,
-      bins: Int = 1000): DataFrame = {
+      bins: Int = 1000, approxEdges: Boolean = false): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val vals = df.select(score.cast("double").as("__qtb_s"))
       .filter(col("__qtb_s").isNotNull)
@@ -760,7 +762,10 @@ object TextAnalysis {
       "quantileTransformBinned: no non-NULL scores — no quantile edges exist")
     val fracs = (1 until bins).map(k =>
       s"CAST($k AS DOUBLE) / $bins").mkString(", ")
-    val edges = vals.agg(expr(s"percentile(__qtb_s, array($fracs))").as("__qtb_e"))
+    val edgeExpr =
+      if (approxEdges) s"approx_percentile(__qtb_s, array($fracs), 10000)"
+      else s"percentile(__qtb_s, array($fracs))"
+    val edges = vals.agg(expr(edgeExpr).as("__qtb_e"))
     df.crossJoin(broadcast(edges))
       .withColumn(out, when(score.isNull, lit(null).cast("double"))
         .otherwise((aggregate(col("__qtb_e"), lit(0L),

@@ -201,9 +201,14 @@ object TimeSeries {
     * pooled distribution); at bins = 1000 the bound is below any
     * decision threshold drift monitoring uses.
     *
-    * Shuffle shape: one exact-percentile pass for the edges (swap in
-    * `percentile_approx` upstream of this operator for a sketch-pass at
-    * extreme scale — the grid logic is identical), then bin membership
+    * Shuffle shape: one percentile pass for the edges — EXACT by
+    * default (`percentile` buffers the values: the gate-grade form, and
+    * the ×30 soak's whole 29 s cost on an 18M-row column), or a
+    * fixed-size sketch with `approxEdges = true` (`approx_percentile`,
+    * the 100 TB default: edge error shifts each CDF evaluation point
+    * slightly, which perturbs the already-binned D by ≤ the mass inside
+    * one accuracy quantum — TimeSeriesSpec pins approx ≈ exact on the
+    * fixtures). Then bin membership
     * is an in-row fold over the broadcast edge array (map-only), one
     * (g, bin)-keyed count aggregate, and windows over the
     * `groups × bins` grid — BOUNDED by construction, never data-sized,
@@ -211,48 +216,60 @@ object TimeSeries {
     * exact longs, the statistic a fixed rational dag — order-immune.
     * Returns `(g, n, n_rest, d, ks)`, the exact form's schema. */
   def ksDriftBinned(df: DataFrame, group: Column, value: Column,
-      bins: Int = 1000): DataFrame = {
+      bins: Int = 1000, approxEdges: Boolean = false): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val spark = df.sparkSession
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val groups = base.select("g").distinct()
-    require(groups.limit(2).count() >= 2,
-      "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
-        "— a lone group has no rest-of-corpus to compare against")
     val fracs = (1 until bins).map(k =>
       s"CAST($k AS DOUBLE) / $bins").mkString(", ")
-    val edges = base.agg(expr(s"percentile(v, array($fracs))").as("__ks_e"))
-    val counts = base.crossJoin(broadcast(edges))
+    val edgeExpr =
+      if (approxEdges) s"approx_percentile(v, array($fracs), 10000)"
+      else s"percentile(v, array($fracs))"
+    val edges = base.agg(expr(edgeExpr).as("__ks_e"))
+    // EXACTLY TWO corpus scans — the edge pass above and ONE binning
+    // aggregate below (per group, the `bins` conditional counters as an
+    // in-row array). The first draft derived grid/totals/windows from a
+    // shared (g, bin) counts subtree, which Catalyst re-executed per
+    // consumer branch: NINE corpus scans in the dumped plan (caught by
+    // the ×30 soak — 29 s on an 18M-row column). Everything downstream
+    // of the binning aggregate here is in-row arithmetic over |groups|
+    // bounded rows: the per-bin totals fold in from a 1-row broadcast
+    // (an aggregate over |groups| rows, not the corpus), cumulative
+    // CDFs and the sup fold over the bin indices per row.
+    val counters = (0 until bins).map(b =>
+      sum(when(col("__ks_bin") === b, 1L).otherwise(0L)).as(s"__ks_n$b"))
+    val perGroup = base.crossJoin(broadcast(edges))
       .select(col("g"), aggregate(col("__ks_e"), lit(0L),
-        (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("bin"))
-      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
-    val spine = spark.range(bins.toLong).select(col("id").as("bin"))
-    val grid = groups.crossJoin(spine)
-      .join(counts, Seq("g", "bin"), "left_outer")
-      .na.fill(0L, Seq("c"))
-    val ns = counts.groupBy("g").agg(sum("c").as("n"))
-    val nAll = counts.agg(sum("c").as("n_all"))
-    val wg = Window.partitionBy("g").orderBy("bin")
-    val wb = Window.orderBy("bin")
-    val tot = counts.groupBy("bin").agg(sum("c").as("ct"))
-      .withColumn("cum_t", sum("ct").over(wb))
-      .select("bin", "cum_t")
-    // inner join: a bin NO group populated (possible only under heavy
-    // ties collapsing quantile edges) never appears in tot — at such a
-    // bin both CDFs equal their previous populated bin's values, so the
-    // candidate D duplicates one already evaluated and the sup is
-    // unchanged by dropping it
-    grid
-      .withColumn("cum_g", sum("c").over(wg))
-      .join(tot, Seq("bin"))
-      .join(ns, "g")
-      .crossJoin(broadcast(nAll))
-      .withColumn("__d_at_b", abs(
-        col("cum_g").cast("double") / col("n") -
-        (col("cum_t") - col("cum_g")).cast("double") / (col("n_all") - col("n"))))
-      .groupBy(col("g"), col("n"), (col("n_all") - col("n")).as("n_rest"))
-      .agg(max(col("__d_at_b")).as("d"))
+        (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"))
+      .groupBy("g")
+      .agg(counters.head, counters.tail: _*)
+      .select(col("g"), array((0 until bins).map(b => col(s"__ks_n$b")): _*).as("__ks_arr"))
+    // bounded 1-row totals: per-bin sums + group count across the
+    // |groups|-row table; the lone-group guard rides IN-PLAN on it
+    val tot = perGroup.agg(
+      array((0 until bins).map(b =>
+        sum(element_at(col("__ks_arr"), b + 1))): _*).as("__ks_tot"),
+      count(lit(1)).as("__ks_ngroups"))
+    val nG = aggregate(col("__ks_arr"), lit(0L), (a, x) => a + x)
+    val nAll = aggregate(col("__ks_tot"), lit(0L), (a, x) => a + x)
+    val acc0 = struct(lit(0L).as("cg"), lit(0L).as("ct"), lit(0.0).as("d"))
+    val folded = aggregate(sequence(lit(1), lit(bins)), acc0, (acc, i) => {
+      val cg = acc.getField("cg") + element_at(col("__ks_arr"), i)
+      val ct = acc.getField("ct") + element_at(col("__ks_tot"), i)
+      val dAt = abs(cg.cast("double") / col("n") -
+        (ct - cg).cast("double") / col("n_rest"))
+      struct(cg.as("cg"), ct.as("ct"), greatest(acc.getField("d"), dAt).as("d"))
+    })
+    perGroup
+      .crossJoin(broadcast(tot))
+      // the guard anchors inside a KEPT column — a free-standing guard
+      // column would be pruned as unreferenced and never evaluate
+      .withColumn("n", when(col("__ks_ngroups") < 2, raise_error(lit(
+        "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
+          "— a lone group has no rest-of-corpus to compare against")).cast("long"))
+        .otherwise(nG))
+      .withColumn("n_rest", nAll - col("n"))
+      .withColumn("d", folded.getField("d"))
       .withColumn("ks", col("d") * sqrt(
         col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
       .select("g", "n", "n_rest", "d", "ks")

@@ -710,6 +710,13 @@ class TextAnalysisSpec extends SparkSpec {
     // monotone: binned position never decreases with the score
     val sorted = binned.toSeq.sortBy(_._1).map(_._2)
     assert(sorted == sorted.sorted, "binned transform must be monotone")
+    // the sketch-edge scale path reproduces the exact-edge positions on
+    // fixture-sized input (approx_percentile is exact below its accuracy)
+    val approx = TextAnalysis.quantileTransformBinned(
+        df, col("s"), "q", bins = 16, approxEdges = true)
+      .select("id", "q").as[(Long, Double)].collect().toMap
+    binned.foreach { case (id, b) =>
+      assert(approx(id) == b, s"id $id: approx ${approx(id)} vs $b") }
     // NULL scores pass through NULL
     val withNull = df.union(Seq((999L, Option.empty[Double])).toDF("id", "s"))
     val n = TextAnalysis.quantileTransformBinned(withNull, col("s"), "q", bins = 4)

@@ -196,13 +196,28 @@ class TimeSeriesSpec extends SparkSpec {
       .select("n", "n_rest", "d", "ks").as[(Long, Long, Double, Double)].head()
     assert(row._1 == 64L && row._2 == 64L)
     assert(math.abs(row._4 - row._3 * math.sqrt(64.0 * 64 / 128)) < 1e-12)
+    // the sketch-edge scale path: approx_percentile is EXACT below its
+    // accuracy bound, so on the fixture the approx form must reproduce
+    // the exact-edge D bit-for-bit (at corpus scale the edges shift
+    // within the sketch quantum; here the pin is the plumbing)
+    val approx = TimeSeries.ksDriftBinned(df, col("g"), col("v"),
+        bins = 128, approxEdges = true)
+      .select("g", "d").as[(String, Double)].collect().toMap
+    fine.foreach { case (g, d) =>
+      assert(math.abs(approx(g) - d) < 1e-12, s"$g: approx ${approx(g)} vs $d") }
     // the exact form REFUSES a vocabulary past maxValues, naming the sibling
     val ex = intercept[IllegalArgumentException](
       TimeSeries.ksDriftByGroup(df, col("g"), col("v"), maxValues = 50))
     assert(ex.getMessage.contains("ksDriftBinned"), ex.getMessage)
-    // a lone group fails loudly in the binned form too
-    intercept[IllegalArgumentException](
-      TimeSeries.ksDriftBinned(df.filter(col("g") === "a"), col("g"), col("v")))
+    // a lone group fails loudly in the binned form too — IN-PLAN (the
+    // guard rides the single bounded-totals broadcast, so construction
+    // stays lazy and job-free; it fires at execution)
+    val lone = intercept[Exception](
+      TimeSeries.ksDriftBinned(df.filter(col("g") === "a"), col("g"), col("v"),
+        bins = 8).collect())
+    val msgs = Iterator.iterate[Throwable](lone)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(msgs.contains("at least 2 distinct groups"), msgs.take(300))
   }
 
   test("ksBinnedVsReference: zero on the reference itself, large on a shift, loud artifact validation") {
