@@ -545,20 +545,27 @@ object ExtensionQueries {
     * (16.9 KB partials at dim 64, constant in the corpus), matrix
     * assembly driver-side at dim² scale.
     *
-    * r18: the gate runs the ORDER-EXACT sibling
+    * r18 ran the ORDER-EXACT sibling
     * ([[graft.operators.Pca.covarianceMatrixExact]], integer moments on
     * a 1e-6 grid — the q179/q183 discipline) after r17's driver capture
     * caught the float form's merge-order jitter flipping a `round(·,6)`
-    * boundary under load. `PcaSpec` pins exact ≡ float within the
-    * jitter bound, and `CanonSpec` pins one identical canon md5 across
-    * partition counts and input shuffles. */
+    * boundary under load — and STILL went driver-red, because the gate
+    * hashed `round(DOUBLE, 6)` quotients and `round(DOUBLE, k)` is
+    * implementation-defined across DuckDB versions (scaled-double in
+    * 1.0, decimal-correct later); q170's 2.4e-9 min pre-round margin
+    * sat inside the two algorithms' disagreement window.
+    *
+    * r19: the gate emits the RAW BIGINT moments
+    * ([[graft.operators.Pca.covarianceMomentsExact]]) — `(i, j, n, sx,
+    * sy, sxy)`, integers end-to-end, so NO engine's round()/float-format
+    * semantics is in the hash path. The oracle sums the same snapped
+    * longs; `PcaSpec` pins the derived matrix ≡ float form within the
+    * snap bound and one identical canon md5 across partition counts and
+    * input shuffles; `CanonSpec` pins the integer canon on a fixture
+    * built entirely of round-boundary values. */
   def q170(t: Tables): DataFrame = {
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    graft.operators.Pca.covarianceMatrixExact(e, dim = 16)
-      .select(col("i"), col("j"), col("n"),
-        Rounding.portable(col("mean_i"), 6).as("mean_i6"),
-        Rounding.portable(col("mean_j"), 6).as("mean_j6"),
-        Rounding.portable(col("cov"), 6).as("cov6"))
+    graft.operators.Pca.covarianceMomentsExact(e, dim = 16)
       .transform(sortedSmall(_, col("i"), col("j")))
   }
 
@@ -1762,30 +1769,24 @@ object ExtensionQueries {
               ELSE mi / ((h_a + h_b) / 2.0) END, 6) AS nmi6
       FROM f""",
 
-    // q170: population covariance of the first 16 dims, ORDER-EXACT —
-    // dims snapped to a 1e-6 integer grid, EXACT integer moment sums
-    // (commutative, merge-order-immune), then one fixed double dag
-    // mirroring the Spark side op-for-op: mean = sx/(n·1e6),
-    // cov = sxy/(n·1e6·1e6) − mean_i·mean_j
+    // q170: population-covariance RAW INTEGER MOMENTS of the first 16
+    // dims (r19) — dims snapped to a 1e-6 integer grid, EXACT BIGINT
+    // moment sums (commutative, merge-order-immune), emitted AS BIGINTs:
+    // no round(DOUBLE, k) / float formatting of ANY engine version is in
+    // the hash path. Consumers divide downstream (mean = sx/(n·1e6),
+    // cov = sxy/(n·1e12) − mean_i·mean_j — covarianceMatrixExact).
     "q170_covariance" -> """
       WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       x AS (SELECT i, j,
               CAST(round(e.e[i] * 1000000.0) AS BIGINT) AS xi,
               CAST(round(e.e[j] * 1000000.0) AS BIGINT) AS xj
             FROM e, unnest(range(1, 17)) s(i), unnest(range(1, 17)) t(j)
-            WHERE i <= j),
-      c AS (SELECT i, j, count(*) AS n,
-              CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xj) AS BIGINT) AS sy,
-              CAST(sum(xi * xj) AS BIGINT) AS sxy
-            FROM x GROUP BY i, j)
+            WHERE i <= j)
       SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
-        CAST(n AS BIGINT) AS n,
-        round(CAST(sx AS DOUBLE) / (n * 1000000.0), 6) AS mean_i6,
-        round(CAST(sy AS DOUBLE) / (n * 1000000.0), 6) AS mean_j6,
-        round(CAST(sxy AS DOUBLE) / (n * 1000000.0 * 1000000.0)
-            - (CAST(sx AS DOUBLE) / (n * 1000000.0))
-            * (CAST(sy AS DOUBLE) / (n * 1000000.0)), 6) AS cov6
-      FROM c ORDER BY i, j""",
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(xj) AS BIGINT) AS sy,
+        CAST(sum(xi * xj) AS BIGINT) AS sxy
+      FROM x GROUP BY i, j ORDER BY i - 1, j - 1""",
 
     // q142: two unrolled Lloyd rounds — init = first 8 by vec_id (cid =
     // rank), q35's proven cosine-argmax assignment idiom per round,

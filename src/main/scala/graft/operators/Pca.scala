@@ -87,6 +87,32 @@ object Pca {
     * cross-run artifact diffs). */
   def covarianceMatrixExact(vectors: DataFrame, dim: Int,
       scale: Long = 1000000L): DataFrame = {
+    val sD = lit(scale.toDouble)
+    covarianceMomentsExact(vectors, dim, scale)
+      .select(col("i"), col("j"), col("n"),
+        (col("sx").cast("double") / (col("n") * sD)).as("mean_i"),
+        (col("sy").cast("double") / (col("n") * sD)).as("mean_j"),
+        (col("sxy").cast("double") / (col("n") * sD * sD) -
+          (col("sx").cast("double") / (col("n") * sD)) *
+          (col("sy").cast("double") / (col("n") * sD))).as("cov"))
+  }
+
+  /** The RAW integer moments under [[covarianceMatrixExact]] — rows
+    * `(i, j, n, sx, sy, sxy)`, ALL BIGINT: per upper-triangle cell the
+    * row count and the exact long sums `Σx`, `Σy`, `Σxy` of the
+    * grid-snapped dimensions. This IS the q170 gate surface (r19): the
+    * r18 gate still divided these longs into doubles and hashed
+    * `round(·,6)` of the quotients, and `round(DOUBLE, k)` is
+    * implementation-defined across oracle engines/versions
+    * (scaled-double vs decimal-correct — they disagree inside a ~1e-9
+    * window the gate's 2.4e-9 min margin sat in, the second consecutive
+    * driver-red). Integers have ONE canonical encoding in every engine,
+    * so emitting the moments themselves removes float formatting AND
+    * rounding semantics from the hash path entirely. Consumers wanting
+    * means/covariances divide downstream ([[covarianceMatrixExact]]) —
+    * division is presentation, not state. */
+  def covarianceMomentsExact(vectors: DataFrame, dim: Int,
+      scale: Long = 1000000L): DataFrame = {
     require(dim >= 1, s"need dim >= 1, got $dim")
     require(scale >= 1, s"need scale >= 1, got $scale")
     // the snap stays a PLAN expression (round at integer scale — the
@@ -108,14 +134,9 @@ object Pca {
       struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
         cell(1 + i).as("sx"), cell(1 + j).as("sy"),
         cell(graft.functions.CovarianceAggregator.triIndex(i, j, dim)).as("sxy"))): _*)
-    val sD = lit(scale.toDouble)
     st.select(cell(0).as("n"), explode(triangle).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("n"),
-        (col("t.sx").cast("double") / (col("n") * sD)).as("mean_i"),
-        (col("t.sy").cast("double") / (col("n") * sD)).as("mean_j"),
-        (col("t.sxy").cast("double") / (col("n") * sD * sD) -
-          (col("t.sx").cast("double") / (col("n") * sD)) *
-          (col("t.sy").cast("double") / (col("n") * sD))).as("cov"))
+        col("t.sx").as("sx"), col("t.sy").as("sy"), col("t.sxy").as("sxy"))
   }
 
   /** Top-`k` principal components: (eigenvalue DESC, orthonormal rows).
