@@ -16,13 +16,16 @@ import org.apache.spark.sql.SparkSession
   *     the registry uses, re-runs the query with
   *     `graft.rounding.bypass=k` (Rounding.portable passes scale-k
   *     calls through unrounded; other scales round normally), and for
-  *     every finite double reports the distance to the nearest scale-k
-  *     flip boundary (half-grid points of 10^-k) against a merge-jitter
-  *     bound `N·ε·max(1,|u|)` (N = 10⁵ — a generous per-group
-  *     accumulation length at sf0.01, where the largest gated groups
-  *     fold ~6·10⁴ rows; ε = 2⁻⁵²). A column is only judged against
-  *     the grid it actually rounds to — a scale-2 currency sum is not
-  *     compared to a 1e-6 grid it never meets. Caveat documented here
+  *     every finite double of every column THAT ACTUALLY ROUNDS AT k
+  *     (r19: established per column by bit-diffing the rounded result
+  *     against the bypass result — a column rounded at another scale is
+  *     bit-identical under bypass-at-k and skipped) reports the distance
+  *     to the nearest scale-k flip boundary (half-grid points of 10^-k)
+  *     against a merge-jitter bound `N·ε·max(1,|u|)` (N = 10⁵ — a
+  *     generous per-group accumulation length at sf0.01, where the
+  *     largest gated groups fold ~6·10⁴ rows; ε = 2⁻⁵²), and against
+  *     the cross-engine round()-RULE disagreement window
+  *     ([[RuleExposure]] → `round_semantics_exposed`). Caveat documented here
   *     and adjudicated in ROUND_NOTES: an EXACT value (integer moments,
   *     bin midpoints, rationals of counts) that legitimately sits near
   *     a boundary shows a small margin without being fragile — which is
@@ -43,6 +46,31 @@ object RoundingMargins {
 
   private val Eps = math.ulp(1.0) // 2^-52
   private val JitterRows = 100000L
+
+  /** ROUND-SEMANTICS EXPOSURE BOUND (VERDICT r18 #2), in ulps of the
+    * SCALED value: `round(DOUBLE, k)` is implementation-defined across
+    * oracle engines/versions — DuckDB 1.0 rounds the scaled double
+    * (`std::round(x·10^k)`, the rule [[graft.functions.Rounding.portable]]
+    * replicates), later releases round the decimal expansion (the
+    * shortest-decimal-string rule Spark's own `round` uses). The two
+    * algorithms agree everywhere EXCEPT when the pre-round double sits
+    * within representation error of an exact half-grid decimal — the
+    * `round(0.285, 2)` class, where 0.285 stores as 0.28499…98 so the
+    * scaled rule says 0.28 and the string rule says 0.29. That
+    * disagreement window is ulp-scale by construction: |u − boundary| ≤
+    * ~0.5·ulp(u) for the nearest-double case plus ~1 ulp of scaling
+    * error. The sweep flags any hashed rounded column whose pre-round
+    * value sits within `RuleExposureUlps · ulp(|u|·10^k) / 10^k` of a
+    * boundary (8 ulps = 8× the worst case — generous without
+    * swallowing the order-statistics tail a 1000-row float dag
+    * legitimately produces at ~grid/2N). A flagged gate's hash depends
+    * on WHICH rounding algorithm the oracle engine ships, and the
+    * terminal fix is the r19 q170 conversion: take the double out of
+    * the hash path (emit the exact integer state). A foreign-oracle red
+    * OUTSIDE this window is not a rounding-RULE artifact — it is an
+    * engine-side value difference, governed by the jitter leg and the
+    * adjudication table. */
+  private val RuleExposureUlps = 8.0
 
   /** ADJUDICATED GATES: queries whose pre-round doubles are NOT
     * float-aggregated — they are fixed dags over exact integers/counts
@@ -96,6 +124,10 @@ object RoundingMargins {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.ensureRegistered(spark)
+    // harness handshake: Rounding.bypassAt refuses to engage (throws)
+    // without this, so a leaked bypass property can never silently
+    // strip rounding from a Verify/production JVM (ADVICE r18)
+    sys.props("graft.rounding.harness") = "1"
 
     val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(re) => val r = re.r; s => r.findFirstIn(s).isDefined
@@ -144,55 +176,99 @@ object RoundingMargins {
       var minMargin = Double.MaxValue
       var minRatio = Double.MaxValue
       var nDoubles = 0L
-      scales.foreach { k =>
-        sys.props("graft.rounding.bypass") = k.toString
-        try {
-          q(spark, sfDir).collect().foreach { r =>
-            (0 until r.length).foreach { i =>
-              r.get(i) match {
-                case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+      val exposed = scala.collection.mutable.ListBuffer[String]()
+      // r19 (ADVICE r18): a column is judged against grid k only when
+      // it ACTUALLY rounds at k — established by diffing the REAL
+      // (rounded) result against the bypass-at-k result per column, as
+      // bit-multisets (order/NaN/-0.0-proof). A column rounded at some
+      // other scale j is bit-identical under bypass-at-k and is
+      // skipped, killing the false sub-bound source (q05's scale-4
+      // `ap` judged against a scale-2 grid it never rounds to).
+      // Caveat: a column DERIVED from a rounded subexpression (rare —
+      // gates round at presentation) would be judged too; its margin
+      // is then conservative, never missing.
+      def colBits(rows: Array[org.apache.spark.sql.Row], i: Int): Seq[Long] =
+        rows.iterator.map(_.get(i)).collect {
+          case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+        }.toSeq.sorted
+      if (scales.nonEmpty) {
+        val realDf = q(spark, sfDir)
+        val cols = realDf.columns
+        val realRows = realDf.collect()
+        val realBits = cols.indices.map(colBits(realRows, _))
+        scales.foreach { k =>
+          sys.props("graft.rounding.bypass") = k.toString
+          try {
+            val bypassRows = q(spark, sfDir).collect()
+            cols.indices.foreach { i =>
+              val bypassed = bypassRows.iterator.map(_.get(i)).collect {
+                case d: java.lang.Double => d.doubleValue
+              }.toSeq
+              val changed = bypassed.nonEmpty &&
+                bypassed.map(java.lang.Double.doubleToLongBits)
+                  .sorted != realBits(i)
+              if (changed) bypassed.foreach { d =>
+                if (!d.isNaN && !d.isInfinite) {
                   nDoubles += 1
                   val dist = boundaryDistance(d, k)
                   val boundU = jitterN * Eps * math.max(1.0, math.abs(d))
                   val ratio = if (boundU == 0.0) Double.MaxValue else dist / boundU
                   if (dist < minMargin) minMargin = dist
                   if (ratio < minRatio) minRatio = ratio
-                case _ =>
+                  val p = math.pow(10.0, k.toDouble)
+                  if (dist < RuleExposureUlps *
+                      math.ulp(math.max(1.0, math.abs(d)) * p) / p)
+                    exposed += s"${cols(i)}@$k"
+                }
               }
             }
-          }
-        } finally sys.props.remove("graft.rounding.bypass")
+          } finally sys.props.remove("graft.rounding.bypass")
+        }
       }
       if (nDoubles == 0) { minMargin = Double.MaxValue; minRatio = Double.MaxValue }
       val subBound = minRatio < 1.0
+      val exposedCols = exposed.distinct.sorted.toSeq
       println(f"[margins] $name%-32s stable=$stable%-5s doubles=$nDoubles%-6d " +
-        f"min_margin=$minMargin%.3e ratio=$minRatio%.3e")
-      (name, stable, minMargin, nDoubles, minRatio, subBound)
+        f"min_margin=$minMargin%.3e ratio=$minRatio%.3e" +
+        (if (exposedCols.nonEmpty) s" EXPOSED=${exposedCols.mkString(",")}" else ""))
+      (name, stable, minMargin, nDoubles, minRatio, subBound, exposedCols)
     }
     val unstable = results.filter(!_._2).map(_._1)
     val sub = results.filter(_._6).map(_._1)
+    val exposedAll = results.filter(_._7.nonEmpty).map(r => r._1 -> r._7)
     val json = new StringBuilder
     json.append("{\n  \"jitter_rows\": ").append(JitterRows)
       .append(", \"epsilon\": ").append(Eps)
+      .append(", \"rule_exposure_ulps\": ").append(RuleExposureUlps)
       .append(", \"sf\": \"").append(sfDir).append("\",\n")
     json.append("  \"unstable_across_partitionings\": [")
       .append(unstable.map("\"" + _ + "\"").mkString(", ")).append("],\n")
     json.append("  \"sub_bound_margins\": [")
       .append(sub.map("\"" + _ + "\"").mkString(", ")).append("],\n")
+    // hashed post-round DOUBLE columns whose pre-round value sits inside
+    // the cross-engine round()-rule disagreement window — each entry is
+    // a conversion/adjudication work item (VERDICT r18 #2); empty = no
+    // gate's hash depends on any engine's rounding algorithm choice
+    json.append("  \"round_semantics_exposed\": {")
+      .append(exposedAll.map { case (n, cs) =>
+        s""""$n": [${cs.map("\"" + _ + "\"").mkString(", ")}]"""
+      }.mkString(", ")).append("},\n")
     json.append("  \"adjudicated\": {\n")
     json.append(adjudicated.toSeq.sortBy(_._1).map { case (n, (k, why)) =>
       s"""    "$n": {"n_terms": $k, "why": "$why"}"""
     }.mkString(",\n"))
     json.append("\n  },\n")
     json.append("  \"queries\": {\n")
-    json.append(results.map { case (n, st, m, nd, ratio, _) =>
+    json.append(results.map { case (n, st, m, nd, ratio, _, exp) =>
       f"""    "$n": {"hash_stable": $st, "n_doubles": $nd, """ +
-        f""""min_margin": $m%.6e, "margin_over_bound": $ratio%.6e}"""
+        f""""min_margin": $m%.6e, "margin_over_bound": $ratio%.6e, """ +
+        s""""exposed": [${exp.map("\"" + _ + "\"").mkString(", ")}]}"""
     }.mkString(",\n"))
     json.append("\n  }\n}\n")
     Files.writeString(Paths.get(out), json.toString)
     println(s"[margins] wrote ${results.size} queries to $out; " +
-      s"unstable=${unstable.size} sub_bound=${sub.size}")
+      s"unstable=${unstable.size} sub_bound=${sub.size} " +
+      s"exposed=${exposedAll.size}")
     spark.stop()
     if (unstable.nonEmpty) sys.exit(1)
   }

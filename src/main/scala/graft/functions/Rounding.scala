@@ -35,9 +35,24 @@ object Rounding {
     * and measure their distance to THAT scale's boundaries — a scale-2
     * currency sum must not be judged against a scale-6 grid it never
     * rounds to. Never set in production or verify paths — every gate's
-    * contract is the rounded value. */
-  private def bypassAt(scale: Int): Boolean =
-    sys.props.get("graft.rounding.bypass").contains(scale.toString)
+    * contract is the rounded value.
+    *
+    * FENCED (ADVICE r18): the bypass only engages when the harness
+    * handshake `graft.rounding.harness=1` is ALSO set (RoundingMargins
+    * sets both, always in a try/finally). A leaked/misdirected bypass
+    * property in any other JVM — one that also builds Verify or
+    * production plans — fails LOUDLY at plan-construction time instead
+    * of silently stripping every scale-k round from the gates. */
+  private def bypassAt(scale: Int): Boolean = {
+    val bp = sys.props.get("graft.rounding.bypass")
+    if (bp.isEmpty) return false
+    if (!sys.props.get("graft.rounding.harness").contains("1"))
+      throw new IllegalStateException(
+        "graft.rounding.bypass is set without graft.rounding.harness=1 — " +
+          "the bypass is a RoundingMargins-only diagnostic; refusing to " +
+          "build an unrounded plan in a non-harness JVM")
+    bp.contains(scale.toString)
+  }
 
   /** DIAGNOSTIC ONLY: with `graft.rounding.record=1`, every portable
     * call registers its scale here at construction time, so the margin

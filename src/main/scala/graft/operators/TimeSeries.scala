@@ -210,8 +210,9 @@ object TimeSeries {
     * one accuracy quantum — TimeSeriesSpec pins approx ≈ exact on the
     * fixtures). Then bin membership
     * is an in-row fold over the broadcast edge array (map-only), one
-    * (g, bin)-keyed count aggregate, and windows over the
-    * `groups × bins` grid — BOUNDED by construction, never data-sized,
+    * (g, bin)-keyed count aggregate (plan size O(1) in `bins` — r19,
+    * so the 1000-bin default plans as cheaply as 4), and in-row CDF
+    * folds over the `groups × bins` grid — BOUNDED by construction,
     * which is exactly what the exact form cannot promise. Counts are
     * exact longs, the statistic a fixed rational dag — order-immune.
     * Returns `(g, n, n_rest, d, ks)`, the exact form's schema. */
@@ -227,29 +228,43 @@ object TimeSeries {
       else s"percentile(v, array($fracs))"
     val edges = base.agg(expr(edgeExpr).as("__ks_e"))
     // EXACTLY TWO corpus scans — the edge pass above and ONE binning
-    // aggregate below (per group, the `bins` conditional counters as an
-    // in-row array). The first draft derived grid/totals/windows from a
-    // shared (g, bin) counts subtree, which Catalyst re-executed per
+    // aggregate below. The first draft derived grid/totals/windows from
+    // a shared (g, bin) counts subtree, which Catalyst re-executed per
     // consumer branch: NINE corpus scans in the dumped plan (caught by
-    // the ×30 soak — 29 s on an 18M-row column). Everything downstream
-    // of the binning aggregate here is in-row arithmetic over |groups|
-    // bounded rows: the per-bin totals fold in from a 1-row broadcast
-    // (an aggregate over |groups| rows, not the corpus), cumulative
-    // CDFs and the sup fold over the bin indices per row.
-    val counters = (0 until bins).map(b =>
-      sum(when(col("__ks_bin") === b, 1L).otherwise(0L)).as(s"__ks_n$b"))
+    // the ×30 soak — 29 s on an 18M-row column); the branches here stay
+    // scan-deduped because every consumer shares the identical (g, bin)
+    // exchange (ReuseExchange — pinned by the q185 plan dump).
+    // The histogram is keyed (g, bin) — NOT `bins` unrolled sum(when)
+    // columns, which planned fine at the gated bins<=32 but are the
+    // q158 plan-size failure class at the documented 1000-bin default
+    // (ADVICE r18): this plan is O(1) in bins, so the default is real.
+    // Everything downstream runs on the groups × bins BOUNDED table:
+    // the dense per-group array assembles from a collect_list map over
+    // <= bins rows per group, per-bin totals from a posexplode of the
+    // |groups| arrays, cumulative CDFs and the sup fold in-row.
     val perGroup = base.crossJoin(broadcast(edges))
       .select(col("g"), aggregate(col("__ks_e"), lit(0L),
         (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"))
+      .groupBy("g", "__ks_bin")
+      .agg(count(lit(1)).as("__ks_c"))
       .groupBy("g")
-      .agg(counters.head, counters.tail: _*)
-      .select(col("g"), array((0 until bins).map(b => col(s"__ks_n$b")): _*).as("__ks_arr"))
-    // bounded 1-row totals: per-bin sums + group count across the
-    // |groups|-row table; the lone-group guard rides IN-PLAN on it
-    val tot = perGroup.agg(
-      array((0 until bins).map(b =>
-        sum(element_at(col("__ks_arr"), b + 1))): _*).as("__ks_tot"),
-      count(lit(1)).as("__ks_ngroups"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__ks_bin"), col("__ks_c")))).as("__ks_m"))
+      .select(col("g"), transform(sequence(lit(0L), lit((bins - 1).toLong)),
+        b => coalesce(element_at(col("__ks_m"), b), lit(0L))).as("__ks_arr"))
+    // bounded 1-row totals: per-bin sums across the |groups|-row table
+    // (each group's dense array contributes one row per bin position,
+    // so the per-position row count IS the group count)
+    val tot = perGroup
+      .select(posexplode(col("__ks_arr")).as(Seq("__ks_p", "__ks_c")))
+      .groupBy("__ks_p")
+      .agg(sum(col("__ks_c")).as("__ks_t"), count(lit(1)).as("__ks_gc"))
+      .agg(map_from_entries(collect_list(
+          struct(col("__ks_p"), col("__ks_t")))).as("__ks_tm"),
+        max(col("__ks_gc")).as("__ks_ngroups"))
+      .select(transform(sequence(lit(0), lit(bins - 1)),
+        b => element_at(col("__ks_tm"), b)).as("__ks_tot"),
+        col("__ks_ngroups"))
     val nG = aggregate(col("__ks_arr"), lit(0L), (a, x) => a + x)
     val nAll = aggregate(col("__ks_tot"), lit(0L), (a, x) => a + x)
     val acc0 = struct(lit(0L).as("cg"), lit(0L).as("ct"), lit(0.0).as("d"))
@@ -260,19 +275,33 @@ object TimeSeries {
         (ct - cg).cast("double") / col("n_rest"))
       struct(cg.as("cg"), ct.as("ct"), greatest(acc.getField("d"), dAt).as("d"))
     })
-    perGroup
+    val body = perGroup
       .crossJoin(broadcast(tot))
-      // the guard anchors inside a KEPT column — a free-standing guard
-      // column would be pruned as unreferenced and never evaluate
-      .withColumn("n", when(col("__ks_ngroups") < 2, raise_error(lit(
-        "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
-          "— a lone group has no rest-of-corpus to compare against")).cast("long"))
-        .otherwise(nG))
+      .withColumn("n", nG)
       .withColumn("n_rest", nAll - col("n"))
       .withColumn("d", folded.getField("d"))
       .withColumn("ks", col("d") * sqrt(
         col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
       .select("g", "n", "n_rest", "d", "ks")
+    // Degenerate input must fail LOUDLY, including the ZERO-group case
+    // (empty / all-NULL input) where perGroup has no rows and an
+    // in-plan guard riding on them would never evaluate — the silent
+    // empty frame ADVICE r18 flagged, diverging from the exact
+    // sibling's eager probe. `tot` is a global aggregate, so its one
+    // row ALWAYS exists: a guard branch filtered to the degenerate
+    // condition is empty (and raises nothing) exactly when the input
+    // is healthy, and raises on 0 or 1 groups. ngroups is NULL over
+    // zero groups (max over no rows) — coalesce, the
+    // sum-over-zero-rows-is-NULL trap.
+    val loud = tot
+      .filter(coalesce(col("__ks_ngroups"), lit(0L)) < 2)
+      .select(raise_error(lit(
+        "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
+          "— a lone group has no rest-of-corpus to compare against"))
+          .cast(base.schema("g").dataType).as("g"),
+        lit(0L).as("n"), lit(0L).as("n_rest"),
+        lit(0.0).as("d"), lit(0.0).as("ks"))
+    body.unionAll(loud)
   }
 
   /** Shared KS-vs-reference dag: given a row's per-bin current counts
@@ -333,11 +362,16 @@ object TimeSeries {
       .select(binOf(value, refEdges).as("__ks_bin"))
       .agg(binCounters(bins).head, binCounters(bins).tail: _*)
     val binArr = array((0 until bins).map(b => col(s"__ks_n$b")): _*)
-    val (nCur, d) = ksVsRefDag(binArr, refBinCounts)
+    val (nCur0, d) = ksVsRefDag(binArr, refBinCounts)
+    // over an EMPTY/all-NULL slice the global sum(when) counters are
+    // NULL (Spark sum over zero rows), so nCur is NULL — and a bare
+    // `nCur === 0` guard is NULL too and never fires (ADVICE r19):
+    // coalesce first so the vanished-population case is the loud one
+    val nCur = coalesce(nCur0, lit(0L))
     val nRef = refBinCounts.sum
     // an empty/all-NULL current slice must FAIL LOUDLY in-plan (the
-    // psiDrift vanished-population discipline), never emit the NaN row
-    // 0/0 division would produce — a NaN would hash as a normal result
+    // psiDrift vanished-population discipline), never emit the NaN/NULL
+    // row 0/0 division would produce — it would hash as a normal result
     st.select(when(nCur === 0, raise_error(lit(
           "ksBinnedVsReference: the current slice has no non-NULL values — " +
             "a vanished population is an incident, not zero drift")))

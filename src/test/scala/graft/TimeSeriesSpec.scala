@@ -218,6 +218,22 @@ class TimeSeriesSpec extends SparkSpec {
     val msgs = Iterator.iterate[Throwable](lone)(_.getCause)
       .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
     assert(msgs.contains("at least 2 distinct groups"), msgs.take(300))
+    // ZERO groups (empty / all-NULL input) must be loud too — the r18
+    // form silently returned an empty frame here because its guard rode
+    // on perGroup rows that never exist (ADVICE r19); the exact sibling
+    // probes and fails, and the binned form must match it
+    for (degenerate <- Seq(
+        df.filter(col("v") < -1e18),                             // empty
+        Seq(("a", Option.empty[Double]), ("b", Option.empty[Double]))
+          .toDF("g", "v"))) {                                    // all-NULL
+      val zero = intercept[Exception](
+        TimeSeries.ksDriftBinned(degenerate, col("g"), col("v"),
+          bins = 8).collect())
+      val zm = Iterator.iterate[Throwable](zero)(_.getCause)
+        .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+      assert(zm.contains("at least 2 distinct groups") ||
+        zm.contains("percentile"), zm.take(300))
+    }
   }
 
   test("ksBinnedVsReference: zero on the reference itself, large on a shift, loud artifact validation") {
@@ -243,6 +259,19 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.ksBinnedVsReference(ref, col("v"), edges.tail, counts))
     intercept[IllegalArgumentException](
       TimeSeries.ksBinnedVsReference(ref, col("v"), Seq(0.5), Seq(0L, 0L)))
+    // an EMPTY/all-NULL current slice must fail loudly, mirroring
+    // psiDrift's vanished-population pin — the global sum counters are
+    // NULL over zero rows, so a bare `n === 0` guard never fired and
+    // the operator emitted a d=0 "no drift" row for a vanished
+    // population (ADVICE r19, the exact masquerade the guard exists for)
+    for (empty <- Seq(ref.filter(col("v") < -1e18),
+        Seq(Option.empty[Double]).toDF("v"))) {
+      val e = intercept[Exception](
+        TimeSeries.ksBinnedVsReference(empty, col("v"), edges, counts).collect())
+      val em = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+      assert(em.contains("vanished population"), em.take(300))
+    }
   }
 
   test("psiDrift: zero on identical slices, large on a shift, mass conserved, bins smoothed") {
