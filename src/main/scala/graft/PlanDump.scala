@@ -23,7 +23,7 @@ object PlanDump {
     "q14_distinct_counts",   // expand-based multi-distinct
     "q16_rank_per_group",    // window below-filter pushdown
     "q20_array_explode_stats", // generator (posexplode)
-    "q22_sessionize",        // single exchange, two window fns, materialized range sort
+    "q22_sessionize",        // single exchange, two window fns; no presentation sort (r19)
     "q23_interval_join",     // equi + range conjuncts
     "q25_cosine_topk",       // broadcast NLJ + codegen'd native expression
     "q30_asof_join",         // outer range join + max

