@@ -60,6 +60,19 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     canon_txt, canon_md5 = sidecar_names()
+    # Environment banner (round 19): the oracle side of every hash
+    # compare depends on the DuckDB version's round()/format semantics —
+    # q170 went driver-red twice on exactly that, undiagnosable from the
+    # artifacts. Name both sides up front; Verify writes the JVM twin to
+    # <out>/_ENV.json.
+    jvm_env = {}
+    env_path = os.path.join(out, "_ENV.json")
+    if os.path.exists(env_path):
+        try: jvm_env = json.load(open(env_path))
+        except Exception as e: jvm_env = {"unreadable": str(e)[:80]}
+    print(f"[env] duckdb={duckdb.__version__} python={sys.version.split()[0]} "
+          f"pandas={pd.__version__} | spark-side: "
+          + (" ".join(f"{k}={v}" for k, v in jvm_env.items()) or "no _ENV.json"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -100,7 +100,14 @@ object RoundingMargins {
     "q176_audio_features" -> (0L,
       "rms/zcr are fixed dags of exact integer codec accumulators"),
     "q114_temperature_mixture" -> (64L,
-      "only float merge is the <= #strata-term pow-weight sum; 64 >> strata"))
+      "only float merge is the <= #strata-term pow-weight sum; 64 >> strata"),
+    "q164_weighted_sample" -> (0L,
+      "wkey9 is a PER-ROW fixed dag (md5-derived u, one ln, one divide) — " +
+        "no cross-row float aggregation anywhere, so there is no " +
+        "merge-order freedom for the jitter bound to model; the one " +
+        "cross-engine liberty is libm ln (<= 1 ulp, ~1e-16 relative), " +
+        "five orders below the observed 2.8e-11 relative margin; the " +
+        "oracle mirrors the dag verbatim (r19, VERDICT r18 #4)"))
 
   /** Distance from `u` to the nearest value where a portable round at
     * scale k changes output (half-grid points of 10^-k). */

@@ -101,6 +101,19 @@ object Verify {
       System.err.println(s"[verify] SCHEMA DRIFT — affected results are garbage:\n${e.getMessage}")
     }
     new java.io.File(outDir).mkdirs()
+    // Environment sidecar (VERDICT r18 #6): q170 went driver-red twice
+    // on environment differences no artifact recorded — diagnosing took
+    // judge reruns both times. `_ENV.json` names the JVM-side versions
+    // (and check.py banners its DuckDB + Python), so the NEXT
+    // environment-caused red is attributable from the artifacts alone.
+    // `_`-prefixed like the canon sidecars: pyarrow.dataset skips it.
+    Files.writeString(Paths.get(s"$outDir/_ENV.json"),
+      s"""{"spark": "${spark.version}", """ +
+        s""""scala": "${scala.util.Properties.versionNumberString}", """ +
+        s""""jdk": "${System.getProperty("java.version")}", """ +
+        s""""os": "${System.getProperty("os.name")} ${System.getProperty("os.version")}", """ +
+        s""""timezone": "${spark.conf.get("spark.sql.session.timeZone")}", """ +
+        s""""ansi": "${spark.conf.get("spark.sql.ansi.enabled")}"}""" + "\n")
     // Local-iteration filter (NOT set by the driver): run only queries
     // whose name matches the SPARK_GRAFT_ONLY regex, and dump only their
     // oracles — check.py walks oracle_sql.json keys, so both must filter

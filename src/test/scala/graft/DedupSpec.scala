@@ -580,6 +580,62 @@ class DedupSpec extends SparkSpec {
       s"uncapped must flag every header pair: ${uncapped.toSeq}")
   }
 
+  test("duplicatedSpans ≡ merged union of the pair join's run intervals (the suffix-array A/B, r19)") {
+    // Derive, per document, the merged shingle-interval union of the
+    // PAIR form's runs (a run of length L starting at p covers matched
+    // shingle positions p .. p + L − minRun; adjacent/overlapping
+    // intervals from different pairs merge) — the linear span operator
+    // must reproduce it exactly.
+    def mergedFromPairs(runs: Seq[(Long, Long, Long, Long, Long)],
+        minRun: Int): Set[(Long, Long, Long)] = {
+      val cover = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      runs.foreach { case (da, db, pa, pb, len) =>
+        (0L to (len - minRun)).foreach { o =>
+          cover.getOrElseUpdate(da, scala.collection.mutable.Set()) += (pa + o)
+          cover.getOrElseUpdate(db, scala.collection.mutable.Set()) += (pb + o)
+        }
+      }
+      cover.flatMap { case (id, ps) =>
+        val islands = ps.toSeq.sorted.foldLeft(List.empty[List[Long]]) {
+          case (h :: t, p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (id, is.min, is.max - is.min + minRun))
+      }.toSet
+    }
+    // internal repeats (excluded on both sides), boilerplate shared by
+    // many docs, spans shared by different doc subsets at different
+    // offsets, and an untouched doc
+    val docs = Seq(
+      (1L, "A B C D t1 t2 A B C D"),
+      (2L, "u1 u2 A B C D u3 u4 u5 u6"),
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8"),
+      (4L, "x1 A B C D E x2 x3 x4"),
+      (5L, "y1 y2 A B C D E y3 y4")).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringSelfRuns(docs, col("doc_id"), col("text"), minRun = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val spans = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), minRun = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == mergedFromPairs(pairs, 4),
+      s"spans $spans vs pair-derived ${mergedFromPairs(pairs, 4)}")
+    // and on q88's real corpus fixture at its gate parameters
+    val rPairs = Dedup.exactSubstringSelfRuns(
+        sf0001.documents, col("doc_id"), col("text"), minRun = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val rSpans = Dedup.duplicatedSpans(
+        sf0001.documents, col("doc_id"), col("text"), minRun = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rSpans == mergedFromPairs(rPairs, 8) && rSpans.nonEmpty,
+      s"fixture-corpus equivalence broke (${rSpans.size} spans)")
+    // the spans feed the removal half directly (pos → pos_train)
+    val cleaned = Dedup.removeSubstringRuns(docs, col("doc_id"), col("text"),
+      Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), minRun = 4)
+        .withColumnRenamed("pos", "pos_train"))
+    val c1 = cleaned.filter(col("doc_id") === 1L)
+      .select("text_clean").as[String].head()
+    assert(c1 == "t1 t2", s"doc 1 after span removal: '$c1'")
+  }
+
   test("exactDupsAgainstCorpus confirms exactly the plain join's pairs (no false negatives)") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
