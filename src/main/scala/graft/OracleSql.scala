@@ -86,7 +86,8 @@ object OracleSql {
                CAST(least(63, greatest(0, floor((l_extendedprice - 900.0)/(105000.0 - 900.0)*64))) AS INT) AS yb,
                count(*) AS c
         FROM lineitem GROUP BY xb, yb)
-      SELECT xb, yb, c, round(cume_dist() OVER (ORDER BY c NULLS FIRST), 6) AS shade
+      SELECT xb, yb, c,
+        CAST(round(cume_dist() OVER (ORDER BY c NULLS FIRST) * 1000000.0) AS BIGINT) AS shade6
       FROM bins ORDER BY xb NULLS FIRST, yb NULLS FIRST""",
 
     "q11_ntile_discretize" -> """

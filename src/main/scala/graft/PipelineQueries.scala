@@ -528,10 +528,15 @@ object PipelineQueries {
   def q115(t: Tables): DataFrame =
     graft.operators.Cleaning.gopherRules(t.documents, col("doc_id"), col("text"))
       .filter(col("id") % 10 === 4)
+      // gate encoding r19: the two exact count-rationals emit as
+      // micro-unit BIGINTs (round(x·1e6) — the integer snap that is the
+      // same dag in every engine), not post-round(·,6) DOUBLEs whose
+      // re-rounding is engine-version-defined; top2_frac landed EXACTLY
+      // on a half-grid boundary in the round_semantics_exposed sweep
       .select(col("id").as("doc_id"), col("n_words"),
-        Rounding.portable(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("mean_word_len") * lit(1e6)).cast("long").as("mwl6"),
         col("stop_hits"),
-        Rounding.portable(col("top2_frac"), 6).as("top2_frac"),
+        round(col("top2_frac") * lit(1e6)).cast("long").as("top2_frac6"),
         col("keep"))
       .transform(sortedSmall(_, col("doc_id")))
 
@@ -745,17 +750,20 @@ object PipelineQueries {
       j => array_join(slice(lineArr, (j * 4 + 1).cast("int"), lit(4)), "\n"))
     val structured = t.documents.filter(col("doc_id") % 10 === 8)
       .select(col("doc_id"), array_join(paraArr, "\n\n").as("text"))
+    // gate encoding r19: every count-rational in micro-unit BIGINTs —
+    // q115's same-dag sibling, converted with it (the flagged class is
+    // the DAG, not the one value the sweep's fixture happened to land)
     Cleaning.gopherRulesFull(structured, col("doc_id"), col("text"))
       .select(col("id").as("doc_id"), col("n_words"),
-        Rounding.portable(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("mean_word_len") * lit(1e6)).cast("long").as("mwl6"),
         col("stop_hits"),
-        Rounding.portable(col("top2_frac"), 6).as("top2_frac"),
-        Rounding.portable(col("top3_frac"), 6).as("top3_frac"),
-        Rounding.portable(col("top4_frac"), 6).as("top4_frac"),
+        round(col("top2_frac") * lit(1e6)).cast("long").as("top2_frac6"),
+        round(col("top3_frac") * lit(1e6)).cast("long").as("top3_frac6"),
+        round(col("top4_frac") * lit(1e6)).cast("long").as("top4_frac6"),
         col("n_lines"),
-        Rounding.portable(col("dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("dup_line_frac") * lit(1e6)).cast("long").as("dup_line_frac6"),
         col("n_paras"),
-        Rounding.portable(col("dup_para_frac"), 6).as("dup_para_frac"),
+        round(col("dup_para_frac") * lit(1e6)).cast("long").as("dup_para_frac6"),
         col("keep"))
       .transform(sortedSmall(_, col("doc_id")))
   }
@@ -2736,8 +2744,9 @@ object PipelineQueries {
                PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM gc),
       top AS (SELECT doc_id,
                 c * length(gram) / CAST(nch AS DOUBLE) AS t2 FROM rk WHERE rn = 1)
-      SELECT m.doc_id, m.n_words, round(m.mwl, 6) AS mean_word_len, m.stop_hits,
-             round(coalesce(top.t2, 0), 6) AS top2_frac,
+      SELECT m.doc_id, m.n_words,
+             CAST(round(m.mwl * 1000000.0) AS BIGINT) AS mwl6, m.stop_hits,
+             CAST(round(coalesce(top.t2, 0) * 1000000.0) AS BIGINT) AS top2_frac6,
              (m.n_words BETWEEN 15 AND 10000 AND m.mwl BETWEEN 2 AND 10
               AND m.stop_hits >= 2 AND coalesce(top.t2, 0) <= 0.08) AS keep
       FROM m LEFT JOIN top ON m.doc_id = top.doc_id
@@ -2943,12 +2952,13 @@ object PipelineQueries {
       c4 AS (SELECT doc_id, nch, g, count(*) AS c FROM g4 GROUP BY 1, 2, 3),
       r4 AS (SELECT doc_id, c * length(g) / CAST(nch AS DOUBLE) AS f,
                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c4)
-      SELECT b.doc_id, b.n_words, round(b.mwl, 6) AS mean_word_len, b.stop_hits,
-             round(coalesce(t2.f, 0), 6) AS top2_frac,
-             round(coalesce(t3.f, 0), 6) AS top3_frac,
-             round(coalesce(t4.f, 0), 6) AS top4_frac,
-             b.n_lines, round(b.dlf, 6) AS dup_line_frac,
-             b.n_paras, round(b.dpf, 6) AS dup_para_frac,
+      SELECT b.doc_id, b.n_words,
+             CAST(round(b.mwl * 1000000.0) AS BIGINT) AS mwl6, b.stop_hits,
+             CAST(round(coalesce(t2.f, 0) * 1000000.0) AS BIGINT) AS top2_frac6,
+             CAST(round(coalesce(t3.f, 0) * 1000000.0) AS BIGINT) AS top3_frac6,
+             CAST(round(coalesce(t4.f, 0) * 1000000.0) AS BIGINT) AS top4_frac6,
+             b.n_lines, CAST(round(b.dlf * 1000000.0) AS BIGINT) AS dup_line_frac6,
+             b.n_paras, CAST(round(b.dpf * 1000000.0) AS BIGINT) AS dup_para_frac6,
              (b.n_words BETWEEN 15 AND 10000 AND b.mwl BETWEEN 2 AND 10
               AND b.stop_hits >= 2
               AND coalesce(t2.f, 0) <= 0.08 AND coalesce(t3.f, 0) <= 0.10

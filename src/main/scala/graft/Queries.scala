@@ -177,9 +177,12 @@ object Queries {
       max("l_shipdate").as("mx_d"),
       count(lit(1)).as("n"))
 
-  /** Q10 eq_hist shading ≡ cume_dist over bin counts (`tf.shade` [U]). */
+  /** Q10 eq_hist shading ≡ cume_dist over bin counts (`tf.shade` [U]).
+    * Gate encoding is micro-unit BIGINTs (r19, [[Raster.shadeEqHistMicro]]):
+    * the exact k/n rationals sit exactly on round(·,6) half-boundaries,
+    * the engine-rounding-rule exposure the margins sweep flagged. */
   def q10(t: Tables): DataFrame =
-    Raster.shadeEqHist(
+    Raster.shadeEqHistMicro(
         canvas64.points(t.lineitem, col("l_quantity"), col("l_extendedprice")),
         col("c"))
       .transform(sortedSmall(_, col("xb"), col("yb")))

@@ -82,6 +82,24 @@ object Raster {
     raster.withColumn(out,
       graft.functions.Rounding.portable(cume_dist().over(Window.orderBy(countCol)), scale))
 
+  /** GATE-grade integer sibling of [[shadeEqHist]] (r19 round-semantics
+    * discipline, the q170 conversion applied here): the shade in
+    * MICRO-UNITS — `round(cume_dist · 10^scale)` as BIGINT, the
+    * integer-scale snap whose result is the same dag in every engine —
+    * instead of a post-`round(·, scale)` DOUBLE whose re-rounding is
+    * engine-version-defined. cume_dist's exact k/n rationals land
+    * EXACTLY on half-grid points (k/3200 · 1e6 = 312.5·k for odd k),
+    * which is what flagged q10 in the r19 `round_semantics_exposed`
+    * sweep: a decimal-correct oracle round() and the scaled-double rule
+    * legitimately disagree there. The double [[shadeEqHist]] stays the
+    * rendering surface (ShadePlot consumes it); THIS is the hash-gate
+    * encoding. */
+  def shadeEqHistMicro(raster: DataFrame, countCol: Column,
+      out: String = "shade6", scale: Int = 6): DataFrame =
+    raster.withColumn(out,
+      round(cume_dist().over(Window.orderBy(countCol)) *
+        lit(math.pow(10.0, scale.toDouble))).cast("long"))
+
   /** `--norm log/cbrt` shading variants [U] — plain scalar maps, same
     * shape as [[shadeEqHist]] (ShadePlot.shade applies the max-normalized
     * forms). */
