@@ -152,11 +152,14 @@ object Bench {
       Await.result(Future.sequence(lptOrder.map(n => Future(runOne(n)))), 30.minutes)
       (System.nanoTime() - t0) / 1e9
     }
-    // best-of-10: the sandbox carries erratic background load (±50% on
-    // identical runs — round 8 measured 2.60→2.01 s on one jar purely
-    // with load); more passes make the quiet-window best-case observable
-    // within the driver's single invocation, at ~2.5 s per extra pass
-    val wall = Seq.fill(10)(concurrentPass()).min
+    // best-of-16 (10 until r19): the sandbox carries erratic background
+    // load (±50% on identical runs — round 8 measured 2.60→2.01 s on one
+    // jar purely with load, and r19 watched load arrive in multi-minute
+    // bursts that straddled entire 10-pass windows); more passes make
+    // the quiet-window best-case observable within the driver's single
+    // invocation, at ~2.5 s per extra pass — 6 more passes buy ~15 s of
+    // extra sampling against bursts that last minutes
+    val wall = Seq.fill(16)(concurrentPass()).min
     pool.shutdown()
 
     extNames.foreach(runOne)                     // extensions: warm + time
