@@ -212,8 +212,7 @@ object RoundingMargins {
                 case d: java.lang.Double => d.doubleValue
               }.toSeq
               val changed = bypassed.nonEmpty &&
-                bypassed.map(java.lang.Double.doubleToLongBits)
-                  .sorted != realBits(i)
+                colBits(bypassRows, i) != realBits(i)
               if (changed) bypassed.foreach { d =>
                 if (!d.isNaN && !d.isInfinite) {
                   nDoubles += 1

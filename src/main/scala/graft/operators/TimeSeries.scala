@@ -275,29 +275,36 @@ object TimeSeries {
         (ct - cg).cast("double") / col("n_rest"))
       struct(cg.as("cg"), ct.as("ct"), greatest(acc.getField("d"), dAt).as("d"))
     })
+    val guardMsg =
+      "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
+        "— a lone group has no rest-of-corpus to compare against"
+    // Degenerate input must fail LOUDLY, two layers (review r19: either
+    // alone has a blind spot):
+    //  - IN-ROW on the kept `n` column of every body row — so even
+    //    PARTIAL consumption (first()/limit over a lone-group result,
+    //    which may never evaluate a separate union branch) raises on
+    //    the first row touched, never returns the NaN row its 0/0
+    //    division would produce;
+    //  - a guard-only branch on the always-one-row totals aggregate,
+    //    unioned in — the ZERO-group case (empty / all-NULL input),
+    //    where perGroup has no rows and any row-borne guard would never
+    //    evaluate (the silent empty frame ADVICE r18 flagged, diverging
+    //    from the exact sibling's eager probe).
+    // ngroups is NULL over zero groups (max over no rows) — coalesce,
+    // the sum-over-zero-rows-is-NULL trap.
+    val ngroupsOk = coalesce(col("__ks_ngroups"), lit(0L)) >= 2
     val body = perGroup
       .crossJoin(broadcast(tot))
-      .withColumn("n", nG)
+      .withColumn("n", when(!ngroupsOk,
+          raise_error(lit(guardMsg)).cast("long")).otherwise(nG))
       .withColumn("n_rest", nAll - col("n"))
       .withColumn("d", folded.getField("d"))
       .withColumn("ks", col("d") * sqrt(
         col("n").cast("double") * col("n_rest") / (col("n") + col("n_rest"))))
       .select("g", "n", "n_rest", "d", "ks")
-    // Degenerate input must fail LOUDLY, including the ZERO-group case
-    // (empty / all-NULL input) where perGroup has no rows and an
-    // in-plan guard riding on them would never evaluate — the silent
-    // empty frame ADVICE r18 flagged, diverging from the exact
-    // sibling's eager probe. `tot` is a global aggregate, so its one
-    // row ALWAYS exists: a guard branch filtered to the degenerate
-    // condition is empty (and raises nothing) exactly when the input
-    // is healthy, and raises on 0 or 1 groups. ngroups is NULL over
-    // zero groups (max over no rows) — coalesce, the
-    // sum-over-zero-rows-is-NULL trap.
     val loud = tot
-      .filter(coalesce(col("__ks_ngroups"), lit(0L)) < 2)
-      .select(raise_error(lit(
-        "ksDriftBinned needs at least 2 distinct groups (with non-NULL values) " +
-          "— a lone group has no rest-of-corpus to compare against"))
+      .filter(!ngroupsOk)
+      .select(raise_error(lit(guardMsg))
           .cast(base.schema("g").dataType).as("g"),
         lit(0L).as("n"), lit(0L).as("n_rest"),
         lit(0.0).as("d"), lit(0.0).as("ks"))

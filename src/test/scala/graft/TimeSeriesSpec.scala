@@ -218,6 +218,16 @@ class TimeSeriesSpec extends SparkSpec {
     val msgs = Iterator.iterate[Throwable](lone)(_.getCause)
       .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
     assert(msgs.contains("at least 2 distinct groups"), msgs.take(300))
+    // PARTIAL consumption must be loud too (review r19): first()/limit
+    // may never evaluate a separate guard branch, so the in-row guard on
+    // the body's `n` column has to raise on the first row touched —
+    // never hand back the NaN row the 0/0 division would produce
+    val loneFirst = intercept[Exception](
+      TimeSeries.ksDriftBinned(df.filter(col("g") === "a"), col("g"), col("v"),
+        bins = 8).first())
+    val fm = Iterator.iterate[Throwable](loneFirst)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("|")
+    assert(fm.contains("at least 2 distinct groups"), fm.take(300))
     // ZERO groups (empty / all-NULL input) must be loud too — the r18
     // form silently returned an empty frame here because its guard rode
     // on perGroup rows that never exist (ADVICE r19); the exact sibling
