@@ -187,6 +187,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
     if (filterTerms.contains("exactsub_hotshingle")) exactSubHotShingle(spark, mult)
+    if (filterTerms.contains("spans_skew")) spansSkew(spark, mult)
     if (filterTerms.contains("boilerplate_hot")) boilerplateHot(spark, mult)
     if (filterTerms.contains("hashedlr_dims")) hashedLrDims(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
@@ -524,13 +525,71 @@ object Soak {
     * claim, same discipline as linededup_hotkey.
     *
     * Usage: sbt "runMain graft.Soak 1 exactsub_hotshingle" */
-  private def exactSubHotShingle(spark: SparkSession, mult: Int): Unit = {
-    import graft.operators.Dedup
-    def corpus(n: Long): DataFrame = spark.range(n).selectExpr(
+  /** The shared hot-shingle corpus: every doc opens with the same
+    * 11-token banner (+ the shared literals `doc`/`body`/`tail`), then
+    * md5 uniqueness — the Zipfian head that makes any pairwise shingle
+    * join quadratic by construction. */
+  private def hotShingleCorpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr(
       "id AS doc_id",
       "concat('please accept our cookie policy to continue reading this site today ', " +
         "'doc ', id, ' body ', md5(cast(id AS string)), " +
         "' tail ', md5(cast(id * 7 + 1 AS string))) AS text")
+
+  /** duplicatedSpans vs the pair self-join on [[hotShingleCorpus]] —
+    * the r19 suffix-array sibling's scaladoc claim MEASURED: n docs
+    * share the banner, so the uncapped pair join's banner output is
+    * n(n−1)/2 rows by construction while the span report is ONE row
+    * per document (the banner island: matched shingle positions 1–5 →
+    * pos 1, run_len 12, closed-form asserted every step). Gate: on the
+    * common size steps, the span wall must grow strictly slower than
+    * the pair wall, and the span output stays exactly n rows at every
+    * step — linear at ANY skew, no dfCap needed. */
+  private def spansSkew(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def timeIt[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = 1000L * mult
+    val steps = Seq(base, base * 2, base * 4)
+    def spansOf(df: DataFrame) = Dedup.duplicatedSpans(
+      df, col("doc_id"), col("text"), minRun = 8)
+    // warm both shapes
+    spansOf(hotShingleCorpus(spark, base)).count()
+    Dedup.exactSubstringSelfRuns(hotShingleCorpus(spark, base),
+      col("doc_id"), col("text"), minRun = 8).count()
+    val walls = steps.map { n =>
+      val df = hotShingleCorpus(spark, n)
+      val (spanRows, ws) = timeIt(spansOf(df).count())
+      require(spanRows == n,
+        s"span report must be one banner island per doc: expected $n, got $spanRows")
+      val one = spansOf(df).filter(col("doc_id") === 1L)
+        .select("pos", "run_len").collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(one.toSeq == Seq((1L, 12L)),
+        s"banner island must be (pos 1, run_len 12): ${one.toSeq}")
+      val (pairRows, wp) = timeIt(Dedup.exactSubstringSelfRuns(
+        df, col("doc_id"), col("text"), minRun = 8).count())
+      require(pairRows == n * (n - 1) / 2,
+        s"pair banner output must be quadratic: expected ${n * (n - 1) / 2}, got $pairRows")
+      println(f"[soak] spans_skew n=$n%7d: spans $ws%6.2f s ($spanRows%7d rows), " +
+        f"pairs $wp%6.2f s ($pairRows%9d rows)")
+      (ws, wp)
+    }
+    val (s0, p0) = walls.head
+    val (sN, pN) = walls.last
+    println(f"[soak] spans_skew growth x${steps.last / steps.head}: " +
+      f"spans ${sN / s0}%.1fx, pairs ${pN / p0}%.1fx")
+    require(sN / s0 < pN / p0,
+      f"span wall must grow slower than the quadratic pair wall: " +
+        f"spans ${sN / s0}%.1fx vs pairs ${pN / p0}%.1fx")
+    ()
+  }
+
+  private def exactSubHotShingle(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def corpus(n: Long): DataFrame = hotShingleCorpus(spark, n)
     def run(df: DataFrame, cap: Option[Long]): (Long, Double) = {
       val t0 = System.nanoTime()
       val rows = Dedup.exactSubstringSelfRuns(df, col("doc_id"), col("text"),
