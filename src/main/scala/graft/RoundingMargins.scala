@@ -191,13 +191,32 @@ object RoundingMargins {
       // other scale j is bit-identical under bypass-at-k and is
       // skipped, killing the false sub-bound source (q05's scale-4
       // `ap` judged against a scale-2 grid it never rounds to).
-      // Caveat: a column DERIVED from a rounded subexpression (rare —
-      // gates round at presentation) would be judged too; its margin
-      // is then conservative, never missing.
+      // r20 (ADVICE r19): "any difference" was still too loose — an
+      // UNROUNDED float column whose values shift by merge-order jitter
+      // between the real and bypass executions also differs, and was
+      // judged against a grid it never rounds to. The diff now demands
+      // the positive relation too: round_k(bypass values) must equal
+      // the real values as bit-multisets (the bypass values ROUND TO
+      // the real values), so jitter-only diffs stay excluded. Columns
+      // derived downstream of a rounded subexpression (none in-tree —
+      // gates round at presentation) would no longer be judged; if one
+      // ever appears, its round must move to presentation to be judged.
       def colBits(rows: Array[org.apache.spark.sql.Row], i: Int): Seq[Long] =
         rows.iterator.map(_.get(i)).collect {
           case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
         }.toSeq.sorted
+      // JVM replica of Rounding.portable's scaled-double form: Spark's
+      // integer-scale round(s) is half-away-from-zero on every double
+      // where a .5 fraction is representable (< 2^52; above, s is
+      // already integral) — see Rounding.scala's portability argument.
+      def portableK(d: Double, k: Int): Double = {
+        if (d.isNaN || d.isInfinite) return d
+        val p = math.pow(10.0, k.toDouble)
+        val s = d * p
+        val r = if (math.abs(s) >= 4503599627370496.0 /* 2^52 */) s
+                else math.signum(s) * math.floor(math.abs(s) + 0.5)
+        r / p
+      }
       if (scales.nonEmpty) {
         val realDf = q(spark, sfDir)
         val cols = realDf.columns
@@ -211,8 +230,14 @@ object RoundingMargins {
               val bypassed = bypassRows.iterator.map(_.get(i)).collect {
                 case d: java.lang.Double => d.doubleValue
               }.toSeq
+              // rounds-at-k = raw multisets differ AND rounding the
+              // bypass values at k reproduces the real multiset
+              val roundedBypassBits = bypassed
+                .map(d => java.lang.Double.doubleToLongBits(portableK(d, k)))
+                .sorted
               val changed = bypassed.nonEmpty &&
-                colBits(bypassRows, i) != realBits(i)
+                colBits(bypassRows, i) != realBits(i) &&
+                roundedBypassBits == realBits(i)
               if (changed) bypassed.foreach { d =>
                 if (!d.isNaN && !d.isInfinite) {
                   nDoubles += 1

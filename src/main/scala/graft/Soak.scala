@@ -66,7 +66,8 @@ object Soak {
     // the skew queries synthesize their corpus inline — when a filter
     // selects only those, the (minutes-long) table replication is skipped
     val tableQsAll = (CoverageQueries.all.toSeq ++ PipelineQueries.all.toSeq).sortBy(_._1) ++
-      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q118_semdedup",
+      (Seq("q31_dedup_minhash_lsh", "q32_dedup_simhash", "q35_ann_ivf",
+        "q118_semdedup",
         "q129_decode_quarantine", "q131_pq_rerank", "q142_kmeans_train",
         "q144_bitext_margin")
         .map(n => n -> ExtensionQueries.all(n)) ++ Seq(
@@ -188,6 +189,7 @@ object Soak {
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
     if (filterTerms.contains("exactsub_hotshingle")) exactSubHotShingle(spark, mult)
     if (filterTerms.contains("spans_skew")) spansSkew(spark, mult)
+    if (filterTerms.contains("spans_scale")) spansScale(spark, mult)
     if (filterTerms.contains("boilerplate_hot")) boilerplateHot(spark, mult)
     if (filterTerms.contains("hashedlr_dims")) hashedLrDims(spark, mult)
     if (filterTerms.contains("ann_recall")) annRecall(spark)
@@ -560,31 +562,89 @@ object Soak {
     spansOf(hotShingleCorpus(spark, base)).count()
     Dedup.exactSubstringSelfRuns(hotShingleCorpus(spark, base),
       col("doc_id"), col("text"), minRun = 8).count()
-    val walls = steps.map { n =>
+    // PRIMARY gate = the closed-form row counts (n spans vs n(n−1)/2
+    // pairs), asserted unconditionally below — those are load-immune.
+    // The wall-clock growth comparison is SECONDARY evidence in a
+    // sandbox with ±50% background-load bursts (ADVICE r19): each step
+    // takes best-of-2 walls, and a failed growth gate earns one full
+    // re-measurement (min of both sweeps) before it is allowed to fail
+    // — at the small base sizes fixed overhead dominates the span path
+    // and a single contaminated sample can flip the ratio either way.
+    def sweep(): Seq[(Double, Double)] = steps.map { n =>
       val df = hotShingleCorpus(spark, n)
-      val (spanRows, ws) = timeIt(spansOf(df).count())
+      val (spanRows, ws1) = timeIt(spansOf(df).count())
       require(spanRows == n,
         s"span report must be one banner island per doc: expected $n, got $spanRows")
+      val ws = math.min(ws1, timeIt(spansOf(df).count())._2)
       val one = spansOf(df).filter(col("doc_id") === 1L)
         .select("pos", "run_len").collect().map(r => (r.getLong(0), r.getLong(1)))
       require(one.toSeq == Seq((1L, 12L)),
         s"banner island must be (pos 1, run_len 12): ${one.toSeq}")
-      val (pairRows, wp) = timeIt(Dedup.exactSubstringSelfRuns(
+      def pairRun() = timeIt(Dedup.exactSubstringSelfRuns(
         df, col("doc_id"), col("text"), minRun = 8).count())
+      val (pairRows, wp1) = pairRun()
       require(pairRows == n * (n - 1) / 2,
         s"pair banner output must be quadratic: expected ${n * (n - 1) / 2}, got $pairRows")
+      val wp = math.min(wp1, pairRun()._2)
       println(f"[soak] spans_skew n=$n%7d: spans $ws%6.2f s ($spanRows%7d rows), " +
         f"pairs $wp%6.2f s ($pairRows%9d rows)")
       (ws, wp)
     }
-    val (s0, p0) = walls.head
-    val (sN, pN) = walls.last
+    def growth(walls: Seq[(Double, Double)]): (Double, Double) = {
+      val (s0, p0) = walls.head
+      val (sN, pN) = walls.last
+      (sN / s0, pN / p0)
+    }
+    var walls = sweep()
+    var (gs, gp) = growth(walls)
+    if (gs >= gp) {
+      println(f"[soak] spans_skew growth gate marginal (spans $gs%.1fx vs " +
+        f"pairs $gp%.1fx) — re-measuring once against background load")
+      val retry = sweep()
+      walls = walls.zip(retry).map { case ((a, b), (c, d)) =>
+        (math.min(a, c), math.min(b, d))
+      }
+      val g2 = growth(walls); gs = g2._1; gp = g2._2
+    }
     println(f"[soak] spans_skew growth x${steps.last / steps.head}: " +
-      f"spans ${sN / s0}%.1fx, pairs ${pN / p0}%.1fx")
-    require(sN / s0 < pN / p0,
+      f"spans $gs%.1fx, pairs $gp%.1fx")
+    require(gs < gp,
       f"span wall must grow slower than the quadratic pair wall: " +
-        f"spans ${sN / s0}%.1fx vs pairs ${pN / p0}%.1fx")
+        f"spans $gs%.1fx vs pairs $gp%.1fx")
     ()
+  }
+
+  /** Span-form SCALE leg (VERDICT r19 #1, the ×100 curve): run
+    * [[graft.operators.Dedup.duplicatedSpans]] ALONE on
+    * [[hotShingleCorpus]] at production-scale doc counts (base =
+    * 1000·mult, doubled twice). The pair join is deliberately absent
+    * from this leg: its banner output is n(n−1)/2 rows by CLOSED FORM —
+    * [[spansSkew]]'s measured 4k→16k A/B put it at 143 s / 128M rows at
+    * 16k docs, and the same law prices 400k docs at ~80G rows / hours —
+    * the infeasibility IS the measurement. Gates on the closed-form row
+    * count (one banner island per doc, load-immune); the wall growth
+    * across the ×4 doubling is printed as the linearity evidence.
+    * Usage: sbt "runMain graft.Soak 100 spans_scale" */
+  private def spansScale(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    val base = 1000L * mult
+    val steps = Seq(base, base * 2, base * 4)
+    def spansOf(n: Long) = Dedup.duplicatedSpans(
+      hotShingleCorpus(spark, n), col("doc_id"), col("text"), minRun = 8)
+    spansOf(base).count() // warm (JIT/codegen)
+    val walls = steps.map { n =>
+      val w = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = spansOf(n).count()
+        require(rows == n,
+          s"span report must stay one banner island per doc: expected $n, got $rows")
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[soak] spans_scale n=$n%8d: $w%6.2f s")
+      w
+    }
+    println(f"[soak] spans_scale wall growth over x4 docs: " +
+      f"${walls.last / walls.head}%.2fx")
   }
 
   private def exactSubHotShingle(spark: SparkSession, mult: Int): Unit = {

@@ -101,6 +101,34 @@ object SurveyCheck {
       .select(col("qid"), col("vec_id"), round(col("sim0"), 6).as("sim"))
   }
 
+  /** §8-snapshot ADAPTERS — FROZEN AT FOUR (VERDICT r19 #6). Each maps a
+    * timed query's CURRENT gate encoding back to the encoding the round-1
+    * survey snapshot recorded, by an EXACT derivation (no re-rounding, no
+    * approximation). This list is the one place gate-encoding drift could
+    * hide, so it is pinned by SurveyCheckSpec: ADDING AN ADAPTER MUST BE
+    * EXPLICITLY RENEGOTIATED — update the spec's pinned name set in the
+    * same commit and record the exactness argument here, or the build
+    * fails. The four, with their derivations:
+    *  - q18: DuckDB's `date_trunc('day')` returns DATE, so §8's `d`
+    *    canonicalized date-style; cast the engine's TIMESTAMP to match.
+    *  - q25: §8's SQL used float32 `list_cosine_similarity`; replicate
+    *    the float32 folds ([[q25Float32]]) for the comparison only.
+    *  - q10 (r19): the gate emits micro-unit BIGINTs (round-rule
+    *    immunity — see Raster.shadeEqHistMicro); §8 recorded the
+    *    round(·,6) DOUBLE form, which is EXACTLY shade6/1e6 (the old
+    *    portable round was round(u·1e6)/1e6) — derive it back.
+    *  - q22 (r19): the timed query no longer presentation-sorts (the
+    *    driver canon row-sorts pre-hash); Canon.md5 hashes in result
+    *    order and §8 recorded the sorted body — re-sort here only. */
+  val adapters: Map[String, (Tables, DataFrame) => DataFrame] = Map(
+    "q18_date_trunc_day" ->
+      ((_, df) => df.withColumn("d", col("d").cast("date"))),
+    "q25_cosine_topk" -> ((t, _) => q25Float32(t)),
+    "q10_eqhist_cumedist" ->
+      ((_, df) => df.withColumn("shade", col("shade6") / lit(1e6)).drop("shade6")),
+    "q22_sessionize" ->
+      ((_, df) => df.orderBy(col("user_id"), col("sid"))))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val sf = sfDir.split('/').last
@@ -117,26 +145,7 @@ object SurveyCheck {
     val t = Tables(spark, sfDir)
     var bad = 0
     Queries.all.toSeq.sortBy(_._1).foreach { case (name, q) =>
-      // survey-harness artifact: DuckDB's date_trunc('day') returns DATE,
-      // so §8's q18 `d` column canonicalized date-style; cast to match
-      val df = name match {
-        case "q18_date_trunc_day" => q(t).withColumn("d", col("d").cast("date"))
-        case "q25_cosine_topk"    => q25Float32(t)
-        // r19: the gate emits micro-unit BIGINTs (round-rule immunity —
-        // see Raster.shadeEqHistMicro); §8's snapshot recorded the
-        // round(·,6) DOUBLE form, which is EXACTLY shade6/1e6 (the old
-        // portable round was round(u·1e6)/1e6) — derive it back for the
-        // snapshot comparison only
-        case "q10_eqhist_cumedist" =>
-          q(t).withColumn("shade", col("shade6") / lit(1e6)).drop("shade6")
-        // r19: the timed query no longer presentation-sorts (the gate
-        // canon is row-order-insensitive; the sort was a third of the
-        // query's wall) — re-sort here because Canon.md5 hashes in
-        // result order and §8's snapshot recorded the sorted body
-        case "q22_sessionize" =>
-          q(t).orderBy(col("user_id"), col("sid"))
-        case _                    => q(t)
-      }
+      val df = adapters.get(name).map(_(t, q(t))).getOrElse(q(t))
       val got = Canon.md5(df)
       val ok = want(name) == got
       if (!ok) bad += 1

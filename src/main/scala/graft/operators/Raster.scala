@@ -95,8 +95,10 @@ object Raster {
     * rendering surface (ShadePlot consumes it); THIS is the hash-gate
     * encoding. */
   def shadeEqHistMicro(raster: DataFrame, countCol: Column,
-      out: String = "shade6", scale: Int = 6): DataFrame =
-    raster.withColumn(out,
+      out: String = null, scale: Int = 6): DataFrame =
+    // default name tracks the scale (ADVICE r19: a literal "shade6"
+    // default silently mislabeled a scale=4 call's 1e4-unit values)
+    raster.withColumn(Option(out).getOrElse(s"shade$scale"),
       round(cume_dist().over(Window.orderBy(countCol)) *
         lit(math.pow(10.0, scale.toDouble))).cast("long"))
 

@@ -233,7 +233,11 @@ object TimeSeries {
     // consumer branch: NINE corpus scans in the dumped plan (caught by
     // the ×30 soak — 29 s on an 18M-row column); the branches here stay
     // scan-deduped because every consumer shares the identical (g, bin)
-    // exchange (ReuseExchange — pinned by the q185 plan dump).
+    // exchange (static ReuseExchange with AQE off, runtime stage reuse
+    // with AQE on — PINNED by PlanShapeSpec's q185 scan-count gate, r20:
+    // exactly 2 parquet scans + a ReusedExchange in the non-AQE plan, so
+    // a planner change that loses the reuse fails the build instead of
+    // silently tripling the corpus scans).
     // The histogram is keyed (g, bin) — NOT `bins` unrolled sum(when)
     // columns, which planned fine at the gated bins<=32 but are the
     // q158 plan-size failure class at the documented 1000-bin default

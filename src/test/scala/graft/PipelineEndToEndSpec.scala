@@ -7,7 +7,8 @@ import graft.sources.Formats
 
 /** The whole training-data pipeline, end to end, on real fixture docs:
   * text-format ingest → quality gate → near-dup pairs → cluster
-  * resolution → keep-one-per-cluster → stratified sample → partitioned
+  * resolution → keep-one-per-cluster → exact-substring span removal
+  * (duplicatedSpans feed, r20) → stratified sample → partitioned
   * columnar write. Each stage is an operator this library ships; the
   * test asserts the invariants a corpus build actually relies on.
   */
@@ -40,13 +41,42 @@ class PipelineEndToEndSpec extends SparkSpec {
       Dedup.minHashNearDups(deduped, col("doc_id"), col("text")))(_.count())
     assert(residual == 0, s"kept set must be pair-free, found $residual residual pairs")
 
-    // 4. deterministic stratified sample by language
+    // 4. exact-substring removal (the Lee et al. dedup step), fed from
+    // the SPAN report — the default removal feed since r20 (VERDICT r19
+    // #3): duplicatedSpans is linear at any skew and needs no df-cap,
+    // where the pair join (kept for q88's pairwise gate) needs the
+    // stop-shingle escape hatch on Zipfian corpora. Every occurrence of
+    // every cross-document verbatim run is excised; the
+    // corpus is rebuilt by patching affected docs only. minRun = 5:
+    // the fixture survivors' residual boilerplate runs are short (the
+    // near-dup drop already took the long ones with their documents) —
+    // 14 spans at 5, zero at >= 6, measured r20.
+    val spans = Dedup.duplicatedSpans(deduped, col("doc_id"), col("text"), minRun = 5)
+      .withColumnRenamed("pos", "pos_train")
+    assert(spans.count() > 0,
+      "near-dup survivors still share sub-threshold boilerplate spans in the fixtures")
+    val patched = Dedup.removeSubstringRuns(
+      deduped, col("doc_id"), col("text"), spans)
+    val spanned = deduped
+      .join(patched.select(col("doc_id"), col("text_clean")), Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("text_clean"), col("text")))
+      .drop("text_clean")
+    assert(spanned.count() == nDeduped, "removal patches text; it never drops docs")
+    // zero-residual invariant (same discipline as the pair-free check
+    // above): re-running the span detector over the rebuilt corpus at
+    // the same parameters finds nothing
+    val residualSpans = Dedup.duplicatedSpans(
+      spanned, col("doc_id"), col("text"), minRun = 5).count()
+    assert(residualSpans == 0,
+      s"span-cleaned corpus must be span-free, found $residualSpans residual spans")
+
+    // 5. deterministic stratified sample by language
     val rates = Map("en" -> 1.0, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "it" -> 0.5)
     val sampled = Sampling.stratifiedHashSample(
-      deduped, col("doc_id"), col("lang"), rates)
+      spanned, col("doc_id"), col("lang"), rates)
     val perLang = sampled.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val fullLang = deduped.groupBy("lang").count().collect()
+    val fullLang = spanned.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perLang.getOrElse("en", 0L) == fullLang.getOrElse("en", 0L),
       "rate-1.0 stratum keeps everything")
@@ -54,7 +84,7 @@ class PipelineEndToEndSpec extends SparkSpec {
       assert(perLang(l) <= fullLang(l)) // subsampled strata shrink
     }
 
-    // 5. columnar home, partitioned by the iteration key
+    // 6. columnar home, partitioned by the iteration key
     sampled.write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/home")
     val home = spark.read.parquet(s"$tmp/home")
     assert(home.count() == sampled.count())

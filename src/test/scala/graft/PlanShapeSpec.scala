@@ -136,6 +136,22 @@ class PlanShapeSpec extends SparkSpec {
     // string plan offers is that no non-broadcast cartesian exists
     assert(!p.contains("CartesianProduct"),
       s"no corpus-sized cartesian grid allowed:\n$p")
+    // ADVICE r19: ksDriftBinned's "EXACTLY TWO corpus scans" rests on
+    // ReuseExchange deduping the tot/loud branches' copies of the
+    // shared (g, bin) subtree — a planner change or AQE edge case that
+    // loses the reuse silently triples the corpus scans. Pin it: under
+    // the non-AQE planner (where reuse is a static rule and therefore
+    // visible in the plan string; under AQE the same dedup happens as
+    // runtime stage reuse) the plan must carry exactly 2 parquet scans
+    // and at least one ReusedExchange.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ps = q("q185_ks_binned")
+      assert("Scan parquet".r.findAllIn(ps).size == 2,
+        s"exactly two corpus scans (edges + binning) expected:\n$ps")
+      assert(ps.contains("ReusedExchange"),
+        s"tot/loud branches must reuse the shared exchange, not rescan:\n$ps")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("q186: binned quantile transform is MAP-ONLY after the edge pass — no vocab window, no join back") {
