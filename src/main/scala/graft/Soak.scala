@@ -18,7 +18,12 @@ object Soak {
     val nameFilter = args.lift(1)
     val out = s"/dev/shm/graft-soak-x$mult"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // env-overridable for scale-diagnosis runs: at ×100 sizes some legs
+      // carry ~1 GB of in-flight rows per task at 32 partitions (the
+      // linededup_scale 40M-doc step), and the partition count IS the
+      // per-task-density knob a cluster would turn
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUF", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", "/dev/shm/spark-graft-soak-tmp")
@@ -187,6 +192,7 @@ object Soak {
     if (filterTerms.contains("bpetrain_k")) bpeTrainK(spark, mult)
     if (filterTerms.contains("bpetrain_batch")) bpeTrainBatch(spark, mult)
     if (filterTerms.contains("linededup_hotkey")) lineDedupHotKey(spark, mult)
+    if (filterTerms.contains("linededup_scale")) lineDedupScale(spark, mult)
     if (filterTerms.contains("exactsub_hotshingle")) exactSubHotShingle(spark, mult)
     if (filterTerms.contains("spans_skew")) spansSkew(spark, mult)
     if (filterTerms.contains("spans_scale")) spansScale(spark, mult)
@@ -511,6 +517,43 @@ object Soak {
       f"window wall must grow faster than associative on the hot key: " +
         f"window ${wN / w0}%.1fx vs assoc ${aN / a0}%.1fx")
     ()
+  }
+
+  /** Hot-safe line dedup SCALE leg (VERDICT r19 #1, the ×100 curve):
+    * the associative form ALONE ([[graft.operators.Dedup
+    * .dedupLinesAcrossCorpus]] `hotKeySafe = true`) on the hot-banner
+    * corpus at sizes where the window A/B sibling ([[lineDedupHotKey]])
+    * cannot run — its hot partition is n×200 B on ONE task, ~8 GB at
+    * 40M docs, which is the melt the hot-safe form exists to avoid (the
+    * A/B itself is measured at 16M rows: assoc 50.5 s vs window 77.7 s,
+    * growth 20.7× vs 29.0×). Gates on the closed-form kept count
+    * (n unique lines + 1 hot + 1000 mid lines), prints wall growth over
+    * the ×16 sweep. Usage: sbt "runMain graft.Soak 100 linededup_scale" */
+  private def lineDedupScale(spark: SparkSession, mult: Int): Unit = {
+    import graft.operators.Dedup
+    def corpus(n: Long): DataFrame = spark.range(n).selectExpr(
+      "id AS doc_id",
+      "concat('unique ', id, '\\n', repeat('HOT NAVIGATION BAR ', 10), " +
+        "'\\nmid ', id % 1000) AS text")
+    def run(n: Long): Double = {
+      val t0 = System.nanoTime()
+      val kept = Dedup.dedupLinesAcrossCorpus(corpus(n), col("doc_id"),
+          col("text"), hotKeySafe = true)
+        .agg(sum("n_kept")).head().getLong(0)
+      require(kept == n + 1001L,
+        s"closed-form kept count broke at n=$n: expected ${n + 1001L}, got $kept")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val base = 25000L * mult
+    val steps = Seq(base, base * 4, base * 16)
+    run(base) // warm
+    val walls = steps.map { n =>
+      val w = run(n)
+      println(f"[soak] linededup_scale n=$n%9d: assoc $w%6.2f s")
+      w
+    }
+    println(f"[soak] linededup_scale wall growth over x16 docs: " +
+      f"${walls.last / walls.head}%.1fx")
   }
 
   /** Capped-vs-uncapped a/b behind [[graft.operators.Dedup

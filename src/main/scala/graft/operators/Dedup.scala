@@ -1188,7 +1188,21 @@ object Dedup {
     * scale path when the question is "which spans are duplicated"
     * (removal, the actual Lee et al. dedup step). DedupSpec pins the
     * equivalence: per document, these spans equal the merged union of
-    * q88's pair-run shingle intervals on the same corpus. */
+    * q88's pair-run shingle intervals on the same corpus.
+    *
+    * MEASURED CROSSOVER (Soak `spans_skew` r19 + `spans_scale` r20, the
+    * hot-banner corpus where every doc shares an 11-token opener): the
+    * two forms part ways immediately and never re-converge — 4k→16k
+    * docs grows the span wall 0.69→0.86 s (output = n rows by closed
+    * form) while the uncapped pair join grows 2.5→143 s (output =
+    * n(n−1)/2 = 128M rows at 16k); at r20's ×100 leg the span form
+    * does 400k docs in 1.57 s (growth 1.21× over ×4 docs) where the
+    * quadratic law prices the pair join's banner output at ~80G rows.
+    * Below ~4k docs the two walls are within dispatch noise of each
+    * other, so there is no size at which the pair join is the better
+    * REMOVAL feed — use spans for removal at every scale (the
+    * end-to-end corpus build does, PipelineEndToEndSpec stage 4), and
+    * the pair join only when the pairwise attribution is the answer. */
   def duplicatedSpans(
       docs: DataFrame, id: Column, text: Column,
       minRun: Int = 8, minDocs: Int = 2): DataFrame = {
