@@ -63,6 +63,13 @@ object Bench {
       factor: Double = 2.0): Seq[String] =
     samples.collect { case (n, c) if c > factor * base => n }.sorted
 
+  /** Per-pass [wall, canary] record as a JSON array fragment (VERDICT
+    * r19 #2 — the capture's own load-vs-plan adjudication data).
+    * Factored for `BenchSpec`: the driver parses this field, so its
+    * shape is contract, not formatting. */
+  def passesJson(samples: Seq[(Double, Double)]): String =
+    samples.map { case (w, c) => s"[$w,$c]" }.mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -328,12 +335,11 @@ object Bench {
     }
     // per-pass record: [wall, canary] pairs in run order — min/median
     // spread + canary correlation IS the load-vs-plan call (VERDICT r19 #2)
-    val passesJson = passSamples
-      .map { case (w, c) => s"[$w,$c]" }.mkString("[", ",", "]")
     val json =
       s"""{"queries":$qs,"serial_total":$serialTotal,"concurrency":$threads,""" +
       s""""extensions":$exts,"drift":$drift,"failed":$failedJson,"slow":$slow,""" +
-      s""""canary":$canaryJson,"passes":$passesJson,"value_best10":$wallBest10,""" +
+      s""""canary":$canaryJson,"passes":${passesJson(passSamples)},""" +
+      s""""value_best10":$wallBest10,""" +
       s""""sf":"$sfDir","unit":"sec","metric":"suite_wall_concurrent","value":$wall}"""
     val outFile = java.nio.file.Paths.get("target/bench_summary.json")
     java.nio.file.Files.createDirectories(outFile.getParent)

@@ -45,4 +45,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.canaryFlags(Seq("x" -> 0.060), base) == Nil)
     assert(Bench.canaryFlags(Seq("x" -> 0.0601), base) == Seq("x"))
   }
+
+  test("passes record: run-order [wall, canary] pairs, valid JSON shape (r20)") {
+    // the driver and judge parse this field to adjudicate load-vs-plan;
+    // its shape is contract — pairs stay in RUN ORDER (the correlation
+    // between wall plateaus and canary inflation is the signal)
+    assert(Bench.passesJson(Nil) == "[]")
+    assert(Bench.passesJson(Seq((2.23, 0.301), (1.49, 0.266))) ==
+      "[[2.23,0.301],[1.49,0.266]]")
+  }
 }
