@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round probe harness (r20): times isolated legs of the
+  * heavy queries under the Bench session configs so a regression can be
+  * attributed to a plan component rather than a whole query. Dev tool in
+  * the QTime/MicroBench family — not part of any gate.
+  * Usage: sbt "runMain graft.OptLab <probe> [reps]"
+  */
+object OptLab {
+  def main(args: Array[String]): Unit = {
+    val probe = args.headOption.getOrElse("q185parts")
+    val reps = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(3)
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-graft-bench"
+      else System.getProperty("java.io.tmpdir")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.locality.wait", "0")
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val t = Tables(spark, dir)
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      mk.collect() // warm
+      val ts = (1 to reps).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        mk.collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[optlab] $name reps=${ts.map(x => f"$x%.3f").mkString(",")} min=${ts.min}%.3f")
+    }
+
+    probe match {
+      case "q185parts" =>
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        val bins = 32
+        val fracs = (1 until bins).map(k =>
+          s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+        time("edges_percentile") {
+          base.agg(expr(s"percentile(v, array($fracs))").as("e"))
+        }
+        time("edges_percentile_pregroup") {
+          base.groupBy("v").agg(count(lit(1)).as("c"))
+            .agg(expr(s"percentile(v, array($fracs), c)").as("e"))
+        }
+        // binning with FIXED edge literals (no percentile subtree)
+        val edgeLits = (1 until bins).map(k => 900.0 + k * 3000.0)
+        time("binning_fixed_edges") {
+          base.select(col("g"),
+            graft.operators.TimeSeries.binOf(col("v"), edgeLits).as("b"))
+            .groupBy("g", "b").agg(count(lit(1)).as("c"))
+        }
+        time("q185_full") { SparkEntry.queries("q185_ks_binned")(spark, dir) }
+      case "dumpplan" =>
+        // args(1) = comma-separated query names; writes formatted plans
+        // (sf0.001, plain-sort mode like PlanDump) to plans/r20/<q>_after.txt
+        sys.props("spark.graft.sortMode") = "plain"
+        args(1).split(",").foreach { n =>
+          val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"plans/r20/${n}_after.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          println(s"[optlab] wrote plans/r20/${n}_after.txt")
+        }
+      case "q185plan" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = SparkEntry.queries("q185_ks_binned")(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        println(s"[optlab] ScanParquet=${"Scan parquet".r.findAllIn(p).size} " +
+          s"ReusedExchange=${"ReusedExchange".r.findAllIn(p).size} " +
+          s"InMemoryTableScan=${"InMemoryTableScan".r.findAllIn(p).size} " +
+          s"InMemoryRelation=${"InMemoryRelation".r.findAllIn(p).size}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/q185_new_plan.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case "q185ab" =>
+        // interleaved A/B: old two-scan builtin-percentile shape vs the
+        // new shared-gv ExactQuantiles shape, plus the binning-only leg
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        val fracsSql = (1 until 32).map(k =>
+          s"CAST($k AS DOUBLE) / 32").mkString(", ")
+        def oldShape(): DataFrame = {
+          val edges = base.agg(expr(s"percentile(v, array($fracsSql))").as("e"))
+          base.crossJoin(broadcast(edges))
+            .select(col("g"), aggregate(col("e"), lit(0L),
+              (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("b"))
+            .groupBy("g", "b").agg(count(lit(1)).as("c"))
+        }
+        def newShape(): DataFrame =
+          SparkEntry.queries("q185_ks_binned")(spark, dir)
+        def binFromGv(): DataFrame = {
+          val gv = base.groupBy("g", "v").agg(count(lit(1)).as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val edges = graft.operators.ExactQuantiles.quantileEdgesWeighted(
+            gv, col("v"), col("w"), (1 until 32).map(_.toDouble / 32), "e")
+          gv.crossJoin(broadcast(edges))
+            .select(col("g"), aggregate(col("e"), lit(0L),
+              (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("b"),
+              col("w"))
+            .groupBy("g", "b").agg(sum("w").as("c"))
+        }
+        (1 to reps).foreach { i =>
+          for ((nm, mk) <- Seq("old_edges_plus_bin" -> (oldShape _),
+              "new_gv_to_bin" -> (binFromGv _), "new_q185_full" -> (newShape _))) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            mk().collect()
+            println(f"[optlab] $nm rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+        }
+      case "q185steps" =>
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        val fracs = (1 until 32).map(_.toDouble / 32)
+        time("gv_build") {
+          base.groupBy("g", "v").agg(count(lit(1)).as("w"))
+        }
+        time("edges_from_gv") {
+          val gv = base.groupBy("g", "v").agg(count(lit(1)).as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.operators.ExactQuantiles.quantileEdgesWeighted(
+            gv, col("v"), col("w"), fracs, "e")
+        }
+      case "eqedges" =>
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        val bins = 32
+        val fracs = (1 until bins).map(_.toDouble / bins)
+        val fracsSql = (1 until bins).map(k =>
+          s"CAST($k AS DOUBLE) / $bins").mkString(", ")
+        // bit-identity check first
+        val a = base.agg(expr(s"percentile(v, array($fracsSql))").as("e"))
+          .head().getSeq[Double](0)
+        val b = graft.operators.ExactQuantiles
+          .quantileEdges(base, col("v"), fracs, "e").head().getSeq[Double](0)
+        val same = a.length == b.length && a.zip(b).forall { case (x, y) =>
+          java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y) }
+        println(s"[optlab] eqedges bit-identical=$same n=${a.length}")
+        if (!same) {
+          a.zip(b).zipWithIndex.filter { case ((x, y), _) => x != y }
+            .take(5).foreach { case ((x, y), i) =>
+              println(s"[optlab]   frac#$i builtin=$x new=$y") }
+        }
+        time("edges_builtin") {
+          base.agg(expr(s"percentile(v, array($fracsSql))").as("e"))
+        }
+        time("edges_distributed") {
+          graft.operators.ExactQuantiles.quantileEdges(base, col("v"), fracs, "e")
+        }
+      case other => sys.error(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}

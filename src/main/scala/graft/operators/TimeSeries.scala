@@ -201,18 +201,21 @@ object TimeSeries {
     * pooled distribution); at bins = 1000 the bound is below any
     * decision threshold drift monitoring uses.
     *
-    * Shuffle shape: one percentile pass for the edges — EXACT by
-    * default (`percentile` buffers the values: the gate-grade form, and
-    * the ×30 soak's whole 29 s cost on an 18M-row column), or a
-    * fixed-size sketch with `approxEdges = true` (`approx_percentile`,
-    * the 100 TB default: edge error shifts each CDF evaluation point
-    * slightly, which perturbs the already-binned D by ≤ the mass inside
-    * one accuracy quantum — TimeSeriesSpec pins approx ≈ exact on the
-    * fixtures). Then bin membership
-    * is an in-row fold over the broadcast edge array (map-only), one
-    * (g, bin)-keyed count aggregate (plan size O(1) in `bins` — r19,
-    * so the 1000-bin default plans as cheaply as 4), and in-row CDF
-    * folds over the `groups × bins` grid — BOUNDED by construction,
+    * Shuffle shape (r20): ONE corpus scan — a (g, v) distinct-value
+    * histogram (codegen partial+final hash aggregate, persisted) feeds
+    * BOTH the edge pass and the binning. Edges are EXACT by default via
+    * [[ExactQuantiles]] (bit-identical to the builtin `percentile`,
+    * which cost 3.2–4.6 s at sf0.1 / 29 s at ×30 in its imperative
+    * single-buffer form — the r20 optimization), or a fixed-size sketch
+    * with `approxEdges = true` (`approx_percentile` over raw rows, the
+    * 100 TB default: no distinct-value table at all; edge error shifts
+    * each CDF evaluation point slightly, which perturbs the
+    * already-binned D by ≤ the mass inside one accuracy quantum —
+    * TimeSeriesSpec pins approx ≈ exact on the fixtures). Then bin
+    * membership is an in-row fold over the broadcast edge array, one
+    * (g, bin)-keyed weighted-count aggregate (plan size O(1) in `bins`
+    * — r19, so the 1000-bin default plans as cheaply as 4), and in-row
+    * CDF folds over the `groups × bins` grid — BOUNDED by construction,
     * which is exactly what the exact form cannot promise. Counts are
     * exact longs, the statistic a fixed rational dag — order-immune.
     * Returns `(g, n, n_rest, d, ks)`, the exact form's schema. */
@@ -221,36 +224,56 @@ object TimeSeries {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
+    // ONE corpus scan (optimization r20; was two, and the builtin
+    // `percentile` edge aggregate alone cost 3.2–4.6 s at sf0.1 / 29 s
+    // at ×30 — measured, see ExactQuantiles' scaladoc): the (g, v)
+    // distinct-value histogram is computed once (partial+final codegen
+    // hash aggregate — the only pass over the corpus) and persisted;
+    // the quantile-edge pass and the binning aggregate both run over
+    // that distinct-value table. Edges are BIT-IDENTICAL to the builtin
+    // (`ExactQuantiles` replays Percentile.getPercentile's arithmetic;
+    // pinned in ExactQuantilesSpec), and every downstream count is a
+    // sum of exact longs, so results are unchanged. The approx branch
+    // keeps its mergeable one-pass sketch over raw rows (the 100 TB
+    // default needs no distinct-value table at all).
+    val gv =
+      if (approxEdges) null
+      else base.groupBy("g", "v").agg(count(lit(1)).as("__ks_w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fracs = (1 until bins).map(k =>
       s"CAST($k AS DOUBLE) / $bins").mkString(", ")
-    val edgeExpr =
-      if (approxEdges) s"approx_percentile(v, array($fracs), 10000)"
-      else s"percentile(v, array($fracs))"
-    val edges = base.agg(expr(edgeExpr).as("__ks_e"))
-    // EXACTLY TWO corpus scans — the edge pass above and ONE binning
-    // aggregate below. The first draft derived grid/totals/windows from
-    // a shared (g, bin) counts subtree, which Catalyst re-executed per
-    // consumer branch: NINE corpus scans in the dumped plan (caught by
-    // the ×30 soak — 29 s on an 18M-row column); the branches here stay
-    // scan-deduped because every consumer shares the identical (g, bin)
-    // exchange (static ReuseExchange with AQE off, runtime stage reuse
-    // with AQE on — PINNED by PlanShapeSpec's q185 scan-count gate, r20:
-    // exactly 2 parquet scans + a ReusedExchange in the non-AQE plan, so
-    // a planner change that loses the reuse fails the build instead of
-    // silently tripling the corpus scans).
+    val edges =
+      if (approxEdges)
+        base.agg(expr(s"approx_percentile(v, array($fracs), 10000)").as("__ks_e"))
+      else ExactQuantiles.quantileEdgesWeighted(gv, col("v"), col("__ks_w"),
+        (1 until bins).map(_.toDouble / bins), "__ks_e")
     // The histogram is keyed (g, bin) — NOT `bins` unrolled sum(when)
     // columns, which planned fine at the gated bins<=32 but are the
     // q158 plan-size failure class at the documented 1000-bin default
     // (ADVICE r18): this plan is O(1) in bins, so the default is real.
+    // The tot/loud consumer branches stay scan-deduped because every
+    // consumer shares the identical (g, bin) exchange (static
+    // ReuseExchange with AQE off, runtime stage reuse with AQE on —
+    // PINNED by PlanShapeSpec's q185 scan-count gate: exactly ONE
+    // parquet scan + a ReusedExchange in the non-AQE plan, so a planner
+    // change that loses the reuse fails the build instead of silently
+    // multiplying corpus scans).
     // Everything downstream runs on the groups × bins BOUNDED table:
     // the dense per-group array assembles from a collect_list map over
     // <= bins rows per group, per-bin totals from a posexplode of the
     // |groups| arrays, cumulative CDFs and the sup fold in-row.
-    val perGroup = base.crossJoin(broadcast(edges))
-      .select(col("g"), aggregate(col("__ks_e"), lit(0L),
-        (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"))
+    val binSrc =
+      if (approxEdges) base.crossJoin(broadcast(edges))
+        .select(col("g"), aggregate(col("__ks_e"), lit(0L),
+          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"),
+          lit(1L).as("__ks_w"))
+      else gv.crossJoin(broadcast(edges))
+        .select(col("g"), aggregate(col("__ks_e"), lit(0L),
+          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"),
+          col("__ks_w"))
+    val perGroup = binSrc
       .groupBy("g", "__ks_bin")
-      .agg(count(lit(1)).as("__ks_c"))
+      .agg(sum(col("__ks_w")).as("__ks_c"))
       .groupBy("g")
       .agg(map_from_entries(collect_list(
         struct(col("__ks_bin"), col("__ks_c")))).as("__ks_m"))

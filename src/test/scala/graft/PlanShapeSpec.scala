@@ -136,19 +136,29 @@ class PlanShapeSpec extends SparkSpec {
     // string plan offers is that no non-broadcast cartesian exists
     assert(!p.contains("CartesianProduct"),
       s"no corpus-sized cartesian grid allowed:\n$p")
-    // ADVICE r19: ksDriftBinned's "EXACTLY TWO corpus scans" rests on
-    // ReuseExchange deduping the tot/loud branches' copies of the
-    // shared (g, bin) subtree — a planner change or AQE edge case that
-    // loses the reuse silently triples the corpus scans. Pin it: under
-    // the non-AQE planner (where reuse is a static rule and therefore
-    // visible in the plan string; under AQE the same dedup happens as
-    // runtime stage reuse) the plan must carry exactly 2 parquet scans
-    // and at least one ReusedExchange.
+    // ADVICE r19 + optimization r20: ksDriftBinned's corpus-scan budget
+    // is now ONE physical pass — the persisted (g, v) distinct-value
+    // histogram that feeds both the ExactQuantiles edge dag and the
+    // binning aggregate. Pin the shape under the non-AQE planner (where
+    // exchange reuse is a static rule and therefore visible in the plan
+    // string; under AQE the same dedup happens as runtime stage reuse):
+    //  - the shared gv cache must actually be in play (InMemoryTableScan
+    //    on both the edge and binning branches — >= 2 occurrences);
+    //  - the tot/loud branches must still reuse the shared (g, bin)
+    //    exchange (ReusedExchange present), not re-execute it;
+    //  - the plan STRING carries the lineitem scan only as the gv
+    //    cache's build plan — each InMemoryRelation printout echoes it,
+    //    so the count is an upper bound of 3 echoes of ONE physical
+    //    scan (was: exactly 2 live scans before r20). A jump above 3
+    //    means a branch stopped reading the cache and went back to the
+    //    file — the regression this pin exists to catch.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val ps = q("q185_ks_binned")
-      assert("Scan parquet".r.findAllIn(ps).size == 2,
-        s"exactly two corpus scans (edges + binning) expected:\n$ps")
+      assert("InMemoryTableScan".r.findAllIn(ps).size >= 2,
+        s"edge and binning branches must read the shared gv cache:\n$ps")
+      assert("Scan parquet".r.findAllIn(ps).size <= 3,
+        s"corpus must be scanned once (cache-echo budget 3):\n$ps")
       assert(ps.contains("ReusedExchange"),
         s"tot/loud branches must reuse the shared exchange, not rescan:\n$ps")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
