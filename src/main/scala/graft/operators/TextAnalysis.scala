@@ -606,8 +606,9 @@ object TextAnalysis {
   /** TRAINED LANGUAGE-ID — the model the production pipelines run where
     * q36's stopword heuristic stops scaling (fastText-style supervised
     * classification: CCNet, RedPajama): ONE-VS-REST
-    * [[logisticTrainHashed]] models, one per candidate language, each a
-    * distributed (bucket, weight) relation, composed into
+    * [[logisticTrainHashed]]-style models, all |langs| trained as ONE
+    * candidate-keyed dag over a distributed (cand, bucket, weight)
+    * relation (r20 — see the in-body note), composed into
     * score→argmax. Prediction compares GRID-SNAPPED scores (z at 6
     * decimals — without the grid, a cross-engine argmax is ill-defined
     * the moment two sums differ in the 1e-15s), ties broken by
@@ -641,18 +642,55 @@ object TextAnalysis {
     // them before this table was factored out (the oracle pins that)
     val labAll = docs.filter(id.isNotNull)
       .select(id.as("__lh_id"), lang.as("__li_lang")).persist()
+    // ALL |langs| one-vs-rest models train as ONE candidate-keyed dag
+    // (optimization r20; was a sequential per-lang loop): the weight
+    // relation is (cand, bucket, w) and every GD pass carries the
+    // candidate key through the same three join+agg stages the
+    // single-model trainer runs. Identical arithmetic per model — each
+    // (cand, bucket) gradient sums exactly the per-model term set and
+    // snaps to the same 1e-9 grid ([[trainOnPairs]]' determinism note),
+    // each (cand, doc) z rounds to the same 1e-6 grid — but the
+    // sequential barrier count drops from |langs|·(iters+1) eager
+    // checkpoints (+|langs| scoring passes) to iters+1 and ONE scoring
+    // pass: at any scale the cluster sees |langs|× fewer sequential
+    // round-trips for the same shuffled bytes (measured at sf0.1:
+    // q147 3.46 s → see OPTIMIZATION_r20.md). The oracle's per-model
+    // CTE unroll is unchanged and stays green at sf0.01 AND sf0.1.
+    val sparkSess = docs.sparkSession
+    import sparkSess.implicits._
+    val cands = langs.toDF("__li_cand")
     val scored = try {
-      langs.map { l =>
-        val lab = labAll.select(col("__lh_id"),
-          when(col("__li_lang") === l, 1.0).otherwise(0.0).as("__lh_y"))
-        val w = trainOnPairs(fp, lab, iters, lr)
-        fp.join(w.select(col("bucket").as("__lh_b"),
-            col("weight").as("__lh_wb")), "__lh_b")
-          .groupBy(col("__lh_id").as("id"))
-          .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
-          .select(col("id"), lit(l).as("__li_cand"),
-            graft.functions.Rounding.portable(col("z"), 6).as("z6"))
-      }.reduce(_.unionAll(_)).localCheckpoint()
+      val nd = labAll.count().toDouble
+      val labC = labAll.crossJoin(broadcast(cands))
+        .select(col("__lh_id"), col("__li_cand"),
+          when(col("__li_lang") === col("__li_cand"), 1.0).otherwise(0.0)
+            .as("__lh_y"))
+      var w = fp.select(col("__lh_b")).distinct()
+        .crossJoin(broadcast(cands))
+        .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val z = fp.join(w, "__lh_b")
+          .groupBy("__lh_id", "__li_cand")
+          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+        val diff = z.join(labC, Seq("__lh_id", "__li_cand"))
+          .select(col("__lh_id"), col("__li_cand"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
+              .as("__lh_d"))
+        val g = fp.join(diff, "__lh_id")
+          .groupBy("__li_cand", "__lh_b")
+          .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
+            + lit(0.5)) / lit(1e9)).as("__lh_g"))
+        w = g.join(w, Seq("__li_cand", "__lh_b"))
+          .select(col("__li_cand"), col("__lh_b"),
+            (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
+          .localCheckpoint()
+      }
+      fp.join(w, "__lh_b")
+        .groupBy(col("__lh_id").as("id"), col("__li_cand"))
+        .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
+        .select(col("id"), col("__li_cand"),
+          graft.functions.Rounding.portable(col("z"), 6).as("z6"))
+        .localCheckpoint()
     } finally { fp.unpersist(blocking = false); labAll.unpersist(blocking = false) }
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
