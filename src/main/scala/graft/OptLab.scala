@@ -65,6 +65,16 @@ object OptLab {
             .groupBy("g", "b").agg(count(lit(1)).as("c"))
         }
         time("q185_full") { SparkEntry.queries("q185_ks_binned")(spark, dir) }
+      case "planstats" =>
+        // non-AQE plan stats for named queries: real scan / reuse counts
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        args(1).split(",").foreach { n =>
+          val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+            .queryExecution.executedPlan.toString
+          println(s"[optlab] $n scans=${"Scan parquet".r.findAllIn(p).size} " +
+            s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
+            s"imts=${"InMemoryTableScan".r.findAllIn(p).size}")
+        }
       case "dumpplan" =>
         // args(1) = comma-separated query names; writes formatted plans
         // (sf0.001, plain-sort mode like PlanDump) to plans/r20/<q>_after.txt

@@ -1135,7 +1135,15 @@ object Dedup {
       minRun: Int = 8, dfCap: Option[Long] = None): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
     dfCap.foreach(c => require(c >= 2, s"dfCap must be >= 2, got $c"))
+    // Persisted (r20): the tokenize+shingle explode is map-side, so no
+    // exchange boundary exists for Reuse/stage-dedup to latch onto, and
+    // the plan executed it once per consumer — BOTH self-join sides,
+    // plus the df-cap aggregate and its anti-join probe when capped:
+    // four full explodes of the corpus in the dfCap plan (plan-counted,
+    // r20). One disk-spillable cache of the shingle table replaces
+    // three recomputes; Bench's cold reps clear it between runs.
     val sh = positionalShingles(docs, id, text, minRun, "doc_id", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = dfCap match {
       case Some(cap) =>
         val hot = sh.groupBy("w")
@@ -1405,12 +1413,21 @@ object Dedup {
     // null-id docs are dropped defensively (the CC operators' rule): they
     // cannot be reassembled under a null group key — all of them would
     // MERGE into one output row — and must not claim first occurrences
-    val lines = docs
+    val lines0 = docs
       .filter(id.isNotNull)
       .select(id.as("__ld_id"),
         posexplode(filter(split(text, java.util.regex.Pattern.quote(sep)),
           l => l =!= "")))
       .toDF("__ld_id", "__ld_pos", "__ld_line")
+    // Persisted only on the hotKeySafe path (r20): its two stages (the
+    // min(struct) winners aggregate and the coordinate flagging join)
+    // both consume the map-side explode, which the plan otherwise
+    // executes twice (plan-counted). The window form consumes lines
+    // exactly once — no cache, no change.
+    val lines =
+      if (hotKeySafe) lines0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else lines0
     val kept =
       if (hotKeySafe) {
         // associative escape hatch, two skew-free stages:
@@ -1531,7 +1548,13 @@ object Dedup {
   def removeBoilerplateLines(docs: DataFrame, id: Column, text: Column,
       group: Column, minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    // Persisted (r20): the line explode feeds BOTH the df aggregate and
+    // the flagging join, and being map-side it has no exchange for
+    // reuse to dedupe — the plan executed the split+posexplode twice
+    // (plan-counted). One disk-spillable cache replaces the recompute;
+    // cold-timing harnesses clear it between reps.
     val lines = explodedLines(docs, id, text, group, sep)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = boilerLinesOf(lines, minDocs)
     // broadcast LEFT join + keep flag rather than an anti join: the
     // kept/total counts and the reassembly then ride ONE line-keyed
