@@ -63,11 +63,17 @@ object Cleaning {
     * first (they would poison the percentile buffer). */
   def quantileGate(df: DataFrame, score: Column, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile must be in (0,1), got $q")
+    // Persisted (r20): the threshold aggregate and the gating filter
+    // both consume `df`, and when the caller hands in a derived chain
+    // (q97's trained scores) the whole chain re-executed once per
+    // consumer — plan-counted. One disk-spillable cache replaces the
+    // recompute; cold-timing harnesses clear it between reps.
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // collision-proof internal names (the round-7 '__decontam_*' rule):
     // a user column literally named "__thr" must survive the gate intact
-    val thr = df.select(score.as("__quantile_gate_s"))
+    val thr = src.select(score.as("__quantile_gate_s"))
       .agg(expr(s"percentile(__quantile_gate_s, ${q}D)").as("__quantile_gate_thr"))
-    df.crossJoin(broadcast(thr))
+    src.crossJoin(broadcast(thr))
       .filter(score >= col("__quantile_gate_thr"))
       .drop("__quantile_gate_thr")
   }
@@ -97,7 +103,11 @@ object Cleaning {
       qLow: Double = 1.0 / 3, qHigh: Double = 2.0 / 3): DataFrame = {
     require(0.0 < qLow && qLow < qHigh && qHigh < 1.0,
       s"need 0 < qLow < qHigh < 1, got ($qLow, $qHigh)")
-    val thr = df
+    // Persisted (r20): same double-consumption as [[quantileGate]] —
+    // q137 hands in the whole bigram-LM scoring chain, which the
+    // threshold aggregate and the bucketing join each re-executed.
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = src
       .select(group.as("__ccb_g"), score.as("__ccb_s"))
       .groupBy("__ccb_g")
       .agg(expr(s"percentile(__ccb_s, ${qLow}D)").as("__ccb_t1"),
@@ -110,7 +120,7 @@ object Cleaning {
       .when(score <= col("__ccb_t1"), "head")
       .when(score <= col("__ccb_t2"), "middle")
       .otherwise("tail")
-    df.join(broadcast(thr), group === col("__ccb_g"), "left")
+    src.join(broadcast(thr), group === col("__ccb_g"), "left")
       .withColumn("bucket", bucket)
       .withColumn("keep", coalesce(col("bucket") =!= "tail", lit(false)))
       .drop("__ccb_g", "__ccb_t1", "__ccb_t2")

@@ -190,14 +190,22 @@ object TextAnalysis {
     * agree bitwise. Returns (w1, w2, n_ab, pmi) unrounded. */
   def pmiCollocations(docs: DataFrame, text: Column, minCount: Long): DataFrame = {
     import graft.functions.TextOps
+    // Persisted (r20): both count tables are VOCAB-sized but their
+    // subtrees are corpus-sized explodes+aggregates, and each had
+    // multiple consumers (uni: the nu total + both broadcast legs;
+    // pair: the nb total + the filtered main) — five corpus passes in
+    // the dumped plan for two tables' worth of work. Caching the
+    // bounded tables cuts it to one pass per explode.
     val toks = docs.select(explode(TextOps.tokens(text)).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nu = uni.agg(sum("cw").cast("double").as("nu"))
     val pair = docs
       .select(explode(TextOps.shinglesNative(TextOps.tokens(text), 2)).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = pair.agg(sum("n_ab").cast("double").as("nb"))
     pair.filter(col("n_ab") >= minCount)
       .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
@@ -1075,7 +1083,24 @@ object TextAnalysis {
     val tok = docs
       .select(id.as("doc_id"), explode(split(lower(text), " ")).as("term"))
       .filter(col("term") =!= "")
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // Doc lengths IN-ROW (r20): `size(filter(split(...)))` counts the
+    // exact tokens the explode emits, so dl is map-only — the previous
+    // `tok.groupBy(doc_id).count` both re-ran the corpus explode (tok
+    // feeds the tf join too; map-side subtrees are never reuse-deduped)
+    // and paid a full token-table aggregate for what is per-row state.
+    // The aggregate form only saw docs with >= 1 token (explode emits
+    // nothing otherwise), so the in-row form filters dl > 0 to keep
+    // n_docs/avgdl identical; null text yields null size and is
+    // likewise dropped by the filter.
+    // ... and persisted: dl has two consumers (the stats total and the
+    // weight join) and, being map-side, would otherwise re-split the
+    // corpus once per consumer — the (doc_id, dl) table is two narrow
+    // columns, the cheapest possible cache.
+    val dl = docs
+      .select(id.as("doc_id"),
+        size(filter(split(lower(text), " "), t => t =!= "")).cast("long").as("dl"))
+      .filter(col("dl") > 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val qterms = queries.select(col("qid"), col("term")).distinct()
     val terms = broadcast(qterms.select("term").distinct())
