@@ -530,15 +530,24 @@ object TextAnalysis {
   def hashedFeaturePairs(docs: DataFrame, id: Column, text: Column,
       dims: Int): DataFrame = {
     import graft.functions.TextOps
+    // One explode (r20): the per-doc token total rides THROUGH the
+    // explode as a per-row constant (`size(tokens)` = exactly the rows
+    // the explode emits) and surfaces from the bucket aggregate as
+    // max() — the previous shape exploded the corpus twice (cnt and n
+    // are separate consumers of a map-side subtree) and paid an
+    // (id)-keyed join of two corpus-derived tables just to divide by n.
+    // Zero-token and null-text docs emit no pairs either way; the bias
+    // row below covers every non-null-id doc, exploded or not.
     val tok = docs.filter(id.isNotNull)
-      .select(id.as("__lh_id"), explode(TextOps.tokens(text)).as("__lh_w"))
+      .select(id.as("__lh_id"), TextOps.tokens(text).as("__lh_ts"))
+      .select(col("__lh_id"),
+        size(col("__lh_ts")).cast("long").as("__lh_n"),
+        explode(col("__lh_ts")).as("__lh_w"))
     val bucket = pmod(
       conv(substring(md5(col("__lh_w")), 1, 4), 16, 10).cast("long"),
       lit(dims.toLong))
-    val cnt = tok.groupBy(col("__lh_id"), bucket.as("__lh_b"))
-      .agg(count(lit(1)).as("__lh_c"))
-    val n = tok.groupBy("__lh_id").agg(count(lit(1)).as("__lh_n"))
-    cnt.join(n, "__lh_id")
+    tok.groupBy(col("__lh_id"), bucket.as("__lh_b"))
+      .agg(count(lit(1)).as("__lh_c"), max(col("__lh_n")).as("__lh_n"))
       .select(col("__lh_id"), col("__lh_b"),
         (col("__lh_c") / col("__lh_n")).as("__lh_x"))
       .unionAll(docs.filter(id.isNotNull).select(id.as("__lh_id"),
@@ -589,26 +598,47 @@ object TextAnalysis {
   private def trainOnPairs(fp: DataFrame, lab: DataFrame,
       iters: Int, lr: Double): DataFrame = {
     val nd = lab.count().toDouble
-    var w = fp.select(col("__lh_b")).distinct()
-      .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val z = fp.join(w, "__lh_b")
-        .groupBy("__lh_id")
-        .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
-      val diff = z.join(lab, "__lh_id")
-        .select(col("__lh_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
-            .as("__lh_d"))
-      val g = fp.join(diff, "__lh_id")
-        .groupBy("__lh_b")
-        .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
-          + lit(0.5)) / lit(1e9)).as("__lh_g"))
-      w = g.join(w, "__lh_b")
-        .select(col("__lh_b"),
-          (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
-        .localCheckpoint()
+    // Pre-partitioned, pre-sorted copies of the pair table (r20): every
+    // iteration joins fp on __lh_b (the z pass) and on __lh_id (the
+    // gradient pass), and with statistics unknown on the checkpointed
+    // tiny sides the planner sort-merge-joins — re-shuffling AND
+    // re-sorting the big pair table twice per iteration. Caching one
+    // copy hash-partitioned+sorted per join key makes the cached
+    // outputPartitioning/outputOrdering satisfy the join's requirement:
+    // per iteration only the model-sized and doc-sized tables move.
+    // Exactly the guide's "two operations keyed the same way share one
+    // exchange", paid once instead of per iteration — at 100 TB this
+    // removes 2·iters full shuffles of the corpus-sized pair table.
+    // Safe to drop in the finally: the returned w is checkpointed, so
+    // nothing lazy references these caches.
+    val fpB = fp.repartition(col("__lh_b")).sortWithinPartitions("__lh_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpId = fp.repartition(col("__lh_id")).sortWithinPartitions("__lh_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = fpB.select(col("__lh_b")).distinct()
+        .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val z = fpB.join(w, "__lh_b")
+          .groupBy("__lh_id")
+          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+        val diff = z.join(lab, "__lh_id")
+          .select(col("__lh_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
+              .as("__lh_d"))
+        val g = fpId.join(diff, "__lh_id")
+          .groupBy("__lh_b")
+          .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
+            + lit(0.5)) / lit(1e9)).as("__lh_g"))
+        w = g.join(w, "__lh_b")
+          .select(col("__lh_b"),
+            (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
+          .localCheckpoint()
+      }
+      w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
+    } finally {
+      fpB.unpersist(blocking = false); fpId.unpersist(blocking = false)
     }
-    w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
   }
 
   /** TRAINED LANGUAGE-ID — the model the production pipelines run where
@@ -667,24 +697,31 @@ object TextAnalysis {
     val sparkSess = docs.sparkSession
     import sparkSess.implicits._
     val cands = langs.toDF("__li_cand")
+    // the trainOnPairs pre-partitioned-copy discipline (r20): the z and
+    // gradient passes join fp on different keys every iteration — cache
+    // one copy per join key so only doc-/model-sized tables move
+    val fpB = fp.repartition(col("__lh_b")).sortWithinPartitions("__lh_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpId = fp.repartition(col("__lh_id")).sortWithinPartitions("__lh_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = try {
       val nd = labAll.count().toDouble
       val labC = labAll.crossJoin(broadcast(cands))
         .select(col("__lh_id"), col("__li_cand"),
           when(col("__li_lang") === col("__li_cand"), 1.0).otherwise(0.0)
             .as("__lh_y"))
-      var w = fp.select(col("__lh_b")).distinct()
+      var w = fpB.select(col("__lh_b")).distinct()
         .crossJoin(broadcast(cands))
         .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
       for (_ <- 1 to iters) {
-        val z = fp.join(w, "__lh_b")
+        val z = fpB.join(w, "__lh_b")
           .groupBy("__lh_id", "__li_cand")
           .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
         val diff = z.join(labC, Seq("__lh_id", "__li_cand"))
           .select(col("__lh_id"), col("__li_cand"),
             (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
               .as("__lh_d"))
-        val g = fp.join(diff, "__lh_id")
+        val g = fpId.join(diff, "__lh_id")
           .groupBy("__li_cand", "__lh_b")
           .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
             + lit(0.5)) / lit(1e9)).as("__lh_g"))
@@ -693,13 +730,16 @@ object TextAnalysis {
             (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
           .localCheckpoint()
       }
-      fp.join(w, "__lh_b")
+      fpB.join(w, "__lh_b")
         .groupBy(col("__lh_id").as("id"), col("__li_cand"))
         .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
         .select(col("id"), col("__li_cand"),
           graft.functions.Rounding.portable(col("z"), 6).as("z6"))
         .localCheckpoint()
-    } finally { fp.unpersist(blocking = false); labAll.unpersist(blocking = false) }
+    } finally {
+      fpB.unpersist(blocking = false); fpId.unpersist(blocking = false)
+      fp.unpersist(blocking = false); labAll.unpersist(blocking = false)
+    }
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("z6").desc, col("__li_cand")))
