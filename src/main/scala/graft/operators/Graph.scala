@@ -40,8 +40,16 @@ object Graph {
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
     val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    // Hash-partitioned + sorted on the per-iteration join key (r20):
+    // every iteration joins p on src against the rank table, and with
+    // statistics unknown on the iterated side the planner sort-merge
+    // joins — re-shuffling and re-sorting the persisted transition
+    // table each round. Caching it already partitioned/sorted by src
+    // makes the cached outputPartitioning/outputOrdering satisfy the
+    // join, so per iteration only the rank table moves.
     val p = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -100,10 +108,19 @@ object Graph {
     * onto the node set. Returns (node, hub, auth). */
   def hits(edges: DataFrame, iters: Int, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    // Two cached copies of the edge list, one per iteration join key
+    // (r20, the weightedPageRank discipline): the forward half-step
+    // joins edges on src, the backward one on dst, every iteration —
+    // pre-partitioned+sorted caches turn both from per-iteration
+    // sort-merge re-shuffles of the edge volume into cache-local joins
+    // where only the score tables move.
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val eSrc = e0.repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val eDst = e0.repartition(col("dst")).sortWithinPartitions("dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "hits: empty graph")
@@ -112,12 +129,12 @@ object Graph {
     var h = nodes.select(col("node"), lit(1.0 / n).as("hub"))
     var a: DataFrame = null
     for (i <- 1 to iters) {
-      val araw = e.join(h, e("src") === h("node"))
+      val araw = eSrc.join(h, eSrc("src") === h("node"))
         .select(col("dst").as("node"), (col("w") * col("hub")).as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
       a = araw.crossJoin(broadcast(araw.agg(sum("raw").as("s"))))
         .select(col("node"), (col("raw") / col("s")).as("auth"))
-      val hraw = e.join(a, e("dst") === a("node"))
+      val hraw = eDst.join(a, eDst("dst") === a("node"))
         .select(col("src").as("node"), (col("w") * col("auth")).as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
       h = hraw.crossJoin(broadcast(hraw.agg(sum("raw").as("s"))))
@@ -137,7 +154,8 @@ object Graph {
         coalesce(col("auth"), lit(0.0)).as("auth"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    e.unpersist(blocking = false)
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
   }
