@@ -204,7 +204,13 @@ object Bench {
       // the validity family shares the memoized trained-centroid table
       // (Tables.embeddingCentroids8) — cold-timing each would multi-count
       // the two Lloyd passes, the exact q102 misclassification replayed
-      "q165_silhouette", "q168_adjusted_rand", "q169_nmi")
+      "q165_silhouette", "q168_adjusted_rand", "q169_nmi",
+      // the q135 classifier family shares the memoized trained weights
+      // (PipelineQueries.sharedClassifierWeights, r20) — cold-timing each
+      // would multi-count the identical 4-iteration training seven times
+      "q135_classifier_train", "q138_pr_curve", "q143_calibration",
+      "q154_roc_auc", "q178_isotonic_calibration", "q181_quantile_transform",
+      "q186_quantile_binned")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
       // canary BOTH sides of the reps: load arriving mid-leg (after a
       // leading-only sample) produced an unflagged phantom drift
@@ -227,7 +233,7 @@ object Bench {
       // drift/slow entries it de-noises (review r18: "shared_tables"
       // matched nothing)
       Seq("shared_pair_table", "shared_component_table",
-        "shared_centroid_table").foreach(sampleCanary)
+        "shared_centroid_table", "shared_classifier_weights").foreach(sampleCanary)
       spark.sharedState.cacheManager.clearCache()
       Tables.clearPairCache()
       val t0 = System.nanoTime()
@@ -237,14 +243,17 @@ object Bench {
       val t2 = System.nanoTime()
       Tables(spark, sfDir).embeddingCentroids8 // two Lloyd passes, persisted
       val t3 = System.nanoTime()
-      val r = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      PipelineQueries.sharedClassifierWeights(Tables(spark, sfDir)) // 4 GD passes (r20)
+      val t4 = System.nanoTime()
+      val r = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, (t4 - t3) / 1e9)
       Seq("shared_pair_table", "shared_component_table",
-        "shared_centroid_table").foreach(sampleCanary)
+        "shared_centroid_table", "shared_classifier_weights").foreach(sampleCanary)
       r
     }
     val tSharedPairs = sharedReps.map(_._1).min
     val tSharedComp = sharedReps.map(_._2).min
     val tSharedCents = sharedReps.map(_._3).min
+    val tSharedClf = sharedReps.map(_._4).min
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
       sampleCanary(n)
       val best = (1 to 2).map(_ => runOne(n)).min
@@ -254,7 +263,8 @@ object Bench {
     val ext = (extCold ++ extWarmMemo ++
       Seq("shared_pair_table" -> tSharedPairs,
           "shared_component_table" -> tSharedComp,
-          "shared_centroid_table" -> tSharedCents)).sortBy(_._1)
+          "shared_centroid_table" -> tSharedCents,
+          "shared_classifier_weights" -> tSharedClf)).sortBy(_._1)
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -668,9 +668,26 @@ object PipelineQueries {
     (feats, when(col("lang") === "en", 1.0).otherwise(0.0))
   }
 
+  /** The TRAINED q135 classifier weights, memoized per (session, dir) —
+    * the fourth suite-level shared input (r20), following the
+    * pair-table/components/centroids discipline in [[Tables]]: SEVEN
+    * gated queries (q135, q138, q143, q154, q178, q181, q186) train the
+    * IDENTICAL 4-iteration model (same features, label, iters, lr —
+    * deterministic by the trainer's gradient-grid design), so a suite
+    * session runs the four aggregate passes once instead of seven
+    * times. Driver-resident 4-double array (the flat trainer's
+    * contract); Bench times the build as its own `shared_classifier_
+    * weights` entry and times the consumers against the warm memo;
+    * [[Tables.clearPairCache]] drops it for cold reps. */
+  def sharedClassifierWeights(t: Tables): Array[Double] =
+    Tables.memoScalar(t.spark, t.dir, "clf_w4") { () =>
+      val (feats, y) = classifierFeatures
+      TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    }
+
   def q135(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     TextAnalysis.logisticScore(
         t.documents.filter(col("doc_id") % 20 === 3), feats, w)
       .select(col("doc_id"), y.cast("long").as("y"),
@@ -691,7 +708,7 @@ object PipelineQueries {
     * per-threshold counts as generated SQL. */
   def q138(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.prCurve(scored, col("y") === 1.0, col("p6"), prThresholds)
@@ -1052,7 +1069,7 @@ object PipelineQueries {
     * bin edges. One |bins|-row aggregate pass. */
   def q143(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.calibrationCurve(scored, col("y") === 1.0, col("p6"), bins = 100)
@@ -1073,7 +1090,7 @@ object PipelineQueries {
     * then the identical integer sweep as SQL. */
   def q154(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.rocAuc(scored, col("y") === 1.0, col("p6"))
@@ -1695,7 +1712,7 @@ object PipelineQueries {
     * exact rational, so a single mis-pooled block hash-mismatches. */
   def q178(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(y.as("y"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.isotonicCalibration(scored, col("y") === 1.0, col("p6"), bins = 100)
@@ -1765,7 +1782,7 @@ object PipelineQueries {
     * single mis-ranked tie group hash-mismatches. */
   def q181(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(col("doc_id"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.quantileTransform(scored, col("p6"), "qpos")
@@ -1855,7 +1872,7 @@ object PipelineQueries {
     * directly comparable row-for-row. */
   def q186(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
-    val w = TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
+    val w = sharedClassifierWeights(t)
     val scored = TextAnalysis.logisticScore(t.documents, feats, w)
       .select(col("doc_id"), Rounding.portable(col("p"), 6).as("p6"))
     TextAnalysis.quantileTransformBinned(scored, col("p6"), "qpos", bins = 16)

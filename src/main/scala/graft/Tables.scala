@@ -137,11 +137,35 @@ object Tables {
     else { val built = build(); pairCache.put(key, built); built }
   }
 
+  /** Driver-side twin of [[memo]] for SMALL shared results that live as
+    * plain Scala values (r20: the q135-family classifier weights — a
+    * 4-double array seven gated queries train identically; see
+    * [[graft.PipelineQueries.sharedClassifierWeights]]). Same
+    * (session, dir, kind) keying and stopped-session eviction; no
+    * storage-level resilience is needed because nothing Spark-managed
+    * backs the value. Cleared by [[clearPairCache]] so cold-timing
+    * harness reps rebuild it exactly like the DataFrame memos. */
+  private val scalarCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+
+  def memoScalar[T <: AnyRef](spark: SparkSession, dir: String, kind: String)(
+      build: () => T): T = scalarCache.synchronized {
+    scalarCache.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) { scalarCache.remove(k); () }
+    }
+    val key = (spark, dir, kind)
+    val existing = scalarCache.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else { val built = build(); scalarCache.put(key, built); built }
+  }
+
   /** Release every cached derived table (see
-    * [[Tables.documentNearDupPairs]] / [[Tables.documentNearDupComponents]]). */
+    * [[Tables.documentNearDupPairs]] / [[Tables.documentNearDupComponents]])
+    * and every [[memoScalar]] value. */
   def clearPairCache(): Unit = {
     pairCache.values.forEach(df => { df.unpersist(blocking = false); () })
     pairCache.clear()
+    scalarCache.clear()
   }
 
   /** Per-directory memo of the probed `events.ts` physical layout (true =
