@@ -65,6 +65,24 @@ object OptLab {
             .groupBy("g", "b").agg(count(lit(1)).as("c"))
         }
         time("q185_full") { SparkEntry.queries("q185_ks_binned")(spark, dir) }
+      case "copart" =>
+        // does a join against the pre-partitioned cache skip the exchange?
+        import org.apache.spark.storage.StorageLevel
+        val fp = graft.operators.TextAnalysis.hashedFeaturePairs(
+          t.documents, col("doc_id"), col("text"), 32).persist(StorageLevel.MEMORY_AND_DISK)
+        val fpB = fp.repartition(col("__lh_b")).sortWithinPartitions("__lh_b")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        fpB.count()
+        val w = fpB.select(col("__lh_b")).distinct()
+          .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+        val z = fpB.join(w, "__lh_b").groupBy("__lh_id")
+          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+        val p = z.queryExecution.executedPlan.toString
+        println(s"[optlab] copart exchanges=${"Exchange".r.findAllIn(p).size} " +
+          s"smj=${"SortMergeJoin".r.findAllIn(p).size} " +
+          s"bhj=${"BroadcastHashJoin".r.findAllIn(p).size} " +
+          s"imts=${"InMemoryTableScan".r.findAllIn(p).size}")
+        println(p.linesIterator.take(25).mkString("\n"))
       case "planstats" =>
         // non-AQE plan stats for named queries: real scan / reuse counts
         spark.conf.set("spark.sql.adaptive.enabled", "false")

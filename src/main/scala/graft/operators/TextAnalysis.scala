@@ -598,47 +598,32 @@ object TextAnalysis {
   private def trainOnPairs(fp: DataFrame, lab: DataFrame,
       iters: Int, lr: Double): DataFrame = {
     val nd = lab.count().toDouble
-    // Pre-partitioned, pre-sorted copies of the pair table (r20): every
-    // iteration joins fp on __lh_b (the z pass) and on __lh_id (the
-    // gradient pass), and with statistics unknown on the checkpointed
-    // tiny sides the planner sort-merge-joins — re-shuffling AND
-    // re-sorting the big pair table twice per iteration. Caching one
-    // copy hash-partitioned+sorted per join key makes the cached
-    // outputPartitioning/outputOrdering satisfy the join's requirement:
-    // per iteration only the model-sized and doc-sized tables move.
-    // Exactly the guide's "two operations keyed the same way share one
-    // exchange", paid once instead of per iteration — at 100 TB this
-    // removes 2·iters full shuffles of the corpus-sized pair table.
-    // Safe to drop in the finally: the returned w is checkpointed, so
-    // nothing lazy references these caches.
-    val fpB = fp.repartition(col("__lh_b")).sortWithinPartitions("__lh_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fpId = fp.repartition(col("__lh_id")).sortWithinPartitions("__lh_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var w = fpB.select(col("__lh_b")).distinct()
-        .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
-      for (_ <- 1 to iters) {
-        val z = fpB.join(w, "__lh_b")
-          .groupBy("__lh_id")
-          .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
-        val diff = z.join(lab, "__lh_id")
-          .select(col("__lh_id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
-              .as("__lh_d"))
-        val g = fpId.join(diff, "__lh_id")
-          .groupBy("__lh_b")
-          .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
-            + lit(0.5)) / lit(1e9)).as("__lh_g"))
-        w = g.join(w, "__lh_b")
-          .select(col("__lh_b"),
-            (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
-          .localCheckpoint()
-      }
-      w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
-    } finally {
-      fpB.unpersist(blocking = false); fpId.unpersist(blocking = false)
+    // NOTE (r20): a pre-partitioned-copies variant (one cached fp copy
+    // hash-partitioned+sorted per join key) was built and MEASURED OUT:
+    // the checkpointed weight/diff tables carry real size statistics, so
+    // the planner already broadcasts them into the cached fp — the
+    // copies only ADDED two pair-table shuffles (profile drift: q141
+    // shuffle_read_bytes +2.05×). The plain cached fp is the right form.
+    var w = fp.select(col("__lh_b")).distinct()
+      .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val z = fp.join(w, "__lh_b")
+        .groupBy("__lh_id")
+        .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
+      val diff = z.join(lab, "__lh_id")
+        .select(col("__lh_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
+            .as("__lh_d"))
+      val g = fp.join(diff, "__lh_id")
+        .groupBy("__lh_b")
+        .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
+          + lit(0.5)) / lit(1e9)).as("__lh_g"))
+      w = g.join(w, "__lh_b")
+        .select(col("__lh_b"),
+          (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
+        .localCheckpoint()
     }
+    w.select(col("__lh_b").as("bucket"), col("__lh_wb").as("weight"))
   }
 
   /** TRAINED LANGUAGE-ID — the model the production pipelines run where
@@ -697,31 +682,24 @@ object TextAnalysis {
     val sparkSess = docs.sparkSession
     import sparkSess.implicits._
     val cands = langs.toDF("__li_cand")
-    // the trainOnPairs pre-partitioned-copy discipline (r20): the z and
-    // gradient passes join fp on different keys every iteration — cache
-    // one copy per join key so only doc-/model-sized tables move
-    val fpB = fp.repartition(col("__lh_b")).sortWithinPartitions("__lh_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fpId = fp.repartition(col("__lh_id")).sortWithinPartitions("__lh_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = try {
       val nd = labAll.count().toDouble
       val labC = labAll.crossJoin(broadcast(cands))
         .select(col("__lh_id"), col("__li_cand"),
           when(col("__li_lang") === col("__li_cand"), 1.0).otherwise(0.0)
             .as("__lh_y"))
-      var w = fpB.select(col("__lh_b")).distinct()
+      var w = fp.select(col("__lh_b")).distinct()
         .crossJoin(broadcast(cands))
         .withColumn("__lh_wb", lit(0.0)).localCheckpoint()
       for (_ <- 1 to iters) {
-        val z = fpB.join(w, "__lh_b")
+        val z = fp.join(w, "__lh_b")
           .groupBy("__lh_id", "__li_cand")
           .agg(sum(col("__lh_x") * col("__lh_wb")).as("__lh_z"))
         val diff = z.join(labC, Seq("__lh_id", "__li_cand"))
           .select(col("__lh_id"), col("__li_cand"),
             (lit(1.0) / (lit(1.0) + exp(-col("__lh_z"))) - col("__lh_y"))
               .as("__lh_d"))
-        val g = fpId.join(diff, "__lh_id")
+        val g = fp.join(diff, "__lh_id")
           .groupBy("__li_cand", "__lh_b")
           .agg((floor(sum(col("__lh_d") * col("__lh_x")) / lit(nd) * lit(1e9)
             + lit(0.5)) / lit(1e9)).as("__lh_g"))
@@ -730,16 +708,13 @@ object TextAnalysis {
             (col("__lh_wb") - lit(lr) * col("__lh_g")).as("__lh_wb"))
           .localCheckpoint()
       }
-      fpB.join(w, "__lh_b")
+      fp.join(w, "__lh_b")
         .groupBy(col("__lh_id").as("id"), col("__li_cand"))
         .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
         .select(col("id"), col("__li_cand"),
           graft.functions.Rounding.portable(col("z"), 6).as("z6"))
         .localCheckpoint()
-    } finally {
-      fpB.unpersist(blocking = false); fpId.unpersist(blocking = false)
-      fp.unpersist(blocking = false); labAll.unpersist(blocking = false)
-    }
+    } finally { fp.unpersist(blocking = false); labAll.unpersist(blocking = false) }
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("z6").desc, col("__li_cand")))
