@@ -210,7 +210,15 @@ object Bench {
       // would multi-count the identical 4-iteration training seven times
       "q135_classifier_train", "q138_pr_curve", "q143_calibration",
       "q154_roc_auc", "q178_isotonic_calibration", "q181_quantile_transform",
-      "q186_quantile_binned")
+      "q186_quantile_binned",
+      // r21 shared inputs (VERDICT r20 items 2-3), same protocol: the
+      // dims=32 hashed feature table (Tables.hashedFeaturePairs32;
+      // q141 + q147), the bigram-LM CE scores (Tables.bigramCeScores;
+      // q117 + q137), and the 8-merge BPE training
+      // (PipelineQueries.sharedBpeMerges8; q126 + q127)
+      "q141_hashed_classifier", "q147_trained_langid",
+      "q117_bigram_lm_ce", "q137_ccnet_buckets",
+      "q126_bpe_train", "q127_bpe_apply")
     val extCold = extNames.filterNot(memoConsumers).map { n =>
       // canary BOTH sides of the reps: load arriving mid-leg (after a
       // leading-only sample) produced an unflagged phantom drift
@@ -228,32 +236,45 @@ object Bench {
     // scratch — clearPairCache drops the memo handles so the builds
     // actually run — and the LAST rep leaves the memos warm for the
     // consumer timings below, exactly as before.
-    val sharedReps = (1 to 2).map { _ =>
-      // record under the three EMITTED leg names so a flag matches the
+    val sharedLegNames = Seq("shared_pair_table", "shared_component_table",
+      "shared_centroid_table", "shared_classifier_weights",
+      "shared_hashed_fp32", "shared_bigram_ce", "shared_bpe_merges")
+    val sharedReps: Seq[Seq[Double]] = (1 to 2).map { _ =>
+      // record under the EMITTED leg names so a flag matches the
       // drift/slow entries it de-noises (review r18: "shared_tables"
       // matched nothing)
-      Seq("shared_pair_table", "shared_component_table",
-        "shared_centroid_table", "shared_classifier_weights").foreach(sampleCanary)
+      sharedLegNames.foreach(sampleCanary)
       spark.sharedState.cacheManager.clearCache()
       Tables.clearPairCache()
-      val t0 = System.nanoTime()
+      val marks = Seq.newBuilder[Long]
+      marks += System.nanoTime()
       Tables(spark, sfDir).documentNearDupPairs // persists + materializes
-      val t1 = System.nanoTime()
+      marks += System.nanoTime()
       Tables(spark, sfDir).documentNearDupComponents // one CC run, persisted
-      val t2 = System.nanoTime()
+      marks += System.nanoTime()
       Tables(spark, sfDir).embeddingCentroids8 // two Lloyd passes, persisted
-      val t3 = System.nanoTime()
+      marks += System.nanoTime()
       PipelineQueries.sharedClassifierWeights(Tables(spark, sfDir)) // 4 GD passes (r20)
-      val t4 = System.nanoTime()
-      val r = ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, (t4 - t3) / 1e9)
-      Seq("shared_pair_table", "shared_component_table",
-        "shared_centroid_table", "shared_classifier_weights").foreach(sampleCanary)
+      marks += System.nanoTime()
+      Tables(spark, sfDir).hashedFeaturePairs32 // one explode+agg, persisted (r21)
+      marks += System.nanoTime()
+      Tables(spark, sfDir).bigramCeScores // trained-LM scoring chain, persisted (r21)
+      marks += System.nanoTime()
+      PipelineQueries.sharedBpeMerges8(Tables(spark, sfDir)) // batched BPE rounds (r21)
+      marks += System.nanoTime()
+      val ts = marks.result()
+      val r = ts.sliding(2).map { case Seq(a, b) => (b - a) / 1e9 }.toSeq
+      sharedLegNames.foreach(sampleCanary)
       r
     }
-    val tSharedPairs = sharedReps.map(_._1).min
-    val tSharedComp = sharedReps.map(_._2).min
-    val tSharedCents = sharedReps.map(_._3).min
-    val tSharedClf = sharedReps.map(_._4).min
+    def sharedBest(i: Int): Double = sharedReps.map(_(i)).min
+    val tSharedPairs = sharedBest(0)
+    val tSharedComp = sharedBest(1)
+    val tSharedCents = sharedBest(2)
+    val tSharedClf = sharedBest(3)
+    val tSharedFp32 = sharedBest(4)
+    val tSharedBgCe = sharedBest(5)
+    val tSharedBpe = sharedBest(6)
     val extWarmMemo = extNames.filter(memoConsumers).map { n =>
       sampleCanary(n)
       val best = (1 to 2).map(_ => runOne(n)).min
@@ -264,7 +285,10 @@ object Bench {
       Seq("shared_pair_table" -> tSharedPairs,
           "shared_component_table" -> tSharedComp,
           "shared_centroid_table" -> tSharedCents,
-          "shared_classifier_weights" -> tSharedClf)).sortBy(_._1)
+          "shared_classifier_weights" -> tSharedClf,
+          "shared_hashed_fp32" -> tSharedFp32,
+          "shared_bigram_ce" -> tSharedBgCe,
+          "shared_bpe_merges" -> tSharedBpe)).sortBy(_._1)
 
     val qs = serial.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

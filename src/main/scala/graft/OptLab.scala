@@ -93,17 +93,101 @@ object OptLab {
             s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
             s"imts=${"InMemoryTableScan".r.findAllIn(p).size}")
         }
+      case "ablife" =>
+        // r21 lifecycle A/B: same session, alternating reps — A = the
+        // CacheDiscipline materialize-then-release form, B = the r20
+        // leak form (sys-prop switch in CacheDiscipline). Interleaving
+        // makes the comparison load-robust (this box's bursts straddle
+        // whole runs).
+        args.last.split(",").foreach { n =>
+          def rep(leak: Boolean): Double = {
+            spark.sharedState.cacheManager.clearCache()
+            Tables.clearPairCache()
+            if (leak) sys.props("graft.ab.leak") = "1"
+            else { sys.props.remove("graft.ab.leak"); () }
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          rep(false); rep(true) // warm both paths
+          val as = Seq.newBuilder[Double]; val bs = Seq.newBuilder[Double]
+          for (_ <- 1 to reps) { as += rep(false); bs += rep(true) }
+          sys.props.remove("graft.ab.leak")
+          val (a, b) = (as.result(), bs.result())
+          println(f"[optlab] $n A_mat min=${a.min}%.3f (${a.map(x => f"$x%.3f").mkString(",")}) " +
+            f"B_leak min=${b.min}%.3f (${b.map(x => f"$x%.3f").mkString(",")})")
+        }
+      case "binsab" =>
+        // r21: linear O(bins) fold vs binOfSortedCol binary search at
+        // bins = 32 (the gated case) and 1000 (the documented default),
+        // interleaved over the same raw-row table (the approx branch's
+        // shape — corpus-sized input, the regime where per-row cost is
+        // the whole pass)
+        val base = t.lineitem.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+          .filter(col("v").isNotNull).persist()
+        base.count()
+        for (bins <- Seq(32, 1000)) {
+          val edges = (1 until bins).map(k => 900.0 + k * 60000.0 / bins)
+          val eCol = typedlit(edges)
+          def run(bin: org.apache.spark.sql.Column): Double = {
+            val t0 = System.nanoTime()
+            base.select(col("g"), bin.as("b")).groupBy("g", "b")
+              .agg(count(lit(1)).as("c")).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val lin = aggregate(eCol, lit(0L),
+            (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L))
+          val bs = graft.operators.TimeSeries.binOfSortedCol(col("v"), eCol, bins - 1)
+          run(lin); run(bs) // warm
+          val (ls, bss) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+          (1 to reps).foreach { _ => ls += run(lin); bss += run(bs) }
+          val (l, b) = (ls.result(), bss.result())
+          println(f"[optlab] binsab bins=$bins linear min=${l.min}%.3f " +
+            f"(${l.map(x => f"$x%.3f").mkString(",")}) binsearch min=${b.min}%.3f " +
+            f"(${b.map(x => f"$x%.3f").mkString(",")})")
+        }
+        base.unpersist()
+      case "q160ab" =>
+        // r21: old (no vector cache, ~9 parquet re-reads across the
+        // eager init/train passes) vs committed (one released cache),
+        // interleaved in one session
+        import graft.operators.Similarity
+        def oldQ160(): DataFrame = {
+          val e = t.embeddings.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+          val init = Similarity.scalableInitCentroids(e, k = 4, rounds = 2, l = 4)
+          val trained = Similarity.trainCentroidsFrom(e, init, iters = 2, dim = 64)
+          val census = Similarity.ivfAssign(e, trained)
+            .groupBy("cid").agg(count(lit(1)).as("n_members"))
+          trained.select(col("vec_id").as("cid"), posexplode(col("e")))
+            .select(col("cid"), col("pos").cast("long").as("i"),
+              graft.functions.Rounding.portable(col("col"), 6).as("v6"))
+            .join(census, "cid")
+            .select(col("cid"), col("i"), col("v6"), col("n_members"))
+        }
+        def newQ160(): DataFrame = SparkEntry.queries("q160_kmeans_pipeline")(spark, dir)
+        val (oldT, newT) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+        def repQ(mk: () => DataFrame): Double = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime(); mk().collect(); (System.nanoTime() - t0) / 1e9
+        }
+        repQ(oldQ160 _); repQ(newQ160 _)
+        (1 to reps).foreach { _ => oldT += repQ(oldQ160 _); newT += repQ(newQ160 _) }
+        val (o, nw) = (oldT.result(), newT.result())
+        println(f"[optlab] q160 old min=${o.min}%.3f (${o.map(x => f"$x%.3f").mkString(",")}) " +
+          f"new min=${nw.min}%.3f (${nw.map(x => f"$x%.3f").mkString(",")})")
       case "dumpplan" =>
         // args(1) = comma-separated query names; writes formatted plans
-        // (sf0.001, plain-sort mode like PlanDump) to plans/r20/<q>_after.txt
+        // (sf0.001, plain-sort mode like PlanDump) to plans/r21/<q>_after.txt
         sys.props("spark.graft.sortMode") = "plain"
         args(1).split(",").foreach { n =>
           val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"plans/r20/${n}_after.txt"),
+            java.nio.file.Paths.get(s"plans/r21/${n}_after.txt"),
             df.queryExecution.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-          println(s"[optlab] wrote plans/r20/${n}_after.txt")
+          println(s"[optlab] wrote plans/r21/${n}_after.txt")
         }
       case "q185plan" =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -558,8 +558,9 @@ object PipelineQueries {
     * bigram model trained on the `lang = 'en'` slice scoring every doc
     * (the CCNet perplexity-filter shape); doc_id % 10 == 6 gated. */
   def q117(t: Tables): DataFrame =
-    TextAnalysis.bigramCrossEntropy(t.documents, col("doc_id"), col("text"),
-        isTarget = col("lang") === "en")
+    // shared memoized LM scores (Tables.bigramCeScores, r21) — q117 +
+    // q137 consume the identical trained-LM scoring chain
+    t.bigramCeScores
       .filter(col("id") % 10 === 6)
       .select(col("id").as("doc_id"), col("n_bigrams"),
         Rounding.portable(col("ce"), 6).as("ce"))
@@ -685,6 +686,21 @@ object PipelineQueries {
       TextAnalysis.logisticTrain(t.documents, feats, y, iters = 4, lr = 0.5)
     }
 
+  /** The 8-merge BPE training, memoized per (session, dir) — a shared
+    * suite-level input (r21, VERDICT r20 item 3): q126 (the training
+    * gate) and q127 (merge-order inference) run the IDENTICAL
+    * `learnMergesBatched(documents, text, 8)` — deterministic by the
+    * trainer's total argmax order (count DESC, pair ASC) — so a suite
+    * session runs the batched rounds once instead of twice. Same
+    * protocol as [[sharedClassifierWeights]]: driver-resident merge
+    * list, Bench times the build as its own `shared_bpe_merges` entry
+    * and both consumers warm; [[Tables.clearPairCache]] drops it for
+    * cold reps. */
+  def sharedBpeMerges8(t: Tables): Seq[graft.operators.BpeTrain.Merge] =
+    Tables.memoScalar(t.spark, t.dir, "bpe_merges8") { () =>
+      graft.operators.BpeTrain.learnMergesBatched(t.documents, col("text"), 8)
+    }
+
   def q135(t: Tables): DataFrame = {
     val (feats, y) = classifierFeatures
     val w = sharedClassifierWeights(t)
@@ -725,8 +741,8 @@ object PipelineQueries {
     * doc_id % 10 == 6 gated with the thresholds trained on ALL scored
     * docs. */
   def q137(t: Tables): DataFrame = {
-    val scored = TextAnalysis.bigramCrossEntropy(t.documents, col("doc_id"),
-        col("text"), isTarget = col("lang") === "en")
+    // shared memoized LM scores (see q117)
+    val scored = t.bigramCeScores
       .join(t.documents.select(col("doc_id").as("id"), col("lang")), Seq("id"))
       .withColumn("ce6", Rounding.portable(col("ce"), 6))
     Cleaning.ccnetBuckets(scored, col("lang"), col("ce6"))
@@ -1018,12 +1034,16 @@ object PipelineQueries {
     * bucket sums); the oracle unrolls the full iteration chain with
     * weight TABLES as MATERIALIZED CTEs — [[hashedLogisticOracle]]. */
   def q141(t: Tables): DataFrame = {
+    // shared memoized feature table (Tables.hashedFeaturePairs32, r21) —
+    // q141 + q147 featurize the identical corpus at dims = 32; the
+    // scoring slice is an id-filter of the same table (per-id rows, so
+    // the filtered table IS the slice's featurization)
+    val fp = t.hashedFeaturePairs32
     val y = when(col("lang") === "en", 1.0).otherwise(0.0)
-    val w = TextAnalysis.logisticTrainHashed(t.documents, col("doc_id"),
-      col("text"), y, dims = 32, iters = 3, lr = 0.5)
-    TextAnalysis.logisticScoreHashed(
-        t.documents.filter(col("doc_id") % 20 === 7),
-        col("doc_id"), col("text"), w, dims = 32)
+    val w = TextAnalysis.logisticTrainHashedOn(fp, t.documents,
+      col("doc_id"), y, iters = 3, lr = 0.5)
+    TextAnalysis.logisticScoreOnPairs(
+        fp.filter(col("__lh_id") % 20 === 7), w)
       .join(t.documents.select(col("doc_id").as("id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("id"))
       .select(col("id").as("doc_id"), col("y"),
@@ -1052,9 +1072,10 @@ object PipelineQueries {
     * claim is pinned in LangIdSpec on a disjoint-vocab fixture the task
     * is learnable on (acc = 1.0) — the two-leg discipline. */
   def q147(t: Tables): DataFrame =
-    TextAnalysis.langIdTrained(t.documents, col("doc_id"), col("text"),
-        col("lang"), langs = Seq("de", "en", "es", "fr", "zh"),
-        dims = 32, iters = 2, lr = 0.5)
+    // shared memoized feature table at dims = 32 (see q141)
+    TextAnalysis.langIdTrainedOn(t.hashedFeaturePairs32, t.documents,
+        col("doc_id"), col("lang"), langs = Seq("de", "en", "es", "fr", "zh"),
+        iters = 2, lr = 0.5)
       .select(col("id").as("doc_id"), col("pred"))
       .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("pred"))
@@ -1143,8 +1164,9 @@ object PipelineQueries {
     // the BATCHED trainer is the production path (provably identical
     // sequence, ~batch× fewer jobs — see learnMergesBatched's acceptance
     // invariants); running the gate through it means the oracle pins the
-    // scale path, not just the reference per-merge loop
-    val merges = graft.operators.BpeTrain.learnMergesBatched(t.documents, col("text"), 8)
+    // scale path, not just the reference per-merge loop. Shared memo
+    // (sharedBpeMerges8, r21): q127 trains the identical sequence.
+    val merges = sharedBpeMerges8(t)
     import t.spark.implicits._
     merges.map(m => (m.rank.toLong, m.piece, m.pairCount))
       .toDF("rank", "piece", "pair_count")
@@ -1161,7 +1183,7 @@ object PipelineQueries {
     * segmentation itself, which is only possible because rank-order
     * inference provably reproduces training segmentations. */
   def q127(t: Tables): DataFrame = {
-    val merges = graft.operators.BpeTrain.learnMergesBatched(t.documents, col("text"), 8)
+    val merges = sharedBpeMerges8(t) // shared memo — see q126
     graft.plans.BpeMergeRanks.register("q127", merges.map(m => (m.a, m.b)))
     val toks = filter(split(lower(col("text")), " "), w => w =!= "")
     t.documents.filter(col("doc_id") % 10 === 5)

@@ -73,9 +73,15 @@ object Cleaning {
     // a user column literally named "__thr" must survive the gate intact
     val thr = src.select(score.as("__quantile_gate_s"))
       .agg(expr(s"percentile(__quantile_gate_s, ${q}D)").as("__quantile_gate_thr"))
-    src.crossJoin(broadcast(thr))
-      .filter(score >= col("__quantile_gate_thr"))
-      .drop("__quantile_gate_thr")
+    // materialize the gated output, release the input-chain cache (r21
+    // lifecycle rule — CacheDiscipline): one execution fills src, the
+    // threshold broadcast and the gate drain it, and nothing
+    // chain-sized stays pinned after the operator returns
+    CacheDiscipline.materialized(
+      src.crossJoin(broadcast(thr))
+        .filter(score >= col("__quantile_gate_thr"))
+        .drop("__quantile_gate_thr"),
+      src)
   }
 
   /** CCNet HEAD/MIDDLE/TAIL bucketing — the step CCNet actually runs on
@@ -120,10 +126,14 @@ object Cleaning {
       .when(score <= col("__ccb_t1"), "head")
       .when(score <= col("__ccb_t2"), "middle")
       .otherwise("tail")
-    src.join(broadcast(thr), group === col("__ccb_g"), "left")
-      .withColumn("bucket", bucket)
-      .withColumn("keep", coalesce(col("bucket") =!= "tail", lit(false)))
-      .drop("__ccb_g", "__ccb_t1", "__ccb_t2")
+    // materialize the bucketed output, release the input-chain cache
+    // (r21 lifecycle rule — see quantileGate)
+    CacheDiscipline.materialized(
+      src.join(broadcast(thr), group === col("__ccb_g"), "left")
+        .withColumn("bucket", bucket)
+        .withColumn("keep", coalesce(col("bucket") =!= "tail", lit(false)))
+        .drop("__ccb_g", "__ccb_t1", "__ccb_t2"),
+      src)
   }
 
   /** Gopher-style quality rules (the published heuristic battery of Rae

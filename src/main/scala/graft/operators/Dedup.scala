@@ -30,12 +30,8 @@ object Dedup {
     * intermediates (shingle/signature tables, linear in corpus size) are
     * not. The returned DataFrame is persisted — callers that loop over
     * many corpora should `.unpersist()` it when done. */
-  private def materialized(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+  private def materialized(result: DataFrame, intermediates: DataFrame*): DataFrame =
+    CacheDiscipline.materialized(result, intermediates: _*)
 
   /** Loan pattern for the persisted results of [[minHashNearDups]] /
     * [[simHashNearDups]] / [[ngramJaccard]]: runs `f` over the pair table
@@ -545,28 +541,51 @@ object Dedup {
     // shingles and in practice a handful of boilerplate n-grams, so it
     // broadcasts (the alternative SMJ anti-join would sort the whole
     // shingle table just to subtract a dozen keys)
-    val stop = broadcast(shingles
+    val stopAgg = shingles
       .groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
-      .select("w"))
-    val rareIdx = shingles.join(stop, Seq("w"), "left_anti")
-    val a = rareIdx.select(col("doc_id").as("da"), col("w"))
-    val b = rareIdx.select(col("doc_id").as("db"), col("w").as("wb"))
-    val interRare = a.join(b, col("w") === col("wb") && col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i_rare"))
-    // stop-shingle contributions, recounted for nominated pairs only
-    val stopIdx = shingles.join(stop, Seq("w"), "left_semi")
-    val sa = stopIdx.select(col("doc_id").as("da"), col("w"))
-    val sb = stopIdx.select(col("doc_id").as("db"), col("w"))
-    val interStop = interRare.select("da", "db")
-      .join(sa, "da")
-      .join(sb, Seq("db", "w"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i_stop"))
+      .select("w")
+    // Data-adaptive degenerate plan (r21, guide §8 — use what the
+    // optimizer cannot know): on a corpus with NO over-cap shingle the
+    // stop relation is empty, yet the static plan still schedules the
+    // anti-join, the semi-join and interStop's three keyed stages over
+    // empty inputs — measured at sf0.1 as a third of q107's wall, pure
+    // stage-dispatch. One bounded count over the (caller-cached)
+    // shingle table decides it — the exact adjudication AQE would make
+    // from the same runtime statistic, and the df aggregate was already
+    // being computed for the broadcast. When the head is empty the
+    // capped result is BIT-EQUAL to [[ngramContainment]]'s plan
+    // (i_stop ≡ 0, rareIdx ≡ shingles — the DedupSpec pin); when it is
+    // not, the guarded plan runs exactly as before.
+    val nStop = stopAgg.count()
     val sz = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    interRare
-      .join(interStop, Seq("da", "db"), "left_outer")
-      .select(col("da"), col("db"),
-        (col("i_rare") + coalesce(col("i_stop"), lit(0L))).as("i"))
+    val inter =
+      if (nStop == 0) {
+        val a = shingles.select(col("doc_id").as("da"), col("w"))
+        val b = shingles.select(col("doc_id").as("db"), col("w").as("wb"))
+        a.join(b, col("w") === col("wb") && col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      } else {
+        val stop = broadcast(stopAgg)
+        val rareIdx = shingles.join(stop, Seq("w"), "left_anti")
+        val a = rareIdx.select(col("doc_id").as("da"), col("w"))
+        val b = rareIdx.select(col("doc_id").as("db"), col("w").as("wb"))
+        val interRare = a.join(b, col("w") === col("wb") && col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i_rare"))
+        // stop-shingle contributions, recounted for nominated pairs only
+        val stopIdx = shingles.join(stop, Seq("w"), "left_semi")
+        val sa = stopIdx.select(col("doc_id").as("da"), col("w"))
+        val sb = stopIdx.select(col("doc_id").as("db"), col("w"))
+        val interStop = interRare.select("da", "db")
+          .join(sa, "da")
+          .join(sb, Seq("db", "w"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i_stop"))
+        interRare
+          .join(interStop, Seq("da", "db"), "left_outer")
+          .select(col("da"), col("db"),
+            (col("i_rare") + coalesce(col("i_stop"), lit(0L))).as("i"))
+      }
+    inter
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
@@ -1154,9 +1173,11 @@ object Dedup {
     }
     val a = kept.select(col("doc_id").as("da"), col("pos").as("pa"), col("w"))
     val b = kept.select(col("doc_id").as("db"), col("pos").as("pb"), col("w"))
-    collapseRuns(
+    // materialize the (bounded) run table, then release the exploded
+    // shingle cache — the r21 lifecycle rule (CacheDiscipline)
+    materialized(collapseRuns(
       a.join(b, "w").filter(col("da") < col("db")),
-      "da", "db", "pa", "pb", minRun, ("pos_a", "pos_b"))
+      "da", "db", "pa", "pb", minRun, ("pos_a", "pos_b")), sh)
   }
 
   /** DUPLICATED-SPAN REPORT — the Lee et al. SUFFIX-ARRAY formulation's
@@ -1465,12 +1486,16 @@ object Dedup {
               struct(col("__ld_pos"), col("__ld_line"))))),
             s => s("__ld_line")),
           sep).as("text_clean"))
-    docs.filter(id.isNotNull).select(id.as("id"))
+    val out = docs.filter(id.isNotNull).select(id.as("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+    // hotKeySafe is the only path that persisted the line explode —
+    // materialize the rebuilt (doc-sized) output and release it (r21
+    // lifecycle rule); the window form stays fully lazy, unchanged
+    if (hotKeySafe) materialized(out, lines) else out
   }
 
   /** BOILERPLATE line removal by document frequency — the RefinedWeb rule
@@ -1575,11 +1600,15 @@ object Dedup {
               struct(col("__bp_pos"), col("__bp_line"))))),
             s => s("__bp_line")),
           sep).as("text_clean"))
-    docs.filter(id.isNotNull).select(id.as("id"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    // materialize the rebuilt (doc-sized) output, release the exploded
+    // line cache (r21 lifecycle rule)
+    materialized(
+      docs.filter(id.isNotNull).select(id.as("id"))
+        .join(rebuilt, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_clean"), lit("")).as("text_clean")),
+      lines)
   }
 }

@@ -133,10 +133,18 @@ object ExactQuantiles {
       .otherwise(
         (col("__eq_h").cast("double") - col("__eq_pos")) * col("__eq_vl") +
         (col("__eq_pos") - col("__eq_l").cast("double")) * col("__eq_vh"))
-    br.select(col("__eq_k"), edge.as("__eq_e"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("__eq_k"), col("__eq_e"))))
-        .as("__eq_s"))
-      .select(transform(col("__eq_s"), s => s.getField("__eq_e")).as(out))
+    // materialize the 1-row edge frame, then release the ranked
+    // distinct-value cache (r21 lifecycle rule — CacheDiscipline): the
+    // ranked table is data-sized (every distinct value), exactly the
+    // class of cache that must not outlive its operator. Callers that
+    // keep the returned frame may unpersist it when done (ksDriftBinned
+    // does).
+    CacheDiscipline.materialized(
+      br.select(col("__eq_k"), edge.as("__eq_e"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("__eq_k"), col("__eq_e"))))
+          .as("__eq_s"))
+        .select(transform(col("__eq_s"), s => s.getField("__eq_e")).as(out)),
+      ranked)
   }
 }

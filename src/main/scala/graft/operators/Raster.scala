@@ -184,7 +184,12 @@ object Raster {
     val qualifying = minDist.crossJoin(broadcast(rs))
       .filter(col("__ds_d") <= col("__ds_r") * 2 + 1)
       .groupBy("__ds_r").agg(count(lit(1)).as("__ds_k"))
-    broadcast(rs).join(qualifying, Seq("__ds_r"), "left")
+    // hint the BUILD side: `qualifying` is bounded (<= maxRadius+1 rows
+    // after its groupBy) and a left-outer join can only build right — the
+    // previous broadcast(rs) hinted the PRESERVED side, which Spark must
+    // ignore (8 HintErrorLogger warnings per Verify run) and silently
+    // planned as a shuffle (VERDICT r20)
+    rs.join(broadcast(qualifying), Seq("__ds_r"), "left")
       .crossJoin(broadcast(cells.agg(count(lit(1)).as("__ds_n"))))
       .filter(coalesce(col("__ds_k"), lit(0L)).cast("double") / col("__ds_n") > threshold)
       .agg(coalesce(min(col("__ds_r")), lit(maxRadius)).as("__ds_r"))

@@ -207,13 +207,17 @@ object TextAnalysis {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = pair.agg(sum("n_ab").cast("double").as("nb"))
-    pair.filter(col("n_ab") >= minCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .withColumn("pmi",
-        log(col("n_ab") * col("nu") * col("nu") / (col("nb") * col("c1") * col("c2"))))
-      .select("w1", "w2", "n_ab", "pmi")
+    // materialize the (vocab-sized) collocation table, release both
+    // count caches (r21 lifecycle rule — CacheDiscipline)
+    CacheDiscipline.materialized(
+      pair.filter(col("n_ab") >= minCount)
+        .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("pmi",
+          log(col("n_ab") * col("nu") * col("nu") / (col("nb") * col("c1") * col("c2"))))
+        .select("w1", "w2", "n_ab", "pmi"),
+      uni, pair)
   }
 
   /** DSIR importance weights (Data Selection via Importance Resampling,
@@ -581,13 +585,29 @@ object TextAnalysis {
     require(dims >= 2 && iters >= 1 && lr > 0,
       s"need dims >= 2, iters >= 1, lr > 0 (got $dims, $iters, $lr)")
     val fp = hashedFeaturePairs(docs, id, text, dims).persist()
+    try logisticTrainHashedOn(fp, docs, id, label, iters, lr)
+    finally { fp.unpersist(); () }
+  }
+
+  /** [[logisticTrainHashed]] over an ALREADY-BUILT (caller-persisted)
+    * feature-pair table — the entry for suite-level shared featurization
+    * ([[graft.Tables.hashedFeaturePairs32]], r21): q141 and q147 train
+    * over the identical corpus at the identical dims, so the memoized
+    * table replaces per-query tokenize+hash explodes. The caller owns
+    * `fp`'s lifecycle; numerics are the public entry's (same joins,
+    * same grid-rounded gradients — the 1e-9 snap absorbs the cache's
+    * partitioning of the gradient sums exactly as it absorbs any
+    * other). */
+  def logisticTrainHashedOn(fp: DataFrame, docs: DataFrame, id: Column,
+      label: Column, iters: Int, lr: Double): DataFrame = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0 (got $iters, $lr)")
     // null labels would vanish from gradient sums but not from nd — the
     // flat trainer's bias hazard; drop them from the label table (their
     // feature pairs then join nothing and contribute nothing)
     val lab = docs.filter(id.isNotNull && label.isNotNull)
       .select(id.as("__lh_id"), label.cast("double").as("__lh_y")).persist()
     try trainOnPairs(fp, lab, iters, lr)
-    finally { fp.unpersist(); lab.unpersist() }
+    finally { lab.unpersist(); () }
   }
 
   /** The GD loop of [[logisticTrainHashed]] over an ALREADY-BUILT
@@ -651,18 +671,31 @@ object TextAnalysis {
     * Returns one row per doc: `(id, pred, z6)`. */
   def langIdTrained(docs: DataFrame, id: Column, text: Column, lang: Column,
       langs: Seq[String], dims: Int, iters: Int, lr: Double): DataFrame = {
-    require(langs.nonEmpty && langs.distinct == langs,
-      s"langs must be non-empty and distinct, got $langs")
     // Featurize ONCE: tokenization+hashing is the dominant corpus cost,
     // and every one-vs-rest model consumes the identical feature table
     // (only the 0/1 label differs) — training |langs| models through
     // the public entry would tokenize the corpus 2·|langs| times (train
     // + score), as its DuckDB oracle's single MATERIALIZED fp CTE
-    // already acknowledges. Labels likewise project once.
+    // already acknowledges.
     val fp = hashedFeaturePairs(docs, id, text, dims).persist()
+    // the per-round scored table is eagerly checkpointed inside
+    // langIdTrainedOn, so unpersisting fp on return is safe
+    try langIdTrainedOn(fp, docs, id, lang, langs, iters, lr)
+    finally { fp.unpersist(blocking = false); () }
+  }
+
+  /** [[langIdTrained]] over an ALREADY-BUILT (caller-persisted) feature
+    * table — the shared-featurization entry ([[graft.Tables
+    * .hashedFeaturePairs32]], r21; see [[logisticTrainHashedOn]]). The
+    * caller owns `fp`'s lifecycle. */
+  def langIdTrainedOn(fp: DataFrame, docs: DataFrame, id: Column,
+      lang: Column, langs: Seq[String], iters: Int, lr: Double): DataFrame = {
+    require(langs.nonEmpty && langs.distinct == langs,
+      s"langs must be non-empty and distinct, got $langs")
     // NULL-lang docs stay: their one-vs-rest label is the `otherwise`
     // 0.0 for every candidate, exactly as the per-model `when` gave
-    // them before this table was factored out (the oracle pins that)
+    // them before this table was factored out (the oracle pins that).
+    // Labels project once.
     val labAll = docs.filter(id.isNotNull)
       .select(id.as("__lh_id"), lang.as("__li_lang")).persist()
     // ALL |langs| one-vs-rest models train as ONE candidate-keyed dag
@@ -714,7 +747,7 @@ object TextAnalysis {
         .select(col("id"), col("__li_cand"),
           graft.functions.Rounding.portable(col("z"), 6).as("z6"))
         .localCheckpoint()
-    } finally { fp.unpersist(blocking = false); labAll.unpersist(blocking = false) }
+    } finally { labAll.unpersist(blocking = false); () }
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
         .orderBy(col("z6").desc, col("__li_cand")))
@@ -728,8 +761,16 @@ object TextAnalysis {
     * doesn't). Returns `(id, z, p)`. */
   def logisticScoreHashed(docs: DataFrame, id: Column, text: Column,
       weights: DataFrame, dims: Int): DataFrame =
-    hashedFeaturePairs(docs, id, text, dims)
-      .join(weights.select(col("bucket").as("__lh_b"),
+    logisticScoreOnPairs(hashedFeaturePairs(docs, id, text, dims), weights)
+
+  /** [[logisticScoreHashed]] over an ALREADY-BUILT feature-pair table
+    * (r21 — the shared-featurization entry): [[hashedFeaturePairs]]
+    * aggregates per id, so featurizing an id-filtered corpus slice and
+    * id-filtering the full feature table produce the IDENTICAL rows —
+    * q141 scores `fp.filter(__lh_id % 20 = 7)` against the memoized
+    * table instead of re-tokenizing the slice. */
+  def logisticScoreOnPairs(fp: DataFrame, weights: DataFrame): DataFrame =
+    fp.join(weights.select(col("bucket").as("__lh_b"),
         col("weight").as("__lh_wb")), "__lh_b")
       .groupBy(col("__lh_id").as("id"))
       .agg(sum(col("__lh_x") * col("__lh_wb")).as("z"))
@@ -1137,9 +1178,13 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score6").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("doc_id"), col("score6"), col("n_terms"),
-        col("rn").cast("long").as("rn"))
+    // materialize the top-k output, release the dl cache (r21 lifecycle
+    // rule — CacheDiscipline)
+    CacheDiscipline.materialized(
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("qid"), col("doc_id"), col("score6"), col("n_terms"),
+          col("rn").cast("long").as("rn")),
+      dl)
   }
 
   /** COHEN'S KAPPA — chance-corrected agreement between two categorical

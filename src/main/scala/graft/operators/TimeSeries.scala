@@ -262,14 +262,22 @@ object TimeSeries {
     // the dense per-group array assembles from a collect_list map over
     // <= bins rows per group, per-bin totals from a posexplode of the
     // |groups| arrays, cumulative CDFs and the sup fold in-row.
+    // r21 (VERDICT r20 item 7): bin membership by in-row BINARY SEARCH
+    // over the sorted edge array — O(log bins) per row instead of the
+    // O(bins) linear fold, ~equal at the gated 32 bins and the real map
+    // cost at the documented 1000-bin default. Quantile edges are
+    // non-decreasing by construction (exact and sketch), and the count
+    // of edges strictly below v equals the largest index with
+    // edge < v — identical longs, pinned against the linear fold in
+    // TimeSeriesSpec on random sorted arrays with duplicates.
     val binSrc =
       if (approxEdges) base.crossJoin(broadcast(edges))
-        .select(col("g"), aggregate(col("__ks_e"), lit(0L),
-          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"),
+        .select(col("g"),
+          binOfSortedCol(col("v"), col("__ks_e"), bins - 1).as("__ks_bin"),
           lit(1L).as("__ks_w"))
       else gv.crossJoin(broadcast(edges))
-        .select(col("g"), aggregate(col("__ks_e"), lit(0L),
-          (acc, e) => acc + when(col("v") > e, 1L).otherwise(0L)).as("__ks_bin"),
+        .select(col("g"),
+          binOfSortedCol(col("v"), col("__ks_e"), bins - 1).as("__ks_bin"),
           col("__ks_w"))
     val perGroup = binSrc
       .groupBy("g", "__ks_bin")
@@ -335,7 +343,14 @@ object TimeSeries {
           .cast(base.schema("g").dataType).as("g"),
         lit(0L).as("n"), lit(0L).as("n_rest"),
         lit(0.0).as("d"), lit(0.0).as("ks"))
-    body.unionAll(loud)
+    val out = body.unionAll(loud)
+    // exact branch: materialize the |groups|-row result, then release
+    // the distinct-value histogram cache AND the edge table's persist
+    // handle (r21 lifecycle rule — CacheDiscipline; the approx branch
+    // caches nothing). The guard semantics are unchanged: the eager
+    // count executes the same raise_error dag a consumer would.
+    if (approxEdges) out
+    else graft.operators.CacheDiscipline.materialized(out, gv, edges)
   }
 
   /** Shared KS-vs-reference dag: given a row's per-bin current counts
@@ -373,6 +388,49 @@ object TimeSeries {
   private[graft] def binOf(value: Column, refEdges: Seq[Double]): Column =
     aggregate(typedlit(refEdges), lit(0L),
       (acc, e) => acc + when(value.cast("double") > e, 1L).otherwise(0L))
+
+  /** [[binOf]] against a SORTED (non-decreasing) edge-array COLUMN —
+    * in-row BINARY SEARCH past the measured ~115-edge crossover (the
+    * in-body note), the linear fold below it: O(min(n, 16·log n)) per
+    * row. Returns the count of edges strictly below the value,
+    * which over a sorted array equals the largest 1-based index i with
+    * `edges[i] < v` (duplicates included: everything before i is
+    * <= edges[i] < v) — bit-identical longs to [[binOf]], pinned in
+    * TimeSeriesSpec on random sorted arrays with ties, edge-equal
+    * values and NaN (Spark's NaN-greatest comparison makes both forms
+    * count every edge). The probe index is clamped into [1, n] so the
+    * converged (lo = hi) iterations stay ANSI-safe; their branches are
+    * no-ops by the lo < hi guard. */
+  private[graft] def binOfSortedCol(value: Column, edges: Column,
+      nEdges: Int): Column = {
+    require(nEdges >= 1, s"need >= 1 edge, got $nEdges")
+    val v = value.cast("double")
+    // MEASURED crossover (OptLab `binsab`, interleaved, 600 k rows):
+    // the binary step (struct rebuild + clamped element_at) costs ~16×
+    // a linear-fold step, so the search only pays past ~115 edges —
+    // linear 0.72 s vs search 1.74 s at 32 bins, linear 20.0 s vs
+    // search 3.3 s at the 1000-bin default. Below the cutover keep the
+    // linear fold (identical longs either way).
+    if (nEdges < 128)
+      return aggregate(edges, lit(0L),
+        (acc, e) => acc + when(v > e, 1L).otherwise(0L))
+    // ceil(log2(nEdges + 1)) halvings shrink the [0, nEdges] range to 1
+    val steps = 32 - Integer.numberOfLeadingZeros(nEdges)
+    aggregate(sequence(lit(1), lit(steps)),
+      struct(lit(0L).as("lo"), lit(nEdges.toLong).as("hi")),
+      (acc, _) => {
+        val lo = acc.getField("lo")
+        val hi = acc.getField("hi")
+        // values are tiny non-negatives: double division + long cast
+        // truncates toward zero = floor((lo + hi + 1) / 2)
+        val mid = ((lo + hi + lit(1L)) / lit(2L)).cast("long")
+        val probe = greatest(least(mid, lit(nEdges.toLong)), lit(1L))
+        val below = v > element_at(edges, probe.cast("int"))
+        struct(
+          when(lo < hi && below, mid).otherwise(lo).as("lo"),
+          when(lo < hi && !below, mid - lit(1L)).otherwise(hi).as("hi"))
+      }).getField("lo")
+  }
 
   /** TWO-SAMPLE KS AGAINST A PERSISTED REFERENCE — the vs-artifact form
     * of [[ksDriftBinned]] (which compares groups WITHIN one frame):

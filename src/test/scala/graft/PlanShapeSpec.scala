@@ -17,6 +17,30 @@ class PlanShapeSpec extends SparkSpec {
   private def q(name: String): String =
     plan(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
 
+  /** The executed-plan string with each AQE "== Initial Plan ==" echo
+    * stripped (r21): operators that eagerly materialize their result
+    * (CacheDiscipline) print the build plan inside an InMemoryRelation
+    * whose AdaptiveSparkPlan echoes BOTH final and initial sections —
+    * exact node counts would double. Counting on the final sections
+    * keeps the assertions' intent. */
+  private def finalOnly(p: String): String =
+    p.split(java.util.regex.Pattern.quote("== Initial Plan ==")).head
+
+  /** The materialized RESULT's cached build plan (r21): for a query
+    * whose operator returns a CacheDiscipline-materialized frame, the
+    * outer executed plan is just sort-over-InMemoryTableScan; the shape
+    * evidence lives in the relation's cachedPlan — the same surface the
+    * pre-r21 lazy plan exposed. */
+  private def qBuild(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    // search the OPTIMIZED LOGICAL plan: the physical root is an
+    // AdaptiveSparkPlanExec, which hides its children from collect
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.getOrElse(fail(s"$name: expected a materialized result cache in the plan"))
+  }
+
   test("q02: the flag predicate reaches the parquet scan (PushedFilters)") {
     val p = q("q02_filter_flagmask")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
@@ -94,18 +118,35 @@ class PlanShapeSpec extends SparkSpec {
       s"window + island aggregate must share one hash exchange:\n$p")
   }
 
-  test("q107: the df-cap anti-join guards the candidate index (r17 gate)") {
-    // the containment scale contract: the candidate-generating inverted
-    // index must exclude stop shingles via an anti-join against the
-    // df > cap set — without it one Zipf-head shingle makes candidate
-    // generation quadratic in corpus size. The stop recount leg must
-    // stay a left-semi (stop shingles only) so the clean-corpus cost of
-    // the guard is one df aggregate over an empty stop relation.
+  test("q107: the df-cap anti-join guards the candidate index (r17 gate; r21 adaptive)") {
+    // the containment scale contract: on a corpus WITH a Zipf-head
+    // shingle, the candidate-generating inverted index must exclude
+    // stop shingles via an anti-join against the df > cap set — without
+    // it one hot shingle makes candidate generation quadratic in corpus
+    // size; the stop recount leg must stay a left-semi (stop shingles
+    // only). r21: the plan is DATA-ADAPTIVE — one bounded count of the
+    // stop head decides it, so a CLEAN corpus (the sf0.001/sf0.1
+    // fixture) skips the guard's five empty-input stages outright and
+    // plans exactly [[Dedup.ngramContainment]]'s shape (bit-equal
+    // results, the standing DedupSpec pin).
+    import spark.implicits._
+    // hot corpus: one trigram shared by > cap docs plus per-doc noise
+    val hot = (1 to 12).map(i => (i.toLong, s"a b c noise$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val shHot = graft.operators.Dedup.shingleSet(hot, col("doc_id"), col("text"), 3)
+    val pHot = plan(graft.operators.Dedup.containmentCappedPairs(shHot, 0.8, 10L))
+    assert(pHot.contains("LeftAnti"),
+      s"candidate index must anti-join the stop set:\n$pHot")
+    assert(pHot.contains("LeftSemi"),
+      s"stop recount leg must be a semi-join:\n$pHot")
+    // clean corpus: no shingle over the cap — the degenerate fast path
+    // must carry NO anti/semi legs (they would be five stages over
+    // empty relations)
     val sh = graft.operators.Dedup.shingleSet(
       sf0001.documents, col("doc_id"), col("text"), 3)
     val p = plan(graft.operators.Dedup.containmentCappedPairs(sh, 0.8, 50L))
-    assert(p.contains("LeftAnti"), s"candidate index must anti-join the stop set:\n$p")
-    assert(p.contains("LeftSemi"), s"stop recount leg must be a semi-join:\n$p")
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      s"clean corpus must take the guard-free fast path:\n$p")
   }
 
   test("q179: one map-side-combined moment aggregate — partial+final around a single exchange") {
@@ -126,7 +167,10 @@ class PlanShapeSpec extends SparkSpec {
     // window/grid operator downstream runs on the groups × 32 bin table.
     // The exact form's groups × distinct-values cross join must NOT
     // appear anywhere between the scan and the first aggregate.
-    val p = q("q185_ks_binned")
+    // r21: the operator eagerly materializes its (3-row) result and
+    // releases the gv/edge caches (CacheDiscipline), so the shape
+    // evidence lives in the result's cached BUILD plan (qBuild)
+    val p = qBuild("q185_ks_binned")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"quantile edges must broadcast into the fold:\n$p")
     assert(!p.contains("SortMergeJoin"),
@@ -154,9 +198,15 @@ class PlanShapeSpec extends SparkSpec {
     //    file — the regression this pin exists to catch.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val ps = q("q185_ks_binned")
+      // cold rebuild under the static planner, so exchange reuse is a
+      // static rule and therefore visible in the plan string (r21: the
+      // warm result cache would otherwise satisfy the query without
+      // re-planning the build)
+      spark.sharedState.cacheManager.clearCache()
+      val ps = qBuild("q185_ks_binned")
       assert("InMemoryTableScan".r.findAllIn(ps).size >= 2,
-        s"edge and binning branches must read the shared gv cache:\n$ps")
+        s"the binning branch must read the shared gv cache and the " +
+          s"materialized edge frame:\n$ps")
       assert("Scan parquet".r.findAllIn(ps).size <= 3,
         s"corpus must be scanned once (cache-echo budget 3):\n$ps")
       assert(ps.contains("ReusedExchange"),
@@ -294,7 +344,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q94: unigram sides broadcast; totals arrive as 1-row broadcast cross joins") {
-    val p = q("q94_pmi_collocations")
+    val p = finalOnly(qBuild("q94_pmi_collocations"))
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
       s"both unigram joins must broadcast:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2,
@@ -507,7 +557,7 @@ class PlanShapeSpec extends SparkSpec {
     // the scale hinge: tf/df aggregate only query-term postings (terms
     // broadcast into the token table), totals arrive as a 1-row
     // broadcast cross join, and the only window ranks per-query top-k
-    val p = q("q161_bm25_topk")
+    val p = finalOnly(qBuild("q161_bm25_topk"))
     assert(p.contains("BroadcastHashJoin"),
       s"probe-term and df joins must broadcast:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),

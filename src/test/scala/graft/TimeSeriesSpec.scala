@@ -303,4 +303,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.forall(r => !r._4.isNaN && !r._4.isInfinite), s"terms: ${rows.toSeq}")
     intercept[IllegalArgumentException](TimeSeries.psiDrift(ref, ref, col("v"), bins = 1))
   }
+
+  test("binOfSortedCol: binary search == linear fold on random sorted edges (ties, edge-equal, NaN)") {
+    // r21 — the O(log bins) binning must return bit-identical longs to
+    // the O(bins) fold it replaced, for every edge count the operator
+    // can see (including 31 = the gated q185 and 999 = the documented
+    // default), duplicate edges, values AT edges, and NaN (Spark orders
+    // NaN greatest, so both forms count every edge)
+    val rnd = new scala.util.Random(42)
+    for (m <- Seq(1, 2, 3, 7, 31, 64, 999)) {
+      val edges = Seq.fill(m)(math.floor(rnd.nextDouble() * 20) / 4.0).sorted
+      val vals = (edges ++ Seq(-1.0, 0.0, 5.01, Double.NaN) ++
+        Seq.fill(50)(rnd.nextDouble() * 6 - 0.5)).toDF("v")
+      val linear = aggregate(typedlit(edges), lit(0L),
+        (acc, e) => acc + when(col("v").cast("double") > e, 1L).otherwise(0L))
+      val both = vals.select(
+        linear.as("lin"),
+        TimeSeries.binOfSortedCol(col("v"), typedlit(edges), m).as("bin"))
+        .as[(Long, Long)].collect()
+      both.foreach { case (lin, bin) =>
+        assert(lin == bin, s"m=$m: linear $lin vs binary $bin") }
+    }
+  }
 }
