@@ -921,6 +921,18 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIter) {
       val prevEdges = edges
+      // NOTE (r21, measured NEGATIVE — do not re-attempt): batching TWO
+      // large/small alternations per materialization (the langid/BPE
+      // §2.6 pattern, to halve the ~30 dispatch-floor jobs this loop
+      // costs at sf0.1) ran 8× SLOWER (OptLab q72ab interleaved:
+      // apr1 1.30 s vs apr2 10.15 s best-of-5): each star consumes its
+      // input through THREE branches (mins, the join side, the union
+      // leg), so without the per-pair materialization barrier the
+      // second pair re-executes the first pair's whole 6-exchange
+      // subtree once per branch — the blow-up is multiplicative, and
+      // static ReuseExchange does not rescue map-side-divergent
+      // subtrees. One alternation per materialized round is the
+      // correct cadence for this operator.
       edges = smallStar(largeStar(edges)).transform(truncate)
       val s = sig(edges)
       // exact confirmation BEFORE the stale-snapshot drop (prevEdges'
@@ -1278,12 +1290,20 @@ object Dedup {
     * doc_id, so they share one exchange. */
   def removeSubstringRuns(
       train: DataFrame, id: Column, text: Column, runs: DataFrame): DataFrame = {
+    // Persisted (r21, plan-counted): `spans` has TWO consumers — the
+    // affected-ids semi-join side and the coverage join — and `runs` is
+    // typically an unmaterialized dag (q110 hands in the whole
+    // exactSubstringRuns two-corpus shingle join), which the plan
+    // otherwise re-executes once per consumer. The span table is
+    // bounded by the total flagged tokens; released on return per the
+    // r21 lifecycle rule.
     val spans = runs
       .select(col("doc_id").as("__rs_id"),
         explode(sequence(col("pos_train"),
           col("pos_train") + col("run_len") - 1)).as("__rs_pos"))
       .distinct()
       .withColumn("__rs_cov", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val affected = spans.select("__rs_id").distinct()
     val toks = train
       .select(id.as("__rs_id"), TextOps.tokens(text).as("__rs_toks"))
@@ -1291,15 +1311,17 @@ object Dedup {
       .select(col("__rs_id"), size(col("__rs_toks")).cast("long").as("__rs_n"),
         posexplode(col("__rs_toks")).as(Seq("__rs_i", "__rs_tok")))
       .withColumn("__rs_pos", (col("__rs_i") + 1).cast("long"))
-    toks.join(spans, Seq("__rs_id", "__rs_pos"), "left")
-      .groupBy(col("__rs_id").as("doc_id"))
-      .agg(
-        max(col("__rs_n")).as("n_tokens"),
-        sum(when(col("__rs_cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__rs_cov").isNull,
-            struct(col("__rs_pos"), col("__rs_tok"))))),
-          _.getField("__rs_tok")), " ").as("text_clean"))
+    materialized(
+      toks.join(spans, Seq("__rs_id", "__rs_pos"), "left")
+        .groupBy(col("__rs_id").as("doc_id"))
+        .agg(
+          max(col("__rs_n")).as("n_tokens"),
+          sum(when(col("__rs_cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("__rs_cov").isNull,
+              struct(col("__rs_pos"), col("__rs_tok"))))),
+            _.getField("__rs_tok")), " ").as("text_clean")),
+      spans)
   }
 
   /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003 —

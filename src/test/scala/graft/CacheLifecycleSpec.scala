@@ -91,6 +91,16 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("removeSubstringRuns releases the span-coverage cache") {
+    val evalDocs = docs.filter(col("doc_id") % 7 === 0)
+    val trainDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    assertOnlyResultCached("removeSubstringRuns") {
+      Dedup.removeSubstringRuns(trainDocs, col("doc_id"), col("text"),
+        Dedup.exactSubstringRuns(trainDocs, evalDocs, col("doc_id"),
+          col("text"), minRun = 8))
+    }
+  }
+
   test("ksDriftBinned (exact edges) releases the gv histogram and the edge frame") {
     assertOnlyResultCached("ksDriftBinned exact") {
       TimeSeries.ksDriftBinned(
